@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship GAME pipeline slice on sf0.001;
+``queries()``/``oracle_sql()`` expose the SURVEY §2 operator inventory
+(registered in photon_ml_spark/queries*.py) for the DuckDB correctness
+gate.
 """
 
 from __future__ import annotations
@@ -15,24 +14,41 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: featurize lineitem⋈orders → fit fixed-effect binomial
+    GLM (offset+weight) → score → per-row prediction frame."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.ml import glm, scoring
+    from photon_ml_spark.sources import datasets, featurize
+
+    sf_dir = "/root/testdata/sf0.001"
+    training = datasets.lineitem_training_frame(spark, sf_dir).cache()
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(training, dictionary, shard).cache()
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    scored = scoring.score_literal(assembled, model)
+    scored = scoring.apply_mean(scored, "binomial")
+    return scored.select(
+        "uid", "response", "offset", "weight",
+        F.col("score").alias("margin"), "prediction",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from photon_ml_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.run for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from photon_ml_spark.queries import all_queries
+
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,106 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Headline set = the flagship GAME pipeline (featurize → GLM fit →
+score → metrics) plus the heavier operator queries from the registry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_flagship(spark, sf_dir: str) -> int:
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.functions import metrics
+    from photon_ml_spark.ml import glm, scoring
+    from photon_ml_spark.sources import datasets, featurize
+
+    training = datasets.lineitem_training_frame(spark, sf_dir).cache()
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(training, dictionary, shard).cache()
+    n = assembled.count()
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    scored = scoring.score_literal(assembled, model)
+    auc = metrics.auroc(scored, score="score", label="response").first().auroc
+    assert 0.0 <= auc <= 1.0
+    training.unpersist()
+    assembled.unpersist()
+    return n
+
+
+# Heavier / representative registry queries for the headline set.
+BENCH_QUERIES = [
+    "s3_feature_dictionary",
+    "s7_date_range_scan",
+    "j1_residual_attach",
+    "j11_score_add",
+    "a4_feature_stats",
+    "a10_auroc",
+    "a11_grouped_precision_at_k",
+    "t2_reservoir_cap",
+    "u5_entity_index_union",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from photon_ml_spark.queries import all_queries
+    from photon_ml_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="photon-ml-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("WARN")
+
+    registry = all_queries()
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    run_flagship(spark, sf_dir)  # warm JVM + measure flagship
+    timings["flagship_game_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    for name in BENCH_QUERIES:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.run(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(sf_dir),
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Evaluation suite (SURVEY §2.4 A9–A13) as one-pass aggregations.
+
+Every metric is a Catalyst aggregation / window computation over a
+scored DataFrame with columns (score, label, weight) — no collect, no
+Python in the hot path, so the same code evaluates 60k rows or 100 TB.
+
+Mirrors photon-api/.../evaluation/{RMSE,SquaredLoss,LogisticLoss,
+PoissonLoss,SmoothedHingeLoss}Evaluator.scala, AreaUnderROCCurveEvaluator
+(local kernel AreaUnderROCCurveLocalEvaluator.scala:25-72),
+PrecisionAtKLocalEvaluator.scala:29-53, MultiEvaluator.scala:36-90, and
+the legacy suite photon-client/.../evaluation/Evaluation.scala:40-165.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from photon_ml_spark.functions import links
+
+
+def _w(weight: str | None) -> Column:
+    return F.col(weight) if weight else F.lit(1.0)
+
+
+# ---------------------------------------------------------------- simple aggs
+
+def weighted_rmse(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
+    w = _w(weight)
+    d = F.col(score) - F.col(label)
+    return df.agg(F.sqrt(F.sum(w * d * d) / F.sum(w)).alias("rmse"))
+
+
+def weighted_mae(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
+    w = _w(weight)
+    return df.agg((F.sum(w * F.abs(F.col(score) - F.col(label))) / F.sum(w)).alias("mae"))
+
+
+def loss_metric(
+    df: DataFrame, kind: str, margin="score", label="label", weight=None
+) -> DataFrame:
+    """Weighted-mean pointwise loss; kind ∈ {logistic, squared, poisson,
+    smoothed_hinge} (A9). The margin column is the raw model score
+    (score + offset at evaluation time, GameTransformer.scala:285-305)."""
+    fns = {
+        "logistic": links.logistic_loss,
+        "squared": links.squared_loss,
+        "poisson": links.poisson_loss,
+        "smoothed_hinge": links.smoothed_hinge_loss,
+    }
+    loss = fns[kind](F.col(margin), F.col(label))
+    w = _w(weight)
+    return df.agg((F.sum(w * loss) / F.sum(w)).alias(f"{kind}_loss"))
+
+
+# ------------------------------------------------------------------- AUC family
+
+def _roc_points(df: DataFrame, score, label, weight) -> DataFrame:
+    """Tie-grouped cumulative positives/negatives ordered by score desc."""
+    w = _w(weight)
+    g = df.groupBy(F.col(score).alias("s")).agg(
+        F.sum(w * F.col(label)).alias("pos"),
+        F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
+    )
+    win = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        "s", "pos", "neg",
+        F.sum("pos").over(win).alias("ctp"),
+        F.sum("neg").over(win).alias("cfp"),
+    )
+
+
+def auroc(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
+    """Weighted AUROC via trapezoid sweep over tie-grouped score groups
+    (AreaUnderROCCurveLocalEvaluator.scala:36-72). Scales: the only
+    ordering is a range-partitioned window over *distinct* scores."""
+    pts = _roc_points(df, score, label, weight)
+    lag_win = Window.orderBy(F.desc("s"))
+    terms = pts.select(
+        (
+            (F.col("cfp") - F.coalesce(F.lag("cfp", 1).over(lag_win), F.lit(0.0)))
+            * (F.col("ctp") + F.coalesce(F.lag("ctp", 1).over(lag_win), F.lit(0.0)))
+            / 2.0
+        ).alias("area"),
+        F.col("ctp"), F.col("cfp"),
+    )
+    return terms.agg(
+        (F.sum("area") / (F.max("ctp") * F.max("cfp"))).alias("auroc")
+    )
+
+
+def aupr(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
+    """Weighted area under the precision-recall curve, trapezoid between
+    consecutive tie-grouped points; curve starts at (recall=0,
+    precision=1) by convention (AreaUnderPRCurveEvaluator)."""
+    pts = _roc_points(df, score, label, weight)
+    lag_win = Window.orderBy(F.desc("s"))
+    terms = pts.select(
+        F.col("ctp"),
+        (F.col("ctp") / (F.col("ctp") + F.col("cfp"))).alias("prec"),
+        F.coalesce(F.lag("ctp", 1).over(lag_win), F.lit(0.0)).alias("ptp"),
+        F.coalesce(
+            F.lag(F.col("ctp") / (F.col("ctp") + F.col("cfp")), 1).over(lag_win),
+            F.lit(1.0),
+        ).alias("pprec"),
+    )
+    return terms.agg(
+        (
+            F.sum((F.col("ctp") - F.col("ptp")) * (F.col("prec") + F.col("pprec")) / 2.0)
+            / F.max("ctp")
+        ).alias("aupr")
+    )
+
+
+# ---------------------------------------------------- grouped (Multi) metrics
+
+def precision_at_k_per_group(
+    df: DataFrame, k: int, group, score="score", label="label", uid="uid"
+) -> DataFrame:
+    """Per-group precision@k: top-k by score (uid tie-break for
+    determinism), fraction positive (PrecisionAtKLocalEvaluator)."""
+    win = Window.partitionBy(group).orderBy(F.desc(score), F.asc(uid))
+    return (
+        df.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .groupBy(group)
+        .agg(F.avg(F.col(label)).alias("precision_at_k"))
+    )
+
+
+def multi_metric_mean(per_group: DataFrame, metric_col: str) -> DataFrame:
+    """MultiEvaluator contract: unweighted mean of per-group metrics
+    (MultiEvaluator.scala:76-90)."""
+    return per_group.agg(F.avg(metric_col).alias(f"mean_{metric_col}"))
+
+
+def evaluation_suite(
+    df: DataFrame, score="score", label="label", weight=None
+) -> DataFrame:
+    """One-pass scalar-metric suite (A13): all simple aggregates in a
+    single agg so the scored frame is scanned once."""
+    w = _w(weight)
+    s, y = F.col(score), F.col(label)
+    d = s - y
+    return df.agg(
+        F.sqrt(F.sum(w * d * d) / F.sum(w)).alias("rmse"),
+        (F.sum(w * F.abs(d)) / F.sum(w)).alias("mae"),
+        (F.sum(w * links.logistic_loss(s, y)) / F.sum(w)).alias("logistic_loss"),
+        (F.sum(w * links.squared_loss(s, y)) / F.sum(w)).alias("squared_loss"),
+        F.sum(w).alias("weight_sum"),
+        F.count(F.lit(1)).alias("n"),
+    )

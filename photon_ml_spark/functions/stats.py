@@ -1,0 +1,100 @@
+"""Feature summarization (SURVEY §2.4 A4/A8; §2.10 M5 inputs).
+
+Rebuilds photon-lib/.../stat/FeatureDataStatistics.scala:59-138 —
+per-feature count / mean / variance / min / max / L1 / L2 / meanAbs /
+nnz — as a single aggregation pass. The reference runs
+``Statistics.colStats`` twice (raw + |x|); one ``agg`` with all
+expressions scans once.
+
+Output is long-form (one row per feature): at 100M features a wide
+single-row result is unusable, a (feature, stats…) table joins back
+into normalization contexts naturally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def feature_statistics(df: DataFrame, cols: list[str], round_digits: int | None = 4) -> DataFrame:
+    """Per-column stats, unpivoted to (feature, cnt, mean, variance,
+    min, max, l1, l2, mean_abs, nnz).
+
+    Rounding (default 4) keeps cross-engine value hashes stable; pass
+    None for full precision (normalization-context use).
+
+    Variance uses the explicit moment formula
+    (sum(x²) − sum(x)²/n) / (n−1) — one pass, and when inputs are
+    integer-valued the sums are exact so results are bit-identical
+    across engines (the oracle-comparability contract).
+    """
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        n = F.count(F.lit(1))
+        s1 = F.sum(x)
+        s2 = F.sum(x * x)
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("feature"),
+                n.alias("cnt"),
+                rnd(s1 / n).alias("mean"),
+                rnd((s2 - s1 * s1 / n) / (n - 1)).alias("variance"),
+                rnd(F.min(x)).alias("min"),
+                rnd(F.max(x)).alias("max"),
+                rnd(F.sum(F.abs(x))).alias("l1"),
+                rnd(F.sqrt(s2)).alias("l2"),
+                rnd(F.sum(F.abs(x)) / n).alias("mean_abs"),
+                F.sum(F.when(x != 0, 1).otherwise(0)).cast("long").alias("nnz"),
+            )
+        )
+    row = df.agg(F.array(*aggs).alias("__stats"))
+    return row.select(F.explode("__stats").alias("s")).select("s.*")
+
+
+def normalization_factors(
+    df: DataFrame, cols: list[str], kind: str = "standardization"
+) -> dict[str, tuple[float, float]]:
+    """M5 normalization contexts (NormalizationContext.scala:37-128;
+    factors from summary GameTrainingDriver.scala:590-656).
+
+    Returns {col: (shift, factor)} with x' = (x - shift) * factor:
+    - standardization: shift=mean, factor=1/std
+    - scale_with_standard_deviation: shift=0, factor=1/std
+    - scale_with_max_magnitude: shift=0, factor=1/max|x|
+    - none: (0, 1)
+
+    Invalid (zero/NaN) variance repairs to factor 1.0, matching
+    FeatureDataStatistics' variance repair.
+    """
+    if kind == "none":
+        return {c: (0.0, 1.0) for c in cols}
+    aggs = []
+    for c in cols:
+        x = F.col(c)
+        aggs += [
+            F.avg(x).alias(f"{c}__mean"),
+            F.stddev_samp(x).alias(f"{c}__std"),
+            F.max(F.abs(x)).alias(f"{c}__maxabs"),
+        ]
+    row = df.agg(*aggs).first()
+    out = {}
+    for c in cols:
+        mean = row[f"{c}__mean"] or 0.0
+        std = row[f"{c}__std"]
+        maxabs = row[f"{c}__maxabs"]
+        if kind == "standardization":
+            factor = 1.0 / std if std and std > 0 else 1.0
+            out[c] = (mean, factor)
+        elif kind == "scale_with_standard_deviation":
+            factor = 1.0 / std if std and std > 0 else 1.0
+            out[c] = (0.0, factor)
+        elif kind == "scale_with_max_magnitude":
+            factor = 1.0 / maxabs if maxabs and maxabs > 0 else 1.0
+            out[c] = (0.0, factor)
+        else:
+            raise ValueError(f"unknown normalization: {kind}")
+    return out

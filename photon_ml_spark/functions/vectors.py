@@ -1,0 +1,55 @@
+"""Vector expressions over (indices, values) sparse-pair columns (F6).
+
+The engine's native feature representation is a pair of aligned arrays
+(``*_indices: array<long>``, ``*_values: array<double>``) — these stay
+inside Tungsten and whole-stage codegen, unlike VectorUDT which is an
+opaque struct to Catalyst. Conversion to ml.linalg vectors happens only
+at the spark.ml boundary (ml/glm.py).
+
+Mirrors photon-lib/.../util/VectorUtils.scala (dot products, active
+indices) as column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def sparse_dot_literal(
+    indices: Column, values: Column, coefficients: list[float]
+) -> Column:
+    """x · w with a plan-literal coefficient array.
+
+    Good to ~10k coefficients (the literal is embedded in the plan and
+    broadcast with it); beyond that use ``score_by_join`` in
+    ml/scoring.py, which shuffles instead of inlining. JVM-side only:
+    zip_with + aggregate, no Python.
+    """
+    coef = F.array(*[F.lit(float(c)) for c in coefficients])
+    terms = F.zip_with(
+        values,
+        F.transform(indices, lambda i: F.element_at(coef, (i + 1).cast("int"))),
+        lambda v, c: v * c,
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dense_dot(a: Column, b: Column) -> Column:
+    """array<numeric> · array<numeric> as a codegen expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """cos(a, b); 0.0 when either side has zero norm."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dense_dot(a, b) / denom).otherwise(F.lit(0.0))

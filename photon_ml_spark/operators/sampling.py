@@ -1,0 +1,121 @@
+"""Sampling operators (SURVEY §2.2 P5/P6/P9, §2.5 T2).
+
+Reproducibility contract (SURVEY §7 hazard 3): every sampler derives
+its randomness from ``xxhash64(uid, seed)``, never ``rand()`` — the
+reference seeds with ``byteswap64(hash ^ uid)`` for recompute-stable
+lineage (RandomEffectDataset.scala:504-511,
+BinaryClassificationDownSampler.scala:52-55). A deterministic ``gate``
+override exists so oracle tests can substitute an engine-portable
+predicate with identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+# xxhash64 output spans the full signed-64 range; normalize to [0, 1).
+_HASH_SPAN = float(2**64)
+
+
+def hash_uniform(uid: Column, seed: int) -> Column:
+    """Deterministic U[0,1) per (uid, seed) via xxhash64."""
+    return (F.xxhash64(uid, F.lit(seed)).cast("double") + float(2**63)) / _HASH_SPAN
+
+
+def uniform_downsample(
+    df: DataFrame, rate: float, uid_col: str = "uid", seed: int = 42,
+    gate: Column | None = None,
+) -> DataFrame:
+    """P5 (DefaultDownSampler.scala:28-50): uniform keep at ``rate``,
+    weights untouched (the reference keeps weights as-is for uniform)."""
+    keep = gate if gate is not None else hash_uniform(F.col(uid_col), seed) < rate
+    return df.filter(keep)
+
+
+def stratified_downsample(
+    df: DataFrame,
+    rate: float,
+    label_col: str = "response",
+    weight_col: str = "weight",
+    uid_col: str = "uid",
+    seed: int = 42,
+    gate: Column | None = None,
+) -> DataFrame:
+    """P6 (BinaryClassificationDownSampler.scala:32-70): keep all
+    positives; sample negatives at ``rate`` and rescale their weight by
+    1/rate so expected total negative weight is preserved."""
+    is_pos = F.col(label_col) == 1.0
+    keep_neg = gate if gate is not None else hash_uniform(F.col(uid_col), seed) < rate
+    out = df.filter(is_pos | keep_neg)
+    return out.withColumn(
+        weight_col,
+        F.when(is_pos, F.col(weight_col)).otherwise(F.col(weight_col) / rate),
+    )
+
+
+def filter_entities_by_support(
+    df: DataFrame,
+    entity_col: str,
+    min_support: int,
+    exempt: DataFrame | None = None,
+) -> DataFrame:
+    """P9 (RandomEffectDataset.scala:586-606): drop all rows of entities
+    with fewer than ``min_support`` rows, unless the entity appears in
+    ``exempt`` (entities with a prior model, J12 semantics).
+
+    Implemented as count-aggregate + semi-join — Catalyst partial-
+    aggregates the count map-side, and AQE picks broadcast when the
+    surviving entity set is small.
+    """
+    support = (
+        df.groupBy(entity_col).agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= min_support)
+        .select(entity_col)
+    )
+    if exempt is not None:
+        support = support.unionByName(exempt.select(entity_col)).distinct()
+    return df.join(support, entity_col, "left_semi")
+
+
+def per_entity_cap(
+    df: DataFrame,
+    entity_col: str,
+    cap: int,
+    weight_col: str | None = "weight",
+    uid_col: str = "uid",
+    seed: int = 42,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """T2 bounded per-entity reservoir (RandomEffectDataset.scala:454-527
+    + MinHeapWithFixedCapacity.scala): keep ≤ ``cap`` rows per entity,
+    chosen by deterministic hash order; survivors' weights are rescaled
+    by total/kept so each entity's total weight is preserved.
+
+    Spark-first: a rank window per entity replaces the reference's
+    combineByKey min-heap — the window shuffles once on entity and
+    sorts within partitions; no driver involvement. ``order_cols``
+    overrides the hash ordering (oracle determinism).
+
+    This cap is what makes ``applyInPandas`` per-entity solves safe:
+    it bounds the largest group (the reference's 2 GB/partition
+    assumption, RandomEffectDataset.scala:38-45).
+    """
+    if order_cols:
+        order = [F.col(c) for c in order_cols]
+    else:
+        order = [F.xxhash64(F.col(uid_col), F.lit(seed)), F.col(uid_col)]
+    win = Window.partitionBy(entity_col).orderBy(*order)
+    cnt_win = Window.partitionBy(entity_col)
+    out = (
+        df.withColumn("__rn", F.row_number().over(win))
+        .withColumn("__total", F.count(F.lit(1)).over(cnt_win))
+        .filter(F.col("__rn") <= cap)
+    )
+    if weight_col:
+        out = out.withColumn(
+            weight_col,
+            F.col(weight_col)
+            * F.col("__total")
+            / F.least(F.col("__total"), F.lit(cap)).cast("double"),
+        )
+    return out.drop("__rn", "__total")

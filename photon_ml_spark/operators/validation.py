@@ -1,0 +1,64 @@
+"""Data validation (SURVEY §2.2 P4, §2.7 F7).
+
+Rebuilds photon-client/.../data/DataValidators.scala:32-417: row-level
+predicates (finite label/offset/features, task-specific label domains,
+positive weights) evaluated as ONE aggregation pass — the reference's
+DataFrame path ANDs per-row checks and fails the job on any violation.
+
+All checks are Catalyst expressions; a 100 TB validation is a single
+scan with partial aggregation, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def is_finite(c: Column) -> Column:
+    """Finite = not NaN, not ±Inf, not NULL (DataValidators.scala:70-86)."""
+    return c.isNotNull() & ~F.isnan(c) & (F.abs(c) != float("inf"))
+
+
+def validation_report(df: DataFrame, checks: dict[str, Column]) -> DataFrame:
+    """Count violations per named predicate in one pass.
+
+    ``checks`` maps output column → Column that is TRUE when the row is
+    INVALID. Appends ``n_rows``. Single-row DataFrame.
+    """
+    aggs = [
+        F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+        for name, pred in checks.items()
+    ]
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    return df.agg(*aggs)
+
+
+def standard_training_checks(
+    label_col: str = "response",
+    weight_col: str = "weight",
+    offset_col: str = "offset",
+    task: str = "logistic",
+) -> dict[str, Column]:
+    """The reference's per-task validation suite
+    (DataValidators.scala:88-195): finite label/offset, weight > 0,
+    binary label for logistic, non-negative label for Poisson."""
+    label = F.col(label_col)
+    checks = {
+        "n_nonfinite_label": ~is_finite(label),
+        "n_nonfinite_offset": ~is_finite(F.col(offset_col)),
+        "n_nonpositive_weight": ~(F.col(weight_col) > 0),
+    }
+    if task in ("logistic", "binomial", "smoothed_hinge"):
+        checks["n_nonbinary_label"] = ~label.isin(0.0, 1.0)
+    elif task == "poisson":
+        checks["n_negative_label"] = label < 0
+    return checks
+
+
+def validate_or_raise(df: DataFrame, checks: dict[str, Column]) -> None:
+    """Fail-fast equivalent of sanityCheckDataFrameForTraining
+    (DataValidators.scala:320-417)."""
+    row = validation_report(df, checks).first()
+    bad = {k: v for k, v in row.asDict().items() if k != "n_rows" and v}
+    if bad:
+        raise ValueError(f"data validation failed: {bad} of {row.n_rows} rows")

@@ -1,0 +1,598 @@
+"""Oracle-checked queries for the core dataflow operators (SURVEY §2.1–2.7).
+
+Numbering follows SURVEY.md §2 (S=scan, P=projection/filter, J=join,
+A=aggregation, T=top-k, U=set-op, F=scalar). Float outputs are rounded
+on both sides (see queries.py docstring).
+
+Determinism notes:
+- Sampling operators use key-modulo gates here (oracle-computable in
+  any engine); the production samplers in operators/sampling.py use
+  seeded xxhash64 — same semantics, engine-specific hash.
+- Top-k / reservoir ordering uses uid as tie-break; production uses
+  xxhash64(uid) ordering (RandomEffectDataset.scala:504-511 byteswap64
+  equivalent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from photon_ml_spark.datamodel import INTERCEPT_KEY
+from photon_ml_spark.queries import _t, r6, register
+
+# --------------------------------------------------------------------- scans
+
+
+@register(
+    "s3_feature_dictionary",
+    oracle="""
+WITH keys AS (
+  SELECT DISTINCT 'brand' || CHR(1) || p_brand AS feature_key FROM part
+  UNION SELECT DISTINCT 'type' || CHR(1) || p_type FROM part
+  UNION SELECT DISTINCT 'size' || CHR(1) || CAST(p_size AS VARCHAR) FROM part
+)
+SELECT feature_key, CAST(ROW_NUMBER() OVER (ORDER BY feature_key) - 1 AS BIGINT) AS feature_index
+FROM keys
+UNION ALL
+SELECT '(INTERCEPT)' AS feature_key, (SELECT COUNT(*) FROM keys) AS feature_index
+""",
+    note="S3/S4/U1/U2/F1: distinct feature keys -> deterministic dense index + intercept slot",
+)
+def s3_feature_dictionary(spark, sf_dir):
+    from photon_ml_spark.sources.featurize import build_feature_dictionary
+
+    part = _t(spark, sf_dir, "part").select(
+        F.array(
+            F.struct(F.lit("brand").alias("name"), F.col("p_brand").alias("term"),
+                     F.lit(1.0).alias("value")),
+            F.struct(F.lit("type").alias("name"), F.col("p_type").alias("term"),
+                     F.lit(1.0).alias("value")),
+            F.struct(F.lit("size").alias("name"),
+                     F.col("p_size").cast("string").alias("term"),
+                     F.lit(1.0).alias("value")),
+        ).alias("bag")
+    )
+    return build_feature_dictionary(part, ["bag"], has_intercept=True)
+
+
+@register(
+    "s7_date_range_scan",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(*) AS cnt,
+       SUM(l_quantity) AS sum_qty,
+       SUM(ROUND(l_extendedprice * 100)) / 10000000 AS sum_price_100k
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+""",
+    note="S7/F4: date-range predicate reaches the parquet scan (partition-pruning analog)",
+)
+def s7_date_range_scan(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(F.round(F.col("l_extendedprice") * 100, 0)) / 10000000)
+            .alias("sum_price_100k"),
+        )
+    )
+
+
+# ----------------------------------------------------------- filters/samplers
+
+
+@register(
+    "p4_data_validation",
+    oracle="""
+SELECT
+  CAST(SUM(CASE WHEN NOT (isfinite(o_totalprice)) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
+  CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_price,
+  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+  CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+""",
+    note="P4/F7: validator aggregate (DataValidators.scala:320-417 row-AND pattern)",
+)
+def p4_data_validation(spark, sf_dir):
+    from photon_ml_spark.operators.validation import validation_report
+
+    o = _t(spark, sf_dir, "orders")
+    return validation_report(
+        o,
+        {
+            "n_bad_price": ~(F.col("o_totalprice") == F.col("o_totalprice"))
+            | F.col("o_totalprice").isin(float("inf"), float("-inf")),
+            "n_neg_price": F.col("o_totalprice") < 0,
+            "n_bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
+        },
+    )
+
+
+@register(
+    "p6_stratified_downsample",
+    oracle="""
+WITH labeled AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         1.0 AS weight
+  FROM lineitem
+), sampled AS (
+  SELECT label,
+         CASE WHEN label = 1.0 THEN weight ELSE weight * 4.0 END AS weight
+  FROM labeled
+  WHERE label = 1.0 OR (l_orderkey * 31 + l_linenumber) % 4 = 0
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS cnt, SUM(weight) AS weight_sum
+FROM sampled GROUP BY label
+""",
+    note="P6: keep positives, gate negatives at 1/4, rescale weight by 4 "
+    "(BinaryClassificationDownSampler.scala:32-70; deterministic key-mod gate; "
+    "exact-representable rate so weight sums are order-independent)",
+)
+def p6_stratified_downsample(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import stratified_downsample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        F.lit(1.0).alias("weight"),
+    )
+    gate = (F.col("l_orderkey") * 31 + F.col("l_linenumber")) % 4 == 0
+    sampled = stratified_downsample(
+        li, rate=0.25, label_col="label", weight_col="weight", gate=gate
+    )
+    return sampled.groupBy("label").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("weight").alias("weight_sum"),
+    )
+
+
+@register(
+    "p9_entity_support_filter",
+    oracle="""
+WITH support AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 12
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_entities
+FROM orders WHERE o_custkey IN (SELECT o_custkey FROM support)
+""",
+    note="P9: drop entities below support threshold via semi-join "
+    "(RandomEffectDataset.scala:586-606)",
+)
+def p9_entity_support_filter(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import filter_entities_by_support
+
+    o = _t(spark, sf_dir, "orders")
+    kept = filter_entities_by_support(o, "o_custkey", min_support=12)
+    return kept.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_entities"),
+    )
+
+
+# --------------------------------------------------------------------- joins
+
+
+@register(
+    "j1_residual_attach",
+    oracle="""
+WITH scores AS (
+  SELECT l_orderkey AS uid, SUM(ROUND(l_extendedprice * l_discount)) / 10000 AS score
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderkey AS uid,
+       0.0 + COALESCE(s.score, 0.0) AS offset
+FROM orders o LEFT JOIN scores s ON o.o_orderkey = s.uid
+""",
+    note="J1/J2: left-outer residual-score attach, missing->0, added to offset "
+    "(FixedEffectDataset.scala:46-58)",
+)
+def j1_residual_attach(spark, sf_dir):
+    from photon_ml_spark.ml.scoring import attach_residual_offset
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("uid"), F.lit(0.0).alias("offset")
+    )
+    scores = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("uid"))
+        .agg(
+            (F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount"), 0)) / 10000)
+            .alias("score")
+        )
+    )
+    out = attach_residual_offset(o, scores)
+    return out.select("uid", "offset")
+
+
+@register(
+    "j8_passive_anti_join",
+    oracle="""
+WITH ranked AS (
+  SELECT l_suppkey, l_quantity,
+         l_orderkey * 8 + l_linenumber AS uid,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_orderkey * 8 + l_linenumber, l_partkey, l_extendedprice
+         ) AS rn
+  FROM lineitem
+)
+SELECT CAST(l_suppkey AS BIGINT) AS entity,
+       CAST(COUNT(*) AS BIGINT) AS passive_rows,
+       SUM(l_quantity) AS passive_qty
+FROM ranked WHERE rn > 200 GROUP BY l_suppkey
+""",
+    note="J8/U3: passive data = all-data ANTI-JOIN active(capped) set "
+    "(RandomEffectDataset.scala:631-640 subtractByKey)",
+)
+def j8_passive_anti_join(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import per_entity_cap
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("entity"),
+        "l_quantity",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        "l_partkey", "l_extendedprice",
+    )
+    active = per_entity_cap(
+        li, entity_col="entity", cap=200, weight_col=None,
+        order_cols=["uid", "l_partkey", "l_extendedprice"],
+    )
+    # uid is non-unique in the synthetic data; anti-join on the full
+    # surrogate row identity (matches subtractByKey on UniqueSampleId).
+    passive = li.join(
+        active,
+        ["entity", "uid", "l_partkey", "l_extendedprice"],
+        "left_anti",
+    )
+    return passive.groupBy(F.col("entity").cast("long").alias("entity")).agg(
+        F.count(F.lit(1)).alias("passive_rows"),
+        F.sum("l_quantity").alias("passive_qty"),
+    )
+
+
+@register(
+    "j11_score_add",
+    oracle="""
+WITH s1 AS (
+  SELECT l_orderkey AS uid, SUM(l_quantity) AS score
+  FROM lineitem WHERE l_linenumber % 2 = 0 GROUP BY l_orderkey
+), s2 AS (
+  SELECT l_orderkey AS uid, SUM(l_quantity) AS score
+  FROM lineitem WHERE l_linenumber % 2 = 1 GROUP BY l_orderkey
+)
+SELECT COALESCE(s1.uid, s2.uid) AS uid,
+       ROUND(COALESCE(s1.score, 0.0) + COALESCE(s2.score, 0.0), 6) AS score
+FROM s1 FULL OUTER JOIN s2 ON s1.uid = s2.uid
+""",
+    note="J11/U4: score-set '+' as full-outer-join arithmetic (DataScores.scala:29-54)",
+)
+def j11_score_add(spark, sf_dir):
+    from photon_ml_spark.ml.scoring import add_scores
+
+    li = _t(spark, sf_dir, "lineitem")
+    s1 = (
+        li.filter(F.col("l_linenumber") % 2 == 0)
+        .groupBy(F.col("l_orderkey").alias("uid"))
+        .agg(F.sum("l_quantity").alias("score"))
+    )
+    s2 = (
+        li.filter(F.col("l_linenumber") % 2 == 1)
+        .groupBy(F.col("l_orderkey").alias("uid"))
+        .agg(F.sum("l_quantity").alias("score"))
+    )
+    return add_scores(s1, s2).select("uid", r6(F.col("score")).alias("score"))
+
+
+# --------------------------------------------------------------- aggregations
+
+
+@register(
+    "a4_feature_stats",
+    oracle="""
+WITH f AS (
+  SELECT 'qty' AS feature, l_quantity AS x FROM lineitem
+  UNION ALL SELECT 'price_r', ROUND(l_extendedprice) FROM lineitem
+  UNION ALL SELECT 'disc_pct', ROUND(l_discount * 100) FROM lineitem
+)
+SELECT feature,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       SUM(x) / COUNT(*) AS mean,
+       (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) / (COUNT(*) - 1) AS variance,
+       MIN(x) AS min,
+       MAX(x) AS max,
+       SUM(ABS(x)) AS l1,
+       SQRT(SUM(x * x)) AS l2,
+       SUM(ABS(x)) / COUNT(*) AS mean_abs,
+       CAST(SUM(CASE WHEN x <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS nnz
+FROM f GROUP BY feature
+""",
+    note="A4: per-feature count/mean/var/min/max/L1/L2/meanAbs/nnz "
+    "(FeatureDataStatistics.scala:59-138); integer-valued inputs keep "
+    "sums exact so no rounding is needed",
+)
+def a4_feature_stats(spark, sf_dir):
+    from photon_ml_spark.functions.stats import feature_statistics
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice"), 0).alias("price_r"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc_pct"),
+    )
+    return feature_statistics(li, ["qty", "price_r", "disc_pct"], round_digits=None)
+
+
+@register(
+    "a5_entity_cardinality",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS entity, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM orders GROUP BY o_custkey
+ORDER BY cnt DESC, entity ASC LIMIT 100
+""",
+    note="A5/T4: heaviest entities for partition planning "
+    "(RandomEffectDatasetPartitioner.scala:129-136; uid tie-break for determinism)",
+)
+def a5_entity_cardinality(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_custkey").cast("long").alias("entity"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("entity"))
+        .limit(100)
+    )
+
+
+@register(
+    "a8_dataset_stats",
+    oracle="""
+WITH t AS (SELECT ROUND(o_totalprice * 100) AS cents FROM orders)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       SUM(cents) / 10000000 AS response_sum_100k,
+       SUM(cents) / COUNT(*) / 100 AS response_mean,
+       SQRT((SUM(cents * cents) - SUM(cents) * SUM(cents) / COUNT(*))
+            / (COUNT(*) - 1)) / 100 AS response_stddev
+FROM t
+""",
+    note="A8: dataset summary (FixedEffectDataset.scala:124-136); integer "
+    "cents keep sums exact across engines",
+)
+def a8_dataset_stats(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).alias("cents")
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("cents")
+    s2 = F.sum(F.col("cents") * F.col("cents"))
+    return o.agg(
+        n.alias("n"),
+        (s1 / 10000000).alias("response_sum_100k"),
+        (s1 / n / 100).alias("response_mean"),
+        (F.sqrt((s2 - s1 * s1 / n) / (n - 1)) / 100).alias("response_stddev"),
+    )
+
+
+def _scored_lineitem(spark, sf_dir):
+    """Deterministic margin for metric queries: pure IEEE arithmetic
+    (no libm) so tie-groups agree bit-for-bit across engines."""
+    return _t(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_discount") * 5.0
+            - F.col("l_tax") * 3.0
+            + F.col("l_quantity") / 25.0
+            - 1.0
+        ).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("weight"),
+    )
+
+
+_SCORED_SQL = """
+  SELECT l_discount * 5.0 - l_tax * 3.0 + l_quantity / 25.0 - 1.0 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         1.0 + l_linenumber / 10.0 AS weight
+  FROM lineitem
+"""
+
+
+@register(
+    "a9_metric_suite",
+    oracle=f"""
+WITH scored AS ({_SCORED_SQL})
+SELECT
+  ROUND(SQRT(SUM(weight * (score - label) * (score - label)) / SUM(weight)), 5) AS rmse,
+  ROUND(SUM(weight * ABS(score - label)) / SUM(weight), 5) AS mae,
+  ROUND(SUM(weight * (GREATEST(score, 0) + LN(1 + EXP(-ABS(score))) - label * score))
+        / SUM(weight), 5) AS logistic_loss,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM scored
+""",
+    note="A9/A12/A13: weighted RMSE/MAE/logistic loss in one pass "
+    "(RMSEEvaluator.scala, LogisticLossEvaluator.scala, EvaluationSuite)",
+)
+def a9_metric_suite(spark, sf_dir):
+    from photon_ml_spark.functions import links
+
+    s = _scored_lineitem(spark, sf_dir)
+    w, sc, y = F.col("weight"), F.col("score"), F.col("label")
+    d = sc - y
+    return s.agg(
+        F.round(F.sqrt(F.sum(w * d * d) / F.sum(w)), 5).alias("rmse"),
+        F.round(F.sum(w * F.abs(d)) / F.sum(w), 5).alias("mae"),
+        F.round(
+            F.sum(w * links.logistic_loss(sc, y)) / F.sum(w), 5
+        ).alias("logistic_loss"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a10_auroc",
+    oracle=f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (
+  SELECT score AS s, SUM(weight * label) AS pos, SUM(weight * (1.0 - label)) AS neg
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT s, pos, neg,
+         SUM(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+         SUM(neg) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cfp
+  FROM g
+),
+t AS (
+  SELECT (cfp - COALESCE(LAG(cfp) OVER (ORDER BY s DESC), 0.0))
+         * (ctp + COALESCE(LAG(ctp) OVER (ORDER BY s DESC), 0.0)) / 2.0 AS area,
+         ctp, cfp
+  FROM c
+)
+SELECT ROUND(SUM(area) / (MAX(ctp) * MAX(cfp)), 6) AS auroc FROM t
+""",
+    note="A10: weighted AUROC as tie-grouped trapezoid sweep over window "
+    "cumulative sums (AreaUnderROCCurveLocalEvaluator.scala:25-72)",
+)
+def a10_auroc(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import auroc
+
+    s = _scored_lineitem(spark, sf_dir)
+    return auroc(s, weight="weight").select(r6(F.col("auroc")).alias("auroc"))
+
+
+@register(
+    "a11_grouped_precision_at_k",
+    oracle="""
+WITH scored AS (
+  SELECT o_custkey AS grp, o_orderkey AS uid,
+         o_totalprice AS score,
+         CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS label
+  FROM orders
+),
+ranked AS (
+  SELECT grp, label,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY score DESC, uid ASC) AS rn
+  FROM scored
+),
+per_group AS (
+  SELECT grp, AVG(label) AS precision_at_k FROM ranked WHERE rn <= 5 GROUP BY grp
+)
+SELECT ROUND(AVG(precision_at_k), 6) AS mean_precision_at_k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM per_group
+""",
+    note="A11/T5: per-group precision@5 then unweighted mean of groups "
+    "(MultiEvaluator.scala:36-90, PrecisionAtKLocalEvaluator.scala:29-53)",
+)
+def a11_grouped_precision_at_k(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import precision_at_k_per_group
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("grp"),
+        F.col("o_orderkey").alias("uid"),
+        F.col("o_totalprice").alias("score"),
+        F.when(F.col("o_orderstatus") == "F", 1.0).otherwise(0.0).alias("label"),
+    )
+    pg = precision_at_k_per_group(o, k=5, group="grp")
+    return pg.agg(
+        F.round(F.avg("precision_at_k"), 6).alias("mean_precision_at_k"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
+# ------------------------------------------------------------------ top-k
+
+
+@register(
+    "t2_reservoir_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT l_suppkey AS entity, 1.0 AS weight,
+         ROW_NUMBER() OVER (
+           PARTITION BY l_suppkey
+           ORDER BY l_orderkey * 8 + l_linenumber, l_partkey, l_extendedprice
+         ) AS rn,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS total
+  FROM lineitem
+)
+SELECT CAST(entity AS BIGINT) AS entity,
+       CAST(COUNT(*) AS BIGINT) AS kept,
+       ROUND(SUM(weight * total / CAST(LEAST(total, 200) AS DOUBLE)), 4) AS weight_sum
+FROM ranked WHERE rn <= 200 GROUP BY entity
+""",
+    note="T2: bounded per-entity sample, survivors' weights rescaled by "
+    "count/cap (RandomEffectDataset.scala:454-527, "
+    "MinHeapWithFixedCapacity.scala; deterministic uid ordering here, "
+    "xxhash64 ordering in production operator)",
+)
+def t2_reservoir_cap(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import per_entity_cap
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("entity"),
+        F.lit(1.0).alias("weight"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        "l_partkey", "l_extendedprice",
+    )
+    capped = per_entity_cap(
+        li, entity_col="entity", cap=200, weight_col="weight",
+        order_cols=["uid", "l_partkey", "l_extendedprice"],
+    )
+    return capped.groupBy(F.col("entity").cast("long").alias("entity")).agg(
+        F.count(F.lit(1)).alias("kept"),
+        F.round(F.sum("weight"), 4).alias("weight_sum"),
+    )
+
+
+# ------------------------------------------------------------------ scalars
+
+
+@register(
+    "f5_link_functions",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS uid,
+       ROUND(1.0 / (1.0 + EXP(-(o_totalprice / 300000.0 - 1.0))), 6) AS sigmoid,
+       ROUND(EXP(o_totalprice / 600000.0 - 1.0), 6) AS exp_mean,
+       ROUND(GREATEST(o_totalprice / 300000.0 - 1.0, 0)
+             + LN(1 + EXP(-ABS(o_totalprice / 300000.0 - 1.0))), 6) AS log1p_exp
+FROM orders WHERE o_orderkey % 97 = 0
+""",
+    note="F5: logistic/exp/log1p-exp link kernels as column expressions "
+    "(LogisticLossFunction.scala:47-84, PoissonLossFunction.scala:31-54)",
+)
+def f5_link_functions(spark, sf_dir):
+    from photon_ml_spark.functions import links
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    m = F.col("o_totalprice") / 300000.0 - 1.0
+    return o.select(
+        F.col("o_orderkey").cast("long").alias("uid"),
+        r6(links.sigmoid(m)).alias("sigmoid"),
+        r6(F.exp(F.col("o_totalprice") / 600000.0 - 1.0)).alias("exp_mean"),
+        r6(links.log1p_exp(m)).alias("log1p_exp"),
+    )
+
+
+@register(
+    "u5_entity_index_union",
+    oracle="""
+SELECT CAST(o_custkey AS BIGINT) AS entity,
+       ARRAY_TO_STRING(LIST(DISTINCT o_orderpriority ORDER BY o_orderpriority), ',')
+         AS priorities
+FROM orders GROUP BY o_custkey
+""",
+    note="U5/A7: per-entity support-set union as sorted collect_set "
+    "(RandomEffectDataset.scala:417-424 foldByKey-union)",
+)
+def u5_entity_index_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_custkey").cast("long").alias("entity")).agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), ","
+        ).alias("priorities")
+    )

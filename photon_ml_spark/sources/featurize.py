@@ -1,0 +1,148 @@
+"""Featurization: (name, term, value) feature bags → indexed vector columns.
+
+Rebuilds the reference's Avro feature pipeline Spark-first:
+
+- feature key construction (Utils.getFeatureKey; AvroDataReader.scala:292-295)
+- feature-dictionary building (AvroDataReader.scala:223-243 auto-scan;
+  FeatureIndexingDriver.scala:218-291 offline job)
+- shard-vector assembly with duplicate-feature detection and intercept
+  slot (AvroDataReader.scala:309-346)
+
+Scale notes: the dictionary is a DataFrame joined at ingest — never a
+driver-side map (the reference needed PalDB off-heap stores above ~200k
+features, FeatureIndexingDriver.scala:41-42; a broadcast-or-shuffle
+join subsumes that). Index assignment uses sort + zipWithIndex, which
+range-partitions the sort: no single-partition row_number bottleneck at
+100M+ features.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+from photon_ml_spark.datamodel import (
+    FEATURE_KEY_SEP,
+    INTERCEPT_KEY,
+    FeatureShardConfig,
+)
+
+
+def feature_key_col(name_col="name", term_col="term", sep: str = FEATURE_KEY_SEP):
+    """key = name + SEP + term (F1). ``concat_ws`` treats NULL term as ''."""
+    return F.concat_ws(sep, F.col(name_col), F.col(term_col))
+
+
+def exploded_features(df: DataFrame, feature_bags: list[str]) -> DataFrame:
+    """Flatten array<struct<name,term,value>> bags to (key, value) rows."""
+    out = None
+    for bag in feature_bags:
+        part = df.select(
+            "*",
+            F.explode(F.col(bag)).alias("__f"),
+        ).select(
+            *[c for c in df.columns],
+            feature_key_col("__f.name", "__f.term").alias("feature_key"),
+            F.col("__f.value").cast("double").alias("feature_value"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def build_feature_dictionary(
+    df: DataFrame,
+    feature_bags: list[str],
+    has_intercept: bool = True,
+) -> DataFrame:
+    """Distinct feature keys → dense contiguous index (S3/S4).
+
+    Returns DataFrame(feature_key string, feature_index long), indices
+    assigned in lexicographic key order (deterministic across runs —
+    the reference instead froze arbitrary hash order into PalDB).
+    Intercept occupies the final slot, matching AvroDataReader.scala:
+    336-341 (intercept appended after all real features).
+    """
+    keys = None
+    for bag in feature_bags:
+        k = df.select(
+            F.explode(F.col(bag)).alias("__f")
+        ).select(feature_key_col("__f.name", "__f.term").alias("feature_key"))
+        keys = k if keys is None else keys.unionByName(k)
+    keys = keys.distinct()
+
+    # Scalable deterministic zipWithIndex: range-partitioned sort, then
+    # per-partition sequential ids — equivalent to ROW_NUMBER() OVER
+    # (ORDER BY feature_key) - 1 without a single-partition window.
+    sorted_rdd = keys.orderBy("feature_key").rdd.map(lambda r: r[0]).zipWithIndex()
+    schema = StructType(
+        [
+            StructField("feature_key", keys.schema[0].dataType, False),
+            StructField("feature_index", LongType(), False),
+        ]
+    )
+    dict_df = keys.sparkSession.createDataFrame(sorted_rdd, schema)
+    if has_intercept:
+        n = dict_df.count()
+        intercept = keys.sparkSession.createDataFrame(
+            [(INTERCEPT_KEY, n)], schema
+        )
+        dict_df = dict_df.unionByName(intercept)
+    return dict_df
+
+
+def check_duplicate_features(
+    df: DataFrame, feature_bags: list[str], uid_col: str = "uid"
+) -> DataFrame:
+    """Rows where one uid carries the same feature key twice within a
+    shard (AvroDataReader.scala:319-324 raises on this).
+
+    Returns DataFrame(uid, feature_key, dup_count) — empty when clean.
+    """
+    ex = exploded_features(df.select(uid_col, *feature_bags), feature_bags)
+    return (
+        ex.groupBy(uid_col, "feature_key")
+        .agg(F.count(F.lit(1)).alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def assemble_shard(
+    df: DataFrame,
+    dictionary: DataFrame,
+    shard: FeatureShardConfig,
+    uid_col: str = "uid",
+    broadcast_dict: bool = True,
+) -> DataFrame:
+    """Attach ``<shard>_indices``/``<shard>_values`` sparse-pair columns.
+
+    The shard is the union of its bags' features mapped through the
+    dictionary (AvroDataReader.scala:309-346). Unknown keys are dropped
+    (score-time behavior). Output arrays are sorted by index — the
+    invariant SparseVector construction requires.
+
+    Representation choice: (indices, values) long/double arrays, not
+    VectorUDT — plain arrays stay inside Tungsten/codegen and convert
+    to ml.linalg vectors only at the spark.ml boundary (see
+    ``ml.glm.to_ml_vectors``).
+
+    Set ``broadcast_dict=False`` above ~100M features: the join then
+    shuffles both sides on feature_key instead of shipping the
+    dictionary to every executor.
+    """
+    ex = exploded_features(df.select(uid_col, *shard.feature_bags), shard.feature_bags)
+    dim = F.broadcast(dictionary) if broadcast_dict else dictionary
+    mapped = ex.join(dim, "feature_key", "inner")
+    pairs = (
+        mapped.groupBy(uid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("feature_index", "feature_value"))
+            ).alias("__pairs")
+        )
+        .select(
+            uid_col,
+            F.col("__pairs.feature_index").alias(f"{shard.shard_name}_indices"),
+            F.col("__pairs.feature_value").alias(f"{shard.shard_name}_values"),
+        )
+    )
+    return df.join(pairs, uid_col, "left")

@@ -1,0 +1,94 @@
+"""Phase-0 slice: read → featurize → fit GLM (offset+weight) → score → AUC.
+
+Covers SURVEY §7 Phase 0: S2/S3 featurization, M1/M4/M6 fit, M12
+scoring, A9/A10 metrics, end-to-end on driver testdata.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.datamodel import FeatureShardConfig, INTERCEPT_KEY
+from photon_ml_spark.functions import metrics
+from photon_ml_spark.ml import glm, scoring
+from photon_ml_spark.sources import datasets, featurize
+
+
+@pytest.fixture(scope="module")
+def training(spark, sf_dir):
+    df = datasets.lineitem_training_frame(spark, sf_dir).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def dictionary(spark, training):
+    d = featurize.build_feature_dictionary(training, ["features"], has_intercept=True)
+    return d.cache()
+
+
+def test_dictionary_deterministic(dictionary):
+    rows = {r.feature_key: r.feature_index for r in dictionary.collect()}
+    # 5 features + intercept, lexicographic order, intercept last
+    assert len(rows) == 6
+    assert rows[INTERCEPT_KEY] == 5
+    keys = sorted(k for k in rows if k != INTERCEPT_KEY)
+    assert [rows[k] for k in keys] == list(range(5))
+
+
+def test_no_duplicate_features(training):
+    dups = featurize.check_duplicate_features(training, ["features"])
+    assert dups.count() == 0
+
+
+@pytest.fixture(scope="module")
+def assembled(training, dictionary):
+    shard = FeatureShardConfig("features", ["features"])
+    out = featurize.assemble_shard(training, dictionary, shard).cache()
+    out.count()
+    return out
+
+
+def test_assembled_shapes(assembled, training):
+    assert assembled.count() == training.count()
+    row = assembled.select("features_indices", "features_values").first()
+    assert list(row.features_indices) == [0, 1, 2, 3, 4]
+    assert len(row.features_values) == 5
+
+
+def test_fit_score_auc(spark, assembled):
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    assert model.coefficients.shape == (5,)
+
+    scored = scoring.score_literal(assembled, model)
+    scored = scoring.apply_mean(scored, "binomial")
+    n = scored.count()
+    assert n == assembled.count()
+
+    auc = metrics.auroc(scored, score="score", label="response").first().auroc
+    assert 0.0 <= auc <= 1.0
+    # the label has signal (returnflag correlates with measures weakly);
+    # at minimum the fit should beat random on its own training data
+    assert auc >= 0.5
+
+    suite = metrics.evaluation_suite(
+        scored.withColumn("prediction_err", F.col("prediction")),
+        score="prediction", label="response", weight="weight",
+    ).first()
+    assert 0.0 < suite.rmse < 1.0
+    assert suite.n == n
+
+
+def test_score_by_join_matches_literal(spark, assembled):
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    lit_scores = scoring.score_literal(assembled, model).select("uid", "score")
+    tbl = model.as_table(spark)
+    join_scores = scoring.score_by_join(
+        assembled, tbl, intercept=model.intercept
+    ).select("uid", F.col("score").alias("score_j"))
+    diff = (
+        lit_scores.join(join_scores, "uid")
+        .select(F.max(F.abs(F.col("score") - F.col("score_j"))).alias("d"))
+        .first()
+        .d
+    )
+    assert diff < 1e-9
