@@ -1,0 +1,217 @@
+"""Coordinate descent / backfitting across GAME coordinates (M3).
+
+Rebuilds photon-lib/.../algorithm/CoordinateDescent.scala:43-167,373-463
+as a driver-side Python loop over DataFrames (the reference's own
+orchestration is driver-side Scala — there is no Catalyst analog for
+an iterative training loop):
+
+- coordinates train in sequence; each sees the others' current scores
+  as extra offset (residual attach, J1/J2)
+- the summed score set is maintained INCREMENTALLY:
+  ``summed − old_i + new_i`` (outer-join arithmetic J11,
+  CoordinateDescent.scala:412-415,441-446) — never a full rescore
+- warm start on iterations ≥ 2 (M7): fixed effects re-fit (IRLS
+  converges in a few rounds anyway), random effects get the previous
+  model table as ``prior_model`` (x0 per entity)
+- locked coordinates (M8): scored with their pre-trained model, never
+  re-trained (FixedEffectModelCoordinate analog)
+
+Cache discipline (the reference persists+counts every intermediate,
+RandomEffectDataset.scala:279-341): each coordinate's score DataFrame
+and the running sum are persisted, and the superseded generation is
+unpersisted after its replacement materializes.
+
+Lineage discipline: the running score sum is rebuilt from its own
+previous generation every update, so its LOGICAL plan doubles per
+generation (cache substitution keeps execution cheap, but analysis/
+codegen of the exponentially growing plan OOMs the driver after ~20
+generations — measured locally). Each persisted generation is
+therefore ``localCheckpoint``-ed, which truncates the plan to a leaf.
+The reference's RDD design has the same discipline implicitly (RDD
+lineage is per-partition, and persist+count cuts recompute, not plan
+size — DataFrames need the explicit cut).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
+
+from photon_ml_spark.ml import glm as glm_mod
+from photon_ml_spark.ml import random_effects as re_mod
+from photon_ml_spark.ml import scoring
+
+
+@dataclass
+class CoordinateConfig:
+    """One GAME coordinate (fixed or per-entity random effect)."""
+
+    name: str
+    kind: str  # 'fixed' | 'random'
+    dim: int
+    indices_col: str = "features_indices"
+    values_col: str = "features_values"
+    entity_col: str | None = None  # required for kind='random'
+    reg_param: float = 0.0
+    min_samples: int = 1
+    locked: bool = False  # M8: score but never (re)train
+    pretrained: object = None  # FixedEffectGLM | model DataFrame when locked/warm
+
+    def __post_init__(self):
+        if self.kind not in ("fixed", "random"):
+            raise ValueError(f"kind must be fixed|random: {self.kind}")
+        if self.kind == "random" and not self.entity_col:
+            raise ValueError(f"coordinate {self.name}: random needs entity_col")
+        if self.locked and self.pretrained is None:
+            raise ValueError(f"coordinate {self.name}: locked needs pretrained")
+
+
+@dataclass
+class GameModel:
+    """Ordered coordinate → model map (GameModel.scala:32); total score
+    = Σ coordinate scores (:108-112)."""
+
+    family: str
+    coordinates: dict[str, object] = field(default_factory=dict)  # name → model
+    configs: dict[str, CoordinateConfig] = field(default_factory=dict)
+
+    def score(self, df: DataFrame, out_col: str = "score") -> DataFrame:
+        """M12 batch inference: margin = Σ coordinate margins."""
+        out = df
+        parts = []
+        for name, cfg in self.configs.items():
+            model = self.coordinates[name]
+            col = f"__score_{name}"
+            out = _score_coordinate(out, cfg, model, col)
+            parts.append(F.col(col))
+        total = parts[0]
+        for p in parts[1:]:
+            total = total + p
+        return out.withColumn(out_col, total).drop(
+            *[f"__score_{n}" for n in self.configs]
+        )
+
+
+def _score_coordinate(df: DataFrame, cfg: CoordinateConfig, model, out_col: str) -> DataFrame:
+    if cfg.kind == "fixed":
+        return scoring.score_literal(
+            df, model, indices_col=cfg.indices_col, values_col=cfg.values_col,
+            out_col=out_col,
+        )
+    mt = model.select(
+        F.col("entity").alias(cfg.entity_col), "coefficients", "intercept"
+    )
+    return scoring.score_random_effect(
+        df, mt, entity_col=cfg.entity_col,
+        indices_col=cfg.indices_col, values_col=cfg.values_col, out_col=out_col,
+    )
+
+
+def _fit_coordinate(
+    data: DataFrame, cfg: CoordinateConfig, family: str, prior, offset_col: str
+):
+    if cfg.kind == "fixed":
+        return glm_mod.fit_fixed_effect(
+            data, dim=cfg.dim, family=family,
+            indices_col=cfg.indices_col, values_col=cfg.values_col,
+            offset_col=offset_col, reg_param=cfg.reg_param,
+        )
+    return re_mod.fit_random_effects(
+        data, entity_col=cfg.entity_col, dim=cfg.dim, family=family,
+        indices_col=cfg.indices_col, values_col=cfg.values_col,
+        offset_col=offset_col, reg_param=cfg.reg_param,
+        min_samples=cfg.min_samples, prior_model=prior,
+    )
+
+
+def train_game(
+    df: DataFrame,
+    coordinates: list[CoordinateConfig],
+    family: str = "binomial",
+    n_iterations: int = 2,
+    uid_col: str = "uid",
+    offset_col: str = "offset",
+    validation_df: DataFrame | None = None,
+    evaluator=None,
+) -> tuple[GameModel, list[dict]]:
+    """Run coordinate descent; returns (model, per-update history).
+
+    ``evaluator(scored_validation_df) -> dict`` is called after every
+    coordinate update when ``validation_df`` is given
+    (CoordinateDescent.scala:312-333 per-coordinate validation).
+    """
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df.count()
+
+    model = GameModel(family=family, configs={c.name: c for c in coordinates})
+    score_dfs: dict[str, DataFrame] = {}
+    summed: DataFrame | None = None  # (uid, score) running total
+    history: list[dict] = []
+
+    def _persist(d: DataFrame) -> DataFrame:
+        # eager localCheckpoint: materializes AND truncates the logical
+        # plan (see module docstring). On a multi-executor cluster with
+        # executor churn, prefer reliable checkpoints
+        # (spark.sparkContext.setCheckpointDir + df.checkpoint).
+        return d.localCheckpoint(eager=True)
+
+    for it in range(1, n_iterations + 1):
+        for cfg in coordinates:
+            # residual offset = base offset + all OTHER coordinates' scores
+            if summed is not None and cfg.name in score_dfs:
+                others = scoring.add_scores(
+                    summed, score_dfs[cfg.name], uid_col=uid_col, sign=-1
+                )
+            else:
+                others = summed
+            if others is not None:
+                data = scoring.attach_residual_offset(
+                    df, others, uid_col=uid_col, offset_col=offset_col
+                )
+            else:
+                data = df
+
+            if cfg.locked:
+                coord_model = cfg.pretrained
+            else:
+                prior = (
+                    model.coordinates.get(cfg.name)
+                    if cfg.kind == "random"
+                    else None
+                )
+                coord_model = _fit_coordinate(data, cfg, family, prior, offset_col)
+                if cfg.kind == "random":
+                    coord_model = _persist(coord_model)
+            model.coordinates[cfg.name] = coord_model
+
+            new_score = _persist(
+                _score_coordinate(df, cfg, coord_model, "score").select(
+                    uid_col, "score"
+                )
+            )
+
+            # incremental summed-score maintenance (J11): summed − old + new
+            old_summed = summed
+            if summed is None:
+                summed = new_score
+            else:
+                base = others if cfg.name in score_dfs else summed
+                summed = _persist(
+                    scoring.add_scores(base, new_score, uid_col=uid_col)
+                )
+            if cfg.name in score_dfs:
+                score_dfs[cfg.name].unpersist()
+            if old_summed is not None and old_summed is not summed:
+                old_summed.unpersist()
+            score_dfs[cfg.name] = new_score
+
+            entry = {"iteration": it, "coordinate": cfg.name}
+            if validation_df is not None and evaluator is not None:
+                scored_val = model.score(validation_df)
+                entry["metrics"] = evaluator(scored_val)
+            history.append(entry)
+
+    df.unpersist()
+    return model, history

@@ -1,0 +1,149 @@
+"""Random-effect (per-entity) GLM training (SURVEY §2.10 M2, §2.2 P7-P9).
+
+The reference co-partitions data by entity and runs thousands-to-
+millions of independent local solves inside executors
+(RandomEffectCoordinate.scala:234-300, SingleNodeOptimizationProblem).
+Spark-first that is exactly ``groupBy(entity).applyInPandas`` — one
+Arrow batch per entity, numpy Newton per group, a model DataFrame out.
+
+Scale design:
+- The T2 per-entity cap (operators/sampling.py) bounds the largest
+  group BEFORE this operator — the reference's hard assumption that
+  one entity's data fits one partition (RandomEffectDataset.scala:38-45).
+- AQE skew-join handling + hash partitioning on the entity column
+  replace the reference's hand-built bin-packing partitioner
+  (RandomEffectDatasetPartitioner.scala:98-170).
+- The model is a DataFrame (entity, coefficients, intercept, …), never
+  a driver-side map: joins do the scoring (ml/scoring.py
+  score_random_effect).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MODEL_SCHEMA = (
+    "entity string, coefficients array<double>, intercept double, "
+    "n_samples long, n_iter long, converged boolean"
+)
+MODEL_SCHEMA_VAR = MODEL_SCHEMA + ", variances array<double>, intercept_variance double"
+
+
+def fit_random_effects(
+    df: DataFrame,
+    entity_col: str,
+    dim: int,
+    family: str = "binomial",
+    indices_col: str = "features_indices",
+    values_col: str = "features_values",
+    label_col: str = "response",
+    weight_col: str | None = "weight",
+    offset_col: str | None = "offset",
+    reg_param: float = 1.0,
+    max_iter: int = 50,
+    tol: float = 1e-8,
+    min_samples: int = 1,
+    prior_model: DataFrame | None = None,
+    compute_variance: str | None = None,
+) -> DataFrame:
+    """Fit one GLM per entity; returns a model DataFrame.
+
+    ``prior_model`` (entity, coefficients, intercept[, variances,
+    intercept_variance]) enables warm start (M7) and, when variances
+    are present, the Gaussian-prior incremental penalty (M9): the
+    prior joins onto the data by entity (full-outer-ish via left join —
+    entities below ``min_samples`` without a prior are dropped,
+    matching J3's train|copy|new split at
+    RandomEffectCoordinate.scala:243-292).
+    """
+    from photon_ml_spark.ml.local_glm import fit_local_glm
+
+    cols = [
+        F.col(entity_col).cast("string").alias("__entity"),
+        F.col(indices_col).alias("__idx"),
+        F.col(values_col).alias("__val"),
+        F.col(label_col).cast("double").alias("__y"),
+        (F.col(weight_col).cast("double") if weight_col else F.lit(1.0)).alias("__w"),
+        (F.col(offset_col).cast("double") if offset_col else F.lit(0.0)).alias("__o"),
+    ]
+    data = df.select(*cols)
+    has_prior = prior_model is not None
+    if has_prior:
+        prior_has_var = "variances" in prior_model.columns
+        pm = prior_model.select(
+            F.col("entity").alias("__entity"),
+            F.col("coefficients").alias("__prior_coef"),
+            F.col("intercept").alias("__prior_int"),
+            *(
+                [
+                    F.col("variances").alias("__prior_var"),
+                    F.col("intercept_variance").alias("__prior_int_var"),
+                ]
+                if prior_has_var
+                else []
+            ),
+        )
+        data = data.join(pm, "__entity", "left")
+    else:
+        prior_has_var = False
+
+    schema = MODEL_SCHEMA_VAR if compute_variance else MODEL_SCHEMA
+    rp, fam, mi, tl, cv = reg_param, family, max_iter, tol, compute_variance
+    d, ms = dim, min_samples
+
+    out_cols = ["entity", "coefficients", "intercept", "n_samples", "n_iter", "converged"]
+    if compute_variance:
+        out_cols += ["variances", "intercept_variance"]
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < ms and (not has_prior or pdf["__prior_coef"].iloc[0] is None):
+            # dropped entity (P9); object dtype so Arrow accepts empty lists
+            return pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
+        X = np.zeros((n, d))
+        rows = np.arange(n)
+        for r, (idx, val) in enumerate(zip(pdf["__idx"], pdf["__val"])):
+            if idx is not None and len(idx):
+                X[r, np.asarray(idx, dtype=np.int64)] = np.asarray(val)
+        x0 = None
+        prior_mean = None
+        prior_prec = None
+        if has_prior and pdf["__prior_coef"].iloc[0] is not None:
+            pc = np.asarray(pdf["__prior_coef"].iloc[0], dtype=np.float64)
+            pi = float(pdf["__prior_int"].iloc[0])
+            x0 = np.concatenate([pc, [pi]])
+            if prior_has_var and pdf["__prior_var"].iloc[0] is not None:
+                pv = np.asarray(pdf["__prior_var"].iloc[0], dtype=np.float64)
+                piv = float(pdf["__prior_int_var"].iloc[0])
+                prior_mean = x0.copy()
+                prior_prec = 1.0 / np.clip(np.concatenate([pv, [piv]]), 1e-12, None)
+        res = fit_local_glm(
+            X,
+            pdf["__y"].to_numpy(),
+            weight=pdf["__w"].to_numpy(),
+            offset=pdf["__o"].to_numpy(),
+            family=fam,
+            l2=rp,
+            x0=x0,
+            prior_mean=prior_mean,
+            prior_precision=prior_prec,
+            max_iter=mi,
+            tol=tl,
+            compute_variance=cv,
+        )
+        out = {
+            "entity": [pdf["__entity"].iloc[0]],
+            "coefficients": [res["coefficients"].tolist()],
+            "intercept": [res["intercept"]],
+            "n_samples": [n],
+            "n_iter": [res["n_iter"]],
+            "converged": [res["converged"]],
+        }
+        if cv:
+            out["variances"] = [res["variances"].tolist()]
+            out["intercept_variance"] = [res["intercept_variance"]]
+        return pd.DataFrame(out)
+
+    return data.groupBy("__entity").applyInPandas(solve, schema=schema)

@@ -1,0 +1,117 @@
+"""GAME model persistence (SURVEY §2.1 S9/S10, §2.2 P10).
+
+Rebuilds photon-client/.../data/avro/ModelProcessingUtils.scala:77-265:
+the reference writes one Avro coefficient dir per coordinate
+(``fixed-effect/<name>/coefficients``, ``random-effect/<name>/…``) plus
+``model-metadata.json``. Spark-first the layout is the same but tables
+are parquet:
+
+    <dir>/metadata.json
+    <dir>/fixed-effect/<name>/coefficients/   (feature_index, feature_key?, coefficient)
+    <dir>/random-effect/<name>/models/        (entity, coefficients, intercept, …)
+
+Sparsification (P10): coefficients with |value| < threshold are
+dropped at save (modelSparsityThreshold, GameTrainingDriver.scala:
+166-169); load reconstitutes dense arrays with zeros.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, GameModel
+from photon_ml_spark.ml.glm import FixedEffectGLM
+
+
+def save_game_model(
+    model: GameModel,
+    path: str,
+    spark: SparkSession,
+    sparsity_threshold: float = 0.0,
+    dictionary: DataFrame | None = None,
+) -> None:
+    """Persist; ``dictionary`` (feature_key, feature_index) adds
+    human-readable keys to fixed-effect coefficient tables (the
+    reference always writes name/term pairs)."""
+    meta = {"family": model.family, "coordinates": {}}
+    for name, cfg in model.configs.items():
+        m = model.coordinates[name]
+        meta["coordinates"][name] = {
+            "kind": cfg.kind,
+            "dim": cfg.dim,
+            "entity_col": cfg.entity_col,
+            "indices_col": cfg.indices_col,
+            "values_col": cfg.values_col,
+            "reg_param": cfg.reg_param,
+        }
+        if cfg.kind == "fixed":
+            meta["coordinates"][name]["intercept"] = float(m.intercept)
+            tbl = m.as_table(spark)
+            if sparsity_threshold > 0:
+                tbl = tbl.filter(F.abs(F.col("coefficient")) >= sparsity_threshold)
+            if dictionary is not None:
+                tbl = tbl.join(F.broadcast(dictionary), "feature_index", "left")
+            tbl.write.mode("overwrite").parquet(
+                f"{path}/fixed-effect/{name}/coefficients"
+            )
+        else:
+            out = m
+            if sparsity_threshold > 0:
+                # zero-out small entries but keep dense arrays (per-entity
+                # vectors are already small post-P7)
+                t = sparsity_threshold
+                out = out.withColumn(
+                    "coefficients",
+                    F.transform(
+                        "coefficients",
+                        lambda c: F.when(F.abs(c) >= t, c).otherwise(F.lit(0.0)),
+                    ),
+                )
+            out.write.mode("overwrite").parquet(f"{path}/random-effect/{name}/models")
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/metadata.json", "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def load_game_model(path: str, spark: SparkSession) -> GameModel:
+    with open(f"{path}/metadata.json") as f:
+        meta = json.load(f)
+    model = GameModel(family=meta["family"])
+    for name, c in meta["coordinates"].items():
+        cfg = CoordinateConfig(
+            name=name, kind=c["kind"], dim=c["dim"], entity_col=c["entity_col"],
+            indices_col=c["indices_col"], values_col=c["values_col"],
+            reg_param=c["reg_param"],
+        )
+        model.configs[name] = cfg
+        if c["kind"] == "fixed":
+            rows = (
+                spark.read.parquet(f"{path}/fixed-effect/{name}/coefficients")
+                .select("feature_index", "coefficient")
+                .collect()
+            )
+            coef = np.zeros(c["dim"])
+            for r in rows:
+                coef[r.feature_index] = r.coefficient
+            model.coordinates[name] = FixedEffectGLM(
+                family=meta["family"], coefficients=coef,
+                intercept=c["intercept"], dim=c["dim"], reg_param=c["reg_param"],
+            )
+        else:
+            model.coordinates[name] = spark.read.parquet(
+                f"{path}/random-effect/{name}/models"
+            )
+    return model
+
+
+def save_scores(
+    scored: DataFrame, path: str, output_files_limit: int | None = None
+) -> None:
+    """S8 scored-output sink (GameScoringDriver.scala:229-256):
+    optional coalesce to bound output file count (T6)."""
+    out = scored.coalesce(output_files_limit) if output_files_limit else scored
+    out.write.mode("overwrite").parquet(path)

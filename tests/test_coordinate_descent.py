@@ -1,0 +1,81 @@
+"""GAME coordinate-descent training (M3/M7/M8) end-to-end."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.datamodel import FeatureShardConfig
+from photon_ml_spark.functions import metrics
+from photon_ml_spark.ml import scoring
+from photon_ml_spark.ml.coordinate_descent import (
+    CoordinateConfig,
+    train_game,
+)
+from photon_ml_spark.sources import datasets, featurize
+
+
+@pytest.fixture(scope="module")
+def assembled(spark, sf_dir):
+    training = datasets.lineitem_training_frame(spark, sf_dir)
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    out = featurize.assemble_shard(training, dictionary, shard).cache()
+    out.count()
+    return out
+
+
+def _loss(scored):
+    return metrics.loss_metric(
+        scored, "logistic", margin="score", label="response", weight="weight"
+    ).first()[0]
+
+
+def test_two_coordinate_game(assembled):
+    coords = [
+        CoordinateConfig(name="global", kind="fixed", dim=5, reg_param=0.0),
+        CoordinateConfig(
+            name="per-supplier", kind="random", dim=5, entity_col="suppkey",
+            reg_param=10.0, min_samples=5,
+        ),
+    ]
+    model, history = train_game(
+        assembled, coords, family="binomial", n_iterations=2
+    )
+    assert set(model.coordinates) == {"global", "per-supplier"}
+    assert len(history) == 4  # 2 coords × 2 iterations
+
+    scored = model.score(assembled).cache()
+    game_loss = _loss(scored)
+
+    # fixed-effect-only baseline
+    from photon_ml_spark.ml import glm
+
+    fixed = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    fixed_scored = scoring.score_literal(assembled, fixed)
+    fixed_loss = _loss(fixed_scored)
+
+    # mixed model must fit training data at least as well as fixed-only
+    assert game_loss <= fixed_loss + 1e-6
+
+    auc = metrics.auroc(scored, score="score", label="response").first().auroc
+    assert 0.5 <= auc <= 1.0
+    scored.unpersist()
+
+
+def test_locked_coordinate(assembled):
+    from photon_ml_spark.ml import glm
+
+    pre = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    coords = [
+        CoordinateConfig(
+            name="global", kind="fixed", dim=5, locked=True, pretrained=pre
+        ),
+        CoordinateConfig(
+            name="per-supplier", kind="random", dim=5, entity_col="suppkey",
+            reg_param=10.0, min_samples=5,
+        ),
+    ]
+    model, _ = train_game(assembled, coords, family="binomial", n_iterations=1)
+    # locked coordinate's model is the exact object passed in (M8)
+    assert model.coordinates["global"] is pre

@@ -1,0 +1,74 @@
+"""Model save/load round-trip (S9/P10) + scored sink (S8/T6)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.datamodel import FeatureShardConfig
+from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, train_game
+from photon_ml_spark.sources import datasets, featurize, model_io
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    training = datasets.lineitem_training_frame(spark, sf_dir)
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(training, dictionary, shard).cache()
+    coords = [
+        CoordinateConfig(name="global", kind="fixed", dim=5),
+        CoordinateConfig(
+            name="per-supplier", kind="random", dim=5, entity_col="suppkey",
+            reg_param=10.0, min_samples=5,
+        ),
+    ]
+    model, _ = train_game(assembled, coords, family="binomial", n_iterations=1)
+    return model, assembled, dictionary
+
+
+def test_round_trip(spark, trained, tmp_path_factory):
+    model, assembled, dictionary = trained
+    path = str(tmp_path_factory.mktemp("game_model"))
+    model_io.save_game_model(model, path, spark, dictionary=dictionary)
+    assert os.path.exists(f"{path}/metadata.json")
+
+    loaded = model_io.load_game_model(path, spark)
+    assert set(loaded.coordinates) == set(model.coordinates)
+    np.testing.assert_allclose(
+        loaded.coordinates["global"].coefficients,
+        model.coordinates["global"].coefficients,
+        rtol=1e-12,
+    )
+    # scores from loaded model match original bit-for-bit
+    a = model.score(assembled).select("uid", "score")
+    b = loaded.score(assembled).select("uid", F.col("score").alias("score2"))
+    d = (
+        a.join(b, "uid")
+        .agg(F.max(F.abs(F.col("score") - F.col("score2"))).alias("d"))
+        .first()
+        .d
+    )
+    assert d < 1e-12
+
+
+def test_sparsification(spark, trained, tmp_path_factory):
+    model, _, _ = trained
+    path = str(tmp_path_factory.mktemp("sparse_model"))
+    model_io.save_game_model(model, path, spark, sparsity_threshold=1e9)
+    loaded = model_io.load_game_model(path, spark)
+    assert np.all(loaded.coordinates["global"].coefficients == 0.0)
+
+
+def test_save_scores_file_limit(spark, trained, tmp_path_factory):
+    model, assembled, _ = trained
+    path = str(tmp_path_factory.mktemp("scores")) + "/out"
+    scored = model.score(assembled).select("uid", "score")
+    model_io.save_scores(scored, path, output_files_limit=1)
+    parts = glob.glob(f"{path}/part-*")
+    assert len(parts) == 1
+    assert spark.read.parquet(path).count() == assembled.count()

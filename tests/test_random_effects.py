@@ -1,0 +1,114 @@
+"""Random-effect (per-entity applyInPandas) training tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.datamodel import FeatureShardConfig
+from photon_ml_spark.ml import glm, random_effects, scoring
+from photon_ml_spark.sources import datasets, featurize
+
+
+@pytest.fixture(scope="module")
+def assembled(spark, sf_dir):
+    training = datasets.lineitem_training_frame(spark, sf_dir)
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    out = featurize.assemble_shard(training, dictionary, shard).cache()
+    out.count()
+    return out
+
+
+@pytest.fixture(scope="module")
+def re_model(assembled):
+    m = random_effects.fit_random_effects(
+        assembled, entity_col="suppkey", dim=5, family="binomial",
+        reg_param=1.0, min_samples=5,
+    ).cache()
+    m.count()
+    return m
+
+
+def test_model_per_entity(assembled, re_model, spark):
+    n_entities = assembled.select("suppkey").distinct().count()
+    rows = re_model.collect()
+    assert len(rows) == n_entities  # all suppliers have >= 5 lines at sf0.001
+    for r in rows[:5]:
+        assert len(r.coefficients) == 5
+        assert r.converged
+
+
+def test_matches_single_entity_glr(spark, assembled):
+    """Per-entity solve must agree with spark.ml GLR run on that
+    entity's rows alone (same objective: binomial IRLS, L2=0)."""
+    ent = assembled.groupBy("suppkey").count().orderBy(F.desc("count")).first()[0]
+    sub = assembled.filter(F.col("suppkey") == ent)
+    m_re = (
+        random_effects.fit_random_effects(
+            sub, entity_col="suppkey", dim=5, family="binomial", reg_param=0.0,
+            tol=1e-10,
+        )
+        .first()
+    )
+    m_glr = glm.fit_fixed_effect(sub, dim=5, family="binomial", reg_param=0.0)
+    assert np.allclose(m_re.coefficients, m_glr.coefficients, atol=2e-3)
+    assert abs(m_re.intercept - m_glr.intercept) < 2e-3
+
+
+def test_min_samples_drops(assembled):
+    big = random_effects.fit_random_effects(
+        assembled, entity_col="suppkey", dim=5, min_samples=10**9
+    )
+    assert big.count() == 0
+
+
+def test_warm_start_prior(assembled, re_model):
+    warm = random_effects.fit_random_effects(
+        assembled, entity_col="suppkey", dim=5, family="binomial",
+        reg_param=1.0, prior_model=re_model,
+    )
+    r = warm.orderBy("entity").first()
+    assert r.n_iter <= 2  # warm start: already at optimum
+
+    strong = re_model.select(
+        "entity", "coefficients", "intercept",
+        F.expr("transform(coefficients, c -> 1e-9d)").alias("variances"),
+        F.lit(1e-9).alias("intercept_variance"),
+    )
+    pinned = random_effects.fit_random_effects(
+        assembled, entity_col="suppkey", dim=5, family="binomial",
+        reg_param=0.0, prior_model=strong,
+    )
+    j = (
+        re_model.select("entity", F.col("coefficients").alias("c0"))
+        .join(pinned.select("entity", F.col("coefficients").alias("c1")), "entity")
+        .collect()
+    )
+    for r in j:
+        assert np.allclose(r.c0, r.c1, atol=1e-3)  # tight prior pins coefficients
+
+
+def test_score_random_effect(assembled, re_model):
+    data = assembled.withColumnRenamed("suppkey", "entity")
+    scored = scoring.score_random_effect(
+        data, re_model.select("entity", "coefficients", "intercept"),
+        entity_col="entity",
+    ).cache()
+    assert scored.count() == assembled.count()
+    # a modeled entity scores nonzero somewhere; missing-model rows score 0
+    stats = scored.agg(
+        F.sum(F.when(F.col("score") != 0.0, 1).otherwise(0)).alias("nz")
+    ).first()
+    assert stats.nz > 0
+    scored.unpersist()
+
+
+def test_variance_output(assembled):
+    m = random_effects.fit_random_effects(
+        assembled, entity_col="suppkey", dim=5, compute_variance="full",
+    )
+    r = m.first()
+    assert len(r.variances) == 5
+    assert all(v > 0 for v in r.variances)
