@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "a11_grouped_precision_at_k",
     "t2_reservoir_cap",
     "u5_entity_index_union",
+    # training-data pipeline extensions
+    "x1_text_quality",
+    "x4_ngram_jaccard_pairs",
+    "x6_minhash_lsh_pairs",
+    "x7_simhash_neardup",
+    "x9_ann_brute_topk",
+    "x10_ann_ivf_topk",
 ]
 
 

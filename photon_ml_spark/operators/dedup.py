@@ -1,0 +1,273 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each a pure-DataFrame pipeline designed for the
+100 TB regime (shuffle on shingle/bucket keys, no driver state, no
+cross joins except within tiny candidate buckets):
+
+- exact (hash-groupBy on a canonical fingerprint)
+- n-gram Jaccard (shingle self-join with |A∩B| counting)
+- MinHash + LSH (portable linear-permutation minhash → banded buckets
+  → candidate pairs → exact-Jaccard verification)
+- SimHash (bitwise majority over token hashes, hamming-ball pairs via
+  band buckets)
+- embedding cosine near-dup (see operators/similarity.py)
+
+Portability: minhash/simhash use *linear permutations over a dense
+token-id dictionary* ((a·id + b) mod p) instead of engine hash
+functions, so every stage is reproducible in ANSI SQL for the oracle.
+At production scale swap `token_ids` for xxhash64(token) — same
+pipeline shape, one less join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from photon_ml_spark.operators.text import bow_signature, tokens, word_shingles
+
+# 16 fixed (a, b) linear-permutation parameters over the Mersenne
+# prime p = 2^31 - 1 (deterministic, engine-portable minhash family).
+MINHASH_PRIME = 2147483647
+MINHASH_PARAMS: list[tuple[int, int]] = [
+    (1_000_003, 12_345), (999_983, 54_321), (823_541, 98_765), (722_377, 11_111),
+    (611_953, 22_222), (523_717, 33_333), (424_243, 44_444), (311_111, 55_555),
+    (217_645, 66_666), (190_979, 77_777), (160_001, 88_888), (150_151, 99_999),
+    (140_009, 13_579), (130_003, 24_680), (120_011, 86_420), (110_017, 97_531),
+]
+
+
+def exact_duplicates(
+    df: DataFrame, key, id_col: str = "doc_id", key_name: str = "dup_key"
+) -> DataFrame:
+    """Exact dedup via hash-groupBy on a canonical key expression.
+    Returns (dup_key, n_docs, keep_id=min id, doc_ids sorted) for keys
+    with >1 member. One shuffle on the key; partial-aggregated."""
+    return (
+        df.select(key.alias(key_name), F.col(id_col))
+        .groupBy(key_name)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """(id, shingle) distinct pairs — the base relation for Jaccard,
+    minhash, and LSH."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard ≥ threshold.
+
+    Plan: distinct (id, shingle) → self-equi-join on shingle (only
+    co-shingled pairs are ever materialized — never a cross join) →
+    count intersections → join per-doc set sizes → exact rational
+    Jaccard. Scales with Σ_shingle df(shingle)² — acceptable when
+    shingles are n≥2 word grams; hot shingles should be stop-listed
+    upstream for adversarial corpora.
+    """
+    sh = doc_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard")
+    )
+    return out
+
+
+def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              n: int = 1) -> DataFrame:
+    """(doc, shingle_id) with a dense deterministic shingle dictionary
+    (row_number over sorted distinct shingles) — the portable base for
+    minhash/simhash. At scale replace with xxhash64(shingle)."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    vocab = (
+        sh.select("shingle").distinct()
+        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
+    )
+    return sh.join(vocab, "shingle").select(id_col, "sid")
+
+
+def minhash_signatures(
+    doc_sids: DataFrame, id_col: str = "doc_id", num_hashes: int = 16
+) -> DataFrame:
+    """Minhash signature per doc: mh_i = min over shingles of
+    (a_i·sid + b_i) mod p. One aggregation pass computes all i."""
+    aggs = [
+        F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
+    ]
+    return doc_sids.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Shuffle key = (band_index, band_signature): duplicate-heavy buckets
+    stay together, everything else never meets (the LSH point)."""
+    rows_per_band = num_hashes // bands
+    bucketed = None
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        part = signatures.select(
+            F.col(id_col),
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    a = bucketed.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b2 = bucketed.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b2, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: shingle → minhash → banded
+    buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
+    Returns (id_a, id_b, jaccard)."""
+    sids = token_ids(df, id_col, text_col, n).cache()
+    sigs = minhash_signatures(sids, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sids.select(F.col(id_col).alias("id_a"), "sid")
+    b = sids.select(F.col(id_col).alias("id_b"), "sid")
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "sid"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+SIMHASH_BITS = 16
+_SIMHASH_A = 1_103_515_245
+_SIMHASH_B = 12_345
+
+
+def simhash_signatures(
+    doc_sids: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash over shingle ids: per bit j, majority vote of bit j of
+    h(sid) = (a·sid + b) mod 2^bits across the doc's shingles; bit is 1
+    when ≥ half the shingles set it. One aggregation pass."""
+    h = (F.col("sid") * _SIMHASH_A + _SIMHASH_B) % (2 ** bits)
+    n = F.count(F.lit(1))
+    bit_terms = []
+    for j in range(bits):
+        ones = F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)))
+        bit_terms.append(
+            F.when(ones * 2 >= n, F.lit(2 ** j)).otherwise(F.lit(0))
+        )
+    total = bit_terms[0]
+    for t in bit_terms[1:]:
+        total = total + t
+    return doc_sids.groupBy(id_col).agg(total.cast("long").alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    bits: int = SIMHASH_BITS,
+    bands: int = 4,
+) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming, found via banded
+    buckets then exact popcount verification. Pigeonhole completeness:
+    a pair differing in ≤ max_hamming bits must agree exactly on at
+    least one band when ``bands > max_hamming`` — asserted here rather
+    than assumed."""
+    if bands <= max_hamming:
+        raise ValueError(
+            f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
+            "for complete candidate generation"
+        )
+    sids = token_ids(df, id_col, text_col, n)
+    sigs = simhash_signatures(sids, id_col, bits).cache()
+    band_bits = bits // bands
+    bucketed = None
+    for j in range(bands):
+        part = sigs.select(
+            id_col, "simhash", F.lit(j).alias("band"),
+            F.shiftright(F.col("simhash"), j * band_bits)
+            .bitwiseAND(F.lit(2 ** band_bits - 1)).alias("bucket"),
+        )
+        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def bow_exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Convenience: exact dedup on the bag-of-words signature."""
+    return exact_duplicates(df, bow_signature(F.col(text_col)), id_col)

@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` payload columns with typed metadata
+structs; decode / feature-extraction / resize / frame-sampling run as
+Arrow-batched ``mapInPandas`` stages so the heavy per-item work stays
+in vectorized Python workers and the rest of the pipeline stays
+Catalyst.
+
+The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container:
+``decode_image`` raises ``NotImplementedError`` unless
+``fake=True``, which substitutes a deterministic fake decoder (payload
+hash → synthetic dimensions/pixel stats). The Spark-side contract —
+schemas, batch iteration, partition sizing — is real and tested; only
+the innermost bytes→pixels call is stubbed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+IMAGE_META_SCHEMA = (
+    "doc_id long, payload binary, media_type string, "
+    "width int, height int, mean_luma double, decode_ok boolean"
+)
+
+
+def attach_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Test scaffolding: wrap a text column as a binary payload with a
+    media-type tag (standing in for real image/audio bytes)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake decoder: payload digest → (w, h, mean_luma).
+    REPLACE with PIL.Image.open when a codec library is available."""
+    digest = hashlib.sha256(payload).digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    mean_luma = digest[2] / 255.0
+    return width, height, mean_luma
+
+
+def decode_image(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake: bool = False,
+    batch_hint: int = 1024,
+) -> DataFrame:
+    """Decode binary payloads to image metadata + stats via mapInPandas.
+
+    The Arrow batch loop is the production shape: one pandas batch in,
+    one out, no per-row Python dispatch overhead. ``fake=True`` uses
+    the deterministic stub decoder (no codec libs in this container).
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires a codec library (PIL/opencv) not "
+            "present in this environment; pass fake=True for the "
+            "deterministic stub"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pdf.copy()
+            out["width"] = [m[0] for m in meta]
+            out["height"] = [m[1] for m in meta]
+            out["mean_luma"] = [m[2] for m in meta]
+            out["decode_ok"] = True
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=IMAGE_META_SCHEMA)
+
+
+def resize_plan(
+    df: DataFrame, target_w: int, target_h: int
+) -> DataFrame:
+    """Resize bookkeeping (scale factors, letterboxing) as pure
+    Catalyst expressions over decoded metadata — the pixel resample
+    itself would live in the same mapInPandas stage as decode."""
+    sw = F.lit(target_w) / F.col("width")
+    sh = F.lit(target_h) / F.col("height")
+    scale = F.least(sw, sh)
+    return df.withColumns(
+        {
+            "scale": scale,
+            "out_w": F.round(F.col("width") * scale).cast("int"),
+            "out_h": F.round(F.col("height") * scale).cast("int"),
+            "pad_x": (F.lit(target_w) - F.round(F.col("width") * scale)).cast("int"),
+            "pad_y": (F.lit(target_h) - F.round(F.col("height") * scale)).cast("int"),
+        }
+    )
+
+
+def frame_sample_plan(
+    df: DataFrame, duration_col: str, fps: float, max_frames: int
+) -> DataFrame:
+    """Video frame-sampling plan: deterministic timestamps (uniform
+    stride, capped) as an array column; the decoder stage consumes it.
+    Pure expression — no Python."""
+    n = F.least(
+        F.floor(F.col(duration_col) * fps).cast("int"), F.lit(max_frames)
+    )
+    return df.withColumn(
+        "frame_ts",
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+            lambda i: i / F.lit(fps),
+        ),
+    )

@@ -1,0 +1,146 @@
+"""Text analysis for training-data pipelines: tokenization, quality
+scoring, language ID, token counting, fingerprinting.
+
+These extend the reference's capability set (it is a tabular/GLM
+engine) with the operations a 100 TB document pipeline needs; all are
+pure Catalyst expressions — no Python in the hot path — so they run at
+scan speed and push through whole-stage codegen.
+
+Determinism: every function is a deterministic expression of the text
+column; the paired oracle queries in queries_pipeline.py replicate the
+exact arithmetic in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny per-language stopword profiles for the n-gram/stopword-hit
+# language heuristic. Real deployments plug in fasttext-style models
+# via mapInPandas (see operators/multimodal.py for the UDF plumbing
+# pattern); the heuristic here is the deterministic, JVM-side baseline.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "fr": ["le", "la", "et", "un", "une"],
+    "es": ["el", "la", "de", "y", "un"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties removed."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: runs of letters, runs of digits, and
+    single punctuation marks each count as one token (the regex
+    approximation of a BPE pre-tokenizer)."""
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality signals: char/token counts, mean token
+    length, stopword ratio, punctuation ratio, all-caps ratio.
+
+    Ratios are exact rationals (int/int) — identical across engines.
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin("a", "the", "and", "of", "to")))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
+    n_char = F.length(t)
+    return df.withColumns(
+        {
+            "n_chars_q": n_char,
+            "n_tokens": n_tok,
+            "mean_token_len": (F.length(F.regexp_replace(t, r"\s+", "")) / n_tok),
+            "stopword_ratio": stop_hits / n_tok,
+            "punct_ratio": n_punct / F.greatest(n_char, F.lit(1)),
+        }
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  out_col: str = "quality") -> DataFrame:
+    """Composite heuristic quality in [0,1]: rewards mid-length docs
+    with some stopwords and low punctuation density (the classic
+    Gopher/C4-style rule-of-thumb shape, arithmetic kept exact)."""
+    q = quality_features(df, text_col)
+    len_score = F.least(F.col("n_tokens"), F.lit(100)) / 100.0
+    stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(1.0) - F.col("punct_ratio") * 10.0, F.lit(0.0))
+    return q.withColumn(out_col, (len_score + stop_score + punct_pen) / 3.0)
+
+
+def language_scores(text: Column) -> Column:
+    """Map lang → stopword-hit count (the n-gram heuristic kernel)."""
+    toks = tokens(text)
+    pairs = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(F.filter(toks, lambda x: x.isin(*words))).alias("hits"),
+        )
+        for lang, words in LANG_PROFILES.items()
+    ]
+    return F.array(*pairs)
+
+
+def identify_language(df: DataFrame, text_col: str = "text",
+                      out_col: str = "lang_pred") -> DataFrame:
+    """Argmax language with deterministic tie-break (max hits, then
+    lexicographically first language). Docs with zero hits anywhere →
+    'und' (undetermined)."""
+    scores = language_scores(F.col(text_col))
+    # sort by (-hits, lang) and take the head
+    best = F.sort_array(
+        F.transform(scores, lambda s: F.struct((-s["hits"]).alias("neg"), s["lang"].alias("lang"))),
+    )[0]
+    return df.withColumn(
+        out_col,
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip punctuation,
+    collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^\w\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint = md5 of normalized text (portable across
+    engines — both Spark and DuckDB expose md5)."""
+    return F.md5(normalize_text(text))
+
+
+def bow_signature(text: Column) -> Column:
+    """Bag-of-words canonical signature: sorted distinct tokens joined.
+    Collides for docs that are permutations/repetitions of the same
+    vocabulary — the cheap first-stage near-dup key."""
+    return F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+
+
+def word_shingles(text: Column, n: int = 2) -> Column:
+    """Word n-gram shingle array (may contain duplicates)."""
+    toks = tokens(text)
+    if n == 1:
+        return toks
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))

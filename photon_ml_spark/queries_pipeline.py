@@ -1,0 +1,431 @@
+"""Oracle-checked queries for the training-data pipeline operators:
+text analysis, dedup (exact/Jaccard/MinHash-LSH/SimHash/embedding),
+and similarity search. Prefix x = pipeline extension (beyond the
+reference's own operator set, per the build brief).
+
+Portability conventions (see queries.py):
+- ratios are exact rationals (int/int) — no rounding needed
+- embedding math runs on round(x*1000) integer quantization — exact
+  sums, order-independent, bit-identical across engines
+- minhash/simhash permutations are linear congruences over a dense
+  shingle-id dictionary — pure integer arithmetic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from photon_ml_spark.queries import _t, register
+
+# Shared SQL fragments -------------------------------------------------------
+
+_TOKS_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t <> '')"
+)
+_BIGRAMS_SQL = f"""
+  SELECT doc_id, toks FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+"""
+_DOC_BIGRAM_SET_SQL = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS shingle
+  FROM ({_BIGRAMS_SQL})
+"""
+# dense shingle dictionary + per-doc shingle ids (bigram)
+_DOC_SIDS_SQL = f"""
+  WITH sh AS ({_DOC_BIGRAM_SET_SQL}),
+  vocab AS (
+    SELECT shingle, CAST(ROW_NUMBER() OVER (ORDER BY shingle) AS BIGINT) AS sid
+    FROM (SELECT DISTINCT shingle FROM sh)
+  )
+  SELECT doc_id, sid FROM sh JOIN vocab USING (shingle)
+"""
+
+_QE_SQL = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))"
+
+
+def _quantized(df):
+    """Integer-quantized embedding column (oracle-exactness trick)."""
+    return df.withColumn(
+        "qe", F.transform("embedding", lambda x: F.round(x.cast("double") * 1000, 0))
+    )
+
+
+# ------------------------------------------------------------------ text
+
+
+@register(
+    "x1_text_quality",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 5 = 0
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS BIGINT)
+         / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+         / CAST(GREATEST(length(text), 1) AS DOUBLE) AS punct_ratio,
+       (LEAST(len(toks), 100) / 100.0
+        + LEAST(CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS BIGINT)
+                / CAST(len(toks) AS DOUBLE) * 4.0, 1.0)
+        + GREATEST(1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                   / CAST(GREATEST(length(text), 1) AS DOUBLE) * 10.0, 0.0)) / 3.0 AS quality
+FROM t
+""",
+    note="pipeline/text: token counts (whitespace + BPE-ish regex), stopword/"
+    "punct ratios, composite quality score — exact rational arithmetic",
+)
+def x1_text_quality(spark, sf_dir):
+    from photon_ml_spark.operators.text import bpe_ish_token_count, quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    q = quality_score(docs)
+    return q.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+        "stopword_ratio",
+        "punct_ratio",
+        "quality",
+    )
+
+
+@register(
+    "x2_language_id",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS en,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','ein'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','et','un','une'))) AS fr,
+         len(list_filter(toks, x -> x IN ('el','la','de','y','un'))) AS es
+  FROM t
+),
+pred AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(en, de, fr, es) = 0 THEN 'und'
+              WHEN de = GREATEST(en, de, fr, es) THEN 'de'
+              WHEN en = GREATEST(en, de, fr, es) THEN 'en'
+              WHEN es = GREATEST(en, de, fr, es) THEN 'es'
+              ELSE 'fr' END AS lang_pred
+  FROM hits
+)
+SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang_pred
+""",
+    note="pipeline/text: stopword-profile language heuristic, argmax with "
+    "lexicographic tie-break",
+)
+def x2_language_id(spark, sf_dir):
+    from photon_ml_spark.operators.text import identify_language
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        identify_language(docs)
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "x3_bow_exact_dedup",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ') AS dup_key
+  FROM documents
+)
+SELECT dup_key, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS keep_id
+FROM s GROUP BY dup_key HAVING COUNT(*) > 1
+""",
+    note="pipeline/dedup: exact dedup via hash-groupBy on the canonical "
+    "bag-of-words signature",
+)
+def x3_bow_exact_dedup(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import bow_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return bow_exact_dedup(docs).select("dup_key", "n_docs", "keep_id")
+
+
+@register(
+    "x4_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS ({_DOC_BIGRAM_SET_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+""",
+    note="pipeline/dedup: bigram-shingle Jaccard pairs >= 0.5 via shingle "
+    "self-join (25 planted near-dup pairs in the synthetic corpus)",
+)
+def x4_ngram_jaccard_pairs(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.5, n=2).select(
+        "id_a", "id_b", "n_inter", "jaccard"
+    )
+
+
+@register(
+    "x5_minhash_signatures",
+    oracle=f"""
+WITH ds AS ({_DOC_SIDS_SQL})
+SELECT doc_id,
+       MIN((sid * 1000003 + 12345) % 2147483647) AS mh0,
+       MIN((sid * 999983 + 54321) % 2147483647) AS mh1,
+       MIN((sid * 823541 + 98765) % 2147483647) AS mh2,
+       MIN((sid * 722377 + 11111) % 2147483647) AS mh3,
+       MIN((sid * 611953 + 22222) % 2147483647) AS mh4,
+       MIN((sid * 523717 + 33333) % 2147483647) AS mh5,
+       MIN((sid * 424243 + 44444) % 2147483647) AS mh6,
+       MIN((sid * 311111 + 55555) % 2147483647) AS mh7
+FROM ds WHERE doc_id % 10 = 0 GROUP BY doc_id
+""",
+    note="pipeline/dedup: portable minhash signatures (linear permutations "
+    "over dense bigram-shingle ids)",
+)
+def x5_minhash_signatures(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import minhash_signatures, token_ids
+
+    docs = _t(spark, sf_dir, "documents")
+    sids = token_ids(docs, n=2).filter(F.col("doc_id") % 10 == 0)
+    return minhash_signatures(sids, num_hashes=8)
+
+
+@register(
+    "x6_minhash_lsh_pairs",
+    oracle=f"""
+WITH ds AS ({_DOC_SIDS_SQL}),
+sigs AS (
+  SELECT doc_id,
+         MIN((sid * 1000003 + 12345) % 2147483647) AS mh0,
+         MIN((sid * 999983 + 54321) % 2147483647) AS mh1,
+         MIN((sid * 823541 + 98765) % 2147483647) AS mh2,
+         MIN((sid * 722377 + 11111) % 2147483647) AS mh3,
+         MIN((sid * 611953 + 22222) % 2147483647) AS mh4,
+         MIN((sid * 523717 + 33333) % 2147483647) AS mh5,
+         MIN((sid * 424243 + 44444) % 2147483647) AS mh6,
+         MIN((sid * 311111 + 55555) % 2147483647) AS mh7,
+         MIN((sid * 217645 + 66666) % 2147483647) AS mh8,
+         MIN((sid * 190979 + 77777) % 2147483647) AS mh9,
+         MIN((sid * 160001 + 88888) % 2147483647) AS mh10,
+         MIN((sid * 150151 + 99999) % 2147483647) AS mh11,
+         MIN((sid * 140009 + 13579) % 2147483647) AS mh12,
+         MIN((sid * 130003 + 24680) % 2147483647) AS mh13,
+         MIN((sid * 120011 + 86420) % 2147483647) AS mh14,
+         MIN((sid * 110017 + 97531) % 2147483647) AS mh15
+  FROM ds GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id, 0 AS band, mh0 || '_' || mh1 || '_' || mh2 || '_' || mh3 AS bucket FROM sigs
+  UNION ALL SELECT doc_id, 1, mh4 || '_' || mh5 || '_' || mh6 || '_' || mh7 FROM sigs
+  UNION ALL SELECT doc_id, 2, mh8 || '_' || mh9 || '_' || mh10 || '_' || mh11 FROM sigs
+  UNION ALL SELECT doc_id, 3, mh12 || '_' || mh13 || '_' || mh14 || '_' || mh15 FROM sigs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bucketed a JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ds GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c JOIN ds a ON a.doc_id = c.id_a JOIN ds b ON b.doc_id = c.id_b AND b.sid = a.sid
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+""",
+    note="pipeline/dedup: full MinHash+LSH (16 hashes, 4 bands) candidate "
+    "generation + exact-Jaccard verification; recall vs x4 is the LSH "
+    "band-probability, reproduced exactly by the oracle",
+)
+def x6_minhash_lsh_pairs(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(docs, threshold=0.5, n=2)
+
+
+@register(
+    "x7_simhash_neardup",
+    oracle=f"""
+WITH ds AS ({_DOC_SIDS_SQL}),
+sigs AS (
+  SELECT doc_id, CAST(
+    CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 0) & 1) >= COUNT(*) THEN 1 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 1) & 1) >= COUNT(*) THEN 2 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 2) & 1) >= COUNT(*) THEN 4 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 3) & 1) >= COUNT(*) THEN 8 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 4) & 1) >= COUNT(*) THEN 16 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 5) & 1) >= COUNT(*) THEN 32 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 6) & 1) >= COUNT(*) THEN 64 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 7) & 1) >= COUNT(*) THEN 128 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 8) & 1) >= COUNT(*) THEN 256 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 9) & 1) >= COUNT(*) THEN 512 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 10) & 1) >= COUNT(*) THEN 1024 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 11) & 1) >= COUNT(*) THEN 2048 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 12) & 1) >= COUNT(*) THEN 4096 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 13) & 1) >= COUNT(*) THEN 8192 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 14) & 1) >= COUNT(*) THEN 16384 ELSE 0 END
+  + CASE WHEN 2*SUM(((sid * 1103515245 + 12345) % 65536 >> 15) & 1) >= COUNT(*) THEN 32768 ELSE 0 END
+  AS BIGINT) AS simhash
+  FROM ds GROUP BY doc_id
+),
+bucketed AS (
+  SELECT doc_id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS bucket
+  FROM sigs, (SELECT unnest([0,1,2,3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bucketed a JOIN bucketed b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+""",
+    note="pipeline/dedup: 16-bit SimHash over bigram shingles, hamming<=3 "
+    "pairs via 4-band pigeonhole buckets + popcount verify",
+)
+def x7_simhash_neardup(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import simhash_neardup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = simhash_neardup_pairs(docs, max_hamming=3, n=2)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ------------------------------------------------------------- embeddings
+
+
+@register(
+    "x8_embedding_neardup",
+    oracle=f"""
+WITH q AS (SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.qe, b.qe)
+         / sqrt(list_dot_product(a.qe, a.qe)) / sqrt(list_dot_product(b.qe, b.qe)) AS cosine
+FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.qe, b.qe)
+        / sqrt(list_dot_product(a.qe, a.qe)) / sqrt(list_dot_product(b.qe, b.qe)) >= 0.4
+""",
+    note="pipeline/dedup: embedding-cosine near-dup pairs >= 0.4, "
+    "label-blocked self-join; integer-quantized dot products",
+)
+def x8_embedding_neardup(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    return cosine_neardup_pairs(
+        emb, threshold=0.4, block_col="label", vec_col="qe"
+    )
+
+
+_ANN_ORACLE_BASE = f"""
+WITH q AS (SELECT vec_id, label, {_QE_SQL} AS qe FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(a.qe, b.qe)
+           / sqrt(list_dot_product(a.qe, a.qe)) / sqrt(list_dot_product(b.qe, b.qe)) AS cosine
+  FROM q a JOIN q b ON {{join_cond}}
+  WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "x9_ann_brute_topk",
+    oracle=_ANN_ORACLE_BASE.format(join_cond="TRUE"),
+    note="pipeline/similarity: exact brute-force cosine top-5 for 1-in-25 "
+    "query vectors (broadcast cross join + rank window)",
+)
+def x9_ann_brute_topk(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import cosine_topk
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk(emb, queries, k=5, vec_col="qe")
+
+
+@register(
+    "x10_ann_ivf_topk",
+    oracle=f"""
+WITH base AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),
+cells AS (
+  SELECT vec_id, qe,
+    CASE WHEN list_dot_product(qe, list_transform(range(0, 64),
+         i -> CASE WHEN (i >> 0) % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 1 ELSE 0 END
+  + CASE WHEN list_dot_product(qe, list_transform(range(0, 64),
+         i -> CASE WHEN (i >> 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 2 ELSE 0 END AS cell
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(a.qe, b.qe)
+           / sqrt(list_dot_product(a.qe, a.qe)) / sqrt(list_dot_product(b.qe, b.qe)) AS cosine
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  WHERE a.vec_id % 25 = 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+""",
+    note="pipeline/similarity: LSH/IVF-bucketed top-5 — candidates limited "
+    "to the query's Walsh-hyperplane cell (the scale path; recall vs x9 "
+    "measured in tests)",
+)
+def x10_ann_ivf_topk(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import (
+        alternating_patterns,
+        hyperplane_cell,
+        ivf_topk,
+    )
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    emb = emb.withColumn(
+        "cell", hyperplane_cell(F.col("qe"), alternating_patterns(64, 2))
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk(emb, queries, k=5, cell_col="cell", vec_col="qe")
+
+
+@register(
+    "x11_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'),
+                               '\\s+', ' ', 'g'))) AS fp
+FROM documents WHERE doc_id % 7 = 0
+""",
+    note="pipeline/text: md5 content fingerprint of normalized text "
+    "(portable digest)",
+)
+def x11_fingerprint(spark, sf_dir):
+    from photon_ml_spark.operators.text import fingerprint_md5
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    return docs.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))

@@ -1,0 +1,132 @@
+"""Semantic tests for dedup / similarity / multimodal operators
+(properties the oracle can't express: recall, completeness, plumbing)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.operators import dedup, multimodal, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return e.withColumn(
+        "qe", F.transform("embedding", lambda x: x.cast("double"))
+    ).cache()
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH with 16 hashes / 4 bands must find the high-similarity pairs
+    (P[candidate | j≥0.9] = 1-(1-j⁴)⁴ ≈ 0.9996) and never emit a pair
+    below threshold (exact verification)."""
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=2).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_dedup(docs, threshold=0.5, n=2).collect()
+    }
+    assert set(lsh) <= set(exact)  # verification: no false positives
+    high = {p for p, j in exact.items() if j >= 0.9}
+    assert high, "corpus should contain planted near-dups"
+    recall_high = len(high & set(lsh)) / len(high)
+    assert recall_high >= 0.95
+    for p, j in lsh.items():
+        assert abs(j - exact[p]) < 1e-12
+
+
+def test_simhash_band_completeness(docs):
+    """Banded candidate generation must find every pair the full cross
+    join finds (pigeonhole guarantee bands > max_hamming)."""
+    sids = dedup.token_ids(docs, n=2).cache()
+    sigs = dedup.simhash_signatures(sids).cache()
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+    )
+    brute_pairs = {(r.id_a, r.id_b, r.hamming) for r in brute.collect()}
+    banded = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup.simhash_neardup_pairs(docs, max_hamming=3, n=2).collect()
+    }
+    assert banded == brute_pairs
+
+
+def test_simhash_bad_bands_raises(docs):
+    with pytest.raises(ValueError):
+        dedup.simhash_neardup_pairs(docs, max_hamming=4, bands=4)
+
+
+def test_ivf_speedup_and_recall(emb):
+    """IVF cell restriction compares ~4x fewer pairs; recall against
+    brute force is measured (hyperplane cells on weakly-clustered data
+    land ~30-60%) — the structural contract is candidates ⊂ corpus and
+    exact cosine on whatever it does compare."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    brute = similarity.cosine_topk(emb, queries, k=5, vec_col="qe")
+    cells = emb.withColumn(
+        "cell",
+        similarity.hyperplane_cell(
+            F.col("qe"), similarity.alternating_patterns(64, 2)
+        ),
+    )
+    ivf = similarity.ivf_topk(
+        cells, cells.filter(F.col("vec_id") % 25 == 0), k=5,
+        cell_col="cell", vec_col="qe",
+    )
+    bp = {(r.query_id, r.vec_id) for r in brute.collect()}
+    ip = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(bp & ip) / len(bp)
+    assert 0.1 <= recall <= 1.0
+    # every IVF hit shares the query's cell by construction
+    cell_of = {r.vec_id: r.cell for r in cells.select("vec_id", "cell").collect()}
+    for q, v in ip:
+        assert cell_of[q] == cell_of[v]
+
+
+def test_multimodal_decode_plumbing(docs):
+    payloads = multimodal.attach_payload(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(payloads).count()
+
+    decoded = multimodal.decode_image(payloads, fake=True).cache()
+    assert decoded.count() == docs.count()
+    row = decoded.first()
+    assert 16 <= row.width < 256 and 16 <= row.height < 256
+    assert 0.0 <= row.mean_luma <= 1.0 and row.decode_ok
+
+    # determinism: same payload → same fake decode
+    again = multimodal.decode_image(payloads, fake=True)
+    d = decoded.select("doc_id", "width").join(
+        again.select("doc_id", F.col("width").alias("w2")), "doc_id"
+    )
+    assert d.filter(F.col("width") != F.col("w2")).count() == 0
+
+    planned = multimodal.resize_plan(decoded, 224, 224)
+    bad = planned.filter(
+        (F.col("out_w") > 224) | (F.col("out_h") > 224)
+        | ((F.col("out_w") < 224) & (F.col("out_h") < 224))
+    )
+    assert bad.count() == 0  # letterbox: one side exactly 224
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, 10.0), (2, 0.5), (3, 3600.0)], "id int, dur double")
+    out = multimodal.frame_sample_plan(df, "dur", fps=2.0, max_frames=16)
+    rows = {r.id: r.frame_ts for r in out.collect()}
+    assert len(rows[1]) == 16  # 20 candidate frames capped at 16
+    assert len(rows[2]) == 1
+    assert len(rows[3]) == 16
+    assert rows[1][1] == 0.5  # stride = 1/fps
