@@ -55,6 +55,75 @@ def feature_statistics(df: DataFrame, cols: list[str], round_digits: int | None 
     return row.select(F.explode("__stats").alias("s")).select("s.*")
 
 
+def pearson_topk_features(
+    df: DataFrame,
+    entity_col: str,
+    feature_cols: list[str],
+    label_col: str,
+    k: int,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-entity top-k features by |Pearson corr with label| (P8/T3).
+
+    Rebuilds LocalDataset.scala:103-129 (stable one-pass moments
+    :180-260, takeRight(k) at :111-116) as pure JVM aggregation:
+    unpivot features → per-(entity, feature) moment sums → closed-form
+    corr → rank window. No applyInPandas needed — moments beat
+    shipping rows to Python, and the formula from exact integer-valued
+    sums is deterministic across engines.
+
+    Zero-variance features (or constant label) get corr 0 and rank
+    last (feature-name tie-break). Returns (entity, feature, corr, rk).
+    """
+    stacked = df.select(
+        F.col(entity_col).alias("entity"),
+        F.col(label_col).cast("double").alias("y"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("double").alias("x"),
+                    )
+                    for c in feature_cols
+                ]
+            )
+        ).alias("__f"),
+    ).select("entity", F.col("__f.feature").alias("feature"),
+             F.col("__f.x").alias("x"), "y")
+    m = stacked.groupBy("entity", "feature").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = F.when(
+        (denx > 0) & (deny > 0),
+        num / F.sqrt(denx.cast("double") * deny.cast("double")),
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("entity").orderBy(
+        F.abs(F.col("__corr")).desc(), F.asc("feature")
+    )
+    ranked = (
+        m.withColumn("__corr", corr)
+        .withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= k)
+    )
+    corr_out = (
+        F.round(F.col("__corr"), round_digits)
+        if round_digits is not None
+        else F.col("__corr")
+    )
+    return ranked.select("entity", "feature", corr_out.alias("corr"), "rk")
+
+
 def normalization_factors(
     df: DataFrame, cols: list[str], kind: str = "standardization"
 ) -> dict[str, tuple[float, float]]:

@@ -31,6 +31,42 @@ MODEL_SCHEMA = (
 MODEL_SCHEMA_VAR = MODEL_SCHEMA + ", variances array<double>, intercept_variance double"
 
 
+def classify_warm_start(
+    data: DataFrame,
+    prior_models: DataFrame,
+    entity_col: str = "entity",
+    model_entity_col: str = "entity",
+) -> DataFrame:
+    """J3's train|copy|new split: FULL OUTER join data entities with
+    prior-model entities (RandomEffectCoordinate.scala:243-292,
+    fullOuterJoin at :252).
+
+    Returns (entity, status) with status ∈ {train_warm (data+prior),
+    train_cold (data only), copy (prior only — model carried forward
+    untrained)}.
+    """
+    d = (
+        data.select(F.col(entity_col).cast("string").alias("entity"))
+        .distinct()
+        .withColumn("__has_data", F.lit(1))
+    )
+    m = (
+        prior_models.select(F.col(model_entity_col).cast("string").alias("entity"))
+        .distinct()
+        .withColumn("__has_model", F.lit(1))
+    )
+    return d.join(m, "entity", "full_outer").select(
+        "entity",
+        F.when(
+            F.col("__has_data").isNotNull() & F.col("__has_model").isNotNull(),
+            F.lit("train_warm"),
+        )
+        .when(F.col("__has_data").isNotNull(), F.lit("train_cold"))
+        .otherwise(F.lit("copy"))
+        .alias("status"),
+    )
+
+
 def fit_random_effects(
     df: DataFrame,
     entity_col: str,

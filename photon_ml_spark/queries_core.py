@@ -85,6 +85,75 @@ def s7_date_range_scan(spark, sf_dir):
     )
 
 
+@register(
+    "s2_dup_feature_check",
+    oracle="""
+WITH ex AS (
+  SELECT p_partkey, 'brand' || CHR(1) || p_brand AS feature_key FROM part
+  UNION ALL
+  SELECT p_partkey, 'size' || CHR(1) || CAST(p_size AS VARCHAR) FROM part
+  UNION ALL
+  SELECT p_partkey, 'brand' || CHR(1) || p_brand FROM part WHERE p_partkey % 10 = 0
+)
+SELECT p_partkey, feature_key, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM ex GROUP BY p_partkey, feature_key HAVING COUNT(*) > 1
+""",
+    note="S2/F1: per-row duplicate-feature-key detection in a merged shard "
+    "(AvroDataReader.scala:319-324 raises on duplicates); key uses the "
+    "U+0001 separator",
+)
+def s2_dup_feature_check(spark, sf_dir):
+    from photon_ml_spark.sources.featurize import check_duplicate_features
+
+    part = _t(spark, sf_dir, "part")
+    brand = F.struct(
+        F.lit("brand").alias("name"), F.col("p_brand").alias("term"),
+        F.lit(1.0).alias("value"),
+    )
+    size = F.struct(
+        F.lit("size").alias("name"), F.col("p_size").cast("string").alias("term"),
+        F.lit(1.0).alias("value"),
+    )
+    # plant duplicates: every 10th part carries its brand feature twice
+    bag = F.when(
+        F.col("p_partkey") % 10 == 0, F.array(brand, size, brand)
+    ).otherwise(F.array(brand, size))
+    df = part.select("p_partkey", bag.alias("bag"))
+    return check_duplicate_features(df, ["bag"], uid_col="p_partkey")
+
+
+@register(
+    "f4_daily_paths",
+    oracle="""
+WITH days AS (
+  SELECT CAST(unnest(generate_series(DATE '1996-03-01', DATE '1996-03-10',
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+),
+cnt AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n
+  FROM orders GROUP BY 1
+)
+SELECT 'daily/' || strftime(d.day, '%Y/%m/%d') AS path,
+       CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n_orders
+FROM days d LEFT JOIN cnt ON cnt.day = d.day
+""",
+    note="S7/F4: inclusive date-range -> daily/yyyy/MM/dd path resolution "
+    "(IOUtils.scala:115-164, DateRange/DaysRange) joined to per-day counts",
+)
+def f4_daily_paths(spark, sf_dir):
+    from photon_ml_spark.sources.datasets import daily_paths
+
+    paths = daily_paths(spark, "1996-03-01", "1996-03-10")
+    cnt = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return paths.join(cnt, "day", "left").select(
+        "path", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders")
+    )
+
+
 # ----------------------------------------------------------- filters/samplers
 
 
@@ -113,6 +182,41 @@ def p4_data_validation(spark, sf_dir):
             "n_bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
         },
     )
+
+
+@register(
+    "p1_game_datum_projection",
+    oracle="""
+SELECT o_orderkey AS uid,
+       o_totalprice / 500000.0 AS response,
+       0.0 AS offset,
+       1.0 AS weight,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'm:' || CAST(o_custkey AS VARCHAR)
+            ELSE CAST(o_custkey AS VARCHAR) END AS custkey,
+       o_orderpriority AS priority
+FROM orders WHERE o_orderkey % 11 = 0
+""",
+    note="P1/P2/F3: GameDatum projection — uid/response/offset/weight "
+    "defaults plus id-tag resolution with metadataMap fallback "
+    "(GameConverters.scala:44-172; tag fallback :167-169). The Spark side "
+    "uses a real MapType column; the oracle reproduces the resolved values",
+)
+def p1_game_datum_projection(spark, sf_dir):
+    from photon_ml_spark.sources.datasets import project_game_datum
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    staged = o.select(
+        F.col("o_orderkey").alias("uid"),
+        (F.col("o_totalprice") / 500000.0).alias("response"),
+        # every 3rd row loses its explicit tag -> must fall back to the map
+        F.when(F.col("o_orderkey") % 3 != 0, F.col("o_custkey").cast("string"))
+        .alias("custkey"),
+        F.create_map(
+            F.lit("custkey"), F.concat(F.lit("m:"), F.col("o_custkey").cast("string")),
+            F.lit("priority"), F.col("o_orderpriority"),
+        ).alias("metadataMap"),
+    )
+    return project_game_datum(staged, id_tags=["custkey", "priority"])
 
 
 @register(
@@ -178,6 +282,61 @@ def p9_entity_support_filter(spark, sf_dir):
     )
 
 
+@register(
+    "p8_pearson_topk",
+    oracle="""
+WITH f AS (
+  SELECT l_suppkey AS entity,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+         unnest([
+           {'feature': 'disc',    'x': ROUND(l_discount * 100)},
+           {'feature': 'price_k', 'x': ROUND(l_extendedprice / 1000)},
+           {'feature': 'qty',     'x': l_quantity}
+         ], recursive := true) AS u
+  FROM lineitem WHERE l_suppkey % 10 = 0
+),
+m AS (
+  SELECT entity, feature,
+         COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM f GROUP BY entity, feature
+),
+c AS (
+  SELECT entity, feature,
+         CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+              THEN (n*sxy - sx*sy)
+                   / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+              ELSE 0.0 END AS corr
+  FROM m
+),
+r AS (
+  SELECT entity, feature, corr,
+         ROW_NUMBER() OVER (PARTITION BY entity ORDER BY ABS(corr) DESC, feature ASC) AS rk
+  FROM c
+)
+SELECT CAST(entity AS BIGINT) AS entity, feature, ROUND(corr, 6) AS corr,
+       CAST(rk AS INT) AS rk
+FROM r WHERE rk <= 2
+""",
+    note="P8/T3: per-entity top-k features by |Pearson corr with label| from "
+    "one-pass moments (LocalDataset.scala:103-129,180-260); integer-valued "
+    "inputs keep moment sums exact so corr is bit-deterministic",
+)
+def p8_pearson_topk(spark, sf_dir):
+    from photon_ml_spark.functions.stats import pearson_topk_features
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") % 10 == 0).select(
+        F.col("l_suppkey").cast("long").alias("entity"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("price_k"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc"),
+    )
+    return pearson_topk_features(
+        li, "entity", ["qty", "price_k", "disc"], "label", k=2
+    ).withColumn("rk", F.col("rk").cast("int"))
+
+
 # --------------------------------------------------------------------- joins
 
 
@@ -211,6 +370,45 @@ def j1_residual_attach(spark, sf_dir):
     )
     out = attach_residual_offset(o, scores)
     return out.select("uid", "offset")
+
+
+@register(
+    "j3_warmstart_classify",
+    oracle="""
+WITH d AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS entity
+  FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+),
+m AS (
+  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS entity
+  FROM customer WHERE c_custkey % 5 < 2
+),
+j AS (
+  SELECT COALESCE(d.entity, m.entity) AS entity,
+         CASE WHEN d.entity IS NOT NULL AND m.entity IS NOT NULL THEN 'train_warm'
+              WHEN d.entity IS NOT NULL THEN 'train_cold'
+              ELSE 'copy' END AS status
+  FROM d FULL OUTER JOIN m ON d.entity = m.entity
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n_entities
+FROM j GROUP BY status
+""",
+    note="J3/J12: warm-start split via FULL OUTER join of data entities vs "
+    "prior models -> train_warm | train_cold | copy "
+    "(RandomEffectCoordinate.scala:243-292, fullOuterJoin :252)",
+)
+def j3_warmstart_classify(spark, sf_dir):
+    from photon_ml_spark.ml.random_effects import classify_warm_start
+    from photon_ml_spark.operators.sampling import filter_entities_by_support
+
+    data = filter_entities_by_support(
+        _t(spark, sf_dir, "orders"), "o_custkey", min_support=8
+    )
+    prior = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 5 < 2)
+    out = classify_warm_start(
+        data, prior, entity_col="o_custkey", model_entity_col="c_custkey"
+    )
+    return out.groupBy("status").agg(F.count(F.lit(1)).alias("n_entities"))
 
 
 @register(

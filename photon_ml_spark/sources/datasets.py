@@ -33,6 +33,65 @@ def _ntv(name: str, term: str, value):
     )
 
 
+def project_game_datum(
+    df: DataFrame,
+    id_tags: list[str],
+    uid_col: str = "uid",
+    response_col: str | None = "response",
+    offset_col: str = "offset",
+    weight_col: str = "weight",
+    metadata_col: str = "metadataMap",
+) -> DataFrame:
+    """DataFrame → GAME-datum projection (P1, GameConverters.scala:44-172).
+
+    Keeps uid/response/offset/weight (offset defaults 0.0, weight 1.0
+    when absent — GameDatum.scala:37-42 Option semantics) and resolves
+    each id tag as ``coalesce(tag column, metadataMap[tag])``
+    (GameConverters.scala:167-169 metadataMap fallback).
+    """
+    cols = [F.col(uid_col)]
+    if response_col is not None:
+        cols.append(F.col(response_col).cast("double").alias("response"))
+    cols.append(
+        (F.coalesce(F.col(offset_col), F.lit(0.0)).cast("double")
+         if offset_col in df.columns else F.lit(0.0)).alias("offset")
+    )
+    cols.append(
+        (F.coalesce(F.col(weight_col), F.lit(1.0)).cast("double")
+         if weight_col in df.columns else F.lit(1.0)).alias("weight")
+    )
+    has_map = metadata_col in df.columns
+    for tag in id_tags:
+        explicit = F.col(tag) if tag in df.columns else F.lit(None).cast("string")
+        fallback = (
+            F.element_at(F.col(metadata_col), tag) if has_map
+            else F.lit(None).cast("string")
+        )
+        cols.append(F.coalesce(explicit, fallback).alias(tag))
+    return df.select(*cols)
+
+
+def daily_paths(
+    spark: SparkSession, start: str, end: str, root: str = "daily"
+) -> DataFrame:
+    """Inclusive date range → one row per day with its ``root/yyyy/MM/dd``
+    input path (S7/F4, IOUtils.scala:115-164 + DateRange/DaysRange).
+    In the rebuild these are partition values, so a date predicate
+    prunes partitions instead of listing directories."""
+    return spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(start).cast("date"),
+                F.lit(end).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    ).select(
+        "day",
+        F.concat(F.lit(root + "/"), F.date_format("day", "yyyy/MM/dd")).alias("path"),
+    )
+
+
 def lineitem_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem ⋈ orders → (uid, response, offset, weight, tags, features).
 
