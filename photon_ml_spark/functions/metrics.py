@@ -111,6 +111,35 @@ def aupr(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
     )
 
 
+def peak_f1(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
+    """Best F1 over all score thresholds (Evaluation.scala:40-165
+    PEAK_F1_SCORE): at each tie-grouped threshold,
+    F1 = 2·TP / (TP + FP + P). One window sweep, no per-threshold scan."""
+    pts = _roc_points(df, score, label, weight)
+    full = Window.orderBy("s").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    f1 = (
+        F.lit(2.0) * F.col("ctp")
+        / (F.col("ctp") + F.col("cfp") + F.sum("pos").over(full))
+    )
+    return pts.select(f1.alias("__f1")).agg(F.max("__f1").alias("peak_f1"))
+
+
+def logistic_data_loglik_and_aic(
+    df: DataFrame, k: int, score="score", label="label", weight=None
+) -> DataFrame:
+    """Data log-likelihood (logistic) + small-sample-corrected AIC
+    (Evaluation.scala:105-125): AICc = 2k − 2lnL + 2k(k+1)/(n−k−1)."""
+    w = _w(weight)
+    s, y = F.col(score), F.col(label)
+    ll = -F.sum(w * links.logistic_loss(s, y))
+    n = F.count(F.lit(1))
+    aic = F.lit(2.0 * k) - 2.0 * ll
+    aicc = aic + F.lit(2.0 * k * (k + 1)) / (n - F.lit(k + 1))
+    return df.agg(ll.alias("loglik"), aic.alias("aic"), aicc.alias("aicc"))
+
+
 # ---------------------------------------------------- grouped (Multi) metrics
 
 def precision_at_k_per_group(

@@ -1,0 +1,363 @@
+"""Oracle-checked queries for the ML operators (SURVEY §2.10 M*,
+§2.4 A3/A12): per-entity solves, normalization back-transform,
+Hessian/variance aggregates, full GAME scoring composition, legacy
+metric suite.
+
+Exactness conventions (see queries.py docstring):
+- moment sums over integer-valued columns are exact in any order;
+  closed-form division applied identically on both sides
+- data-dependent double summands (Hessian) are quantized to an integer
+  grid before summation
+- the per-entity ridge fit runs the REAL applyInPandas local solver;
+  with integer-valued inputs its normal-equation entries are exact, so
+  the solve is reproducible against the SQL closed form
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_ml_spark.queries import _t, r6, register
+
+# --------------------------------------------------------------- M2 per-entity
+
+
+@register(
+    "m2_per_entity_ridge",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey AS entity, l_quantity AS x,
+         ROUND(l_extendedprice / 1000) AS y
+  FROM lineitem
+),
+m AS (
+  SELECT entity, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM d GROUP BY entity
+)
+SELECT CAST(entity AS VARCHAR) AS entity,
+       ROUND((n*sxy - sx*sy) / ((sxx + 10.0)*n - sx*sx), 6) AS coef,
+       ROUND(((sxx + 10.0)*sy - sx*sxy) / ((sxx + 10.0)*n - sx*sx), 6)
+         AS intercept,
+       CAST(n AS BIGINT) AS n_samples
+FROM m
+""",
+    note="M2/M4/A6: one ridge GLM per entity via the real "
+    "groupBy(entity).applyInPandas local Newton solver (gaussian, l2=10, "
+    "intercept unpenalized) — integer-valued inputs make the normal "
+    "equations exact, matched against the SQL closed form "
+    "(RandomEffectCoordinate.scala:234-300, SingleNodeOptimizationProblem)",
+)
+def m2_per_entity_ridge(spark, sf_dir):
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+    )
+    models = fit_random_effects(
+        li,
+        entity_col="entity",
+        dim=1,
+        family="gaussian",
+        weight_col=None,
+        offset_col=None,
+        reg_param=10.0,
+        tol=1e-10,
+    )
+    return models.select(
+        "entity",
+        r6(F.element_at("coefficients", 1)).alias("coef"),
+        r6(F.col("intercept")).alias("intercept"),
+        "n_samples",
+    )
+
+
+# ------------------------------------------------------------ M5 normalization
+
+
+@register(
+    "m5_normalization_backmap",
+    oracle="""
+WITH f AS (
+  SELECT 'disc' AS feature, ROUND(l_discount * 100) AS x, 0.125 AS coef FROM lineitem
+  UNION ALL SELECT 'price_k', ROUND(l_extendedprice / 1000), -0.25 FROM lineitem
+  UNION ALL SELECT 'qty', l_quantity, 0.5 FROM lineitem
+),
+m AS (
+  SELECT feature, ANY_VALUE(coef) AS coef, COUNT(*) AS n, SUM(x) AS s1, SUM(x*x) AS s2
+  FROM f GROUP BY feature
+),
+ctx AS (
+  SELECT feature, coef,
+         s1 / n AS shift,
+         1.0 / SQRT((s2 - s1*s1/n) / (n - 1)) AS factor
+  FROM m
+)
+SELECT feature, ROUND(shift, 6) AS shift, ROUND(factor, 6) AS factor,
+       ROUND(coef * factor, 6) AS coef_orig
+FROM ctx
+UNION ALL
+SELECT '(INTERCEPT)', 0.0, 1.0,
+       ROUND(0.75 - SUM(coef * factor * shift), 6)
+FROM ctx
+""",
+    note="M5: standardization contexts from exact moments + the "
+    "transformed→original coefficient algebra: beta=beta'*factor, "
+    "intercept=i' − Σ beta'·factor·shift "
+    "(NormalizationContext.scala:37-128, factors "
+    "GameTrainingDriver.scala:590-656)",
+)
+def m5_normalization_backmap(spark, sf_dir):
+    from photon_ml_spark.ml.normalization import (
+        backmap_coefficients,
+        normalization_table,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("price_k"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc"),
+    )
+    norm = normalization_table(li, ["qty", "price_k", "disc"], "standardization")
+    coefs = spark.createDataFrame(
+        [("qty", 0.5), ("price_k", -0.25), ("disc", 0.125)],
+        "feature string, coef double",
+    )
+    out = backmap_coefficients(coefs, norm, intercept_transformed=0.75)
+    return out.select(
+        "feature", r6(F.col("shift")).alias("shift"),
+        r6(F.col("factor")).alias("factor"),
+        r6(F.col("coef_orig")).alias("coef_orig"),
+    )
+
+
+# ---------------------------------------------------------- A3/M10 variance
+
+
+@register(
+    "m10_hessian_variance",
+    oracle="""
+WITH scored AS (
+  SELECT l_discount * 5.0 - l_tax * 3.0 + l_quantity / 25.0 - 1.0 AS margin,
+         1.0 + l_linenumber / 10.0 AS w,
+         l_quantity AS qty,
+         ROUND(l_extendedprice / 1000) AS price_k,
+         ROUND(l_discount * 100) AS disc
+  FROM lineitem
+),
+t AS (
+  SELECT w / ((1.0 + EXP(-margin)) * (1.0 + EXP(margin))) AS wd,
+         qty, price_k, disc
+  FROM scored
+),
+u AS (
+  SELECT unnest([
+    {'feature': 'disc',    'h': ROUND(wd * disc * disc * 1000000)},
+    {'feature': 'price_k', 'h': ROUND(wd * price_k * price_k * 1000000)},
+    {'feature': 'qty',     'h': ROUND(wd * qty * qty * 1000000)}
+  ], recursive := true) AS s
+  FROM t
+)
+SELECT feature,
+       ROUND(SUM(h) / 1000000 + 0.5, 6) AS hessian_diag,
+       ROUND(1.0 / (SUM(h) / 1000000 + 0.5), 6) AS variance
+FROM u GROUP BY feature
+""",
+    note="A3/M10: logistic Hessian diagonal Σ w·mu·(1−mu)·x² (+l2) and "
+    "SIMPLE variance 1/H_jj; summands quantized to 1e-6 grid for "
+    "order-independence (HessianDiagonalAggregator.scala, "
+    "DistributedOptimizationProblem.scala:86-96)",
+)
+def m10_hessian_variance(spark, sf_dir):
+    from photon_ml_spark.ml.variance import hessian_diagonal, simple_variance
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_discount") * 5.0 - F.col("l_tax") * 3.0
+            + F.col("l_quantity") / 25.0 - 1.0
+        ).alias("margin"),
+        (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("w"),
+        F.col("l_quantity").alias("qty"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("price_k"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc"),
+    )
+    h = hessian_diagonal(
+        li, ["qty", "price_k", "disc"], margin_col="margin", weight_col="w",
+        family="binomial", l2=0.5, quantize_scale=1e6,
+    )
+    v = simple_variance(h)
+    return v.select(
+        "feature", r6(F.col("hessian_diag")).alias("hessian_diag"),
+        r6(F.col("variance")).alias("variance"),
+    )
+
+
+# ------------------------------------------------------------- M12 GAME score
+
+
+@register(
+    "m12_game_scoring",
+    oracle="""
+WITH re_model AS (
+  SELECT l_suppkey AS entity,
+         (SUM(ROUND(l_discount * 100)) / COUNT(*) - 5.0) / 100.0 AS coef
+  FROM lineitem WHERE l_suppkey % 4 <> 3
+  GROUP BY l_suppkey
+),
+sparse AS (
+  SELECT entity, coef FROM re_model WHERE ABS(coef) >= 0.002
+),
+rows_in AS (
+  SELECT l_orderkey * 8 + l_linenumber AS uid, l_suppkey AS entity,
+         l_quantity AS qty, ROUND(l_discount * 100) AS disc100
+  FROM lineitem WHERE l_orderkey % 13 = 0
+),
+scored AS (
+  SELECT r.uid,
+         0.05 * r.qty + -0.02 * r.disc100 + 0.1 AS fixed_score,
+         CASE WHEN s.entity IS NULL THEN 0.0 ELSE r.qty * s.coef + 0.0 END AS re_score
+  FROM rows_in r LEFT JOIN sparse s ON r.entity = s.entity
+)
+SELECT uid, ROUND(fixed_score, 6) AS fixed_score, ROUND(re_score, 6) AS re_score,
+       ROUND(fixed_score + re_score, 6) AS total,
+       ROUND(1.0 / (1.0 + EXP(-(fixed_score + re_score))), 6) AS prediction
+FROM scored
+""",
+    note="M12/J4/J5/J11/P10: full GAME scoring composition — broadcast "
+    "fixed-effect dot product + per-entity model-table left join (missing "
+    "model → 0, RandomEffectModel.scala:283-287) after P10 sparsification, "
+    "score sum, sigmoid mean (GameModel.scala:108-112)",
+)
+def m12_game_scoring(spark, sf_dir):
+    import numpy as np
+
+    from photon_ml_spark.ml.glm import FixedEffectGLM
+    from photon_ml_spark.ml.scoring import (
+        apply_mean,
+        score_literal,
+        score_random_effect,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    # per-entity 1-dim models from exact integer moments (stand-in for a
+    # trained RE model table), entities ≡ 3 (mod 4) deliberately missing
+    re_model = (
+        li.filter(F.col("l_suppkey") % 4 != 3)
+        .groupBy(F.col("l_suppkey").alias("entity"))
+        .agg(
+            (
+                (F.sum(F.round(F.col("l_discount") * 100, 0)) / F.count(F.lit(1)) - 5.0)
+                / 100.0
+            ).alias("coef")
+        )
+    )
+    # P10 sparsification at save: drop near-zero models
+    sparse = re_model.filter(F.abs(F.col("coef")) >= 0.002).select(
+        "entity", F.array(F.col("coef")).alias("coefficients"),
+        F.lit(0.0).alias("intercept"),
+    )
+    rows_in = li.filter(F.col("l_orderkey") % 13 == 0).select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.col("l_suppkey").alias("entity"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_discount") * 100, 0).alias("disc100"),
+        F.col("l_quantity").alias("qty"),
+    )
+    fixed = FixedEffectGLM(
+        family="binomial", coefficients=np.array([0.05, -0.02]),
+        intercept=0.1, dim=2,
+    )
+    with_fixed = score_literal(
+        rows_in.withColumn(
+            "fx_indices", F.array(F.lit(0).cast("long"), F.lit(1).cast("long"))
+        ).withColumn(
+            "fx_values", F.array(F.col("qty").cast("double"), F.col("disc100").cast("double"))
+        ),
+        fixed, indices_col="fx_indices", values_col="fx_values",
+        out_col="fixed_score",
+    )
+    with_re = score_random_effect(
+        with_fixed, sparse, entity_col="entity", out_col="re_score"
+    )
+    # coordinate-score sum (GameModel.scala:108-112). The general J11
+    # outer-join path is exercised by j11_score_add; uid is non-unique
+    # in this derivation so the sum stays inline here.
+    out = with_re.withColumn(
+        "total", F.col("fixed_score") + F.col("re_score")
+    )
+    out = apply_mean(out, "binomial", margin_col="total", out_col="prediction")
+    return out.select(
+        "uid", r6(F.col("fixed_score")).alias("fixed_score"),
+        r6(F.col("re_score")).alias("re_score"),
+        r6(F.col("total")).alias("total"),
+        r6(F.col("prediction")).alias("prediction"),
+    )
+
+
+# ------------------------------------------------------------ A12 legacy suite
+
+
+@register(
+    "a12_peak_f1_aic",
+    oracle="""
+WITH scored AS (
+  SELECT l_discount * 5.0 - l_tax * 3.0 + l_quantity / 25.0 - 1.0 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         1.0 + l_linenumber / 10.0 AS weight
+  FROM lineitem
+),
+g AS (
+  SELECT score AS s, SUM(weight * label) AS pos, SUM(weight * (1.0 - label)) AS neg
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT s, pos, neg,
+         SUM(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+         SUM(neg) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cfp,
+         SUM(pos) OVER () AS p
+  FROM g
+),
+f1 AS (SELECT MAX(2.0 * ctp / (ctp + cfp + p)) AS peak_f1 FROM c),
+ll AS (
+  SELECT -SUM(weight * (GREATEST(score, 0) + LN(1 + EXP(-ABS(score))) - label * score))
+           AS loglik,
+         COUNT(*) AS n
+  FROM scored
+)
+SELECT ROUND(f1.peak_f1, 5) AS peak_f1,
+       ROUND(ll.loglik, 4) AS loglik,
+       ROUND(2.0 * 6 - 2.0 * ll.loglik, 4) AS aic,
+       ROUND(2.0 * 6 - 2.0 * ll.loglik + 2.0 * 6 * 7 / (ll.n - 7), 4) AS aicc
+FROM f1, ll
+""",
+    note="A12: legacy metric suite extras — peak F1 over all thresholds "
+    "(window sweep) + logistic data log-likelihood + small-sample-corrected "
+    "AIC (Evaluation.scala:40-165, AIC :105-125)",
+)
+def a12_peak_f1_aic(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import (
+        logistic_data_loglik_and_aic,
+        peak_f1,
+    )
+
+    s = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_discount") * 5.0 - F.col("l_tax") * 3.0
+            + F.col("l_quantity") / 25.0 - 1.0
+        ).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("weight"),
+    )
+    f1 = peak_f1(s, weight="weight").select(
+        F.round(F.col("peak_f1"), 5).alias("peak_f1")
+    )
+    lla = logistic_data_loglik_and_aic(s, k=6, weight="weight").select(
+        F.round(F.col("loglik"), 4).alias("loglik"),
+        F.round(F.col("aic"), 4).alias("aic"),
+        F.round(F.col("aicc"), 4).alias("aicc"),
+    )
+    return f1.crossJoin(lla)
