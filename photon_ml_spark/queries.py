@@ -56,6 +56,10 @@ def _load_all_registrations():
         from photon_ml_spark import queries_pipeline  # noqa: F401
     except ImportError:
         pass
+    try:
+        from photon_ml_spark import queries_streaming  # noqa: F401
+    except ImportError:
+        pass
 
 
 def all_queries() -> dict[str, QuerySpec]:

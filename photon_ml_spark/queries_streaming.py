@@ -1,0 +1,98 @@
+"""Oracle-checked queries for the streaming extension (SURVEY §2.8).
+
+Each query runs the batch side of a batch/stream dual-use operator from
+streaming/events.py — the identical code runs under readStream (see
+tests/test_streaming.py for micro-batch parity). The reference has no
+streaming surface (batch-only, SURVEY §2.8); prefix e = extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from photon_ml_spark.queries import register
+from photon_ml_spark.sources.datasets import load_events
+
+
+@register(
+    "e1_event_window_agg",
+    oracle="""
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(ROUND(value * 100)) / 100 AS value_sum
+FROM events GROUP BY 1, 2
+""",
+    note="streaming/e1: tumbling 15-min event-time window counts + exact "
+    "cents-grid value sums — same code path as the readStream variant "
+    "(watermark-bounded state)",
+)
+def e1_event_window_agg(spark, sf_dir):
+    from photon_ml_spark.streaming.events import windowed_event_counts
+
+    ev = load_events(spark, sf_dir)
+    return windowed_event_counts(ev, window="15 minutes")
+
+
+@register(
+    "e2_event_json_props",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""",
+    note="streaming/e2: typed JSON property extraction (F3 map-value-cast "
+    "analog, AvroDataReader.scala:453-468) + aggregation by derived key",
+)
+def e2_event_json_props(spark, sf_dir):
+    from photon_ml_spark.streaming.events import extract_props
+
+    ev = extract_props(
+        load_events(spark, sf_dir), {"k": "$.k"}
+    )
+    return (
+        ev.groupBy((F.col("k").cast("long") % 7).alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "e3_event_sessions",
+    oracle="""
+WITH o AS (
+  SELECT user_id, ts, ROUND(value * 100) AS v,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '5 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, v,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+),
+sess AS (
+  SELECT user_id, sid, MIN(ts) AS start_ts, COUNT(*) AS n_events,
+         SUM(v) / 100 AS value_sum
+  FROM s GROUP BY user_id, sid
+)
+SELECT user_id, strftime(start_ts, '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(n_events AS BIGINT) AS n_events, value_sum
+FROM sess
+""",
+    note="streaming/e3: per-user session_window aggregation (5-min gap, "
+    "half-open merge) — oracle reproduces it as gaps-and-islands; "
+    "stateful-streaming capable via watermark",
+)
+def e3_event_sessions(spark, sf_dir):
+    from photon_ml_spark.streaming.events import sessionize
+
+    ev = load_events(spark, sf_dir)
+    return sessionize(ev, gap="5 minutes")

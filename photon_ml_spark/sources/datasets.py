@@ -33,6 +33,24 @@ def _ntv(name: str, term: str, value):
     )
 
 
+def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS); under the
+    ``nanosAsLong`` legacy flag it reads as long nanoseconds. Convert
+    to a microsecond timestamp (truncation — matching how
+    micro-resolution engines read the same file)."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        # integer div: nanos exceed double's 53-bit mantissa, so `/ 1000`
+        # (double division) would corrupt the low microseconds
+        df = df.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
+        )
+    return df
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return normalize_event_ts(load_table(spark, sf_dir, "events"))
+
+
 def project_game_datum(
     df: DataFrame,
     id_tags: list[str],

@@ -1,0 +1,134 @@
+"""Structured-Streaming extension (SURVEY §2.8).
+
+The reference is batch-only — time exists only as daily directory
+partitions (IOUtils.scala:115-164). This module is the rebuild's
+optional streaming surface: every transformation is written against a
+plain DataFrame so THE SAME CODE runs in batch (tests, oracle checks)
+and under ``readStream`` (production). Scoring is stateless, windowed
+aggregation uses event-time + watermark, sessionization uses
+``session_window`` — all JVM-side operators, no Python state.
+
+Scale notes: windowed aggregation shuffles on (window, key) — state
+store size is bounded by watermark eviction; scoring adds no state at
+all (the model joins in as a broadcast or literal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def stream_source(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    max_files_per_trigger: int | None = None,
+    glob: str | None = None,
+) -> DataFrame:
+    """File-based streaming source (parquet dir). ``maxFilesPerTrigger``
+    bounds per-micro-batch input — the knob that keeps batch size
+    (and thus state-update volume) constant as the backlog grows.
+    ``glob`` filters file names within the directory (the source
+    requires a directory path)."""
+    reader = spark.readStream.schema(schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "15 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window counts + exact value sums per key.
+
+    Batch/stream dual-use: pass ``watermark`` only on a streaming
+    DataFrame (bounds state retention; late rows beyond it drop).
+    Value sums go through a cents-grid round so window totals are
+    order-independent (exactness convention).
+    """
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            F.col(key_col),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Per-user session aggregation via ``session_window`` (merging
+    windows that close ``gap`` after the last event). Stateful under
+    streaming; identical semantics in batch."""
+    src = events.withWatermark(ts_col, watermark) if watermark else events
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("win"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias("value_sum"),
+        )
+        .select(
+            F.col(user_col),
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def user_session_stats(sessions: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """Roll sessions up to per-user stats (n_sessions, events in the
+    largest session, total events)."""
+    return sessions.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.sum("n_events").cast("long").alias("total_events"),
+    )
+
+
+def extract_props(
+    events: DataFrame, fields: dict[str, str], props_col: str = "props"
+) -> DataFrame:
+    """Typed JSON property extraction: {out_col: json_path} — the F3
+    map-value-cast analog (AvroDataReader.scala:453-468) for the JSON
+    payloads a real event stream carries. ``get_json_object`` is
+    JVM-side (Jackson), codegen-friendly."""
+    out = events
+    for name, path in fields.items():
+        out = out.withColumn(name, F.get_json_object(F.col(props_col), path))
+    return out
+
+
+def score_events(
+    events: DataFrame,
+    coefficients: list[float],
+    intercept: float,
+    feature_cols: list[str],
+) -> DataFrame:
+    """Stateless streaming scoring (the GameScoringDriver analog over a
+    stream): literal-coefficient dot product — no state, no shuffle,
+    survives any trigger cadence."""
+    margin = F.lit(float(intercept))
+    for c, b in zip(feature_cols, coefficients):
+        margin = margin + F.col(c).cast("double") * float(b)
+    return events.withColumn("score", margin)

@@ -1,0 +1,104 @@
+"""Streaming extension: the batch-verified operators must produce the
+same results when run as Structured Streaming micro-batches (file
+source, availableNow trigger, memory sink)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.sources.datasets import normalize_event_ts
+from photon_ml_spark.streaming.events import (
+    score_events,
+    sessionize,
+    stream_source,
+    user_session_stats,
+    windowed_event_counts,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
+# ts arrives as long nanos under the nanosAsLong flag (see
+# datasets.normalize_event_ts)
+EVENT_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _run_stream(spark, stream_df, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def _assert_frames_equal(a, b, sort_cols):
+    pa = a.orderBy(*sort_cols).toPandas()
+    pb = b.orderBy(*sort_cols).toPandas()
+    assert pa.columns.tolist() == pb.columns.tolist()
+    assert len(pa) == len(pb)
+    for c in pa.columns:
+        assert pa[c].tolist() == pb[c].tolist(), f"column {c} differs"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return normalize_event_ts(
+        stream_source(
+            spark, SF_DIR, EVENT_SCHEMA, max_files_per_trigger=1,
+            glob="events.parquet",
+        )
+    )
+
+
+def test_windowed_counts_stream_matches_batch(spark, events_batch, events_stream):
+    batch = windowed_event_counts(events_batch)
+    stream = windowed_event_counts(events_stream, watermark="2 hours")
+    got = _run_stream(spark, stream, "win_counts")
+    _assert_frames_equal(batch, got, ["window_start", "event_type"])
+
+
+def test_sessionize_stream_matches_batch(spark, events_batch, events_stream):
+    batch = sessionize(events_batch)
+    stream = sessionize(events_stream, watermark="2 hours")
+    got = _run_stream(spark, stream, "sessions")
+    _assert_frames_equal(batch, got, ["user_id", "session_start"])
+
+
+def test_user_session_stats(spark, events_batch):
+    stats = user_session_stats(sessionize(events_batch))
+    row = stats.agg(
+        F.sum("total_events").alias("total"), F.count(F.lit(1)).alias("users")
+    ).first()
+    assert row.total == events_batch.count()
+    assert row.users == events_batch.select("user_id").distinct().count()
+
+
+def test_score_events_is_stateless_on_stream(spark, events_stream):
+    scored = score_events(
+        events_stream, coefficients=[0.5], intercept=-1.0, feature_cols=["value"]
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("scored_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql(
+        "SELECT count(*) AS n, sum(abs(score - (value * 0.5 - 1.0))) AS err "
+        "FROM scored_events"
+    ).first()
+    assert out.n > 0
+    assert out.err < 1e-9
