@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-_FAMILIES = ("binomial", "gaussian", "poisson")
+_FAMILIES = ("binomial", "gaussian", "poisson", "smoothed_hinge")
 
 
 def _mean_and_dmu(margin: np.ndarray, family: str):
@@ -38,12 +38,32 @@ def _mean_and_dmu(margin: np.ndarray, family: str):
     return margin, np.ones_like(margin)
 
 
+def _loss_derivs(margin: np.ndarray, y: np.ndarray, family: str):
+    """Per-row (dl/dmargin, d2l/dmargin2). GLM canonical links give
+    (mu − y, dmu); the smoothed hinge (M13, photon-api/.../function/svm/
+    SmoothedHingeLossFunction semantics, Rennie's quadratic smoothing)
+    works on z = (2y−1)·m: z≥1 → 0; z≤0 → slope −1; else slope −(1−z),
+    curvature 1 on the quadratic band only."""
+    if family == "smoothed_hinge":
+        s = 2.0 * y - 1.0
+        z = s * margin
+        dl = -s * np.clip(1.0 - z, 0.0, 1.0)
+        d2l = ((z > 0.0) & (z < 1.0)).astype(np.float64)
+        return dl, d2l
+    mu, dmu = _mean_and_dmu(margin, family)
+    return mu - y, dmu
+
+
 def _neg_log_likelihood(margin, y, w, family):
     if family == "binomial":
         # log(1+e^m) - y*m, stable
         return float(np.sum(w * (np.maximum(margin, 0) + np.log1p(np.exp(-np.abs(margin))) - y * margin)))
     if family == "poisson":
         return float(np.sum(w * (np.exp(np.clip(margin, -35, 35)) - y * margin)))
+    if family == "smoothed_hinge":
+        z = (2.0 * y - 1.0) * margin
+        loss = np.where(z >= 1.0, 0.0, np.where(z <= 0.0, 0.5 - z, 0.5 * (1.0 - z) ** 2))
+        return float(np.sum(w * loss))
     return float(0.5 * np.sum(w * (margin - y) ** 2))
 
 
@@ -108,11 +128,11 @@ def fit_local_glm(
     H = None
     for it in range(1, max_iter + 1):
         margin = Z @ beta + o
-        mu, dmu = _mean_and_dmu(margin, family)
-        grad = Z.T @ (w * (mu - y)) + l2_diag * beta
+        dl, d2l = _loss_derivs(margin, y, family)
+        grad = Z.T @ (w * dl) + l2_diag * beta
         if prior_prec is not None:
             grad += prior_prec * (beta - prior_mu)
-        H = Z.T @ (Z * (w * dmu)[:, None])
+        H = Z.T @ (Z * (w * d2l)[:, None])
         H[np.diag_indices_from(H)] += l2_diag
         if prior_prec is not None:
             H[np.diag_indices_from(H)] += prior_prec

@@ -298,6 +298,97 @@ def m12_game_scoring(spark, sf_dir):
     )
 
 
+# -------------------------------------------------------------- M11 grid
+
+
+@register(
+    "m11_reg_grid",
+    oracle="""
+WITH d AS (
+  SELECT l_quantity AS x, ROUND(l_extendedprice / 1000) AS y,
+         (l_orderkey + l_linenumber) % 2 AS fold
+  FROM lineitem
+),
+tr AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM d WHERE fold = 0
+),
+va AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy
+  FROM d WHERE fold <> 0
+),
+lam AS (SELECT unnest([0.01, 1.0, 100.0, 10000.0]) AS lam),
+fit AS (
+  SELECT lam,
+         (tr.n*tr.sxy - tr.sx*tr.sy) / ((tr.sxx + lam)*tr.n - tr.sx*tr.sx) AS beta,
+         ((tr.sxx + lam)*tr.sy - tr.sx*tr.sxy)
+           / ((tr.sxx + lam)*tr.n - tr.sx*tr.sx) AS alpha
+  FROM lam, tr
+)
+SELECT lam, ROUND(beta, 6) AS beta, ROUND(alpha, 6) AS alpha,
+       ROUND((va.syy - 2*beta*va.sxy - 2*alpha*va.sy + beta*beta*va.sxx
+              + 2*alpha*beta*va.sx + alpha*alpha*va.n) / va.n, 6) AS val_mse
+FROM fit, va
+""",
+    note="M11 (grid mode): λ-grid ridge evaluation as ONE distributed plan — "
+    "train/val moments in a single scan, closed-form fit + validation MSE "
+    "per λ via cross join (driver hook GameTrainingDriver.scala:677-726; "
+    "quasi-random + GP modes are driver loops, tested in "
+    "tests/test_hypersearch.py)",
+)
+def m11_reg_grid(spark, sf_dir):
+    from photon_ml_spark.ml.hypersearch import ridge_grid_eval_1d
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("x"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("y"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 2).alias("fold"),
+    )
+    out = ridge_grid_eval_1d(d, "x", "y", "fold", [0.01, 1.0, 100.0, 10000.0])
+    return out.select(
+        "lam", r6(F.col("beta")).alias("beta"), r6(F.col("alpha")).alias("alpha"),
+        r6(F.col("val_mse")).alias("val_mse"),
+    )
+
+
+# ---------------------------------------------------------- M13 smoothed hinge
+
+
+@register(
+    "m13_smoothed_hinge_svm",
+    oracle=None,
+    note="M13: per-entity smoothed-hinge SVM via the applyInPandas local "
+    "Newton solver (photon-api/.../function/svm/*.scala; Rennie smoothing) "
+    "— iterative, not SQL-expressible; rows-only check + unit tests "
+    "(tests/test_hypersearch.py)",
+)
+def m13_smoothed_hinge_svm(spark, sf_dir):
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        F.array(F.lit(0).cast("long"), F.lit(1).cast("long")).alias("features_indices"),
+        F.array(
+            (F.col("l_quantity") / 25.0).cast("double"),
+            (F.col("l_discount") * 10.0).cast("double"),
+        ).alias("features_values"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+    )
+    models = fit_random_effects(
+        li, entity_col="entity", dim=2, family="smoothed_hinge",
+        weight_col=None, offset_col=None, reg_param=0.1,
+    )
+    return models.select(
+        "entity",
+        F.round(F.element_at("coefficients", 1), 4).alias("coef_qty"),
+        F.round(F.element_at("coefficients", 2), 4).alias("coef_disc"),
+        F.round(F.col("intercept"), 4).alias("intercept"),
+        "n_samples", "converged",
+    )
+
+
 # ------------------------------------------------------------ A12 legacy suite
 
 

@@ -1,0 +1,125 @@
+"""M11 hyperparameter search + M13 smoothed-hinge solver (unit-level,
+no Spark needed — driver-side loops around a cheap evaluate)."""
+
+import numpy as np
+
+from photon_ml_spark.ml.hypersearch import (
+    gp_search,
+    grid_search,
+    halton,
+    quasi_random_search,
+)
+from photon_ml_spark.ml.local_glm import fit_local_glm
+
+
+def _quadratic(p):
+    # minimum at (reg=0.3, alpha=0.7)
+    return (p["reg"] - 0.3) ** 2 + (p["alpha"] - 0.7) ** 2
+
+
+def test_grid_search_exhaustive_and_best():
+    out = grid_search(
+        _quadratic,
+        {"reg": [0.0, 0.25, 0.5, 1.0], "alpha": [0.0, 0.5, 0.75, 1.0]},
+    )
+    assert len(out["history"]) == 16
+    assert out["best_params"] == {"reg": 0.25, "alpha": 0.75}
+
+
+def test_halton_low_discrepancy_and_deterministic():
+    a = halton(256, 2)
+    b = halton(256, 2)
+    assert np.array_equal(a, b)
+    assert a.min() >= 0.0 and a.max() < 1.0
+    # space-filling: every quadrant hit
+    qx, qy = (a[:, 0] < 0.5), (a[:, 1] < 0.5)
+    counts = [
+        np.sum(qx & qy), np.sum(qx & ~qy), np.sum(~qx & qy), np.sum(~qx & ~qy)
+    ]
+    assert min(counts) > 40  # ~64 each if uniform
+
+
+def test_quasi_random_search_log_scale_bounds():
+    seen = []
+
+    def ev(p):
+        seen.append(p["lam"])
+        return _quadratic({"reg": p["lam"], "alpha": 0.7})
+
+    out = quasi_random_search(ev, {"lam": (1e-3, 1e2, "log")}, n=64)
+    assert all(1e-3 <= v <= 1e2 for v in seen)
+    # log coverage: values span several decades
+    assert min(seen) < 1e-2 and max(seen) > 1e1
+    assert abs(out["best_params"]["lam"] - 0.3) < 0.15
+
+
+def test_gp_search_converges_near_optimum():
+    out = gp_search(
+        _quadratic,
+        {"reg": (0.0, 1.0, "linear"), "alpha": (0.0, 1.0, "linear")},
+        n_init=6, n_iter=12,
+    )
+    assert out["best_value"] < 0.02  # within ~0.14 of the optimum
+    # GP must beat the same budget of pure quasi-random points' head
+    qr = quasi_random_search(
+        _quadratic,
+        {"reg": (0.0, 1.0, "linear"), "alpha": (0.0, 1.0, "linear")},
+        n=6,
+    )
+    assert out["best_value"] <= qr["best_value"]
+
+
+def test_gp_search_maximize_direction():
+    out = gp_search(
+        lambda p: -_quadratic(p),
+        {"reg": (0.0, 1.0, "linear"), "alpha": (0.0, 1.0, "linear")},
+        n_init=6, n_iter=8, maximize=True,
+    )
+    assert out["best_value"] > -0.05
+
+
+# ------------------------------------------------------------- smoothed hinge
+
+
+def _separable_data(n=200, seed=7):
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, 2))
+    y = (X[:, 0] + 0.5 * X[:, 1] > 0).astype(float)
+    return X, y
+
+
+def test_smoothed_hinge_separates():
+    X, y = _separable_data()
+    res = fit_local_glm(X, y, family="smoothed_hinge", l2=1e-3)
+    margin = X @ res["coefficients"] + res["intercept"]
+    acc = np.mean((margin > 0) == (y == 1))
+    assert acc >= 0.97
+
+
+def test_smoothed_hinge_gradient_matches_finite_difference():
+    from photon_ml_spark.ml.local_glm import _loss_derivs, _neg_log_likelihood
+
+    rng = np.random.default_rng(0)
+    m = rng.normal(size=50)
+    y = (rng.random(50) > 0.5).astype(float)
+    w = np.ones(50)
+    dl, _ = _loss_derivs(m, y, "smoothed_hinge")
+    eps = 1e-6
+    for i in [0, 7, 23, 49]:
+        mp, mm = m.copy(), m.copy()
+        mp[i] += eps
+        mm[i] -= eps
+        num = (
+            _neg_log_likelihood(mp, y, w, "smoothed_hinge")
+            - _neg_log_likelihood(mm, y, w, "smoothed_hinge")
+        ) / (2 * eps)
+        assert abs(num - dl[i]) < 1e-5
+
+
+def test_smoothed_hinge_weights_shift_boundary():
+    X, y = _separable_data()
+    w_pos = np.where(y == 1, 10.0, 1.0)
+    res_u = fit_local_glm(X, y, family="smoothed_hinge", l2=0.1)
+    res_w = fit_local_glm(X, y, weight=w_pos, family="smoothed_hinge", l2=0.1)
+    # up-weighting positives pushes the intercept up (more area classified +)
+    assert res_w["intercept"] > res_u["intercept"]
