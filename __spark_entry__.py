@@ -28,7 +28,9 @@ def entry(spark: SparkSession) -> DataFrame:
         training, ["features"], has_intercept=True
     )
     shard = FeatureShardConfig("features", ["features"])
-    assembled = featurize.assemble_shard(training, dictionary, shard).cache()
+    assembled = featurize.assemble_shard(
+        training, dictionary, shard, strategy="map"
+    ).cache()
     model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
     scored = scoring.score_literal(assembled, model)
     scored = scoring.apply_mean(scored, "binomial")

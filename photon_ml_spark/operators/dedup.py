@@ -83,8 +83,21 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # df=1 shingles can never co-occur in a pair: prune them before the
+    # self-join (set sizes above still count them — union semantics
+    # unchanged). On natural corpora most shingles are unique, so this
+    # shrinks the quadratic join input by far more than the extra
+    # aggregation costs.
+    shared = sh.join(
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= 2)
+        .select("shingle"),
+        "shingle",
+        "left_semi",
+    )
+    a = shared.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shared.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -413,6 +413,95 @@ def x10_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, cell_col="cell", vec_col="qe")
 
 
+_SHA_BYTE = """
+  CAST(CASE WHEN substr(h, {p1}, 1) BETWEEN '0' AND '9'
+            THEN ascii(substr(h, {p1}, 1)) - 48
+            ELSE ascii(substr(h, {p1}, 1)) - 87 END * 16
+     + CASE WHEN substr(h, {p2}, 1) BETWEEN '0' AND '9'
+            THEN ascii(substr(h, {p2}, 1)) - 48
+            ELSE ascii(substr(h, {p2}, 1)) - 87 END AS INT)
+"""
+
+
+@register(
+    "xm1_multimodal_decode_resize",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 3 = 0
+),
+meta AS (
+  SELECT doc_id,
+         16 + {_SHA_BYTE.format(p1=1, p2=2)} % 240 AS width,
+         16 + {_SHA_BYTE.format(p1=3, p2=4)} % 240 AS height,
+         {_SHA_BYTE.format(p1=5, p2=6)} / 255.0 AS mean_luma
+  FROM hashed
+),
+planned AS (
+  SELECT *, LEAST(224.0 / width, 224.0 / height) AS scale FROM meta
+)
+SELECT doc_id, width, height, ROUND(mean_luma, 6) AS mean_luma,
+       CAST(ROUND(width * scale) AS INT) AS out_w,
+       CAST(ROUND(height * scale) AS INT) AS out_h,
+       CAST(224 - ROUND(width * scale) AS INT) AS pad_x,
+       CAST(224 - ROUND(height * scale) AS INT) AS pad_y
+FROM planned
+""",
+    note="pipeline/multimodal: binary payload -> mapInPandas fake decode "
+    "(deterministic sha256 stub — real codec slot) + letterbox resize plan "
+    "as pure expressions; oracle reproduces the digest arithmetic",
+)
+def xm1_multimodal_decode_resize(spark, sf_dir):
+    from photon_ml_spark.operators.multimodal import (
+        attach_payload,
+        decode_image,
+        resize_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    decoded = decode_image(attach_payload(docs), fake=True)
+    planned = resize_plan(decoded, 224, 224)
+    return planned.select(
+        "doc_id", "width", "height",
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+        "out_w", "out_h", "pad_x", "pad_y",
+    )
+
+
+@register(
+    "xm2_frame_sample_plan",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, n_chars / 10.0 AS duration FROM documents WHERE doc_id % 9 = 0
+),
+n AS (
+  SELECT doc_id, duration,
+         LEAST(CAST(FLOOR(duration * 2.0) AS INT), 16) AS nf
+  FROM d
+)
+SELECT doc_id,
+       CAST(CASE WHEN nf <= 0 THEN 1 ELSE nf END AS INT) AS n_frames,
+       ROUND((CASE WHEN nf <= 0 THEN 1 ELSE nf END - 1) / 2.0, 6) AS last_ts
+FROM n
+""",
+    note="pipeline/multimodal: deterministic video frame-sampling plan "
+    "(uniform stride fps=2, cap 16) — pure expressions, no Python; decoder "
+    "stage consumes the timestamp array",
+)
+def xm2_frame_sample_plan(spark, sf_dir):
+    from photon_ml_spark.operators.multimodal import frame_sample_plan
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 0)
+    planned = frame_sample_plan(
+        docs.withColumn("duration", F.col("n_chars") / 10.0),
+        duration_col="duration", fps=2.0, max_frames=16,
+    )
+    return planned.select(
+        "doc_id",
+        F.size("frame_ts").alias("n_frames"),
+        F.round(F.element_at("frame_ts", -1), 6).alias("last_ts"),
+    )
+
+
 @register(
     "x11_fingerprint",
     oracle="""

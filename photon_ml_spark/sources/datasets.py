@@ -33,6 +33,20 @@ def _ntv(name: str, term: str, value):
     )
 
 
+def read_libsvm(
+    spark: SparkSession, path: str, num_features: int | None = None
+) -> DataFrame:
+    """S6 LibSVM text scan (deprecated in the reference:
+    photon-client/.../io/deprecated/LibSVMInputDataFormat.scala:31-89).
+    Spark-first this is the built-in ``libsvm`` data source — (label,
+    features VectorUDT). ``num_features`` skips the extra pass that
+    infers dimensionality."""
+    reader = spark.read.format("libsvm")
+    if num_features is not None:
+        reader = reader.option("numFeatures", str(num_features))
+    return reader.load(path)
+
+
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """events.parquet stores TIMESTAMP(NANOS); under the
     ``nanosAsLong`` legacy flag it reads as long nanoseconds. Convert
@@ -110,15 +124,18 @@ def daily_paths(
     )
 
 
-def lineitem_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def lineitem_training_frame(
+    spark: SparkSession, sf_dir: str, uid_strategy: str = "stable"
+) -> DataFrame:
     """lineitem ⋈ orders → (uid, response, offset, weight, tags, features).
 
-    - ``uid``: deterministic row_number over a unique column ordering.
-      (The engine path for uid assignment is
-      ``monotonically_increasing_id`` — P2, GameConverters.scala:62
-      zipWithUniqueId equivalent; tests/oracle need a *stable* id, so
-      this derivation sorts. Test scaffolding only — not a pattern for
-      100 TB ingest.)
+    - ``uid``: ``uid_strategy='monotonic'`` is the engine path
+      (``monotonically_increasing_id`` — P2, GameConverters.scala:62
+      zipWithUniqueId equivalent; no shuffle, no global sort).
+      ``'stable'`` assigns row_number over a unique ordering — needed
+      only where tests/oracles compare per-row values across runs; the
+      global-window sort makes it test scaffolding, not a 100 TB
+      ingest pattern.
     - ``response``: 1.0 when the line was returned (l_returnflag = 'R').
     - feature bag ``features``: scaled numeric measures.
     - id tags: ``suppkey`` / ``custkey`` for per-entity (random-effect)
@@ -129,11 +146,15 @@ def lineitem_training_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", "o_totalprice"
     )
     df = li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
-    uid_order = Window.orderBy(
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
-    )
+    if uid_strategy == "monotonic":
+        uid = F.monotonically_increasing_id()
+    else:
+        uid_order = Window.orderBy(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_extendedprice"
+        )
+        uid = F.row_number().over(uid_order).cast("long")
     return df.select(
-        F.row_number().over(uid_order).cast("long").alias("uid"),
+        uid.alias("uid"),
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
         F.lit(0.0).alias("offset"),
         F.lit(1.0).alias("weight"),

@@ -112,6 +112,7 @@ def assemble_shard(
     shard: FeatureShardConfig,
     uid_col: str = "uid",
     broadcast_dict: bool = True,
+    strategy: str = "join",
 ) -> DataFrame:
     """Attach ``<shard>_indices``/``<shard>_values`` sparse-pair columns.
 
@@ -122,13 +123,48 @@ def assemble_shard(
 
     Representation choice: (indices, values) long/double arrays, not
     VectorUDT — plain arrays stay inside Tungsten/codegen and convert
-    to ml.linalg vectors only at the spark.ml boundary (see
-    ``ml.glm.to_ml_vectors``).
+    to ml.linalg vectors only at the spark.ml boundary.
 
-    Set ``broadcast_dict=False`` above ~100M features: the join then
-    shuffles both sides on feature_key instead of shipping the
-    dictionary to every executor.
+    Two physical strategies (the broadcast-vs-shuffle decision for
+    dictionaries, analogous to the reference's in-memory vs PalDB split
+    at FeatureIndexingDriver.scala:41-42):
+
+    - ``strategy='join'`` (default, arbitrarily wide feature spaces):
+      explode → dictionary equi-join → groupBy(uid) → join back.
+      Costs two shuffles of the row set; ``broadcast_dict=False``
+      additionally shuffles the dictionary side (>100M keys).
+    - ``strategy='map'`` (dictionaries that fit the driver, ≤ ~100k
+      keys): dictionary collected into a literal map, feature arrays
+      rewritten IN PLACE with transform/filter/sort — zero shuffle,
+      zero join, whole-stage codegen. Requires unique keys per row
+      (guaranteed post check_duplicate_features, S2 contract).
     """
+    if strategy == "map":
+        entries = dictionary.collect()
+        mapping = F.map_from_arrays(
+            F.array(*[F.lit(r[0]) for r in entries]),
+            F.array(*[F.lit(int(r[1])) for r in entries]),
+        )
+        bag_union = F.concat(*[F.coalesce(F.col(b), F.array()) for b in shard.feature_bags])
+        keyed = F.transform(
+            bag_union,
+            lambda f: F.struct(
+                F.element_at(
+                    mapping, F.concat_ws(FEATURE_KEY_SEP, f["name"], f["term"])
+                ).alias("feature_index"),
+                f["value"].cast("double").alias("feature_value"),
+            ),
+        )
+        pairs = F.array_sort(
+            F.filter(keyed, lambda p: p["feature_index"].isNotNull())
+        )
+        return df.withColumns(
+            {
+                f"{shard.shard_name}_indices": pairs["feature_index"].cast("array<long>"),
+                f"{shard.shard_name}_values": pairs["feature_value"],
+            }
+        )
+
     ex = exploded_features(df.select(uid_col, *shard.feature_bags), shard.feature_bags)
     dim = F.broadcast(dictionary) if broadcast_dict else dictionary
     mapped = ex.join(dim, "feature_key", "inner")
