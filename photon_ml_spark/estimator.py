@@ -1,0 +1,77 @@
+"""spark.ml-style estimator/transformer facade — the reference's
+primary programmatic surface (README "API": "interfaces identical to
+those of Spark ML"; GameEstimator.scala:55, GameTransformer.scala:39).
+
+``GameEstimator(coordinates...).fit(df)`` returns a fitted
+``GameTransformer`` whose ``transform(df)`` appends the summed GAME
+score and the family mean prediction — the same contract as a
+``spark.ml`` Model. The underlying machinery is
+ml/coordinate_descent.train_game (M3) and ml/scoring (M12).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+from photon_ml_spark.ml.coordinate_descent import (
+    CoordinateConfig,
+    GameModel,
+    train_game,
+)
+from photon_ml_spark.ml.scoring import apply_mean
+
+
+@dataclass
+class GameTransformer:
+    """Fitted GAME model as a transformer (GameTransformer.scala:150-283).
+
+    ``transform`` appends ``score`` (Σ coordinate margins + offset is
+    NOT folded in — evaluation adds offset explicitly, matching
+    GameScoringDriver.scala:234) and ``prediction`` (family mean).
+    """
+
+    model: GameModel
+    history: list = field(default_factory=list)
+
+    def transform(
+        self, df: DataFrame, score_col: str = "score",
+        prediction_col: str = "prediction",
+    ) -> DataFrame:
+        scored = self.model.score(df, out_col=score_col)
+        return apply_mean(
+            scored, self.model.family, margin_col=score_col,
+            out_col=prediction_col,
+        )
+
+
+@dataclass
+class GameEstimator:
+    """Configure coordinates once, ``fit`` per dataset
+    (GameEstimator.scala:397-491 lifecycle, minus the Avro plumbing —
+    input is any DataFrame with the conventional columns)."""
+
+    coordinates: list[CoordinateConfig]
+    family: str = "binomial"
+    n_iterations: int = 2
+    uid_col: str = "uid"
+    offset_col: str = "offset"
+
+    def fit(
+        self,
+        df: DataFrame,
+        validation_df: DataFrame | None = None,
+        evaluator=None,
+    ) -> GameTransformer:
+        model, history = train_game(
+            df,
+            coordinates=self.coordinates,
+            family=self.family,
+            n_iterations=self.n_iterations,
+            uid_col=self.uid_col,
+            offset_col=self.offset_col,
+            validation_df=validation_df,
+            evaluator=evaluator,
+        )
+        return GameTransformer(model=model, history=history)

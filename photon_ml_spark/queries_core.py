@@ -664,6 +664,41 @@ def a10_auroc(spark, sf_dir):
 
 
 @register(
+    "a10b_aupr",
+    oracle=f"""
+WITH scored AS ({_SCORED_SQL}),
+g AS (
+  SELECT score AS s, SUM(weight * label) AS pos, SUM(weight * (1.0 - label)) AS neg
+  FROM scored GROUP BY score
+),
+c AS (
+  SELECT s,
+         SUM(pos) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+         SUM(neg) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cfp
+  FROM g
+),
+t AS (
+  SELECT ctp,
+         ctp / (ctp + cfp) AS prec,
+         COALESCE(LAG(ctp) OVER (ORDER BY s DESC), 0.0) AS ptp,
+         COALESCE(LAG(ctp / (ctp + cfp)) OVER (ORDER BY s DESC), 1.0) AS pprec
+  FROM c
+)
+SELECT ROUND(SUM((ctp - ptp) * (prec + pprec) / 2.0) / MAX(ctp), 6) AS aupr
+FROM t
+""",
+    note="A10: weighted area under the precision-recall curve, trapezoid "
+    "over tie-grouped points, curve anchored at precision=1 "
+    "(AreaUnderPRCurveEvaluator)",
+)
+def a10b_aupr(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import aupr
+
+    s = _scored_lineitem(spark, sf_dir)
+    return aupr(s, weight="weight").select(r6(F.col("aupr")).alias("aupr"))
+
+
+@register(
     "a11_grouped_precision_at_k",
     oracle="""
 WITH scored AS (
