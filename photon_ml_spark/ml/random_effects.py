@@ -83,6 +83,7 @@ def fit_random_effects(
     min_samples: int = 1,
     prior_model: DataFrame | None = None,
     compute_variance: str | None = None,
+    project_subspace: bool = False,
 ) -> DataFrame:
     """Fit one GLM per entity; returns a model DataFrame.
 
@@ -93,6 +94,13 @@ def fit_random_effects(
     entities below ``min_samples`` without a prior are dropped,
     matching J3's train|copy|new split at
     RandomEffectCoordinate.scala:243-292).
+
+    ``project_subspace`` is P7 (RandomEffectDataset.scala:390-426,
+    LinearSubspaceProjector.scala:37-66): each entity solves in the
+    subspace of its OWN active feature indices (∪ prior support) and
+    scatters coefficients back to the full ``dim``. The design matrix
+    shrinks from (n, dim) to (n, |active|) — essential when the global
+    feature space is wide but per-entity support is narrow.
     """
     from photon_ml_spark.ml.local_glm import fit_local_glm
 
@@ -133,25 +141,61 @@ def fit_random_effects(
     if compute_variance:
         out_cols += ["variances", "intercept_variance"]
 
+    proj = project_subspace
+
     def solve(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < ms and (not has_prior or pdf["__prior_coef"].iloc[0] is None):
             # dropped entity (P9); object dtype so Arrow accepts empty lists
             return pd.DataFrame({c: pd.Series([], dtype=object) for c in out_cols})
-        X = np.zeros((n, d))
-        rows = np.arange(n)
-        for r, (idx, val) in enumerate(zip(pdf["__idx"], pdf["__val"])):
-            if idx is not None and len(idx):
-                X[r, np.asarray(idx, dtype=np.int64)] = np.asarray(val)
+
         x0 = None
         prior_mean = None
         prior_prec = None
+        prior_coef = None
         if has_prior and pdf["__prior_coef"].iloc[0] is not None:
-            pc = np.asarray(pdf["__prior_coef"].iloc[0], dtype=np.float64)
+            prior_coef = np.asarray(pdf["__prior_coef"].iloc[0], dtype=np.float64)
+
+        if proj:
+            # P7: active-index union (∪ prior support) → dense subspace
+            active = set()
+            for idx in pdf["__idx"]:
+                if idx is not None:
+                    active.update(int(i) for i in idx)
+            if prior_coef is not None:
+                active.update(np.nonzero(prior_coef)[0].tolist())
+            cols_map = {g: l for l, g in enumerate(sorted(active))}
+            local_d = len(cols_map)
+            X = np.zeros((n, local_d))
+            for r, (idx, val) in enumerate(zip(pdf["__idx"], pdf["__val"])):
+                if idx is not None and len(idx):
+                    for i, v in zip(idx, val):
+                        X[r, cols_map[int(i)]] = v
+        else:
+            cols_map = None
+            local_d = d
+            X = np.zeros((n, d))
+            for r, (idx, val) in enumerate(zip(pdf["__idx"], pdf["__val"])):
+                if idx is not None and len(idx):
+                    X[r, np.asarray(idx, dtype=np.int64)] = np.asarray(val)
+
+        if prior_coef is not None:
+            pc = prior_coef
+            if proj:
+                pc = np.zeros(local_d)
+                for g, l in cols_map.items():
+                    if g < len(prior_coef):
+                        pc[l] = prior_coef[g]
             pi = float(pdf["__prior_int"].iloc[0])
             x0 = np.concatenate([pc, [pi]])
             if prior_has_var and pdf["__prior_var"].iloc[0] is not None:
                 pv = np.asarray(pdf["__prior_var"].iloc[0], dtype=np.float64)
+                if proj:
+                    pvp = np.full(local_d, np.inf)
+                    for g, l in cols_map.items():
+                        if g < len(pv):
+                            pvp[l] = pv[g]
+                    pv = pvp
                 piv = float(pdf["__prior_int_var"].iloc[0])
                 prior_mean = x0.copy()
                 prior_prec = 1.0 / np.clip(np.concatenate([pv, [piv]]), 1e-12, None)
@@ -169,16 +213,28 @@ def fit_random_effects(
             tol=tl,
             compute_variance=cv,
         )
+        coef = res["coefficients"]
+        variances = res.get("variances")
+        if proj:
+            full = np.zeros(d)
+            for g, l in cols_map.items():
+                full[g] = coef[l]
+            coef = full
+            if variances is not None:
+                fullv = np.zeros(d)
+                for g, l in cols_map.items():
+                    fullv[g] = variances[l]
+                variances = fullv
         out = {
             "entity": [pdf["__entity"].iloc[0]],
-            "coefficients": [res["coefficients"].tolist()],
+            "coefficients": [coef.tolist()],
             "intercept": [res["intercept"]],
             "n_samples": [n],
             "n_iter": [res["n_iter"]],
             "converged": [res["converged"]],
         }
         if cv:
-            out["variances"] = [res["variances"].tolist()]
+            out["variances"] = [variances.tolist()]
             out["intercept_variance"] = [res["intercept_variance"]]
         return pd.DataFrame(out)
 

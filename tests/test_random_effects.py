@@ -112,3 +112,41 @@ def test_variance_output(assembled):
     r = m.first()
     assert len(r.variances) == 5
     assert all(v > 0 for v in r.variances)
+
+
+def test_subspace_projection_matches_full_solve(spark, sf_dir):
+    """P7: per-entity subspace fit scatters back to identical
+    coefficients (inactive dims are exactly 0 in both paths)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        # entity-dependent support: odd suppliers never see feature 2
+        F.when(
+            F.col("l_suppkey") % 2 == 0,
+            F.array(F.lit(0).cast("long"), F.lit(2).cast("long")),
+        ).otherwise(F.array(F.lit(0).cast("long"), F.lit(1).cast("long")))
+        .alias("features_indices"),
+        F.array(
+            (F.col("l_quantity") / 25.0).cast("double"),
+            (F.col("l_discount") * 10.0).cast("double"),
+        ).alias("features_values"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+    )
+    kw = dict(
+        entity_col="entity", dim=4, family="binomial",
+        weight_col=None, offset_col=None, reg_param=0.5,
+    )
+    full = {r.entity: (r.coefficients, r.intercept)
+            for r in fit_random_effects(li, **kw).collect()}
+    proj = {r.entity: (r.coefficients, r.intercept)
+            for r in fit_random_effects(li, project_subspace=True, **kw).collect()}
+    assert full.keys() == proj.keys()
+    for e in full:
+        assert np.allclose(full[e][0], proj[e][0], atol=1e-6), e
+        assert abs(full[e][1] - proj[e][1]) < 1e-6
+        # dim 3 never active anywhere -> exactly zero
+        assert proj[e][0][3] == 0.0
