@@ -142,6 +142,51 @@ def logistic_data_loglik_and_aic(
 
 # ---------------------------------------------------- grouped (Multi) metrics
 
+def auroc_per_group(
+    df: DataFrame, group, score="score", label="label", weight=None
+) -> DataFrame:
+    """Per-group weighted AUROC (MultiAUC, MultiEvaluatorType.scala:
+    52-66): the same tie-grouped trapezoid sweep as ``auroc``, windows
+    partitioned by the group column — one shuffle on (group, score),
+    no per-group collect. Groups with no positives or no negatives
+    yield NULL and are dropped (undefined AUC)."""
+    w = _w(weight)
+    g = df.groupBy(F.col(group).alias("grp"), F.col(score).alias("s")).agg(
+        F.sum(w * F.col(label)).alias("pos"),
+        F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
+    )
+    win = Window.partitionBy("grp").orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    lag_win = Window.partitionBy("grp").orderBy(F.desc("s"))
+    pts = g.select(
+        "grp", "s",
+        F.sum("pos").over(win).alias("ctp"),
+        F.sum("neg").over(win).alias("cfp"),
+    )
+    terms = pts.select(
+        "grp",
+        (
+            (F.col("cfp") - F.coalesce(F.lag("cfp", 1).over(lag_win), F.lit(0.0)))
+            * (F.col("ctp") + F.coalesce(F.lag("ctp", 1).over(lag_win), F.lit(0.0)))
+            / 2.0
+        ).alias("area"),
+        F.col("ctp"), F.col("cfp"),
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.sum("area").alias("__area"),
+            F.max("ctp").alias("__p"),
+            F.max("cfp").alias("__n"),
+        )
+        .filter((F.col("__p") > 0) & (F.col("__n") > 0))
+        .select(
+            "grp", (F.col("__area") / (F.col("__p") * F.col("__n"))).alias("auc")
+        )
+    )
+
+
 def precision_at_k_per_group(
     df: DataFrame, k: int, group, score="score", label="label", uid="uid"
 ) -> DataFrame:

@@ -738,6 +738,62 @@ def a11_grouped_precision_at_k(spark, sf_dir):
     )
 
 
+@register(
+    "a11b_grouped_auc",
+    oracle="""
+WITH scored AS (
+  SELECT l_suppkey AS grp,
+         l_discount * 5.0 - l_tax * 3.0 + l_quantity / 25.0 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label
+  FROM lineitem
+),
+g AS (
+  SELECT grp, score AS s, SUM(label) AS pos, SUM(1.0 - label) AS neg
+  FROM scored GROUP BY grp, score
+),
+c AS (
+  SELECT grp, s, pos, neg,
+         SUM(pos) OVER (PARTITION BY grp ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS ctp,
+         SUM(neg) OVER (PARTITION BY grp ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cfp
+  FROM g
+),
+t AS (
+  SELECT grp,
+         (cfp - COALESCE(LAG(cfp) OVER (PARTITION BY grp ORDER BY s DESC), 0.0))
+         * (ctp + COALESCE(LAG(ctp) OVER (PARTITION BY grp ORDER BY s DESC), 0.0)) / 2.0 AS area,
+         ctp, cfp
+  FROM c
+),
+pg AS (
+  SELECT grp, SUM(area) AS sa, MAX(ctp) AS p, MAX(cfp) AS n
+  FROM t GROUP BY grp HAVING MAX(ctp) > 0 AND MAX(cfp) > 0
+)
+SELECT ROUND(AVG(sa / (p * n)), 6) AS mean_group_auc,
+       CAST(COUNT(*) AS BIGINT) AS n_groups
+FROM pg
+""",
+    note="A11 MultiAUC: per-group tie-grouped AUROC sweep (windows "
+    "partitioned by group — one shuffle, no per-group collect), then the "
+    "MultiEvaluator unweighted mean (MultiEvaluatorType.scala:52-66)",
+)
+def a11b_grouped_auc(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import auroc_per_group, multi_metric_mean
+
+    s = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("grp"),
+        (
+            F.col("l_discount") * 5.0 - F.col("l_tax") * 3.0
+            + F.col("l_quantity") / 25.0
+        ).alias("score"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+    )
+    pg = auroc_per_group(s, group="grp")
+    return pg.agg(
+        F.round(F.avg("auc"), 6).alias("mean_group_auc"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+
+
 # ------------------------------------------------------------------ top-k
 
 

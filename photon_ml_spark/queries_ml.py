@@ -75,6 +75,94 @@ def m2_per_entity_ridge(spark, sf_dir):
     )
 
 
+@register(
+    "m9_incremental_prior",
+    oracle="""
+WITH d AS (
+  SELECT l_suppkey AS entity, l_quantity AS x,
+         ROUND(l_extendedprice / 1000) AS y,
+         (l_orderkey + l_linenumber) % 2 AS fold
+  FROM lineitem
+),
+f0 AS (
+  SELECT entity, CAST(COUNT(*) AS DOUBLE) AS n0, SUM(x) AS sx0, SUM(y) AS sy0,
+         SUM(x*x) AS sxx0, SUM(x*y) AS sxy0
+  FROM d WHERE fold = 0 GROUP BY entity
+),
+prior AS (
+  SELECT entity,
+         (n0*sxy0 - sx0*sy0) / ((sxx0 + 10.0)*n0 - sx0*sx0) AS muc,
+         ((sxx0 + 10.0)*sy0 - sx0*sxy0) / ((sxx0 + 10.0)*n0 - sx0*sx0) AS mui,
+         1.0 / (1.0 / (sxx0 + 10.0)) AS pc,
+         1.0 / (1.0 / n0) AS pi
+  FROM f0
+),
+f1 AS (
+  SELECT entity, CAST(COUNT(*) AS DOUBLE) AS n1, SUM(x) AS sx1, SUM(y) AS sy1,
+         SUM(x*x) AS sxx1, SUM(x*y) AS sxy1
+  FROM d WHERE fold <> 0 GROUP BY entity
+)
+SELECT CAST(f1.entity AS VARCHAR) AS entity,
+       ROUND(((n1 + pi)*(sxy1 + pc*muc) - sx1*(sy1 + pi*mui))
+             / ((sxx1 + pc)*(n1 + pi) - sx1*sx1), 6) AS coef,
+       ROUND(((sxx1 + pc)*(sy1 + pi*mui) - sx1*(sxy1 + pc*muc))
+             / ((sxx1 + pc)*(n1 + pi) - sx1*sx1), 6) AS intercept,
+       CAST(n1 AS BIGINT) AS n_samples
+FROM f1 JOIN prior ON f1.entity = prior.entity
+""",
+    note="M9 incremental learning through the REAL distributed path: a prior "
+    "model table (ridge fit + SIMPLE variances on fold 0) joins into "
+    "fit_random_effects on fold 1, whose Gaussian-prior penalty "
+    "Σ(β−μ)²/(2σ²) (PriorDistribution.scala:23-120) the oracle reproduces "
+    "as the closed-form posterior",
+)
+def m9_incremental_prior(spark, sf_dir):
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        F.col("l_quantity").cast("double").alias("x"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("y"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 2).alias("fold"),
+    )
+    f0 = d.filter(F.col("fold") == 0).groupBy("entity").agg(
+        F.count(F.lit(1)).cast("double").alias("n0"),
+        F.sum("x").alias("sx0"), F.sum("y").alias("sy0"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx0"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy0"),
+    )
+    det0 = (F.col("sxx0") + 10.0) * F.col("n0") - F.col("sx0") * F.col("sx0")
+    prior = f0.select(
+        "entity",
+        F.array(
+            (F.col("n0") * F.col("sxy0") - F.col("sx0") * F.col("sy0")) / det0
+        ).alias("coefficients"),
+        (
+            ((F.col("sxx0") + 10.0) * F.col("sy0") - F.col("sx0") * F.col("sxy0"))
+            / det0
+        ).alias("intercept"),
+        F.array(F.lit(1.0) / (F.col("sxx0") + 10.0)).alias("variances"),
+        (F.lit(1.0) / F.col("n0")).alias("intercept_variance"),
+    )
+    f1 = d.filter(F.col("fold") != 0).select(
+        "entity",
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("x")).alias("features_values"),
+        F.col("y").alias("response"),
+    )
+    models = fit_random_effects(
+        f1, entity_col="entity", dim=1, family="gaussian",
+        weight_col=None, offset_col=None, reg_param=0.0,
+        prior_model=prior, tol=1e-10,
+    )
+    return models.select(
+        "entity",
+        r6(F.element_at("coefficients", 1)).alias("coef"),
+        r6(F.col("intercept")).alias("intercept"),
+        "n_samples",
+    )
+
+
 # ------------------------------------------------------------ M5 normalization
 
 
