@@ -50,6 +50,14 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """cos(a, b); 0.0 when either side has zero norm."""
-    denom = l2_norm(a) * l2_norm(b)
-    return F.when(denom > 0, dense_dot(a, b) / denom).otherwise(F.lit(0.0))
+    """cos(a, b); 0.0 when either side has zero norm.
+
+    Computed as dot/‖a‖/‖b‖ — two sequential divisions, NOT
+    dot/(‖a‖·‖b‖): the two differ by 1 ulp on some inputs, and the
+    oracle contract hashes exact values, so the operation order here is
+    part of the cross-engine spec (oracles write
+    ``dot/sqrt(aa)/sqrt(bb)``)."""
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when(
+        (na > 0) & (nb > 0), dense_dot(a, b) / na / nb
+    ).otherwise(F.lit(0.0))

@@ -76,8 +76,10 @@ def cosine_topk(
     joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).filter(
         F.col(id_col) != F.col(query_id_col)
     )
+    # query-side norm divides first: the oracle contract fixes the
+    # division order (see functions.vectors.cosine_similarity)
     scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col(vec_col), F.col("__qv"))
+        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
     )
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -113,7 +115,7 @@ def ivf_topk(
         F.broadcast(q), cell_col
     ).filter(F.col(id_col) != F.col(query_id_col))
     scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col(vec_col), F.col("__qv"))
+        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
     )
     win = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
