@@ -1,0 +1,52 @@
+"""CLI driver round trip: train on sf0.001, score with the saved
+model + dictionary, check outputs."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from photon_ml_spark import cli
+from photon_ml_spark.sources import datasets
+
+
+def test_cli_train_then_score(spark, sf_dir, tmp_path, capsys):
+    inp = str(tmp_path / "input.parquet")
+    datasets.lineitem_training_frame(spark, sf_dir).write.parquet(inp)
+    model_dir = str(tmp_path / "model")
+    scores_dir = str(tmp_path / "scores")
+
+    train_cfg = {
+        "input": inp,
+        "feature_bags": ["features"],
+        "coordinates": [
+            {"name": "global", "kind": "fixed"},
+            {"name": "per_supplier", "kind": "random",
+             "entity_col": "suppkey", "reg_param": 1.0, "min_samples": 5},
+        ],
+        "family": "binomial",
+        "n_iterations": 1,
+        "output_dir": model_dir,
+    }
+    cli.train(train_cfg, spark)
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "trained" and out["updates"] == 2
+
+    cli.score(
+        {"input": inp, "model_dir": model_dir, "output_dir": scores_dir,
+         "output_files_limit": 1},
+        spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "scored"
+
+    scored = spark.read.parquet(scores_dir)
+    assert {"score", "prediction"} <= set(scored.columns)
+    n_in = spark.read.parquet(inp).count()
+    stats = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("prediction").alias("lo"), F.max("prediction").alias("hi"),
+    ).first()
+    assert stats.n == n_in and 0.0 <= stats.lo <= stats.hi <= 1.0
+    # T6: single output file requested
+    import glob
+    assert len(glob.glob(f"{scores_dir}/part-*")) == 1
