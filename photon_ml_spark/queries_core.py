@@ -123,6 +123,59 @@ def s2_dup_feature_check(spark, sf_dir):
 
 
 @register(
+    "s5_nameterm_bags",
+    oracle="""
+SELECT 'part_attrs' AS bag, 'brand' AS name, p_brand AS term
+FROM part GROUP BY p_brand
+UNION ALL
+SELECT 'part_attrs', 'type', p_type FROM part GROUP BY p_type
+""",
+    note="S5: distinct (name, term) extraction per feature bag "
+    "(NameAndTermFeatureBagsDriver.scala:148-180) — the vocabulary scan "
+    "without index assignment",
+)
+def s5_nameterm_bags(spark, sf_dir):
+    part = _t(spark, sf_dir, "part").select(
+        F.array(
+            F.struct(F.lit("brand").alias("name"), F.col("p_brand").alias("term"),
+                     F.lit(1.0).alias("value")),
+            F.struct(F.lit("type").alias("name"),
+                     F.col("p_type").alias("term"), F.lit(1.0).alias("value")),
+        ).alias("part_attrs")
+    )
+    ex = part.select(F.explode("part_attrs").alias("f"))
+    return (
+        ex.select(
+            F.lit("part_attrs").alias("bag"),
+            F.col("f.name").alias("name"),
+            F.col("f.term").alias("term"),
+        ).distinct()
+    )
+
+
+@register(
+    "p5_random_downsample",
+    oracle=None,
+    note="P5: uniform seeded down-sample via xxhash64(uid, seed) < rate "
+    "(DefaultDownSampler.scala:28-50; deterministic across retries, the "
+    "byteswap64-seed discipline) — the hash is engine-specific, so this is "
+    "a rows-only entry; the gate-based variant is oracle-checked as p6",
+)
+def p5_random_downsample(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import uniform_downsample
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        F.lit(1.0).alias("weight"),
+    )
+    out = uniform_downsample(li, rate=0.1, seed=42)
+    return out.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("weight").alias("weight_sum"),
+    )
+
+
+@register(
     "f4_daily_paths",
     oracle="""
 WITH days AS (
