@@ -33,22 +33,26 @@ def run_flagship(spark, sf_dir: str) -> int:
 
     training = datasets.lineitem_training_frame(
         spark, sf_dir, uid_strategy="monotonic"
-    ).cache()
+    )
     dictionary = featurize.build_feature_dictionary(
         training, ["features"], has_intercept=True
     ).cache()
     shard = FeatureShardConfig("features", ["features"])
-    # tiny dictionary -> zero-shuffle map-side assembly
+    # tiny dictionary -> zero-shuffle map-side assembly; single cache of
+    # the slim fit projection (the bag column is dead weight post-assembly)
     assembled = featurize.assemble_shard(
         training, dictionary, shard, strategy="map"
+    ).select(
+        "uid", "response", "offset", "weight",
+        "features_indices", "features_values",
     ).cache()
     n = assembled.count()
     model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
     scored = scoring.score_literal(assembled, model)
     auc = metrics.auroc(scored, score="score", label="response").first().auroc
     assert 0.0 <= auc <= 1.0
-    training.unpersist()
     assembled.unpersist()
+    dictionary.unpersist()
     return n
 
 

@@ -91,7 +91,15 @@ def fit_fixed_effect(
     """
     from pyspark.ml.regression import GeneralizedLinearRegression
 
-    vec_df = densify(df, indices_col, values_col, dim)
+    # project to the fit's columns and cache: IRLS re-reads the input
+    # every iteration, and re-running the densify transform (and
+    # everything upstream) per iteration dominates fit time otherwise
+    fit_cols = [label_col] + [c for c in (weight_col, offset_col) if c]
+    vec_df = (
+        densify(df, indices_col, values_col, dim)
+        .select(*fit_cols, "features_vec")
+        .persist()
+    )
     glr = GeneralizedLinearRegression(
         family=_GLR_FAMILY[family],
         featuresCol="features_vec",
@@ -106,6 +114,7 @@ def fit_fixed_effect(
     if offset_col:
         glr.setOffsetCol(offset_col)
     model = glr.fit(vec_df)
+    vec_df.unpersist()
     return FixedEffectGLM(
         family=family,
         coefficients=np.asarray(model.coefficients.toArray(), dtype=np.float64),
