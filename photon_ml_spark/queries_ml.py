@@ -386,6 +386,56 @@ def m12_game_scoring(spark, sf_dir):
     )
 
 
+@register(
+    "m3_coordinate_descent",
+    oracle=None,
+    note="M3/M7: two-coordinate GAME coordinate descent (fixed global + "
+    "per-supplier random effect, 2 iterations, residual offsets J1, "
+    "incremental score sum J11, warm start between iterations) — "
+    "iterative distributed training, not SQL-expressible; rows-only "
+    "check + tests/test_coordinate_descent.py",
+)
+def m3_coordinate_descent(spark, sf_dir):
+    from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, train_game
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20).select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+        F.lit(0.0).alias("offset"),
+        F.lit(1.0).alias("weight"),
+        F.col("l_suppkey").cast("string").alias("suppkey"),
+        F.array(F.lit(0).cast("long"), F.lit(1).cast("long")).alias("features_indices"),
+        F.array(
+            (F.col("l_quantity") / 25.0).cast("double"),
+            (F.col("l_discount") * 10.0).cast("double"),
+        ).alias("features_values"),
+    )
+    model, history = train_game(
+        li,
+        coordinates=[
+            CoordinateConfig(name="global", kind="fixed", dim=2),
+            CoordinateConfig(
+                name="per_supplier", kind="random", dim=2,
+                entity_col="suppkey", reg_param=1.0, min_samples=5,
+            ),
+        ],
+        family="binomial",
+        n_iterations=2,
+    )
+    fixed = model.coordinates["global"]
+    re_stats = model.coordinates["per_supplier"].agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.element_at("coefficients", 1)), 3).alias("avg_c1"),
+    ).first()
+    rows = [
+        ("global", 1, float(round(float(fixed.intercept), 3)), len(history)),
+        ("per_supplier", int(re_stats.n), float(re_stats.avg_c1), len(history)),
+    ]
+    return spark.createDataFrame(
+        rows, "coordinate string, n_models long, stat double, n_updates long"
+    )
+
+
 # -------------------------------------------------------------- M11 grid
 
 
