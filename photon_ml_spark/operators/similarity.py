@@ -99,18 +99,38 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """IVF-style top-k: candidates restricted to the query's coarse
     cell (equi-join on ``cell_col`` instead of a cross join). With C
     balanced cells this cuts compared pairs by ~C×; recall depends on
     the quality of the cell assignment (measured, not assumed — see
     tests). The cell id is any precomputed routing key: a KMeans
-    centroid assignment, an LSH bucket, or a data label."""
+    centroid assignment, an LSH bucket, or a data label.
+
+    ``n_probe_bits > 0`` enables multi-probe (for hyperplane-cell
+    layouts): each query additionally searches every cell reachable by
+    flipping one of the lowest ``n_probe_bits`` cell bits — vectors
+    near a hyperplane boundary land in a neighboring cell, and probing
+    those cells recovers most of the recall single-cell search loses,
+    at (1 + n_probe_bits)× candidate cost instead of brute force's
+    2^bits×."""
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
         F.col(cell_col),
     )
+    if n_probe_bits > 0:
+        probes = F.array(
+            F.col(cell_col),
+            *[
+                F.col(cell_col).bitwiseXOR(F.lit(1 << b))
+                for b in range(n_probe_bits)
+            ],
+        )
+        q = q.select(
+            query_id_col, "__qv", F.explode(probes).alias(cell_col)
+        )
     joined = corpus.select(F.col(id_col), F.col(vec_col), F.col(cell_col)).join(
         F.broadcast(q), cell_col
     ).filter(F.col(id_col) != F.col(query_id_col))

@@ -130,3 +130,34 @@ def test_frame_sample_plan(spark):
     assert len(rows[2]) == 1
     assert len(rows[3]) == 16
     assert rows[1][1] == 0.5  # stride = 1/fps
+
+
+def test_ivf_multiprobe_improves_recall(spark, emb):
+    """Multi-probe searches the query's cell plus hamming-1 neighbor
+    cells: recall must be >= single-cell and candidate volume must stay
+    far below brute force."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators.similarity import (
+        alternating_patterns,
+        cosine_topk,
+        hyperplane_cell,
+        ivf_topk,
+    )
+
+    base = emb.withColumn(
+        "cell", hyperplane_cell(F.col("embedding"), alternating_patterns(64, 3))
+    ).cache()
+    queries = base.filter(F.col("vec_id") % 40 == 0)
+    brute = cosine_topk(base, queries, k=5)
+    single = ivf_topk(base, queries, k=5, cell_col="cell")
+    probed = ivf_topk(base, queries, k=5, cell_col="cell", n_probe_bits=3)
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    bp, sp, pp = pairs(brute), pairs(single), pairs(probed)
+    recall_single = len(bp & sp) / len(bp)
+    recall_probed = len(bp & pp) / len(bp)
+    assert recall_probed >= recall_single
+    assert recall_probed >= 0.5  # hamming-1 probing over 8 cells
