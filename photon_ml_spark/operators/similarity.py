@@ -51,6 +51,36 @@ def alternating_patterns(dim: int, n_planes: int = 2) -> list[list[float]]:
     ]
 
 
+def kmeans_cells(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+    seed: int = 42,
+    max_iter: int = 20,
+):
+    """Learned IVF coarse quantizer: spark.ml KMeans over the embedding
+    column; the centroid assignment becomes the routing cell for
+    ``ivf_topk``. Unlike fixed hyperplanes, centroids adapt to the data
+    distribution — balanced cells, higher recall at the same fan-out.
+
+    Returns (df + cell column, fitted KMeansModel). Score-time
+    assignment of new vectors is ``model.transform`` — the centroid
+    table broadcasts with the model (k × dim doubles).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vdf = df.withColumn(
+        "__v",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=k, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol=out_col
+    ).fit(vdf)
+    return model.transform(vdf).drop("__v"), model
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

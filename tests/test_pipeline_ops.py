@@ -161,3 +161,49 @@ def test_ivf_multiprobe_improves_recall(spark, emb):
     recall_probed = len(bp & pp) / len(bp)
     assert recall_probed >= recall_single
     assert recall_probed >= 0.5  # hamming-1 probing over 8 cells
+
+
+def test_kmeans_ivf_cells(spark, emb):
+    """Learned (KMeans) IVF cells: all vectors assigned, cells used,
+    and ivf_topk over learned cells reaches decent recall vs brute."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_cells,
+    )
+
+    celled, model = kmeans_cells(emb, k=4)
+    celled = celled.cache()
+    n_cells = celled.select("cell").distinct().count()
+    assert n_cells == 4
+    assert celled.filter(F.col("cell").isNull()).count() == 0
+
+    queries = celled.filter(F.col("vec_id") % 40 == 0)
+    brute = cosine_topk(celled, queries, k=5)
+    learned = ivf_topk(celled, queries, k=5, cell_col="cell")
+    bp = {(r.query_id, r.vec_id) for r in brute.collect()}
+    lp = {(r.query_id, r.vec_id) for r in learned.collect()}
+    recall_learned = len(bp & lp) / len(bp)
+
+    # fixed hyperplane cells at the SAME fan-out (2 planes -> 4 cells):
+    # the learned quantizer must do at least as well
+    from photon_ml_spark.operators.similarity import (
+        alternating_patterns,
+        hyperplane_cell,
+    )
+
+    hp = emb.withColumn(
+        "cell",
+        hyperplane_cell(
+            F.transform("embedding", lambda x: x.cast("double")),
+            alternating_patterns(64, 2),
+        ),
+    )
+    hq = hp.filter(F.col("vec_id") % 40 == 0)
+    fp = {(r.query_id, r.vec_id)
+          for r in ivf_topk(hp, hq, k=5, cell_col="cell").collect()}
+    recall_fixed = len(bp & fp) / len(bp)
+    assert recall_learned >= recall_fixed
+    assert recall_learned >= 0.4
