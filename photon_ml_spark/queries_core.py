@@ -685,6 +685,55 @@ def a9_metric_suite(spark, sf_dir):
 
 
 @register(
+    "a9b_loss_kernels",
+    oracle="""
+WITH s AS (
+  SELECT l_discount * 2.0 - l_tax + 0.5 AS margin,
+         CAST(l_linenumber AS DOUBLE) AS cnt,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         1.0 + l_linenumber / 10.0 AS weight
+  FROM lineitem
+)
+SELECT
+  ROUND(SUM(weight * (EXP(margin) - cnt * margin)) / SUM(weight), 5) AS poisson_loss,
+  ROUND(SUM(weight * (
+    CASE WHEN (label * 2 - 1) * margin >= 1.0 THEN 0.0
+         WHEN (label * 2 - 1) * margin <= 0.0 THEN 0.5 - (label * 2 - 1) * margin
+         ELSE (1 - (label * 2 - 1) * margin) * (1 - (label * 2 - 1) * margin) / 2
+    END)) / SUM(weight), 5) AS smoothed_hinge_loss,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+""",
+    note="A9: the remaining loss-evaluator kernels — weighted Poisson "
+    "deviance part (PoissonLossEvaluator) and Rennie smoothed hinge "
+    "(SmoothedHingeLossEvaluator) in one pass",
+)
+def a9b_loss_kernels(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import loss_metric
+
+    s = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_discount") * 2.0 - F.col("l_tax") + 0.5).alias("margin"),
+        F.col("l_linenumber").cast("double").alias("cnt"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("weight"),
+    )
+    p = loss_metric(s, "poisson", margin="margin", label="cnt", weight="weight")
+    h = loss_metric(
+        s, "smoothed_hinge", margin="margin", label="label", weight="weight"
+    )
+    n = s.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.select(F.round(F.col("poisson_loss"), 5).alias("poisson_loss"))
+        .crossJoin(
+            h.select(
+                F.round(F.col("smoothed_hinge_loss"), 5).alias("smoothed_hinge_loss")
+            )
+        )
+        .crossJoin(n)
+    )
+
+
+@register(
     "a10_auroc",
     oracle=f"""
 WITH scored AS ({_SCORED_SQL}),

@@ -150,3 +150,47 @@ def test_subspace_projection_matches_full_solve(spark, sf_dir):
         assert abs(full[e][1] - proj[e][1]) < 1e-6
         # dim 3 never active anywhere -> exactly zero
         assert proj[e][0][3] == 0.0
+
+
+def test_skewed_entity_capped_before_fit(spark, sf_dir):
+    """The 100 TB skew discipline: one entity 50x heavier than the rest
+    is bounded by the T2 reservoir cap BEFORE the per-entity solve, so
+    no applyInPandas group exceeds the cap (the reference's
+    one-entity-fits-one-partition invariant, RandomEffectDataset.scala:
+    38-45) — and the capped fit still produces a usable model with
+    rescaled weights compensating the sample loss."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+    from photon_ml_spark.operators.sampling import per_entity_cap
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # entity '0' absorbs half the table -> heavy key; others stay small
+    skewed = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, "hot")
+        .otherwise(F.col("l_suppkey").cast("string")).alias("entity"),
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array((F.col("l_quantity") / 25.0).cast("double")).alias("features_values"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+        F.lit(1.0).alias("weight"),
+    )
+    cap = 150
+    capped = per_entity_cap(
+        skewed, entity_col="entity", cap=cap, weight_col="weight",
+        order_cols=["uid"],
+    )
+    sizes = capped.groupBy("entity").count()
+    assert sizes.agg(F.max("count")).first()[0] <= cap
+    # weight rescale preserves each entity's total weight
+    hot_w = capped.filter(F.col("entity") == "hot").agg(F.sum("weight")).first()[0]
+    hot_n = skewed.filter(F.col("entity") == "hot").count()
+    assert abs(hot_w - hot_n) / hot_n < 1e-9
+
+    models = fit_random_effects(
+        capped, entity_col="entity", dim=1, family="binomial",
+        weight_col="weight", offset_col=None, reg_param=1.0,
+    )
+    rows = {r.entity: r for r in models.collect()}
+    assert rows["hot"].n_samples == cap
+    assert rows["hot"].converged
