@@ -685,6 +685,44 @@ def a9_metric_suite(spark, sf_dir):
 
 
 @register(
+    "a13_eval_suite",
+    oracle=f"""
+WITH scored AS ({{scored}})
+SELECT
+  ROUND(SQRT(SUM(weight * (score - label) * (score - label)) / SUM(weight)), 5) AS rmse,
+  ROUND(SUM(weight * ABS(score - label)) / SUM(weight), 5) AS mae,
+  ROUND(SUM(weight * (GREATEST(score, 0) + LN(1 + EXP(-ABS(score))) - label * score))
+        / SUM(weight), 5) AS logistic_loss,
+  ROUND(SUM(weight * (score - label) * (score - label) / 2) / SUM(weight), 5) AS squared_loss,
+  ROUND(SUM(weight), 4) AS weight_sum,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM scored
+""".format(scored="""
+  SELECT l_discount * 5.0 - l_tax * 3.0 + l_quantity / 25.0 - 1.0 AS score,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS label,
+         1.0 + l_linenumber / 10.0 AS weight
+  FROM lineitem
+"""),
+    note="A13 EvaluationSuite: ALL scalar metrics in one aggregation pass "
+    "over one scan (EvaluationSuite.scala; CoordinateDescent.scala:312-333 "
+    "runs this per coordinate update)",
+)
+def a13_eval_suite(spark, sf_dir):
+    from photon_ml_spark.functions.metrics import evaluation_suite
+
+    s = _scored_lineitem(spark, sf_dir)
+    out = evaluation_suite(s, weight="weight")
+    return out.select(
+        F.round(F.col("rmse"), 5).alias("rmse"),
+        F.round(F.col("mae"), 5).alias("mae"),
+        F.round(F.col("logistic_loss"), 5).alias("logistic_loss"),
+        F.round(F.col("squared_loss"), 5).alias("squared_loss"),
+        F.round(F.col("weight_sum"), 4).alias("weight_sum"),
+        F.col("n"),
+    )
+
+
+@register(
     "a9b_loss_kernels",
     oracle="""
 WITH s AS (

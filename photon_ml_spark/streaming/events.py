@@ -119,6 +119,58 @@ def extract_props(
     return out
 
 
+RUNNING_STATS_SCHEMA = (
+    "user_id long, n_events long, value_sum double, max_value double"
+)
+_RUNNING_STATE_SCHEMA = "n long, vsum double, vmax double"
+
+
+def running_user_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator via
+    ``applyInPandasWithState``: a per-user running (count, exact
+    cents-grid value sum, max) maintained across micro-batches — the
+    pattern for stateful logic the built-in windowed aggregations can't
+    express (per-key model state, decaying counters, session ML
+    features). Emits the updated per-user row every batch; state never
+    expires here (NoTimeout) — add a timeout for unbounded key spaces.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, vsum, vmax = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            vsum += float((pdf["value"] * 100).round(0).sum()) / 100
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((n, vsum, vmax))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vsum],
+                "max_value": [vmax],
+            }
+        )
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def score_events(
     events: DataFrame,
     coefficients: list[float],

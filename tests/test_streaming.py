@@ -102,3 +102,39 @@ def test_score_events_is_stateless_on_stream(spark, events_stream):
     ).first()
     assert out.n > 0
     assert out.err < 1e-9
+
+
+def test_running_user_stats_stateful(spark, events_batch, events_stream):
+    """applyInPandasWithState custom stateful operator: the final
+    per-user state after draining the stream equals the batch
+    aggregate."""
+    from photon_ml_spark.streaming.events import running_user_stats
+
+    stream = running_user_stats(events_stream)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("running_stats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode appends one row per (user, batch); keep the latest
+    got = spark.sql(
+        """
+        SELECT user_id, n_events, value_sum, max_value FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id ORDER BY n_events DESC) AS rn
+          FROM running_stats) WHERE rn = 1
+        """
+    )
+    expected = events_batch.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.round(F.col("value") * 100, 0)) / 100).alias("value_sum"),
+        F.max("value").alias("max_value"),
+    )
+    _assert_frames_equal(
+        expected.select("user_id", "n_events", "value_sum", "max_value"),
+        got,
+        ["user_id"],
+    )
