@@ -78,19 +78,24 @@ class GameModel:
     configs: dict[str, CoordinateConfig] = field(default_factory=dict)
 
     def score(self, df: DataFrame, out_col: str = "score") -> DataFrame:
-        """M12 batch inference: margin = Σ coordinate margins."""
+        """M12 batch inference: margin = Σ coordinate margins. Mid-
+        training (per-update validation, CoordinateDescent.scala:
+        312-333) only the coordinates fitted SO FAR contribute —
+        configs without a model yet are skipped."""
         out = df
+        fitted = [n for n in self.configs if n in self.coordinates]
+        if not fitted:
+            raise ValueError("GameModel.score: no fitted coordinates")
         parts = []
-        for name, cfg in self.configs.items():
-            model = self.coordinates[name]
+        for name in fitted:
             col = f"__score_{name}"
-            out = _score_coordinate(out, cfg, model, col)
+            out = _score_coordinate(out, self.configs[name], self.coordinates[name], col)
             parts.append(F.col(col))
         total = parts[0]
         for p in parts[1:]:
             total = total + p
         return out.withColumn(out_col, total).drop(
-            *[f"__score_{n}" for n in self.configs]
+            *[f"__score_{n}" for n in fitted]
         )
 
 
