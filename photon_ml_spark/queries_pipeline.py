@@ -413,6 +413,70 @@ def x10_ann_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, cell_col="cell", vec_col="qe")
 
 
+@register(
+    "x12_quality_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, text, lang, {_TOKS_SQL} AS toks FROM documents
+),
+q AS (
+  SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+         (LEAST(len(toks), 100) / 100.0
+          + LEAST(CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS BIGINT)
+                  / CAST(len(toks) AS DOUBLE) * 4.0, 1.0)
+          + GREATEST(1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                     / CAST(GREATEST(length(text), 1) AS DOUBLE) * 10.0, 0.0)) / 3.0 AS quality
+  FROM t
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+       ROUND(SUM(quality) / COUNT(*), 6) AS mean_quality
+FROM q WHERE quality >= 0.5 GROUP BY lang
+""",
+    note="pipeline/text: the corpus-curation filter — quality >= threshold, "
+    "surviving docs/token mass per language (the keep/drop decision a "
+    "training-data pipeline runs at ingest)",
+)
+def x12_quality_filter(spark, sf_dir):
+    from photon_ml_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    q = quality_score(docs).filter(F.col("quality") >= 0.5)
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("tokens_kept"),
+        F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("mean_quality"),
+    )
+
+
+@register(
+    "x13_token_histogram",
+    oracle=f"""
+WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents)
+SELECT CAST(len(toks) // 10 AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+FROM t GROUP BY 1
+""",
+    note="pipeline/text: token-length histogram (decade buckets) — the "
+    "length-distribution scan that sizes packing/truncation decisions",
+)
+def x13_token_histogram(spark, sf_dir):
+    from photon_ml_spark.operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    return (
+        docs.select(F.floor(n / 10).cast("long").alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 _SHA_BYTE = """
   CAST(CASE WHEN substr(h, {p1}, 1) BETWEEN '0' AND '9'
             THEN ascii(substr(h, {p1}, 1)) - 48
