@@ -144,3 +144,42 @@ def word_shingles(text: Column, n: int = 2) -> Column:
         ),
     )
     return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def greedy_pack(
+    df: DataFrame,
+    token_budget: int,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM training: assign docs to fixed
+    token-budget packs by running-sum position (doc d joins the pack
+    its preceding cumulative token count falls into).
+
+    Deterministic and shard-parallel: docs are routed to ``n_shards``
+    independent streams (windows partition by shard, so no global
+    sort — the packing unit of parallelism at 100 TB is the shard).
+    Contiguous greedy packing trades ~ one partially-filled pack per
+    shard for a plan with a single shuffle; true first-fit-decreasing
+    would need stateful per-bin bookkeeping for marginal utilization
+    gain.
+
+    Returns one row per doc: (id, shard, pack_id, n_tokens).
+    """
+    from pyspark.sql import Window
+
+    n = token_count(F.col(text_col))
+    shard = (F.col(id_col) % n_shards).cast("long")
+    win = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = df.select(
+        F.col(id_col), shard.alias("shard"), n.cast("long").alias("n_tokens")
+    )
+    cum = F.sum("n_tokens").over(win)
+    return staged.withColumn(
+        "pack_id", F.floor((cum - F.col("n_tokens")) / token_budget).cast("long")
+    )

@@ -414,6 +414,42 @@ def x10_ann_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "x14_sequence_packing",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT shard,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) - n_tokens)
+              // 2048 AS BIGINT) AS pack_id,
+         n_tokens
+  FROM t
+)
+SELECT shard, pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+FROM packed GROUP BY shard, pack_id
+""",
+    note="pipeline/text: sequence packing — docs assigned to fixed "
+    "2048-token packs by shard-local running sum (deterministic, "
+    "shard-parallel; the LLM-pretraining batch-packing op)",
+)
+def x14_sequence_packing(spark, sf_dir):
+    from photon_ml_spark.operators.text import greedy_pack
+
+    docs = _t(spark, sf_dir, "documents")
+    packed = greedy_pack(docs, token_budget=2048, n_shards=8)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+@register(
     "x12_quality_filter",
     oracle=f"""
 WITH t AS (
