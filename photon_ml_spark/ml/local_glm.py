@@ -81,6 +81,8 @@ def fit_local_glm(
     max_iter: int = 50,
     tol: float = 1e-8,
     compute_variance: str | None = None,  # None | 'simple' | 'full'
+    lower_bounds: np.ndarray | None = None,
+    upper_bounds: np.ndarray | None = None,
 ):
     """Damped-Newton GLM fit. Returns dict with keys:
     coefficients (len d), intercept, n_iter, converged, variances?.
@@ -89,6 +91,13 @@ def fit_local_glm(
     (and intercept appended last when fit_intercept): the Gaussian
     prior adds prec*(β−μ) to the gradient and diag(prec) to the
     Hessian (PriorDistribution.scala:59-96 l2RegWeight analog).
+
+    ``lower_bounds``/``upper_bounds`` (per coefficient, intercept
+    unbounded) enable box-constrained fits — the reference's LBFGSB
+    mode (photon-lib/.../optimization/LBFGSB.scala:39; legacy driver
+    box constraints). Implemented as projected damped Newton: each
+    candidate step is clipped into the box before the line-search
+    accept test, converging when the projected gradient vanishes.
     """
     if family not in _FAMILIES:
         raise ValueError(f"family must be one of {_FAMILIES}")
@@ -100,6 +109,18 @@ def fit_local_glm(
     p = d + 1 if fit_intercept else d
     Z = np.hstack([X, np.ones((n, 1))]) if fit_intercept else X
     beta = np.zeros(p) if x0 is None else np.asarray(x0, dtype=np.float64).copy()
+
+    if lower_bounds is not None or upper_bounds is not None:
+        lo = np.full(p, -np.inf)
+        hi = np.full(p, np.inf)
+        if lower_bounds is not None:
+            lo[:d] = np.asarray(lower_bounds, dtype=np.float64)
+        if upper_bounds is not None:
+            hi[:d] = np.asarray(upper_bounds, dtype=np.float64)
+        box = (lo, hi)
+        beta = np.clip(beta, lo, hi)
+    else:
+        box = None
 
     # L2 applies to feature coefficients only (never the intercept).
     l2_diag = np.full(p, l2)
@@ -136,7 +157,13 @@ def fit_local_glm(
         H[np.diag_indices_from(H)] += l2_diag
         if prior_prec is not None:
             H[np.diag_indices_from(H)] += prior_prec
-        gnorm = float(np.max(np.abs(grad)))
+        if box is not None:
+            # projected-gradient optimality: stationary when moving along
+            # -grad and re-projecting stays put
+            pg = beta - np.clip(beta - grad, box[0], box[1])
+            gnorm = float(np.max(np.abs(pg)))
+        else:
+            gnorm = float(np.max(np.abs(grad)))
         if gnorm < tol:
             converged = True
             break
@@ -148,6 +175,8 @@ def fit_local_glm(
         t = 1.0
         for _ in range(25):
             cand = beta - t * step
+            if box is not None:
+                cand = np.clip(cand, box[0], box[1])
             cobj = objective(cand)
             if np.isfinite(cobj) and cobj <= obj + 1e-12:
                 beta, obj = cand, cobj

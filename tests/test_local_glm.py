@@ -97,3 +97,37 @@ def test_variance_full_vs_simple():
     assert np.all(rs["variances"] > 0) and np.all(rf["variances"] > 0)
     # full (inverse-Hessian diag) >= simple (1/diag) by Cauchy-Schwarz
     assert np.all(rf["variances"] >= rs["variances"] - 1e-12)
+
+
+def test_box_constraints_respected_and_inactive_matches():
+    """LBFGSB-analog box constraints: active bounds clamp coefficients
+    at the box; wide bounds reproduce the unconstrained fit."""
+    import numpy as np
+
+    from photon_ml_spark.ml.local_glm import fit_local_glm
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(400, 3))
+    beta_true = np.array([2.0, -1.5, 0.5])
+    y = (X @ beta_true + rng.normal(scale=0.1, size=400) > 0).astype(float)
+
+    free = fit_local_glm(X, y, family="binomial", l2=0.1)
+    wide = fit_local_glm(
+        X, y, family="binomial", l2=0.1,
+        lower_bounds=np.full(3, -100.0), upper_bounds=np.full(3, 100.0),
+    )
+    assert np.allclose(free["coefficients"], wide["coefficients"], atol=1e-6)
+
+    boxed = fit_local_glm(
+        X, y, family="binomial", l2=0.1,
+        lower_bounds=np.array([-0.5, -0.5, -0.5]),
+        upper_bounds=np.array([0.5, 0.5, 0.5]),
+    )
+    c = boxed["coefficients"]
+    assert np.all(c >= -0.5 - 1e-12) and np.all(c <= 0.5 + 1e-12)
+    # the strong positive/negative coefficients must sit AT the bounds
+    assert abs(c[0] - 0.5) < 1e-6 and abs(c[1] + 0.5) < 1e-6
+    # boxed solution is optimal within the box: nudging a clamped
+    # coordinate inward only worsens the objective — proxy: the free
+    # solution's sign structure is preserved
+    assert boxed["converged"]

@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the numeric kernels — the
+analog of the reference's seeded property-style generators
+(photon-test-utils SparkTestUtils.scala:85-833): random well-behaved
+problems, invariant assertions, no Spark in the loop."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from photon_ml_spark.ml.hypersearch import halton
+from photon_ml_spark.ml.local_glm import (
+    _loss_derivs,
+    _neg_log_likelihood,
+    fit_local_glm,
+)
+
+FAMILIES = ["binomial", "gaussian", "poisson", "smoothed_hinge"]
+
+
+@st.composite
+def glm_problem(draw):
+    seed = draw(st.integers(0, 2**31 - 1))
+    n = draw(st.integers(20, 120))
+    d = draw(st.integers(1, 4))
+    family = draw(st.sampled_from(FAMILIES))
+    rng = np.random.default_rng(seed)
+    X = rng.normal(scale=0.8, size=(n, d))
+    if family == "gaussian":
+        y = rng.normal(size=n)
+    elif family == "poisson":
+        y = rng.poisson(1.5, size=n).astype(float)
+    else:
+        y = (rng.random(n) > 0.5).astype(float)
+    w = rng.uniform(0.5, 2.0, size=n)
+    return X, y, w, family
+
+
+@settings(max_examples=25, deadline=None)
+@given(glm_problem())
+def test_fit_reaches_stationary_point(prob):
+    """At the reported optimum the penalized gradient is ~0 (KKT for
+    the unconstrained fit) for every family."""
+    X, y, w, family = prob
+    res = fit_local_glm(X, y, weight=w, family=family, l2=0.5, tol=1e-9)
+    beta = np.concatenate([res["coefficients"], [res["intercept"]]])
+    Z = np.hstack([X, np.ones((len(y), 1))])
+    dl, _ = _loss_derivs(Z @ beta, y, family)
+    grad = Z.T @ (w * dl)
+    grad[:-1] += 0.5 * beta[:-1]  # l2 on coefficients, not intercept
+    assert np.max(np.abs(grad)) < 1e-5
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2**31 - 1),
+    st.sampled_from(FAMILIES),
+)
+def test_loss_derivative_matches_finite_difference(seed, family):
+    rng = np.random.default_rng(seed)
+    m = rng.normal(scale=2.0, size=30)
+    if family == "gaussian":
+        y = rng.normal(size=30)
+    elif family == "poisson":
+        y = rng.poisson(1.0, size=30).astype(float)
+    else:
+        y = (rng.random(30) > 0.5).astype(float)
+    w = np.ones(30)
+    dl, _ = _loss_derivs(m, y, family)
+    eps = 1e-6
+    i = int(rng.integers(0, 30))
+    mp, mm = m.copy(), m.copy()
+    mp[i] += eps
+    mm[i] -= eps
+    num = (
+        _neg_log_likelihood(mp, y, w, family)
+        - _neg_log_likelihood(mm, y, w, family)
+    ) / (2 * eps)
+    assert abs(num - dl[i]) < 5e-4 * max(1.0, abs(dl[i]))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.integers(1, 512), st.integers(1, 6))
+def test_halton_in_unit_cube_and_deterministic(n, dim):
+    a = halton(n, dim)
+    assert a.shape == (n, dim)
+    assert np.all(a >= 0.0) and np.all(a < 1.0)
+    assert np.array_equal(a, halton(n, dim))
+
+
+@settings(max_examples=25, deadline=None)
+@given(glm_problem())
+def test_prior_pins_to_mean_as_precision_grows(prob):
+    """M9 invariant: with precision → huge, the posterior collapses to
+    the prior mean regardless of the data."""
+    X, y, w, family = prob
+    d = X.shape[1]
+    mu = np.linspace(-0.3, 0.3, d + 1)
+    res = fit_local_glm(
+        X, y, weight=w, family=family,
+        prior_mean=mu, prior_precision=np.full(d + 1, 1e10),
+        x0=mu.copy(), tol=1e-10,
+    )
+    got = np.concatenate([res["coefficients"], [res["intercept"]]])
+    assert np.allclose(got, mu, atol=1e-4)
