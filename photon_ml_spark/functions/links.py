@@ -50,11 +50,14 @@ def smoothed_hinge_loss(margin: Column, label: Column) -> Column:
 
 
 def mean_for_family(margin: Column, family: str) -> Column:
-    """Model mean per GLM family (GeneralizedLinearModel subclasses)."""
+    """Model mean per GLM family (GeneralizedLinearModel subclasses).
+    The smoothed-hinge SVM has no mean function — its prediction is the
+    raw margin (sign gives the class), matching
+    SmoothedHingeLossLinearSVMModel."""
     if family in ("binomial", "logistic"):
         return sigmoid(margin)
     if family == "poisson":
         return F.exp(margin)
-    if family in ("gaussian", "linear"):
+    if family in ("gaussian", "linear", "smoothed_hinge"):
         return margin
     raise ValueError(f"unknown family: {family}")

@@ -84,6 +84,8 @@ def fit_random_effects(
     prior_model: DataFrame | None = None,
     compute_variance: str | None = None,
     project_subspace: bool = False,
+    lower_bounds=None,
+    upper_bounds=None,
 ) -> DataFrame:
     """Fit one GLM per entity; returns a model DataFrame.
 
@@ -212,6 +214,16 @@ def fit_random_effects(
             max_iter=mi,
             tol=tl,
             compute_variance=cv,
+            lower_bounds=(
+                None if lower_bounds is None
+                else (np.asarray(lower_bounds)[sorted(cols_map)] if proj
+                      else lower_bounds)
+            ),
+            upper_bounds=(
+                None if upper_bounds is None
+                else (np.asarray(upper_bounds)[sorted(cols_map)] if proj
+                      else upper_bounds)
+            ),
         )
         coef = res["coefficients"]
         variances = res.get("variances")

@@ -1008,6 +1008,51 @@ def f5_link_functions(spark, sf_dir):
 
 
 @register(
+    "f6_vector_ops",
+    oracle="""
+WITH v AS (
+  SELECT CAST(l_orderkey AS BIGINT) * 100 + l_linenumber AS uid,
+         [CAST(l_quantity AS DOUBLE), ROUND(l_discount * 100)] AS a,
+         [ROUND(l_extendedprice / 1000), CAST(l_tax * 100 AS DOUBLE)] AS b
+  FROM lineitem WHERE l_orderkey % 101 = 0
+)
+SELECT uid,
+       list_dot_product(a, b) AS dot_ab,
+       SQRT(list_dot_product(a, a)) AS norm_a,
+       CASE WHEN SQRT(list_dot_product(a, a)) > 0 AND SQRT(list_dot_product(b, b)) > 0
+            THEN ROUND(list_dot_product(a, b)
+                       / SQRT(list_dot_product(a, a)) / SQRT(list_dot_product(b, b)), 6)
+            ELSE 0.0 END AS cosine_ab
+FROM v
+""",
+    note="F6: vector kernels as pure Catalyst expressions — dot, L2 norm, "
+    "cosine (VectorUtils.scala analog; zip_with + aggregate fold, no UDF); "
+    "integer-quantized components keep folds exact",
+)
+def f6_vector_ops(spark, sf_dir):
+    from photon_ml_spark.functions.vectors import (
+        cosine_similarity,
+        dense_dot,
+        l2_norm,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    a = F.array(
+        F.col("l_quantity").cast("double"), F.round(F.col("l_discount") * 100, 0)
+    )
+    b = F.array(
+        F.round(F.col("l_extendedprice") / 1000, 0),
+        (F.col("l_tax") * 100).cast("double"),
+    )
+    return li.select(
+        (F.col("l_orderkey").cast("long") * 100 + F.col("l_linenumber")).alias("uid"),
+        dense_dot(a, b).alias("dot_ab"),
+        l2_norm(a).alias("norm_a"),
+        r6(cosine_similarity(a, b)).alias("cosine_ab"),
+    )
+
+
+@register(
     "u5_entity_index_union",
     oracle="""
 SELECT CAST(o_custkey AS BIGINT) AS entity,
