@@ -115,11 +115,20 @@ def fit_fixed_effect(
         glr.setOffsetCol(offset_col)
     model = glr.fit(vec_df)
     vec_df.unpersist()
+    # training diagnostics (the legacy driver's model log, A12 inputs:
+    # Evaluation.scala / Driver.computeAndLogModelMetrics)
+    s = model.summary
+    meta = {"iterations": s.numIterations}
+    for attr in ("deviance", "nullDeviance", "aic", "dispersion"):
+        try:
+            meta[attr] = float(getattr(s, attr))
+        except Exception:
+            pass
     return FixedEffectGLM(
         family=family,
         coefficients=np.asarray(model.coefficients.toArray(), dtype=np.float64),
         intercept=float(model.intercept),
         dim=dim,
         reg_param=reg_param,
-        meta={"iterations": model.summary.numIterations},
+        meta=meta,
     )
