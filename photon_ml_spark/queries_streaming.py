@@ -62,6 +62,31 @@ def e2_event_json_props(spark, sf_dir):
 
 
 @register(
+    "e4_stream_scoring",
+    oracle="""
+SELECT event_id,
+       ROUND(-1.0 + value * 0.5 + CAST(json_extract_string(props, '$.k') AS DOUBLE) * 0.01, 6)
+         AS score
+FROM events WHERE event_id % 17 = 0
+""",
+    note="streaming/e4: stateless literal-model scoring over the event "
+    "stream (GameScoringDriver over readStream — same code path scores "
+    "micro-batches; see tests/test_streaming.py)",
+)
+def e4_stream_scoring(spark, sf_dir):
+    from photon_ml_spark.streaming.events import extract_props, score_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_id") % 17 == 0)
+    ev = extract_props(ev, {"k": "$.k"}).withColumn(
+        "k", F.col("k").cast("double")
+    )
+    scored = score_events(
+        ev, coefficients=[0.5, 0.01], intercept=-1.0, feature_cols=["value", "k"]
+    )
+    return scored.select("event_id", F.round(F.col("score"), 6).alias("score"))
+
+
+@register(
     "e3_event_sessions",
     oracle="""
 WITH o AS (
