@@ -54,76 +54,118 @@ def loss_metric(
 
 # ------------------------------------------------------------------- AUC family
 
-def _roc_points(df: DataFrame, score, label, weight) -> DataFrame:
-    """Tie-grouped cumulative positives/negatives ordered by score desc."""
+#: Number of equi-width score buckets for the two-phase cumulative sum.
+#: Cumulative work per task is O(distinct_scores / ROC_BUCKETS); 4096
+#: buckets keeps per-bucket windows small even at billions of rows while
+#: the bucket-offset triangular join stays a trivial broadcast.
+ROC_BUCKETS = 4096
+
+
+def _roc_points(df: DataFrame, score, label, weight,
+                buckets: int = ROC_BUCKETS) -> DataFrame:
+    """Tie-grouped cumulative positives/negatives ordered by score desc,
+    computed as a partition-parallel two-phase cumulative sum:
+
+    1. tie-group by exact score → (s, pos, neg);
+    2. assign each distinct score to one of ``buckets`` equi-width score
+       ranges (``width_bucket`` against the broadcast global min/max —
+       deterministic, no sampling);
+    3. per-bucket running sums via a window *partitioned by bucket*
+       (parallel across buckets — never a single-task global window);
+    4. per-bucket totals → prefix offsets for strictly-higher buckets
+       via a triangular join over the tiny ≤``buckets``-row totals frame,
+       broadcast back.
+
+    ctp/cfp = local running sum + higher-bucket offset. Also carries the
+    exact global totals (total_pos, total_neg) so downstream metrics
+    need no extra pass. Equi-width buckets can be uneven on very skewed
+    score distributions, but per-bucket work is still bounded by the
+    densest score range rather than the whole relation.
+    """
     w = _w(weight)
     g = df.groupBy(F.col(score).alias("s")).agg(
         F.sum(w * F.col(label)).alias("pos"),
         F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
     )
-    win = Window.orderBy(F.desc("s")).rowsBetween(Window.unboundedPreceding, 0)
-    return g.select(
-        "s", "pos", "neg",
-        F.sum("pos").over(win).alias("ctp"),
-        F.sum("neg").over(win).alias("cfp"),
+    stats = g.agg(
+        F.min("s").alias("__lo"), F.max("s").alias("__hi"),
+        F.sum("pos").alias("total_pos"), F.sum("neg").alias("total_neg"),
+    )
+    gb = g.join(F.broadcast(stats)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__hi") > F.col("__lo"),
+            F.least(
+                F.lit(buckets),
+                F.width_bucket("s", "__lo", "__hi", F.lit(buckets)),
+            ),
+        ).otherwise(F.lit(1)),
+    )
+    totals = gb.groupBy("__bkt").agg(
+        F.sum("pos").alias("__tp"), F.sum("neg").alias("__tn")
+    )
+    higher = totals.select(F.col("__bkt").alias("__hb"),
+                           F.col("__tp"), F.col("__tn"))
+    offsets = (
+        totals.select("__bkt")
+        .join(higher, F.col("__hb") > F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("__tp"), F.lit(0.0)).alias("__op"),
+            F.coalesce(F.sum("__tn"), F.lit(0.0)).alias("__on"),
+        )
+    )
+    local = Window.partitionBy("__bkt").orderBy(F.desc("s")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return gb.join(F.broadcast(offsets), "__bkt").select(
+        "s", "pos", "neg", "total_pos", "total_neg",
+        (F.sum("pos").over(local) + F.col("__op")).alias("ctp"),
+        (F.sum("neg").over(local) + F.col("__on")).alias("cfp"),
     )
 
 
 def auroc(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
     """Weighted AUROC via trapezoid sweep over tie-grouped score groups
-    (AreaUnderROCCurveLocalEvaluator.scala:36-72). Scales: the only
-    ordering is a range-partitioned window over *distinct* scores."""
+    (AreaUnderROCCurveLocalEvaluator.scala:36-72). The previous point's
+    cumulative counts are recovered algebraically (prev_ctp = ctp − pos,
+    prev_cfp = cfp − neg) so no lag window is needed; the cumulative
+    sums themselves come from the bucketed two-phase ``_roc_points`` —
+    no unpartitioned window anywhere in the plan."""
     pts = _roc_points(df, score, label, weight)
-    lag_win = Window.orderBy(F.desc("s"))
-    terms = pts.select(
-        (
-            (F.col("cfp") - F.coalesce(F.lag("cfp", 1).over(lag_win), F.lit(0.0)))
-            * (F.col("ctp") + F.coalesce(F.lag("ctp", 1).over(lag_win), F.lit(0.0)))
-            / 2.0
-        ).alias("area"),
-        F.col("ctp"), F.col("cfp"),
-    )
-    return terms.agg(
-        (F.sum("area") / (F.max("ctp") * F.max("cfp"))).alias("auroc")
+    # trapezoid: (cfp - prev_cfp) * (ctp + prev_ctp) / 2 with
+    # prev_* = cumulative minus this tie-group's own mass.
+    area = F.col("neg") * (F.lit(2.0) * F.col("ctp") - F.col("pos")) / 2.0
+    return pts.agg(
+        (F.sum(area) / (F.max("total_pos") * F.max("total_neg"))).alias("auroc")
     )
 
 
 def aupr(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
     """Weighted area under the precision-recall curve, trapezoid between
     consecutive tie-grouped points; curve starts at (recall=0,
-    precision=1) by convention (AreaUnderPRCurveEvaluator)."""
+    precision=1) by convention (AreaUnderPRCurveEvaluator). Previous
+    point recovered algebraically — no lag window."""
     pts = _roc_points(df, score, label, weight)
-    lag_win = Window.orderBy(F.desc("s"))
-    terms = pts.select(
-        F.col("ctp"),
-        (F.col("ctp") / (F.col("ctp") + F.col("cfp"))).alias("prec"),
-        F.coalesce(F.lag("ctp", 1).over(lag_win), F.lit(0.0)).alias("ptp"),
-        F.coalesce(
-            F.lag(F.col("ctp") / (F.col("ctp") + F.col("cfp")), 1).over(lag_win),
-            F.lit(1.0),
-        ).alias("pprec"),
-    )
-    return terms.agg(
-        (
-            F.sum((F.col("ctp") - F.col("ptp")) * (F.col("prec") + F.col("pprec")) / 2.0)
-            / F.max("ctp")
-        ).alias("aupr")
-    )
+    prec = F.col("ctp") / (F.col("ctp") + F.col("cfp"))
+    ptp = F.col("ctp") - F.col("pos")
+    pdenom = ptp + (F.col("cfp") - F.col("neg"))
+    pprec = F.when(pdenom > 0, ptp / pdenom).otherwise(F.lit(1.0))
+    term = F.col("pos") * (prec + pprec) / 2.0
+    return pts.agg((F.sum(term) / F.max("total_pos")).alias("aupr"))
 
 
 def peak_f1(df: DataFrame, score="score", label="label", weight=None) -> DataFrame:
     """Best F1 over all score thresholds (Evaluation.scala:40-165
     PEAK_F1_SCORE): at each tie-grouped threshold,
-    F1 = 2·TP / (TP + FP + P). One window sweep, no per-threshold scan."""
+    F1 = 2·TP / (TP + FP + P). P comes from the carried global total —
+    one bucketed sweep, no per-threshold scan, no global window."""
     pts = _roc_points(df, score, label, weight)
-    full = Window.orderBy("s").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
     f1 = (
         F.lit(2.0) * F.col("ctp")
-        / (F.col("ctp") + F.col("cfp") + F.sum("pos").over(full))
+        / (F.col("ctp") + F.col("cfp") + F.col("total_pos"))
     )
-    return pts.select(f1.alias("__f1")).agg(F.max("__f1").alias("peak_f1"))
+    return pts.agg(F.max(f1).alias("peak_f1"))
 
 
 def logistic_data_loglik_and_aic(

