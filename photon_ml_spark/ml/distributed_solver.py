@@ -1,0 +1,404 @@
+"""Distributed penalized fixed-effect solver (M1 custom path, M4 L1/
+elastic net, M9 fixed-effect Gaussian prior, LBFGSB box constraints).
+
+Rebuilds the reference's hand-rolled distributed optimizer stack —
+Optimizer.scala:162-244 (broadcast coefficients, treeAggregate
+value+gradient rounds), OWLQN.scala:39 (L1, never applied to the
+intercept, RegularizationContext.scala:38-132), PriorDistribution.
+scala:23-120 (incremental Gaussian prior on the global coordinate),
+LBFGSB.scala:39 (box constraints) — Spark-first:
+
+- Per-row loss and dl/dmargin are pure Catalyst expressions
+  (functions/links.py kernels); the margin is a JVM sparse dot against
+  the plan-literal coefficient vector.
+- One gradient round is ONE job: every row emits (feature_index,
+  g·x_i) entries plus an intercept slot (index −1) and a loss slot
+  (index −2); ``explode`` + ``groupBy(index).sum`` partial-aggregates
+  map-side, so each task ships ≤ dim+2 doubles — exactly
+  ``treeAggregate`` on a dense gradient, expressed declaratively.
+- The driver runs L-BFGS (two-loop recursion) over those rounds:
+  orthant-wise pseudo-gradients + orthant projection for L1 (OWLQN),
+  box projection for bounds, the Gaussian prior folded into the smooth
+  objective. Driver state is O(memory·dim) — no data ever collects.
+
+Objective (sum-loss convention, matching the reference's
+value+gradient aggregation, not spark.ml's mean-loss):
+
+    F(β) = Σ_rows w·loss(margin, y) + λ·α·|β_feat|₁
+           + λ·(1−α)/2·‖β_feat‖₂² + ½·Σ prec·(β−μ)²
+
+L1/L2 never touch the intercept; the prior may (its vector covers
+features + intercept, like the local solver in ml/local_glm.py).
+
+Scale notes: the coefficient vector is embedded in the plan as a
+literal array (fine to ~10k features, same contract as
+functions/vectors.py sparse_dot_literal); wider fixed effects should
+score via a coefficient-table join — out of scope here, as the
+reference's own fixed effect assumes driver-resident coefficients
+(FixedEffectModel broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+from photon_ml_spark.functions import links
+from photon_ml_spark.functions.vectors import sparse_dot_literal
+
+SUPPORTED_FAMILIES = ("binomial", "logistic", "gaussian", "linear",
+                      "poisson", "smoothed_hinge")
+
+
+def _canon_family(family: str) -> str:
+    if family not in SUPPORTED_FAMILIES:
+        raise ValueError(
+            f"family {family!r} not supported; choose one of {SUPPORTED_FAMILIES}"
+        )
+    return {"logistic": "binomial", "linear": "gaussian"}.get(family, family)
+
+
+def _loss_and_derivs(family: str, margin, y):
+    """Catalyst expressions (per-row loss, dl/dmargin, d²l/dmargin²)."""
+    if family == "binomial":
+        mu = links.sigmoid(margin)
+        return links.logistic_loss(margin, y), mu - y, mu * (1 - mu)
+    if family == "gaussian":
+        return links.squared_loss(margin, y), margin - y, F.lit(1.0)
+    if family == "poisson":
+        mu = F.exp(margin)
+        return links.poisson_loss(margin, y), mu - y, mu
+    # smoothed hinge (Rennie): z = (2y−1)m; dl/dm = −s·clip(1−z, 0, 1);
+    # curvature 1 on the quadratic band only
+    s = y * 2 - 1
+    z = s * margin
+    dldm = (
+        F.when(z >= 1.0, F.lit(0.0))
+        .when(z <= 0.0, -s)
+        .otherwise(-s * (1 - z))
+    )
+    d2l = F.when((z > 0.0) & (z < 1.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return links.smoothed_hinge_loss(margin, y), dldm, d2l
+
+
+class _DataPass:
+    """Evaluates Σ w·loss and its gradient at a coefficient vector with
+    one Spark job (gradient) or one scalar agg (loss only)."""
+
+    def __init__(self, df: DataFrame, dim: int, family: str,
+                 indices_col: str, values_col: str, label_col: str,
+                 weight_col: str | None, offset_col: str | None):
+        self.dim = dim
+        self.family = family
+        cols = [
+            F.coalesce(F.col(indices_col), F.array()).alias("__idx"),
+            F.coalesce(F.col(values_col), F.array()).alias("__val"),
+            F.col(label_col).cast("double").alias("__y"),
+            (F.col(weight_col).cast("double") if weight_col else F.lit(1.0)).alias("__w"),
+            (F.col(offset_col).cast("double") if offset_col else F.lit(0.0)).alias("__o"),
+        ]
+        self.df = df.select(*cols).persist()
+
+    def unpersist(self):
+        self.df.unpersist()
+
+    def _margin(self, beta: np.ndarray):
+        return (
+            sparse_dot_literal(F.col("__idx"), F.col("__val"), beta[:-1].tolist())
+            + F.lit(float(beta[-1]))
+            + F.col("__o")
+        )
+
+    def loss(self, beta: np.ndarray) -> float:
+        loss, _, _ = _loss_and_derivs(self.family, self._margin(beta), F.col("__y"))
+        return float(self.df.agg(F.sum(F.col("__w") * loss)).first()[0])
+
+    def loss_grad_hdiag(
+        self, beta: np.ndarray
+    ) -> tuple[float, np.ndarray, np.ndarray]:
+        """One job: Σ loss, the full gradient, and the exact Hessian
+        diagonal Σ w·d²l·x_i². Slot encoding over one exploded relation
+        (map-side partial-aggregated — treeAggregate shape): feature i →
+        index i (gradient) and i+dim+1 (diagonal); intercept gradient
+        −1, intercept diagonal −3, loss −2."""
+        loss, dldm, d2l = _loss_and_derivs(
+            self.family, self._margin(beta), F.col("__y")
+        )
+        g = F.col("__w") * dldm
+        h = F.col("__w") * d2l
+        off = self.dim + 1
+        entries = F.concat(
+            F.zip_with(
+                F.col("__idx"), F.col("__val"),
+                lambda i, v: F.struct(
+                    i.cast("long").alias("i"), (g * v).alias("c")
+                ),
+            ),
+            F.zip_with(
+                F.col("__idx"), F.col("__val"),
+                lambda i, v: F.struct(
+                    (i + off).cast("long").alias("i"), (h * v * v).alias("c")
+                ),
+            ),
+            F.array(
+                F.struct(F.lit(-1).cast("long").alias("i"), g.alias("c")),
+                F.struct(
+                    F.lit(-2).cast("long").alias("i"),
+                    (F.col("__w") * loss).alias("c"),
+                ),
+                F.struct(F.lit(-3).cast("long").alias("i"), h.alias("c")),
+            ),
+        )
+        rows = (
+            self.df.select(F.explode(entries).alias("e"))
+            .groupBy(F.col("e.i").alias("i"))
+            .agg(F.sum("e.c").alias("c"))
+            .collect()
+        )
+        grad = np.zeros(self.dim + 1)
+        hdiag = np.zeros(self.dim + 1)
+        total_loss = 0.0
+        for r in rows:
+            i = int(r.i)
+            if i == -2:
+                total_loss = float(r.c)
+            elif i == -1:
+                grad[-1] = float(r.c)
+            elif i == -3:
+                hdiag[-1] = float(r.c)
+            elif i >= off:
+                hdiag[i - off] = float(r.c)
+            else:
+                grad[i] = float(r.c)
+        return total_loss, grad, hdiag
+
+
+def _two_loop(grad: np.ndarray, mem: list, h0: np.ndarray) -> np.ndarray:
+    """L-BFGS two-loop recursion, preconditioned with the exact Hessian
+    diagonal ``h0`` as the initial inverse-Hessian estimate (the pairs
+    in ``mem`` supply the off-diagonal corrections)."""
+    q = grad.copy()
+    alphas = []
+    for s, yv, rho in reversed(mem):
+        a = rho * float(s @ q)
+        alphas.append(a)
+        q -= a * yv
+    q = q / h0
+    for (s, yv, rho), a in zip(mem, reversed(alphas)):
+        b = rho * float(yv @ q)
+        q += s * (a - b)
+    return q
+
+
+def solve_penalized(
+    df: DataFrame,
+    dim: int,
+    family: str = "binomial",
+    indices_col: str = "features_indices",
+    values_col: str = "features_values",
+    label_col: str = "response",
+    weight_col: str | None = "weight",
+    offset_col: str | None = "offset",
+    reg_param: float = 0.0,
+    elastic_net_param: float = 0.0,
+    prior_mean: np.ndarray | None = None,
+    prior_precision: np.ndarray | None = None,
+    lower_bounds: np.ndarray | None = None,
+    upper_bounds: np.ndarray | None = None,
+    x0: np.ndarray | None = None,
+    max_iter: int = 100,
+    tol: float = 1e-8,
+    memory: int = 10,
+) -> dict:
+    """Distributed penalized GLM solve. Returns a dict with
+    coefficients (len dim), intercept, n_iter, converged, objective.
+
+    ``reg_param``/``elastic_net_param`` follow RegularizationContext:
+    λ1 = λ·α (OWLQN orthant steps), λ2 = λ·(1−α) (smooth). Bounds and
+    L1 are mutually exclusive, mirroring the reference's optimizer menu
+    (OWLQN vs LBFGSB are distinct optimizers, GLMOptimizationConfiguration).
+    ``prior_mean``/``prior_precision`` cover features + intercept
+    (length dim+1) — the fixed-effect incremental-training path.
+    """
+    fam = _canon_family(family)
+    l1 = float(reg_param) * float(elastic_net_param)
+    l2 = float(reg_param) * (1.0 - float(elastic_net_param))
+    has_box = lower_bounds is not None or upper_bounds is not None
+    if l1 > 0 and has_box:
+        raise ValueError(
+            "L1 and box constraints are mutually exclusive "
+            "(reference: OWLQN vs LBFGSB optimizer modes)"
+        )
+    p = dim + 1
+    l1_vec = np.concatenate([np.full(dim, l1), [0.0]])
+    l2_vec = np.concatenate([np.full(dim, l2), [0.0]])
+    if prior_precision is not None:
+        prec = np.asarray(prior_precision, dtype=np.float64)
+        mu = (np.zeros(p) if prior_mean is None
+              else np.asarray(prior_mean, dtype=np.float64))
+    else:
+        prec, mu = None, None
+    if has_box:
+        lo = np.full(p, -np.inf)
+        hi = np.full(p, np.inf)
+        if lower_bounds is not None:
+            lo[:dim] = np.asarray(lower_bounds, dtype=np.float64)
+        if upper_bounds is not None:
+            hi[:dim] = np.asarray(upper_bounds, dtype=np.float64)
+    else:
+        lo = hi = None
+
+    beta = (np.zeros(p) if x0 is None
+            else np.asarray(x0, dtype=np.float64).copy())
+    if has_box:
+        beta = np.clip(beta, lo, hi)
+
+    dp = _DataPass(df, dim, fam, indices_col, values_col, label_col,
+                   weight_col, offset_col)
+
+    def penalty_smooth(b):
+        val = 0.5 * float(np.sum(l2_vec * b * b))
+        if prec is not None:
+            val += 0.5 * float(np.sum(prec * (b - mu) ** 2))
+        return val
+
+    def penalty_smooth_grad(b):
+        g = l2_vec * b
+        if prec is not None:
+            g = g + prec * (b - mu)
+        return g
+
+    def full_obj_from_loss(data_loss, b):
+        return data_loss + penalty_smooth(b) + float(np.sum(l1_vec * np.abs(b)))
+
+    def pseudo_grad(b, g_smooth):
+        """OWLQN pseudo-gradient: subgradient of F steepest at b."""
+        if l1 == 0:
+            return g_smooth.copy()
+        pg = g_smooth + np.sign(b) * l1_vec
+        at_zero = b == 0
+        gz = g_smooth[at_zero]
+        lz = l1_vec[at_zero]
+        pz = np.where(gz + lz < 0, gz + lz, np.where(gz - lz > 0, gz - lz, 0.0))
+        pg[at_zero] = pz
+        return pg
+
+    def project(cand, base, pg):
+        if has_box:
+            return np.clip(cand, lo, hi)
+        if l1 > 0:
+            # orthant projection: stay in the orthant chosen at `base`
+            # (sign of base, or of −pg where base is 0) — OWLQN.scala:39
+            xi = np.where(base != 0, np.sign(base), np.sign(-pg))
+            out = cand.copy()
+            out[np.sign(out) != xi] = 0.0
+            return out
+        return cand
+
+    # smooth-penalty curvature is exact and driver-known; the data part
+    # of the diagonal refreshes every gradient round
+    pen_diag = l2_vec + (prec if prec is not None else 0.0)
+
+    def precondition(data_hdiag):
+        """Hessian-diagonal preconditioner. Degenerate entries (hinge's
+        flat region, unobserved features) take the mean healthy
+        curvature so the step stays scale-matched instead of exploding
+        off an absolute floor."""
+        h = data_hdiag + pen_diag
+        pos = h > 1e-12
+        if not np.all(pos):
+            fill = float(np.mean(h[pos])) if np.any(pos) else 1.0
+            h = np.where(pos, h, fill)
+        return h
+
+    try:
+        data_loss, data_grad, data_hdiag = dp.loss_grad_hdiag(beta)
+        f = full_obj_from_loss(data_loss, beta)
+        g_smooth = data_grad + penalty_smooth_grad(beta)
+        h0 = precondition(data_hdiag)
+        mem: list = []
+        converged = False
+        it = 0
+        for it in range(1, max_iter + 1):
+            pg = pseudo_grad(beta, g_smooth)
+            if has_box:
+                opt = beta - np.clip(beta - pg, lo, hi)
+                # LBFGSB active set: pinned at a bound with the gradient
+                # pushing outward — freeze those coordinates so the
+                # quasi-Newton direction (and its line search) works in
+                # the free subspace (LBFGSB.scala:39 gradient projection)
+                active = ((beta - lo <= 1e-12) & (pg > 0)) | (
+                    (hi - beta <= 1e-12) & (pg < 0)
+                )
+            else:
+                opt = pg
+                active = None
+            if float(np.max(np.abs(opt))) < tol:
+                converged = True
+                break
+            d = -_two_loop(pg, mem, h0)
+            if l1 > 0:
+                d[np.sign(d) != np.sign(-pg)] = 0.0
+            if active is not None:
+                d[active] = 0.0
+            if float(d @ pg) >= 0:
+                d = -pg / h0  # not a descent direction: scaled steepest
+                if active is not None:
+                    d[active] = 0.0
+            accepted = False
+            t = 1.0
+            for ls in range(30):
+                cand = project(beta + t * d, beta, pg)
+                step = cand - beta
+                if not np.any(step):
+                    break
+                if ls == 0:
+                    # common case: full step accepted — its gradient
+                    # round doubles as the next iteration's
+                    cand_loss, cand_grad, cand_hdiag = dp.loss_grad_hdiag(cand)
+                else:
+                    cand_loss, cand_grad, cand_hdiag = dp.loss(cand), None, None
+                fc = full_obj_from_loss(cand_loss, cand)
+                if np.isfinite(fc) and fc <= f + 1e-4 * float(pg @ step):
+                    if cand_grad is None:
+                        cand_loss, cand_grad, cand_hdiag = dp.loss_grad_hdiag(cand)
+                    g_new = cand_grad + penalty_smooth_grad(cand)
+                    s, yv = cand - beta, g_new - g_smooth
+                    if active is not None and np.any(active):
+                        # keep curvature pairs in the free subspace —
+                        # frozen coordinates would inject coupling terms
+                        s = s.copy(); yv = yv.copy()
+                        s[active] = 0.0
+                        yv[active] = 0.0
+                    if l1 > 0:
+                        # restrict curvature pairs to the active
+                        # subspace: coordinates frozen at 0 across the
+                        # step must not pollute the inverse-Hessian
+                        # estimate with coupling terms
+                        frozen = (beta == 0) & (cand == 0)
+                        s = s.copy(); yv = yv.copy()
+                        s[frozen] = 0.0
+                        yv[frozen] = 0.0
+                    sy = float(s @ yv)
+                    if sy > 1e-12:
+                        mem.append((s, yv, 1.0 / sy))
+                        if len(mem) > memory:
+                            mem.pop(0)
+                    beta, f, g_smooth = cand, fc, g_new
+                    h0 = precondition(cand_hdiag)
+                    accepted = True
+                    break
+                t *= 0.5
+            if not accepted:
+                converged = True  # no descent step exists numerically
+                break
+    finally:
+        dp.unpersist()
+
+    return {
+        "coefficients": beta[:dim],
+        "intercept": float(beta[-1]),
+        "n_iter": it,
+        "converged": converged,
+        "objective": f,
+    }

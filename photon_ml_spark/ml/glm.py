@@ -79,17 +79,71 @@ def fit_fixed_effect(
     weight_col: str | None = "weight",
     offset_col: str | None = "offset",
     reg_param: float = 0.0,
+    elastic_net_param: float = 0.0,
+    prior_mean=None,
+    prior_precision=None,
+    lower_bounds=None,
+    upper_bounds=None,
     max_iter: int = 25,
     tol: float = 1e-6,
 ) -> FixedEffectGLM:
     """Fit one distributed GLM (M1) with offset (M6), weight, L2 (M4).
 
-    Known hazard (SURVEY §7): spark.ml LogisticRegression has no
-    offsetCol, so offset-bearing logistic fits go through GLR binomial
-    (IRLS). Elastic-net + offset together needs the custom local solver
-    (ml/random_effects.py applies it per entity).
+    Pure-L2 fits on a GLR family run on spark.ml GLR (IRLS, offset-
+    capable, JVM-side). Anything GLR can't express — L1/elastic net
+    (``elastic_net_param`` > 0, OWLQN semantics: L1 never touches the
+    intercept), a Gaussian prior on the fixed coordinate
+    (``prior_mean``/``prior_precision``, length dim+1, M9), box
+    constraints (``lower_bounds``/``upper_bounds``, LBFGSB), or the
+    smoothed-hinge family — routes to the distributed custom solver
+    (ml/distributed_solver.py), which handles offsets in every mode.
     """
     from pyspark.ml.regression import GeneralizedLinearRegression
+
+    from photon_ml_spark.ml.distributed_solver import (
+        SUPPORTED_FAMILIES,
+        solve_penalized,
+    )
+
+    if family not in SUPPORTED_FAMILIES:
+        raise ValueError(
+            f"family {family!r} not supported for fixed-effect training; "
+            f"choose one of {SUPPORTED_FAMILIES}"
+        )
+    needs_custom = (
+        elastic_net_param > 0
+        or prior_precision is not None
+        or lower_bounds is not None
+        or upper_bounds is not None
+        or family == "smoothed_hinge"
+    )
+    if needs_custom:
+        res = solve_penalized(
+            df, dim, family=family,
+            indices_col=indices_col, values_col=values_col,
+            label_col=label_col, weight_col=weight_col,
+            offset_col=offset_col,
+            reg_param=reg_param, elastic_net_param=elastic_net_param,
+            prior_mean=prior_mean, prior_precision=prior_precision,
+            lower_bounds=lower_bounds, upper_bounds=upper_bounds,
+            max_iter=max(max_iter, 100), tol=min(tol, 1e-7),
+        )
+        return FixedEffectGLM(
+            family=family,
+            coefficients=np.asarray(res["coefficients"], dtype=np.float64),
+            intercept=res["intercept"],
+            dim=dim,
+            reg_param=reg_param,
+            meta={
+                "iterations": res["n_iter"],
+                "converged": res["converged"],
+                "objective": res["objective"],
+                "optimizer": "owlqn" if elastic_net_param > 0 else (
+                    "lbfgsb" if (lower_bounds is not None or upper_bounds is not None)
+                    else "lbfgs"
+                ),
+            },
+        )
 
     # project to the fit's columns and cache: IRLS re-reads the input
     # every iteration, and re-running the densify transform (and

@@ -91,11 +91,13 @@ def fit_random_effects(
 
     ``prior_model`` (entity, coefficients, intercept[, variances,
     intercept_variance]) enables warm start (M7) and, when variances
-    are present, the Gaussian-prior incremental penalty (M9): the
-    prior joins onto the data by entity (full-outer-ish via left join —
-    entities below ``min_samples`` without a prior are dropped,
-    matching J3's train|copy|new split at
-    RandomEffectCoordinate.scala:243-292).
+    are present, the Gaussian-prior incremental penalty (M9). Full J3
+    train|copy|new semantics (fullOuterJoin at
+    RandomEffectCoordinate.scala:252): entities with data are (re)fit
+    warm or cold; entities present only in the prior model are carried
+    forward untrained as "copy" rows (n_samples=0, n_iter=0) via an
+    anti-join union — incremental retraining never loses a model;
+    entities below ``min_samples`` without a prior are dropped (P9).
 
     ``project_subspace`` is P7 (RandomEffectDataset.scala:390-426,
     LinearSubspaceProjector.scala:37-66): each entity solves in the
@@ -250,4 +252,36 @@ def fit_random_effects(
             out["intercept_variance"] = [res["intercept_variance"]]
         return pd.DataFrame(out)
 
-    return data.groupBy("__entity").applyInPandas(solve, schema=schema)
+    fitted = data.groupBy("__entity").applyInPandas(solve, schema=schema)
+    if not has_prior:
+        return fitted
+
+    # J3 "copy": prior-model entities with no training data pass through
+    # untrained (RandomEffectCoordinate.scala:252 fullOuterJoin). One
+    # anti-join on entity against the distinct data entities — partial-
+    # aggregated distinct, no extra pass over the model side.
+    copy_cols = [
+        F.col("entity").cast("string").alias("entity"),
+        F.col("coefficients"),
+        F.col("intercept").cast("double").alias("intercept"),
+        F.lit(0).cast("long").alias("n_samples"),
+        F.lit(0).cast("long").alias("n_iter"),
+        F.lit(True).alias("converged"),
+    ]
+    if compute_variance:
+        copy_cols += [
+            (
+                F.col("variances") if prior_has_var
+                else F.lit(None).cast("array<double>")
+            ).alias("variances"),
+            (
+                F.col("intercept_variance").cast("double") if prior_has_var
+                else F.lit(None).cast("double")
+            ).alias("intercept_variance"),
+        ]
+    copied = prior_model.join(
+        df.select(F.col(entity_col).cast("string").alias("entity")).distinct(),
+        "entity",
+        "left_anti",
+    ).select(*copy_cols)
+    return fitted.unionByName(copied)

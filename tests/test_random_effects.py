@@ -90,6 +90,31 @@ def test_warm_start_prior(assembled, re_model):
         assert np.allclose(r.c0, r.c1, atol=1e-3)  # tight prior pins coefficients
 
 
+def test_prior_only_entities_copied_forward(assembled, re_model):
+    """J3 copy semantics (RandomEffectCoordinate.scala:252): entities
+    present only in the prior model must pass through untrained, not be
+    silently dropped from the incremental-retrain output."""
+    half = assembled.filter(F.col("suppkey") <= 5)
+    kept = {r.entity for r in half.select(
+        F.col("suppkey").cast("string").alias("entity")).distinct().collect()}
+    out = random_effects.fit_random_effects(
+        half, entity_col="suppkey", dim=5, family="binomial",
+        reg_param=1.0, prior_model=re_model,
+    ).cache()
+    prior_rows = {r.entity: r for r in re_model.collect()}
+    out_rows = {r.entity: r for r in out.collect()}
+    # nothing lost: output covers every prior entity plus all data entities
+    assert set(out_rows) == set(prior_rows) | kept
+    copied = set(prior_rows) - kept
+    assert copied, "test needs at least one prior-only entity"
+    for e in copied:
+        r = out_rows[e]
+        assert r.n_samples == 0 and r.n_iter == 0
+        assert np.allclose(r.coefficients, prior_rows[e].coefficients)
+        assert r.intercept == pytest.approx(prior_rows[e].intercept)
+    out.unpersist()
+
+
 def test_score_random_effect(assembled, re_model):
     data = assembled.withColumnRenamed("suppkey", "entity")
     scored = scoring.score_random_effect(
