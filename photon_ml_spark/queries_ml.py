@@ -527,6 +527,182 @@ def m13_smoothed_hinge_svm(spark, sf_dir):
     )
 
 
+# ------------------------------------- M4/M9/M1 distributed penalized solver
+
+
+@register(
+    "m4_elastic_net_fixed",
+    oracle="""
+WITH d AS (
+  SELECT l_quantity AS x,
+         ROUND(l_extendedprice / 1000) AS y,
+         ROUND(l_extendedprice / 1000) / 2 AS o
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y - o) AS sr,
+         SUM(x*x) AS sxx, SUM(x*(y - o)) AS sxr
+  FROM d
+),
+lam AS (SELECT unnest([20000.0, 60000.0, 120000.0]) AS lam),
+fit AS (
+  SELECT lam,
+         sxr - sx*sr/n AS sxr_c, sxx - sx*sx/n AS sxx_c,
+         lam * 0.5 AS l1, lam * 0.5 AS l2, m.*
+  FROM lam, m
+),
+sol AS (
+  SELECT lam,
+         SIGN(sxr_c) * GREATEST(ABS(sxr_c) - l1, 0.0) / (sxx_c + l2) AS beta,
+         n, sx, sr
+  FROM fit
+)
+SELECT lam, ROUND(beta, 6) AS coef,
+       ROUND((sr - beta * sx) / n, 6) AS intercept,
+       CAST(beta = 0.0 AS BOOLEAN) AS zeroed,
+       'owlqn' AS optimizer
+FROM sol
+""",
+    note="M4 (fixed-effect L1/elastic net) through the REAL distributed "
+    "OWLQN path (ml/distributed_solver.py, OWLQN.scala:39, "
+    "RegularizationContext.scala:38-132) WITH an offset — the combination "
+    "spark.ml GLR cannot express. Univariate gaussian: the oracle is the "
+    "exact soft-threshold solution on centered moments (intercept "
+    "unpenalized; L1 never touches it); λ=120000 drives the coefficient to "
+    "an exact orthant-projected 0",
+)
+def m4_elastic_net_fixed(spark, sf_dir):
+    from photon_ml_spark.ml.glm import fit_fixed_effect
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+        (F.round(F.col("l_extendedprice") / 1000, 0) / 2).alias("offset"),
+    )
+    rows = []
+    for lam in [20000.0, 60000.0, 120000.0]:
+        m = fit_fixed_effect(
+            d, dim=1, family="gaussian", weight_col=None, offset_col="offset",
+            reg_param=lam, elastic_net_param=0.5, tol=1e-10, max_iter=200,
+        )
+        rows.append((
+            lam,
+            float(round(float(m.coefficients[0]), 6)),
+            float(round(float(m.intercept), 6)),
+            bool(m.coefficients[0] == 0.0),
+            m.meta["optimizer"],
+        ))
+    return spark.createDataFrame(
+        rows,
+        "lam double, coef double, intercept double, zeroed boolean, "
+        "optimizer string",
+    )
+
+
+@register(
+    "m9b_fixed_effect_prior",
+    oracle="""
+WITH d AS (
+  SELECT l_quantity AS x, ROUND(l_extendedprice / 1000) AS y FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM d
+),
+sol AS (
+  SELECT (sxx + 1000.0) * (n + 10.0) - sx * sx AS det,
+         (sxy + 1000.0 * 1.0) AS b1, (sy + 10.0 * 0.0) AS b2, m.*
+  FROM m
+)
+SELECT ROUND((b1 * (n + 10.0) - sx * b2) / det, 6) AS coef,
+       ROUND(((sxx + 1000.0) * b2 - sx * b1) / det, 6) AS intercept,
+       'lbfgs' AS optimizer
+FROM sol
+""",
+    note="M9 on the FIXED coordinate (PriorDistribution.scala:23-120): "
+    "Gaussian prior (μ=[1,0], precision=[1000,10] over coef+intercept) "
+    "folded into the distributed solve; oracle is the exact 2×2 posterior "
+    "normal-equation solution via Cramer's rule",
+)
+def m9b_fixed_effect_prior(spark, sf_dir):
+    import numpy as np
+
+    from photon_ml_spark.ml.glm import fit_fixed_effect
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+    )
+    m = fit_fixed_effect(
+        d, dim=1, family="gaussian", weight_col=None, offset_col=None,
+        prior_mean=np.array([1.0, 0.0]),
+        prior_precision=np.array([1000.0, 10.0]),
+        tol=1e-10, max_iter=200,
+    )
+    return spark.createDataFrame(
+        [(
+            float(round(float(m.coefficients[0]), 6)),
+            float(round(float(m.intercept), 6)),
+            m.meta["optimizer"],
+        )],
+        "coef double, intercept double, optimizer string",
+    )
+
+
+@register(
+    "m1b_box_fixed_effect",
+    oracle="""
+WITH d AS (
+  SELECT l_quantity AS x, ROUND(l_extendedprice / 1000) AS y FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM d
+),
+sol AS (
+  SELECT LEAST(GREATEST((sxy - sx*sy/n) / (sxx - sx*sx/n), -1.0), 0.001)
+           AS beta, m.*
+  FROM m
+)
+SELECT ROUND(beta, 6) AS coef,
+       ROUND((sy - beta * sx) / n, 6) AS intercept,
+       'lbfgsb' AS optimizer
+FROM sol
+""",
+    note="M1/LBFGSB.scala:39 on the fixed coordinate: box [−1, 0.001] on "
+    "the feature (intercept free) through the distributed active-set "
+    "projected L-BFGS; oracle profiles out the intercept and clips the "
+    "centered univariate optimum — exact whether or not the bound binds",
+)
+def m1b_box_fixed_effect(spark, sf_dir):
+    import numpy as np
+
+    from photon_ml_spark.ml.glm import fit_fixed_effect
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+    )
+    m = fit_fixed_effect(
+        d, dim=1, family="gaussian", weight_col=None, offset_col=None,
+        lower_bounds=np.array([-1.0]), upper_bounds=np.array([0.001]),
+        tol=1e-10, max_iter=200,
+    )
+    return spark.createDataFrame(
+        [(
+            float(round(float(m.coefficients[0]), 6)),
+            float(round(float(m.intercept), 6)),
+            m.meta["optimizer"],
+        )],
+        "coef double, intercept double, optimizer string",
+    )
+
+
 # ------------------------------------------------------------ A12 legacy suite
 
 
