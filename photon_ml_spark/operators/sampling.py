@@ -22,6 +22,22 @@ def hash_uniform(uid: Column, seed: int) -> Column:
     return (F.xxhash64(uid, F.lit(seed)).cast("double") + float(2**63)) / _HASH_SPAN
 
 
+# Park–Miller modulus/multiplier: a*(m-1) < 2^63, so the arithmetic is
+# exact in BIGINT on any engine — the portable twin of hash_uniform.
+_LCG_M = 2147483647
+_LCG_A = 48271
+
+
+def lcg_uniform(uid: Column, seed: int) -> Column:
+    """Engine-portable U[0,1) per (uid, seed): Park–Miller LCG over
+    BIGINT, reproducible verbatim in ANSI SQL —
+    ``(48271 * ((uid + seed) % 2147483647)) % 2147483647 / 2147483647.0``.
+    Same determinism contract as hash_uniform; weaker mixing, so prefer
+    xxhash64 when cross-engine replay is not required."""
+    h = (F.lit(_LCG_A) * ((uid + F.lit(seed)) % _LCG_M)) % _LCG_M
+    return h.cast("double") / float(_LCG_M)
+
+
 def uniform_downsample(
     df: DataFrame, rate: float, uid_col: str = "uid", seed: int = 42,
     gate: Column | None = None,

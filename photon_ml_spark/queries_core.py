@@ -155,24 +155,32 @@ def s5_nameterm_bags(spark, sf_dir):
 
 @register(
     "p5_random_downsample",
-    oracle=None,
-    note="P5: uniform seeded down-sample via xxhash64(uid, seed) < rate "
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey * 100 + l_linenumber AS uid FROM lineitem
+)
+SELECT uid
+FROM d
+WHERE CAST((48271 * ((uid + 7) % 2147483647)) % 2147483647 AS DOUBLE)
+      / 2147483647.0 < 0.1
+""",
+    note="P5: uniform seeded down-sample, keep when hash(uid, seed) < rate "
     "(DefaultDownSampler.scala:28-50; deterministic across retries, the "
-    "byteswap64-seed discipline) — the hash is engine-specific, so this is "
-    "a rows-only entry; the gate-based variant is oracle-checked as p6",
+    "byteswap64-seed discipline). Uses the engine-portable Park–Miller "
+    "lcg_uniform — exact BIGINT arithmetic both engines — so the oracle "
+    "reproduces the EXACT sampled row set, not just its size; production "
+    "default stays xxhash64 (hash_uniform)",
 )
 def p5_random_downsample(spark, sf_dir):
-    from photon_ml_spark.operators.sampling import uniform_downsample
+    from photon_ml_spark.operators.sampling import lcg_uniform, uniform_downsample
 
     li = _t(spark, sf_dir, "lineitem").select(
         (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
-        F.lit(1.0).alias("weight"),
     )
-    out = uniform_downsample(li, rate=0.1, seed=42)
-    return out.agg(
-        F.count(F.lit(1)).alias("n_sampled"),
-        F.sum("weight").alias("weight_sum"),
+    out = uniform_downsample(
+        li, rate=0.1, gate=lcg_uniform(F.col("uid"), 7) < 0.1
     )
+    return out.select("uid")
 
 
 @register(

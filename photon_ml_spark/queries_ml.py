@@ -388,52 +388,121 @@ def m12_game_scoring(spark, sf_dir):
 
 @register(
     "m3_coordinate_descent",
-    oracle=None,
-    note="M3/M7: two-coordinate GAME coordinate descent (fixed global + "
-    "per-supplier random effect, 2 iterations, residual offsets J1, "
-    "incremental score sum J11, warm start between iterations) — "
-    "iterative distributed training, not SQL-expressible; rows-only "
-    "check + tests/test_coordinate_descent.py",
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey * 100 + l_linenumber AS uid,
+         CAST(l_suppkey AS VARCHAR) AS e,
+         CAST(l_quantity AS DOUBLE) AS x,
+         ROUND(l_extendedprice / 1000) AS y
+  FROM lineitem
+),
+g1 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y) AS sxy
+  FROM d
+),
+f1 AS (
+  SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b,
+         (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a
+  FROM g1
+),
+mm1 AS (
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+         SUM(y - (f1.b*x + f1.a)) AS sr, SUM(x*x) AS sxx,
+         SUM(x*(y - (f1.b*x + f1.a))) AS sxr
+  FROM d, f1 GROUP BY e
+),
+re1 AS (
+  SELECT e, (n*sxr - sx*sr) / ((sxx + 10.0)*n - sx*sx) AS c,
+         ((sxx + 10.0)*sr - sx*sxr) / ((sxx + 10.0)*n - sx*sx) AS i
+  FROM mm1
+),
+d2 AS (
+  SELECT d.*, y - (re1.c*x + re1.i) AS y2
+  FROM d JOIN re1 ON d.e = re1.e
+),
+g2 AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y2) AS sy,
+         SUM(x*x) AS sxx, SUM(x*y2) AS sxy
+  FROM d2
+),
+f2 AS (
+  SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b,
+         (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a
+  FROM g2
+),
+mm2 AS (
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+         SUM(y - (f2.b*x + f2.a)) AS sr, SUM(x*x) AS sxx,
+         SUM(x*(y - (f2.b*x + f2.a))) AS sxr
+  FROM d, f2 GROUP BY e
+),
+re2 AS (
+  SELECT e, n, (n*sxr - sx*sr) / ((sxx + 10.0)*n - sx*sx) AS c,
+         ((sxx + 10.0)*sr - sx*sxr) / ((sxx + 10.0)*n - sx*sx) AS i
+  FROM mm2
+)
+SELECT e AS entity, ROUND(c, 6) AS coef, ROUND(i, 6) AS intercept,
+       CAST(n AS BIGINT) AS n_samples
+FROM re2
+UNION ALL
+SELECT '__fixed__', ROUND(f2.b, 6), ROUND(f2.a, 6),
+       (SELECT COUNT(*) FROM d)
+FROM f2
+""",
+    note="M3/M7/J1/J11 through the REAL train_game loop: 2 backfitting "
+    "iterations over [fixed global, per-supplier ridge] with gaussian "
+    "family — fixed1 → RE1 on residual → fixed2 on (y − RE1 score) via "
+    "the incremental summed-score subtraction → RE2 warm-started from "
+    "RE1 (CoordinateDescent.scala:373-463). Every stage is a closed-form "
+    "least-squares solve, so the oracle replays the whole descent in SQL; "
+    "the binomial/locked/validation variants stay in "
+    "tests/test_coordinate_descent.py",
 )
 def m3_coordinate_descent(spark, sf_dir):
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, train_game
 
-    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 20).select(
-        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid"),
-        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+    # (orderkey, linenumber, suppkey, partkey) is the unique row key in
+    # the synthetic lineitem — orderkey*100+linenumber alone collides
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
+        ).alias("uid"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
         F.lit(0.0).alias("offset"),
         F.lit(1.0).alias("weight"),
         F.col("l_suppkey").cast("string").alias("suppkey"),
-        F.array(F.lit(0).cast("long"), F.lit(1).cast("long")).alias("features_indices"),
-        F.array(
-            (F.col("l_quantity") / 25.0).cast("double"),
-            (F.col("l_discount") * 10.0).cast("double"),
-        ).alias("features_values"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
     )
     model, history = train_game(
         li,
         coordinates=[
-            CoordinateConfig(name="global", kind="fixed", dim=2),
+            CoordinateConfig(name="global", kind="fixed", dim=1),
             CoordinateConfig(
-                name="per_supplier", kind="random", dim=2,
-                entity_col="suppkey", reg_param=1.0, min_samples=5,
+                name="per_supplier", kind="random", dim=1,
+                entity_col="suppkey", reg_param=10.0,
             ),
         ],
-        family="binomial",
+        family="gaussian",
         n_iterations=2,
     )
     fixed = model.coordinates["global"]
-    re_stats = model.coordinates["per_supplier"].agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.avg(F.element_at("coefficients", 1)), 3).alias("avg_c1"),
-    ).first()
-    rows = [
-        ("global", 1, float(round(float(fixed.intercept), 3)), len(history)),
-        ("per_supplier", int(re_stats.n), float(re_stats.avg_c1), len(history)),
-    ]
-    return spark.createDataFrame(
-        rows, "coordinate string, n_models long, stat double, n_updates long"
+    re = model.coordinates["per_supplier"].select(
+        F.col("entity"),
+        r6(F.element_at("coefficients", 1)).alias("coef"),
+        r6(F.col("intercept")).alias("intercept"),
+        "n_samples",
     )
+    fixed_row = spark.createDataFrame(
+        [(
+            "__fixed__",
+            float(round(float(fixed.coefficients[0]), 6)),
+            float(round(float(fixed.intercept), 6)),
+        )],
+        "entity string, coef double, intercept double",
+    ).withColumn("n_samples", F.lit(li.count()).cast("long"))
+    return re.unionByName(fixed_row)
 
 
 # -------------------------------------------------------------- M11 grid
@@ -496,11 +565,18 @@ def m11_reg_grid(spark, sf_dir):
 
 @register(
     "m13_smoothed_hinge_svm",
-    oracle=None,
-    note="M13: per-entity smoothed-hinge SVM via the applyInPandas local "
-    "Newton solver (photon-api/.../function/svm/*.scala; Rennie smoothing) "
-    "— iterative, not SQL-expressible; rows-only check + unit tests "
-    "(tests/test_hypersearch.py)",
+    oracle="""
+SELECT CAST(l_suppkey AS VARCHAR) AS entity,
+       0.0 AS g_qty, 0.0 AS g_disc, 0.0 AS g_int,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM lineitem GROUP BY l_suppkey
+""",
+    note="M13: per-entity smoothed-hinge SVM (photon-api/.../function/svm, "
+    "Rennie smoothing) via the applyInPandas Newton solver, verified by a "
+    "FIXED-POINT oracle: the penalized subgradient Σ dl/dm·x + λβ "
+    "(intercept unpenalized) is recomputed DISTRIBUTED at the returned "
+    "coefficients and must round to 0 per entity — the optimum itself has "
+    "no closed form, but its stationarity condition is checkable",
 )
 def m13_smoothed_hinge_svm(spark, sf_dir):
     from photon_ml_spark.ml.random_effects import fit_random_effects
@@ -516,14 +592,38 @@ def m13_smoothed_hinge_svm(spark, sf_dir):
     )
     models = fit_random_effects(
         li, entity_col="entity", dim=2, family="smoothed_hinge",
-        weight_col=None, offset_col=None, reg_param=0.1,
+        weight_col=None, offset_col=None, reg_param=0.1, tol=1e-9,
     )
-    return models.select(
+    # stationarity residual, evaluated as a fresh distributed pass:
+    # margin from the fitted model, Rennie dl/dm, grouped gradient + l2
+    j = li.join(models.select("entity", "coefficients", "intercept"), "entity")
+    x1 = F.element_at("features_values", 1)
+    x2 = F.element_at("features_values", 2)
+    margin = (
+        F.element_at("coefficients", 1) * x1
+        + F.element_at("coefficients", 2) * x2
+        + F.col("intercept")
+    )
+    s = F.col("response") * 2 - 1
+    z = s * margin
+    dldm = (
+        F.when(z >= 1.0, F.lit(0.0))
+        .when(z <= 0.0, -s)
+        .otherwise(-s * (1 - z))
+    )
+    grad = j.groupBy("entity").agg(
+        (F.sum(dldm * x1) + 0.1 * F.first(F.element_at("coefficients", 1))).alias("g1"),
+        (F.sum(dldm * x2) + 0.1 * F.first(F.element_at("coefficients", 2))).alias("g2"),
+        F.sum(dldm).alias("g0"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    # +0.0 folds IEEE −0.0 into +0.0 so the hash matches the SQL literal
+    return grad.select(
         "entity",
-        F.round(F.element_at("coefficients", 1), 4).alias("coef_qty"),
-        F.round(F.element_at("coefficients", 2), 4).alias("coef_disc"),
-        F.round(F.col("intercept"), 4).alias("intercept"),
-        "n_samples", "converged",
+        (F.round(F.col("g1"), 3) + 0.0).alias("g_qty"),
+        (F.round(F.col("g2"), 3) + 0.0).alias("g_disc"),
+        (F.round(F.col("g0"), 3) + 0.0).alias("g_int"),
+        "n_samples",
     )
 
 
