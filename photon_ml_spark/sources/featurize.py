@@ -106,6 +106,9 @@ def check_duplicate_features(
     )
 
 
+MAP_STRATEGY_MAX_KEYS = 100_000
+
+
 def assemble_shard(
     df: DataFrame,
     dictionary: DataFrame,
@@ -113,6 +116,7 @@ def assemble_shard(
     uid_col: str = "uid",
     broadcast_dict: bool = True,
     strategy: str = "join",
+    max_map_keys: int = MAP_STRATEGY_MAX_KEYS,
 ) -> DataFrame:
     """Attach ``<shard>_indices``/``<shard>_values`` sparse-pair columns.
 
@@ -138,9 +142,17 @@ def assemble_shard(
       rewritten IN PLACE with transform/filter/sort — zero shuffle,
       zero join, whole-stage codegen. Requires unique keys per row
       (guaranteed post check_duplicate_features, S2 contract).
+
+    The ≤``max_map_keys`` contract on ``'map'`` is ENFORCED, not
+    advisory: the collect is bounded by ``limit(max_map_keys + 1)``
+    (never an unbounded driver fetch) and an oversized dictionary
+    silently falls back to the shuffle-safe ``'join'`` plan.
     """
     if strategy == "map":
-        entries = dictionary.collect()
+        entries = dictionary.limit(max_map_keys + 1).collect()
+        if len(entries) > max_map_keys:
+            strategy = "join"  # dictionary too big for a literal map
+    if strategy == "map":
         mapping = F.map_from_arrays(
             F.array(*[F.lit(r[0]) for r in entries]),
             F.array(*[F.lit(int(r[1])) for r in entries]),

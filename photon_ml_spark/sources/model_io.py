@@ -18,10 +18,39 @@ dropped at save (modelSparsityThreshold, GameTrainingDriver.scala:
 from __future__ import annotations
 
 import json
-import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Write a small text file through the JVM Hadoop FileSystem so
+    metadata lands on the SAME filesystem as the coefficient tables
+    (hdfs://, s3a://, file:// — whatever the path's scheme resolves to),
+    never split across local disk and a remote store."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _hadoop_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        # py4j passes byte[] buffers by copy, so stream.read(buf) can't
+        # fill a Python bytearray — drain JVM-side into a String instead
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
 
 from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, GameModel
 from photon_ml_spark.ml.glm import FixedEffectGLM
@@ -72,14 +101,11 @@ def save_game_model(
                     ),
                 )
             out.write.mode("overwrite").parquet(f"{path}/random-effect/{name}/models")
-    os.makedirs(path, exist_ok=True)
-    with open(f"{path}/metadata.json", "w") as f:
-        json.dump(meta, f, indent=2)
+    _hadoop_write_text(spark, f"{path}/metadata.json", json.dumps(meta, indent=2))
 
 
 def load_game_model(path: str, spark: SparkSession) -> GameModel:
-    with open(f"{path}/metadata.json") as f:
-        meta = json.load(f)
+    meta = json.loads(_hadoop_read_text(spark, f"{path}/metadata.json"))
     model = GameModel(family=meta["family"])
     for name, c in meta["coordinates"].items():
         cfg = CoordinateConfig(

@@ -55,6 +55,29 @@ def test_assembled_shapes(assembled, training):
     assert len(row.features_values) == 5
 
 
+def test_map_strategy_guard_falls_back_to_join(training, dictionary):
+    """The ≤max_map_keys 'map' contract is enforced: an oversized
+    dictionary must choose the shuffle-safe join plan (and still produce
+    identical output), never an unbounded driver collect."""
+    shard = FeatureShardConfig("features", ["features"])
+    guarded = featurize.assemble_shard(
+        training, dictionary, shard, strategy="map", max_map_keys=2
+    )
+    plan = guarded._jdf.queryExecution().executedPlan().toString()
+    mapped = featurize.assemble_shard(training, dictionary, shard, strategy="map")
+    plan_map = mapped._jdf.queryExecution().executedPlan().toString()
+    # the fallback adds dictionary-join operators the in-place map
+    # rewrite never needs (upstream joins appear in both counts)
+    assert plan.count("Join") > plan_map.count("Join"), (
+        "oversized map dictionary did not fall back to join"
+    )
+    a = {r.uid: (list(r.features_indices), list(r.features_values))
+         for r in guarded.select("uid", "features_indices", "features_values").collect()}
+    b = {r.uid: (list(r.features_indices), list(r.features_values))
+         for r in mapped.select("uid", "features_indices", "features_values").collect()}
+    assert a == b
+
+
 def test_fit_score_auc(spark, assembled):
     model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
     assert model.coefficients.shape == (5,)
