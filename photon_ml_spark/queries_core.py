@@ -56,6 +56,60 @@ def s3_feature_dictionary(spark, sf_dir):
 
 
 @register(
+    "s1_avro_roundtrip_scan",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT) AS n_uids,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS label_sum,
+       CAST(SUM(l_quantity) AS DOUBLE) AS qty_value_sum,
+       CAST(SUM(2) AS BIGINT) AS n_features
+FROM lineitem
+WHERE l_suppkey < 10
+""",
+    note="S1/S2/S11 wire format: lineitem -> TrainingExampleAvro files "
+    "on disk (pure-Python OCF codec, deflate, distributed per-partition "
+    "write) -> distributed Avro scan back -> aggregate. The oracle "
+    "computes the same aggregate straight from parquet, so the Avro "
+    "encode/decode round trip must be value-exact "
+    "(AvroDataReader.scala:85-208, TrainingExampleAvro.avsc). Integer-"
+    "valued summands only (exactness convention)",
+)
+def s1_avro_roundtrip_scan(spark, sf_dir):
+    import os
+    import tempfile
+
+    from photon_ml_spark.sources import avro_io
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10).select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber"))
+        .cast("string").alias("uid"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+        F.lit(1.0).alias("weight"),
+        F.lit(0.0).alias("offset"),
+        F.array(
+            F.struct(F.lit("li").alias("name"), F.lit("qty").alias("term"),
+                     F.col("l_quantity").cast("double").alias("value")),
+            F.struct(F.lit("li").alias("name"), F.lit("flag").alias("term"),
+                     F.lit(1.0).alias("value")),
+        ).alias("features"),
+    )
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"photon_ml_spark_s1_{abs(hash(sf_dir)) % 10**8}",
+    )
+    avro_io.write_training_examples(li, path)
+    back = avro_io.read_training_examples(spark, path)
+    qty = F.filter("features", lambda s: s["term"] == F.lit("qty"))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.countDistinct("uid").alias("n_uids"),
+        F.sum("response").alias("label_sum"),
+        F.sum(F.element_at(qty, 1)["value"]).alias("qty_value_sum"),
+        F.sum(F.size("features")).alias("n_features"),
+    )
+
+
+@register(
     "s7_date_range_scan",
     oracle="""
 SELECT l_returnflag,

@@ -1,0 +1,825 @@
+"""Avro wire-format compatibility (SURVEY §2.1 S1/S2/S9/S11).
+
+The reference ingests ``TrainingExampleAvro`` records and persists
+models as ``BayesianLinearModelAvro`` (AvroDataReader.scala:85-208,
+ModelProcessingUtils.scala:77-265, photon-avro-schemas/src/main/avro/
+TrainingExampleAvro.avsc + BayesianLinearModelAvro.avsc +
+NameTermValueAvro.avsc). A migrating user's data sits in these files,
+so the engine must read and write them bit-compatibly.
+
+Spark-first strategy: ``spark.read/write.format("avro")`` when the
+spark-avro datasource is on the classpath (it is a separate artifact,
+absent from pyspark's bundled jars). Otherwise fall back to a pure-
+Python Object Container File codec — the OCF layout and the Avro
+binary encoding are small public specs (zigzag varints, length-
+prefixed bytes, block-framed arrays/maps, union index prefix;
+container = magic, metadata map, 16-byte sync, deflate/null blocks):
+
+- **read**: ``sparkContext.binaryFiles(path)`` → per-file decode on
+  executors. One task per file — the same parallelism grain the
+  reference gets from HDFS input splits, since production Avro part
+  files are written at ~block size. (Splitting WITHIN a file on sync
+  markers is possible but needs byte-range reads; per-file is the
+  honest local fallback.) The writer schema is read driver-side from
+  the first file's header via a bounded Hadoop-FS stream — never a
+  full-file driver fetch.
+- **write**: ``df.rdd.mapPartitionsWithIndex`` → one ``part-N.avro``
+  per partition through Python ``open()`` (POSIX-visible paths; for
+  object stores install spark-avro, which the writer tries first).
+
+Compression: ``deflate`` (raw RFC-1951, the spec's required optional
+codec) or ``null``. Sync markers are derived deterministically from
+(schema, partition) so re-written files are byte-identical.
+
+The JVM avro core library bundled with Spark (avro-1.12.1.jar) is
+used in tests as an independent cross-check of this codec — files we
+write are re-read through ``org.apache.avro.file.DataFileReader``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import struct
+import zlib
+from typing import Any, Callable, Iterable, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"Obj\x01"
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+# --------------------------------------------------------------- schema parse
+def _resolve(schema: Any, named: dict[str, Any]) -> Any:
+    """Normalize a schema node: register named types, resolve name
+    references to their definitions. Recursive schemas unsupported
+    (photon's wire schemas are trees)."""
+    if isinstance(schema, str):
+        if schema in _PRIMITIVES:
+            return schema
+        if schema in named:
+            return named[schema]
+        raise ValueError(f"unresolved Avro type reference: {schema}")
+    if isinstance(schema, list):  # union
+        return [_resolve(b, named) for b in schema]
+    t = schema["type"]
+    if t in _PRIMITIVES and len(schema) == 1:
+        return t
+    if t in ("record", "enum", "fixed"):
+        # register under both short and fully-qualified name BEFORE
+        # resolving children so siblings can reference it
+        out = dict(schema)
+        named[schema["name"]] = out
+        ns = schema.get("namespace")
+        if ns:
+            named[f"{ns}.{schema['name']}"] = out
+        if t == "record":
+            out["fields"] = [
+                {**f, "type": _resolve(f["type"], named)} for f in schema["fields"]
+            ]
+        return out
+    if t == "array":
+        return {"type": "array", "items": _resolve(schema["items"], named)}
+    if t == "map":
+        return {"type": "map", "values": _resolve(schema["values"], named)}
+    if t in _PRIMITIVES:  # e.g. {"type": "string", "logicalType": ...}
+        return t
+    raise ValueError(f"unsupported Avro type: {t}")
+
+
+def parse_schema(schema_json: str) -> Any:
+    return _resolve(json.loads(schema_json), {})
+
+
+# ------------------------------------------------------------ binary decoding
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    z = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _make_decoder(schema: Any) -> Callable[[bytes, int], tuple[Any, int]]:
+    """Compile a (buf, pos) -> (value, pos) decoder for the schema.
+    Records decode to field-order tuples — directly Row-shaped for
+    ``createDataFrame``; maps decode to dicts."""
+    if isinstance(schema, str):
+        if schema == "null":
+            return lambda buf, pos: (None, pos)
+        if schema == "boolean":
+            return lambda buf, pos: (buf[pos] == 1, pos + 1)
+        if schema in ("int", "long"):
+            return _read_long
+        if schema == "float":
+            return lambda buf, pos: (
+                struct.unpack_from("<f", buf, pos)[0], pos + 4)
+        if schema == "double":
+            return lambda buf, pos: (
+                struct.unpack_from("<d", buf, pos)[0], pos + 8)
+        if schema == "bytes":
+            def d_bytes(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return bytes(buf[pos:pos + n]), pos + n
+            return d_bytes
+        if schema == "string":
+            def d_str(buf, pos):
+                n, pos = _read_long(buf, pos)
+                return bytes(buf[pos:pos + n]).decode("utf-8"), pos + n
+            return d_str
+    if isinstance(schema, list):
+        branches = [_make_decoder(b) for b in schema]
+
+        def d_union(buf, pos):
+            i, pos = _read_long(buf, pos)
+            return branches[i](buf, pos)
+        return d_union
+    t = schema["type"]
+    if t == "record":
+        fields = [_make_decoder(f["type"]) for f in schema["fields"]]
+
+        def d_record(buf, pos):
+            vals = []
+            for fd in fields:
+                v, pos = fd(buf, pos)
+                vals.append(v)
+            return tuple(vals), pos
+        return d_record
+    if t == "array":
+        item = _make_decoder(schema["items"])
+
+        def d_array(buf, pos):
+            out = []
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:  # block-size prefix variant
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    v, pos = item(buf, pos)
+                    out.append(v)
+        return d_array
+    if t == "map":
+        val = _make_decoder(schema["values"])
+
+        def d_map(buf, pos):
+            out = {}
+            while True:
+                n, pos = _read_long(buf, pos)
+                if n == 0:
+                    return out, pos
+                if n < 0:
+                    _, pos = _read_long(buf, pos)
+                    n = -n
+                for _ in range(n):
+                    klen, pos = _read_long(buf, pos)
+                    k = bytes(buf[pos:pos + klen]).decode("utf-8")
+                    pos += klen
+                    v, pos = val(buf, pos)
+                    out[k] = v
+        return d_map
+    if t == "enum":
+        symbols = schema["symbols"]
+
+        def d_enum(buf, pos):
+            i, pos = _read_long(buf, pos)
+            return symbols[i], pos
+        return d_enum
+    if t == "fixed":
+        size = schema["size"]
+        return lambda buf, pos: (bytes(buf[pos:pos + size]), pos + size)
+    raise ValueError(f"unsupported Avro type: {schema}")
+
+
+# ------------------------------------------------------------ binary encoding
+def _write_long(out: bytearray, n: int) -> None:
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _make_encoder(schema: Any) -> Callable[[bytearray, Any], None]:
+    """Compile an (out, value) encoder. Accepts dicts OR field-order
+    tuples/Rows for records; unions resolve null vs the single
+    non-null branch (the only union shape in photon's schemas)."""
+    if isinstance(schema, str):
+        if schema == "null":
+            return lambda out, v: None
+        if schema == "boolean":
+            return lambda out, v: out.append(1 if v else 0)
+        if schema in ("int", "long"):
+            return lambda out, v: _write_long(out, int(v))
+        if schema == "float":
+            return lambda out, v: out.extend(struct.pack("<f", float(v)))
+        if schema == "double":
+            return lambda out, v: out.extend(struct.pack("<d", float(v)))
+        if schema == "bytes":
+            def e_bytes(out, v):
+                _write_long(out, len(v))
+                out.extend(v)
+            return e_bytes
+        if schema == "string":
+            def e_str(out, v):
+                b = v.encode("utf-8")
+                _write_long(out, len(b))
+                out.extend(b)
+            return e_str
+    if isinstance(schema, list):
+        null_idx = next((i for i, b in enumerate(schema) if b == "null"), None)
+        other = [(i, b) for i, b in enumerate(schema) if b != "null"]
+        if len(other) > 1:
+            raise ValueError("only [null, X] unions supported for encoding")
+        oi, ob = other[0] if other else (None, None)
+        oe = _make_encoder(ob) if ob is not None else None
+
+        def e_union(out, v):
+            if v is None:
+                if null_idx is None:
+                    raise ValueError("None for non-nullable union")
+                _write_long(out, null_idx)
+            else:
+                _write_long(out, oi)
+                oe(out, v)
+        return e_union
+    t = schema["type"]
+    if t == "record":
+        fields = [(f["name"], _make_encoder(f["type"])) for f in schema["fields"]]
+
+        def e_record(out, v):
+            if isinstance(v, dict):
+                for name, fe in fields:
+                    fe(out, v.get(name))
+            else:  # Row / tuple in field order
+                for (name, fe), item in zip(fields, v):
+                    fe(out, item)
+        return e_record
+    if t == "array":
+        item = _make_encoder(schema["items"])
+
+        def e_array(out, v):
+            if len(v):
+                _write_long(out, len(v))
+                for x in v:
+                    item(out, x)
+            _write_long(out, 0)
+        return e_array
+    if t == "map":
+        val = _make_encoder(schema["values"])
+
+        def e_map(out, v):
+            if len(v):
+                _write_long(out, len(v))
+                for k, x in v.items():
+                    kb = k.encode("utf-8")
+                    _write_long(out, len(kb))
+                    out.extend(kb)
+                    val(out, x)
+            _write_long(out, 0)
+        return e_map
+    if t == "enum":
+        index = {s: i for i, s in enumerate(schema["symbols"])}
+        return lambda out, v: _write_long(out, index[v])
+    if t == "fixed":
+        return lambda out, v: out.extend(v)
+    raise ValueError(f"unsupported Avro type: {schema}")
+
+
+# ------------------------------------------------------- object container file
+def _sync_marker(schema_json: str, seed: int) -> bytes:
+    """Deterministic 16-byte sync (md5 of schema+seed): identical
+    inputs produce byte-identical files — the engine's reproducible-
+    output convention (no RNG in the write path)."""
+    return hashlib.md5(f"{schema_json}\x00{seed}".encode()).digest()
+
+
+def write_ocf(
+    schema_json: str,
+    records: Iterable[Any],
+    codec: str = "deflate",
+    sync_seed: int = 0,
+    block_records: int = 4096,
+) -> bytes:
+    schema = parse_schema(schema_json)
+    enc = _make_encoder(schema)
+    sync = _sync_marker(schema_json, sync_seed)
+    out = bytearray(MAGIC)
+    meta = {"avro.schema": schema_json.encode(), "avro.codec": codec.encode()}
+    _write_long(out, len(meta))
+    for k, v in sorted(meta.items()):
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out.extend(kb)
+        _write_long(out, len(v))
+        out.extend(v)
+    _write_long(out, 0)
+    out.extend(sync)
+
+    block = bytearray()
+    n_in_block = 0
+
+    def flush():
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        payload = bytes(block)
+        if codec == "deflate":
+            c = zlib.compressobj(9, zlib.DEFLATED, -15)
+            payload = c.compress(payload) + c.flush()
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        _write_long(out, n_in_block)
+        _write_long(out, len(payload))
+        out.extend(payload)
+        out.extend(sync)
+        block = bytearray()
+        n_in_block = 0
+
+    for rec in records:
+        enc(block, rec)
+        n_in_block += 1
+        if n_in_block >= block_records:
+            flush()
+    flush()
+    return bytes(out)
+
+
+def read_ocf(data: bytes) -> tuple[str, list]:
+    """Decode a full container file → (writer schema JSON, records).
+    Records are field-order tuples (see _make_decoder)."""
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    meta = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            _, pos = _read_long(data, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _read_long(data, pos)
+            k = data[pos:pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_long(data, pos)
+            meta[k] = data[pos:pos + vlen]
+            pos += vlen
+    sync = data[pos:pos + 16]
+    pos += 16
+    schema_json = meta["avro.schema"].decode()
+    codec = meta.get("avro.codec", b"null").decode()
+    dec = _make_decoder(parse_schema(schema_json))
+    records = []
+    end = len(data)
+    while pos < end:
+        n, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        payload = data[pos:pos + size]
+        pos += size
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec}")
+        p = 0
+        for _ in range(n):
+            v, p = dec(payload, p)
+            records.append(v)
+        if data[pos:pos + 16] != sync:
+            raise ValueError("sync marker mismatch")
+        pos += 16
+    return schema_json, records
+
+
+# --------------------------------------------------------- spark type mapping
+def avro_spark_type(schema: Any) -> T.DataType:
+    if isinstance(schema, str):
+        return {
+            "null": T.NullType(), "boolean": T.BooleanType(),
+            "int": T.IntegerType(), "long": T.LongType(),
+            "float": T.FloatType(), "double": T.DoubleType(),
+            "bytes": T.BinaryType(), "string": T.StringType(),
+        }[schema]
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        if len(non_null) != 1:
+            raise ValueError("only [null, X] unions map to Spark types")
+        return avro_spark_type(non_null[0])
+    t = schema["type"]
+    if t == "record":
+        return T.StructType(
+            [
+                T.StructField(f["name"], avro_spark_type(f["type"]), True)
+                for f in schema["fields"]
+            ]
+        )
+    if t == "array":
+        return T.ArrayType(avro_spark_type(schema["items"]), True)
+    if t == "map":
+        return T.MapType(T.StringType(), avro_spark_type(schema["values"]), True)
+    if t == "enum":
+        return T.StringType()
+    if t == "fixed":
+        return T.BinaryType()
+    raise ValueError(f"unsupported Avro type: {schema}")
+
+
+# ------------------------------------------------------------ spark read/write
+def _header_bytes(spark: SparkSession, path: str, limit: int) -> bytes:
+    """First `limit` bytes of `path` via the JVM Hadoop FS (scheme-
+    aware, bounded — never a full-file driver fetch)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
+            stream, limit
+        )
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(bounded))
+    finally:
+        stream.close()
+
+
+def _list_avro_files(spark: SparkSession, path: str) -> list[str]:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.isDirectory(p):
+        it = fs.listStatus(p)
+        return sorted(
+            s.getPath().toString()
+            for s in it
+            if s.isFile() and s.getPath().getName().endswith(".avro")
+        )
+    return [p.toString()]
+
+
+def _schema_from_header(data: bytes) -> str:
+    if data[:4] != MAGIC:
+        raise ValueError("not an Avro object container file")
+    pos = 4
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            return ""
+        if n < 0:
+            _, pos = _read_long(data, pos)
+            n = -n
+        for _ in range(n):
+            klen, pos = _read_long(data, pos)
+            k = data[pos:pos + klen].decode()
+            pos += klen
+            vlen, pos = _read_long(data, pos)
+            v = data[pos:pos + vlen]
+            pos += vlen
+            if k == "avro.schema":
+                return v.decode()
+
+
+def read_avro(
+    spark: SparkSession, path: str, avro_schema: str | None = None
+) -> DataFrame:
+    """S1 Avro scan. spark-avro datasource when present, else the
+    distributed pure-Python fallback (one decode task per file)."""
+    try:
+        return spark.read.format("avro").load(path)
+    except Exception:
+        pass  # datasource absent — pure-Python path
+    if avro_schema is None:
+        first = _list_avro_files(spark, path)[0]
+        for limit in (1 << 20, 1 << 24):
+            avro_schema = _schema_from_header(_header_bytes(spark, first, limit))
+            if avro_schema:
+                break
+        if not avro_schema:
+            raise ValueError(f"no avro.schema header found in {first}")
+    spark_schema = avro_spark_type(parse_schema(avro_schema))
+
+    def decode(kv):
+        _, data = kv
+        _, records = read_ocf(bytes(data))
+        return records
+
+    files = path if path.endswith(".avro") else os.path.join(path, "*.avro")
+    rdd = spark.sparkContext.binaryFiles(files).flatMap(decode)
+    return spark.createDataFrame(rdd, schema=spark_schema)
+
+
+def write_avro(
+    df: DataFrame, path: str, avro_schema: str, codec: str = "deflate"
+) -> None:
+    """S11-style sink. spark-avro when present; else one part file per
+    partition through the Python codec (POSIX-visible paths)."""
+    try:
+        df.write.format("avro").option("avroSchema", avro_schema).mode(
+            "overwrite"
+        ).save(path)
+        return
+    except Exception:
+        pass
+    names = df.schema.fieldNames()
+    os.makedirs(path, exist_ok=True)
+    for old in os.listdir(path):
+        if old.endswith(".avro"):
+            os.remove(os.path.join(path, old))
+
+    def write_part(idx: int, it: Iterator[Row]) -> Iterator[int]:
+        rows = ({n: r[n] for n in names} for r in it)
+        first = next(rows, None)
+        if first is None:
+            return iter(())
+        import itertools
+        data = write_ocf(
+            avro_schema, itertools.chain([first], rows), codec=codec,
+            sync_seed=idx,
+        )
+        with open(os.path.join(path, f"part-{idx:05d}.avro"), "wb") as f:
+            f.write(data)
+        return iter((1,))
+
+    df.rdd.mapPartitionsWithIndex(write_part).count()
+
+
+# ----------------------------------------------------- photon wire schemas
+_NS = "com.linkedin.photon.avro.generated"
+
+# photon-avro-schemas/src/main/avro/TrainingExampleAvro.avsc (FeatureAvro
+# inlined at first use, then referenced by name — standard Avro practice)
+TRAINING_EXAMPLE_SCHEMA = json.dumps({
+    "name": "TrainingExampleAvro", "namespace": _NS, "type": "record",
+    "fields": [
+        {"name": "uid", "type": ["null", "string"], "default": None},
+        {"name": "label", "type": "double"},
+        {"name": "features", "type": {"type": "array", "items": {
+            "name": "FeatureAvro", "namespace": _NS, "type": "record",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "term", "type": "string"},
+                {"name": "value", "type": "double"},
+            ]}}},
+        {"name": "metadataMap",
+         "type": ["null", {"type": "map", "values": "string"}],
+         "default": None},
+        {"name": "weight", "type": ["null", "double"], "default": None},
+        {"name": "offset", "type": ["null", "double"], "default": None},
+    ],
+})
+
+# photon-avro-schemas/src/main/avro/BayesianLinearModelAvro.avsc
+BAYESIAN_LINEAR_MODEL_SCHEMA = json.dumps({
+    "name": "BayesianLinearModelAvro", "namespace": _NS, "type": "record",
+    "fields": [
+        {"name": "modelId", "type": "string"},
+        {"name": "modelClass", "type": ["null", "string"], "default": None},
+        {"name": "means", "type": {"type": "array", "items": {
+            "name": "NameTermValueAvro", "namespace": _NS, "type": "record",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "term", "type": "string"},
+                {"name": "value", "type": "double"},
+            ]}}},
+        {"name": "variances",
+         "type": ["null", {"type": "array", "items": "NameTermValueAvro"}],
+         "default": None},
+        {"name": "lossFunction", "type": ["null", "string"], "default": None},
+    ],
+})
+
+# photon-avro-schemas/src/main/avro/ScoringResultAvro.avsc
+SCORING_RESULT_SCHEMA = json.dumps({
+    "name": "ScoringResultAvro", "namespace": _NS, "type": "record",
+    "fields": [
+        {"name": "uid", "type": ["null", "string"], "default": None},
+        {"name": "label", "type": ["null", "double"], "default": None},
+        {"name": "modelId", "type": "string"},
+        {"name": "predictionScore", "type": "double"},
+        {"name": "weight", "type": ["null", "double"], "default": None},
+        {"name": "metadataMap",
+         "type": ["null", {"type": "map", "values": "string"}],
+         "default": None},
+    ],
+})
+
+INTERCEPT_NAME = "(INTERCEPT)"  # Constants.scala INTERCEPT_NAME/TERM
+INTERCEPT_TERM = ""
+
+
+def read_training_examples(spark: SparkSession, path: str) -> DataFrame:
+    """S1/S2: TrainingExampleAvro files → the engine's conventional
+    frame (uid, response, weight, offset, features name/term/value
+    bags), defaults applied as AvroDataReader.scala:85-208 does
+    (weight→1.0, offset→0.0)."""
+    raw = read_avro(spark, path, avro_schema=TRAINING_EXAMPLE_SCHEMA)
+    return raw.select(
+        F.col("uid"),
+        F.col("label").alias("response"),
+        F.coalesce(F.col("weight"), F.lit(1.0)).alias("weight"),
+        F.coalesce(F.col("offset"), F.lit(0.0)).alias("offset"),
+        F.col("features"),
+        F.col("metadataMap"),
+    )
+
+
+def write_training_examples(df: DataFrame, path: str) -> None:
+    """S11: conventional frame → TrainingExampleAvro files."""
+    out = df.select(
+        F.col("uid").cast("string").alias("uid"),
+        F.col("response").cast("double").alias("label"),
+        F.col("features"),
+        (
+            F.col("metadataMap") if "metadataMap" in df.columns
+            else F.lit(None).cast("map<string,string>")
+        ).alias("metadataMap"),
+        (F.col("weight") if "weight" in df.columns else F.lit(1.0))
+        .cast("double").alias("weight"),
+        (F.col("offset") if "offset" in df.columns else F.lit(0.0))
+        .cast("double").alias("offset"),
+    )
+    write_avro(out, path, TRAINING_EXAMPLE_SCHEMA)
+
+
+def fixed_effect_to_avro_frame(
+    spark: SparkSession, model, dictionary: DataFrame, model_id: str = "fixed"
+) -> DataFrame:
+    """S9: FixedEffectGLM → one BayesianLinearModelAvro record, means
+    keyed by (name, term) through the feature dictionary with the
+    intercept as ("(INTERCEPT)", "") — ModelProcessingUtils.scala:
+    77-166 layout."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    key_to_idx = {
+        r[0]: int(r[1]) for r in dictionary.collect()
+    }
+    means = []
+    for key, idx in sorted(key_to_idx.items(), key=lambda kv: kv[1]):
+        if idx < len(model.coefficients) and model.coefficients[idx] != 0.0:
+            name, _, term = key.partition(FEATURE_KEY_SEP)
+            means.append({"name": name, "term": term,
+                          "value": float(model.coefficients[idx])})
+    means.append({"name": INTERCEPT_NAME, "term": INTERCEPT_TERM,
+                  "value": float(model.intercept)})
+    rec = {
+        "modelId": model_id,
+        "modelClass": None,
+        "means": means,
+        "variances": None,
+        "lossFunction": model.family,
+    }
+    return spark.createDataFrame(
+        [rec], schema=avro_spark_type(parse_schema(BAYESIAN_LINEAR_MODEL_SCHEMA))
+    )
+
+
+def avro_frame_to_fixed_effect(
+    rows: list[Row], dictionary: DataFrame, dim: int, family: str = "gaussian"
+):
+    """Inverse of fixed_effect_to_avro_frame (single-record frame)."""
+    import numpy as np
+
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.ml.glm import FixedEffectGLM
+
+    key_to_idx = {r[0]: int(r[1]) for r in dictionary.collect()}
+    coef = np.zeros(dim)
+    intercept = 0.0
+    (row,) = rows
+    for m in row.means:
+        if m.name == INTERCEPT_NAME and m.term == INTERCEPT_TERM:
+            intercept = float(m.value)
+            continue
+        key = f"{m.name}{FEATURE_KEY_SEP}{m.term}"
+        idx = key_to_idx.get(key)
+        if idx is not None and idx < dim:
+            coef[idx] = float(m.value)
+    return FixedEffectGLM(
+        family=family, coefficients=coef, intercept=intercept, dim=dim,
+        reg_param=0.0,
+    )
+
+
+def random_effects_to_avro_frame(
+    models: DataFrame, dictionary: DataFrame, dim: int
+) -> DataFrame:
+    """S9 random-effect layout: one BayesianLinearModelAvro per entity
+    (modelId=entity), means through the dictionary — DISTRIBUTED (the
+    model table never touches the driver; per-entity vectors are
+    small post-P7). ModelProcessingUtils.scala:167-265."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    idx_name_term = dictionary.select(
+        F.col("feature_index").cast("int").alias("__i"),
+        F.split_part(
+            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(1)
+        ).alias("__name"),
+        F.split_part(
+            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(2)
+        ).alias("__term"),
+    )
+    names = F.array_sort(
+        F.collect_list(F.struct("__i", "__name", "__term"))
+    )
+    dict_arr = idx_name_term.agg(names.alias("d"))
+    with_dict = models.crossJoin(F.broadcast(dict_arr))
+    nz = F.filter(
+        F.zip_with(
+            "coefficients",
+            F.slice("d", 1, dim),
+            lambda c, e: F.struct(
+                e["__name"].alias("name"),
+                e["__term"].alias("term"),
+                c.alias("value"),
+            ),
+        ),
+        lambda s: s["value"] != 0.0,
+    )
+    means = F.concat(
+        nz,
+        F.array(
+            F.struct(
+                F.lit(INTERCEPT_NAME).alias("name"),
+                F.lit(INTERCEPT_TERM).alias("term"),
+                F.col("intercept").cast("double").alias("value"),
+            )
+        ),
+    )
+    return with_dict.select(
+        F.col("entity").alias("modelId"),
+        F.lit(None).cast("string").alias("modelClass"),
+        means.alias("means"),
+        F.lit(None).cast(
+            "array<struct<name:string,term:string,value:double>>"
+        ).alias("variances"),
+        F.lit(None).cast("string").alias("lossFunction"),
+    )
+
+
+def avro_frame_to_random_effects(
+    avro_df: DataFrame, dictionary: DataFrame, dim: int
+) -> DataFrame:
+    """Inverse: BayesianLinearModelAvro frame → (entity, coefficients,
+    intercept) model table, dense arrays rebuilt through the
+    dictionary join (distributed; unknown keys dropped)."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    ex = avro_df.select(
+        F.col("modelId").alias("entity"),
+        F.explode("means").alias("m"),
+    ).select(
+        "entity",
+        F.concat_ws(
+            FEATURE_KEY_SEP, F.col("m.name"), F.col("m.term")
+        ).alias("feature_key"),
+        F.col("m.name").alias("__name"),
+        F.col("m.value").alias("value"),
+    )
+    inter = (
+        ex.filter(F.col("__name") == INTERCEPT_NAME)
+        .groupBy("entity")
+        .agg(F.first("value").alias("intercept"))
+    )
+    feats = (
+        ex.filter(F.col("__name") != INTERCEPT_NAME)
+        .join(F.broadcast(dictionary), "feature_key", "inner")
+        .groupBy("entity")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("feature_index", "value"))
+            ).alias("__pairs")
+        )
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at(
+                F.map_from_entries("__pairs"), i.cast("long")
+            ),
+            F.lit(0.0),
+        ),
+    )
+    return (
+        inter.join(feats, "entity", "left")
+        .select(
+            "entity",
+            F.when(F.col("__pairs").isNull(), F.array_repeat(F.lit(0.0), dim))
+            .otherwise(dense).alias("coefficients"),
+            F.col("intercept").cast("double").alias("intercept"),
+        )
+    )

@@ -1,0 +1,199 @@
+"""Avro wire-format tests (S1/S2/S9/S11): pure-codec round trips, the
+distributed Spark read/write fallback, photon model layouts, and an
+independent cross-check of our codec through the JVM avro core library
+bundled with Spark (org.apache.avro.file.DataFileReader)."""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.sources import avro_io
+from photon_ml_spark.sources.datasets import lineitem_training_frame
+from photon_ml_spark.sources.featurize import build_feature_dictionary
+
+
+RECORDS = [
+    {
+        "uid": "a1", "label": 1.0,
+        "features": [
+            {"name": "li", "term": "qty", "value": 0.5},
+            {"name": "li", "term": "price", "value": -2.25},
+        ],
+        "metadataMap": {"src": "unit", "k": "v"},
+        "weight": 2.0, "offset": 0.125,
+    },
+    {
+        "uid": None, "label": 0.0, "features": [],
+        "metadataMap": None, "weight": None, "offset": None,
+    },
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_ocf_round_trip(codec):
+    data = avro_io.write_ocf(
+        avro_io.TRAINING_EXAMPLE_SCHEMA, RECORDS, codec=codec
+    )
+    schema_json, out = avro_io.read_ocf(data)
+    assert json.loads(schema_json)["name"] == "TrainingExampleAvro"
+    assert len(out) == 2
+    uid, label, features, meta, weight, offset = out[0]
+    assert (uid, label, weight, offset) == ("a1", 1.0, 2.0, 0.125)
+    assert features == [("li", "qty", 0.5), ("li", "price", -2.25)]
+    assert meta == {"src": "unit", "k": "v"}
+    assert out[1] == (None, 0.0, [], None, None, None)
+
+
+def test_ocf_multi_block():
+    recs = [
+        {"uid": str(i), "label": float(i), "features": [],
+         "metadataMap": None, "weight": None, "offset": None}
+        for i in range(10000)
+    ]
+    data = avro_io.write_ocf(
+        avro_io.TRAINING_EXAMPLE_SCHEMA, recs, block_records=512
+    )
+    _, out = avro_io.read_ocf(data)
+    assert [r[0] for r in out] == [str(i) for i in range(10000)]
+
+
+def test_jvm_cross_check(spark, tmp_path):
+    """A file written by the Python codec must be readable by the JVM
+    avro library (independent implementation of the same spec)."""
+    path = str(tmp_path / "xcheck.avro")
+    with open(path, "wb") as f:
+        f.write(avro_io.write_ocf(avro_io.TRAINING_EXAMPLE_SCHEMA, RECORDS))
+    jvm = spark.sparkContext._jvm
+    try:
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(path),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+    except Exception:
+        pytest.skip("JVM avro library not reachable via py4j")
+    recs = []
+    while reader.hasNext():
+        recs.append(reader.next())
+    reader.close()
+    assert len(recs) == 2
+    assert str(recs[0].get("uid")) == "a1"
+    assert float(str(recs[0].get("label"))) == 1.0
+    feats = recs[0].get("features")
+    assert feats.size() == 2
+    f0 = feats.get(0)
+    assert str(f0.get("term")) == "qty"
+    assert float(str(f0.get("value"))) == 0.5
+    assert recs[1].get("uid") is None
+
+
+def test_spark_training_example_round_trip(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "training_avro")
+    frame = lineitem_training_frame(spark, sf_dir).limit(200).cache()
+    avro_io.write_training_examples(frame, path)
+    back = avro_io.read_training_examples(spark, path)
+    a = {
+        r.uid: (r.response, r.weight, r.offset,
+                tuple((f.name, f.term, round(f.value, 12)) for f in r.features))
+        for r in frame.select(
+            F.col("uid").cast("string").alias("uid"),
+            "response", "weight", "offset", "features",
+        ).collect()
+    }
+    b = {
+        r.uid: (r.response, r.weight, r.offset,
+                tuple((f.name, f.term, round(f.value, 12)) for f in r.features))
+        for r in back.collect()
+    }
+    assert a == b
+
+
+def test_fixed_effect_avro_round_trip(spark, sf_dir, tmp_path):
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.ml import glm
+    from photon_ml_spark.sources import featurize
+
+    frame = lineitem_training_frame(spark, sf_dir).cache()
+    dictionary = build_feature_dictionary(frame, ["features"]).cache()
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(frame, dictionary, shard, strategy="map")
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+
+    path = str(tmp_path / "fixed_avro")
+    avro_io.write_avro(
+        avro_io.fixed_effect_to_avro_frame(spark, model, dictionary),
+        path, avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA,
+    )
+    rows = avro_io.read_avro(
+        spark, path, avro_schema=avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA
+    ).collect()
+    back = avro_io.avro_frame_to_fixed_effect(
+        rows, dictionary, dim=5, family="binomial"
+    )
+    assert back.intercept == pytest.approx(model.intercept, rel=1e-12)
+    for i in range(5):
+        assert back.coefficients[i] == pytest.approx(
+            model.coefficients[i], rel=1e-12
+        )
+
+
+def test_random_effect_avro_round_trip(spark, sf_dir, tmp_path):
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    frame = lineitem_training_frame(spark, sf_dir).cache()
+    dictionary = build_feature_dictionary(frame, ["features"]).cache()
+    li = frame.select(
+        "uid", "response", "offset", "weight",
+        F.col("suppkey").alias("entity"),
+        F.array(*[F.lit(i).cast("long") for i in range(2)]).alias(
+            "features_indices"
+        ),
+        F.array(
+            F.element_at(F.col("features"), 1)["value"].cast("double"),
+            F.element_at(F.col("features"), 2)["value"].cast("double"),
+        ).alias("features_values"),
+    )
+    models = fit_random_effects(
+        li, entity_col="entity", dim=2, family="gaussian", reg_param=1.0
+    ).cache()
+
+    path = str(tmp_path / "re_avro")
+    avro_io.write_avro(
+        avro_io.random_effects_to_avro_frame(models, dictionary, dim=2),
+        path, avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA,
+    )
+    back = avro_io.avro_frame_to_random_effects(
+        avro_io.read_avro(
+            spark, path, avro_schema=avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA
+        ),
+        dictionary, dim=2,
+    )
+    a = {
+        r.entity: (round(r.intercept, 9), tuple(round(c, 9) for c in r.coefficients))
+        for r in models.select("entity", "coefficients", "intercept").collect()
+    }
+    b = {
+        r.entity: (round(r.intercept, 9), tuple(round(c, 9) for c in r.coefficients))
+        for r in back.collect()
+    }
+    assert a == b
+
+
+def test_scoring_result_sink(spark, tmp_path):
+    path = str(tmp_path / "scores_avro")
+    scored = spark.range(100).select(
+        F.col("id").cast("string").alias("uid"),
+        (F.col("id") % 2).cast("double").alias("label"),
+        F.lit("m1").alias("modelId"),
+        (F.col("id") * 0.01).alias("predictionScore"),
+        F.lit(1.0).alias("weight"),
+        F.lit(None).cast("map<string,string>").alias("metadataMap"),
+    )
+    avro_io.write_avro(scored, path, avro_io.SCORING_RESULT_SCHEMA)
+    back = avro_io.read_avro(
+        spark, path, avro_schema=avro_io.SCORING_RESULT_SCHEMA
+    )
+    assert back.count() == 100
+    got = {r.uid: r.predictionScore for r in back.collect()}
+    assert all(math.isclose(got[str(i)], i * 0.01) for i in range(100))
