@@ -7,16 +7,17 @@ distributed DataFrame job:
 
 - grid: explicit regularization-weight lists
   (photon-lib/.../hyperparameter/search — grid via config lists)
-- quasi-random: low-discrepancy space-filling search. The reference
-  draws Sobol points (RandomSearch.scala:34-47); we use the Halton
-  radical-inverse sequence — same capability (deterministic
-  low-discrepancy coverage), numpy-only.
+- quasi-random: low-discrepancy space-filling search. Sobol points
+  (Gray-code construction over Joe–Kuo direction numbers — the
+  reference's generator, RandomSearch.scala:34-47) by default; the
+  Halton radical-inverse sequence as the alternative.
 - model-based: Gaussian-process search with Matérn 5/2 kernel and
   expected improvement (GaussianProcessSearch.scala:44+,
   GaussianProcessEstimator.scala), numpy-only (Cholesky + closed-form
-  EI; kernel amplitude fit by marginal-likelihood grid instead of the
-  reference's slice sampler — SliceSampler.scala — which is an
-  implementation detail of the posterior, not a capability).
+  EI). Kernel hyperparameters (length scale, amplitude) are either
+  fixed or slice-sampled from the log marginal likelihood with EI
+  averaged over the posterior draws — the reference's SliceSampler
+  (SliceSampler.scala, Neal 2003 stepping-out + shrinkage).
 
 All searches share the contract: ``evaluate(params) -> float`` runs a
 fit + validation round; ``maximize`` follows the primary evaluator's
@@ -78,6 +79,63 @@ def halton(n: int, dim: int, skip: int = 20) -> np.ndarray:
     return out
 
 
+# Joe–Kuo "new-joe-kuo-6" direction-number table head: one row per
+# dimension ≥ 2 as (degree s, polynomial a, initial m values). The
+# first dimension is the van der Corput sequence (all m = 1).
+_SOBOL_JK = [
+    (1, 0, [1]),
+    (2, 1, [1, 3]),
+    (3, 1, [1, 3, 1]),
+    (3, 2, [1, 1, 1]),
+    (4, 1, [1, 1, 3, 3]),
+    (4, 4, [1, 3, 5, 13]),
+    (5, 2, [1, 1, 5, 5, 17]),
+    (5, 4, [1, 1, 5, 5, 5]),
+    (5, 7, [1, 1, 7, 11, 19]),
+]
+_SOBOL_BITS = 32
+
+
+def sobol(n: int, dim: int, skip: int = 0) -> np.ndarray:
+    """First ``n`` points (after ``skip``) of the Sobol sequence in
+    [0,1)^dim — Gray-code construction (Antonov–Saleev) over Joe–Kuo
+    direction numbers, the same generator family the reference uses
+    (RandomSearch.scala:34-47). Deterministic."""
+    if dim > len(_SOBOL_JK) + 1:
+        raise ValueError(f"dim must be <= {len(_SOBOL_JK) + 1}")
+    # direction numbers V[j][k], scaled to the top bits of a 32-bit word
+    V = np.zeros((dim, _SOBOL_BITS), dtype=np.uint64)
+    for k in range(_SOBOL_BITS):
+        V[0, k] = 1 << (_SOBOL_BITS - 1 - k)
+    for j in range(1, dim):
+        s, a, m = _SOBOL_JK[j - 1]
+        v = [np.uint64(m[k] << (_SOBOL_BITS - 1 - k)) for k in range(s)]
+        for k in range(s, _SOBOL_BITS):
+            vk = v[k - s] ^ (v[k - s] >> np.uint64(s))
+            for i in range(1, s):
+                if (a >> (s - 1 - i)) & 1:
+                    vk ^= v[k - i]
+            v.append(vk)
+        V[j] = v
+    out = np.empty((n, dim))
+    x = np.zeros(dim, dtype=np.uint64)
+    scale = float(1 << _SOBOL_BITS)
+    idx = 0
+    for i in range(skip + n):
+        if i > 0:
+            # Gray-code flip bit: lowest zero bit of i-1
+            c = 0
+            g = i - 1
+            while g & 1:
+                g >>= 1
+                c += 1
+            x ^= V[:, c]
+        if i >= skip:
+            out[idx] = x / scale
+            idx += 1
+    return out
+
+
 def _scale(unit: np.ndarray, bounds: list[tuple[float, float, str]]) -> np.ndarray:
     """Map unit-cube points into bounds; scale 'log' spans decades
     uniformly (regularization weights are log-scaled in practice)."""
@@ -96,11 +154,20 @@ def quasi_random_search(
     bounds: dict[str, tuple[float, float, str]],
     n: int,
     maximize: bool = False,
+    sequence: str = "sobol",
 ) -> dict:
-    """Low-discrepancy (Halton) search over ``bounds``:
-    {name: (lo, hi, 'linear'|'log')}."""
+    """Low-discrepancy search over ``bounds``:
+    {name: (lo, hi, 'linear'|'log')}. ``sequence``: 'sobol' (the
+    reference's generator; point 0 is skipped — it is the all-zeros
+    corner) or 'halton'."""
     names = list(bounds)
-    pts = _scale(halton(n, len(names)), [bounds[k] for k in names])
+    if sequence == "sobol":
+        unit = sobol(n, len(names), skip=1)
+    elif sequence == "halton":
+        unit = halton(n, len(names))
+    else:
+        raise ValueError(f"unknown sequence {sequence!r}")
+    pts = _scale(unit, [bounds[k] for k in names])
     history = []
     for row in pts:
         p = dict(zip(names, (float(v) for v in row)))
@@ -185,6 +252,75 @@ def _norm_cdf(z):
     return 0.5 * (1.0 + np.vectorize(math.erf)(z / math.sqrt(2.0)))
 
 
+def slice_sample(
+    log_density: Callable[[np.ndarray], float],
+    x0: np.ndarray,
+    n_samples: int,
+    widths: np.ndarray,
+    seed: int = 0,
+    burn_in: int = 4,
+    max_steps: int = 16,
+) -> np.ndarray:
+    """Coordinate-wise slice sampling (Neal 2003: stepping-out then
+    shrinkage), the reference's kernel-posterior sampler
+    (SliceSampler.scala). Deterministic via seeded generator. Returns
+    (n_samples, dim) draws after ``burn_in`` discarded sweeps."""
+    rng = np.random.default_rng(seed)
+    x = np.asarray(x0, dtype=np.float64).copy()
+    ll = float(log_density(x))
+    out = []
+    for it in range(burn_in + n_samples):
+        for j in range(len(x)):
+            log_y = ll + math.log(rng.uniform(1e-300, 1.0))
+            w = widths[j]
+            lo = x[j] - w * rng.uniform()
+            hi = lo + w
+            xc = x.copy()
+            for _ in range(max_steps):
+                xc[j] = lo
+                if float(log_density(xc)) <= log_y:
+                    break
+                lo -= w
+            for _ in range(max_steps):
+                xc[j] = hi
+                if float(log_density(xc)) <= log_y:
+                    break
+                hi += w
+            while True:
+                xj = rng.uniform(lo, hi)
+                xc[j] = xj
+                llc = float(log_density(xc))
+                if llc > log_y:
+                    x[j] = xj
+                    ll = llc
+                    break
+                if xj < x[j]:
+                    lo = xj
+                else:
+                    hi = xj
+        if it >= burn_in:
+            out.append(x.copy())
+    return np.array(out)
+
+
+def _gp_log_marginal(
+    X: np.ndarray, yn: np.ndarray, length: float, amp: float, noise: float
+) -> float:
+    """log p(y | X, θ) for the Matérn-5/2 GP (standardized targets)."""
+    n = len(X)
+    K = amp * _matern52(X, X, np.full(X.shape[1], length)) + noise * np.eye(n)
+    try:
+        L = np.linalg.cholesky(K)
+    except np.linalg.LinAlgError:
+        return -1e18
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+    return float(
+        -0.5 * yn @ alpha
+        - np.log(np.diag(L)).sum()
+        - 0.5 * n * math.log(2 * math.pi)
+    )
+
+
 def gp_search(
     evaluate: Callable[[dict], float],
     bounds: dict[str, tuple[float, float, str]],
@@ -193,10 +329,18 @@ def gp_search(
     n_candidates: int = 512,
     noise: float = 1e-6,
     maximize: bool = False,
+    kernel_sampling: str = "fixed",
+    n_kernel_samples: int = 8,
 ) -> dict:
     """Bayesian search: GP (Matérn 5/2) posterior over observed points,
     expected-improvement acquisition argmax over a Halton candidate
-    pool. Internally minimizes (negates when ``maximize``)."""
+    pool. Internally minimizes (negates when ``maximize``).
+
+    ``kernel_sampling='slice'`` marginalizes the kernel hyperparameters
+    (log length scale, log amplitude) over their marginal-likelihood
+    posterior via slice sampling and averages EI across the draws —
+    GaussianProcessSearch + SliceSampler parity; ``'fixed'`` keeps the
+    fast single-kernel path."""
     names = list(bounds)
     bl = [bounds[k] for k in names]
     dim = len(names)
@@ -207,22 +351,50 @@ def gp_search(
     hist_params = [dict(zip(names, map(float, r))) for r in _scale(unit_obs, bl)]
     y = np.array([sign * float(evaluate(p)) for p in hist_params])
 
-    cand_unit = halton(n_candidates, dim, skip=997)
-    for _ in range(n_iter):
-        mu_y, sd_y = float(np.mean(y)), float(np.std(y)) or 1.0
-        yn = (y - mu_y) / sd_y
-        length = np.full(dim, 0.3)
-        K = _matern52(X, X, length) + noise * np.eye(len(X))
+    def _ei_for_kernel(yn, length_scalar, amp):
+        length = np.full(dim, length_scalar)
+        K = amp * _matern52(X, X, length) + noise * np.eye(len(X))
         L = np.linalg.cholesky(K)
         alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
-        Ks = _matern52(cand_unit, X, length)
+        Ks = amp * _matern52(cand_unit, X, length)
         mu = Ks @ alpha
         v = np.linalg.solve(L, Ks.T)
-        var = np.clip(1.0 - (v * v).sum(0), 1e-12, None)
+        var = np.clip(amp - (v * v).sum(0), 1e-12, None)
         sd = np.sqrt(var)
         best = yn.min()
         z = (best - mu) / sd
-        ei = (best - mu) * _norm_cdf(z) + sd * _norm_pdf(z)
+        return (best - mu) * _norm_cdf(z) + sd * _norm_pdf(z)
+
+    cand_unit = halton(n_candidates, dim, skip=997)
+    for it in range(n_iter):
+        mu_y, sd_y = float(np.mean(y)), float(np.std(y)) or 1.0
+        yn = (y - mu_y) / sd_y
+        if kernel_sampling == "slice":
+            # θ = (log length, log amp) ~ p(θ | data) via slice sampling
+            def lml(theta):
+                ln_l, ln_a = theta
+                if not (-3.5 <= ln_l <= 1.5 and -4.0 <= ln_a <= 3.0):
+                    return -1e18  # log-uniform prior support
+                return _gp_log_marginal(
+                    X, yn, math.exp(ln_l), math.exp(ln_a), noise
+                )
+
+            draws = slice_sample(
+                lml,
+                np.array([math.log(0.3), 0.0]),
+                n_kernel_samples,
+                widths=np.array([1.0, 1.0]),
+                seed=it,
+            )
+            ei = np.mean(
+                [
+                    _ei_for_kernel(yn, math.exp(t[0]), math.exp(t[1]))
+                    for t in draws
+                ],
+                axis=0,
+            )
+        else:
+            ei = _ei_for_kernel(yn, 0.3, 1.0)
         pick = int(np.argmax(ei))
         x_new = cand_unit[pick : pick + 1]
         p_new = dict(zip(names, map(float, _scale(x_new, bl)[0])))

@@ -6,12 +6,13 @@ Arrow-batched ``mapInPandas`` stages so the heavy per-item work stays
 in vectorized Python workers and the rest of the pipeline stays
 Catalyst.
 
-The actual codecs (PIL/ffmpeg/torchaudio) are NOT in this container:
-``decode_image`` raises ``NotImplementedError`` unless
-``fake=True``, which substitutes a deterministic fake decoder (payload
-hash → synthetic dimensions/pixel stats). The Spark-side contract —
-schemas, batch iteration, partition sizing — is real and tested; only
-the innermost bytes→pixels call is stubbed.
+Codec capability gating: ``decode_image`` uses a REAL decoder
+(PIL/Pillow) when the library imports, falling back to the documented
+deterministic fake (payload hash → synthetic dimensions/pixel stats)
+with ``fake=True``, and raising when neither applies. This container
+ships no codec libraries, so the real path is exercised only where
+Pillow exists (skip-marked test); the Spark-side contract — schemas,
+Arrow batch iteration, partition sizing — is identical for both.
 """
 
 from __future__ import annotations
@@ -41,13 +42,33 @@ def attach_payload(
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, float]:
-    """Deterministic fake decoder: payload digest → (w, h, mean_luma).
-    REPLACE with PIL.Image.open when a codec library is available."""
+    """Deterministic fake decoder: payload digest → (w, h, mean_luma)."""
     digest = hashlib.sha256(payload).digest()
     width = 16 + digest[0] % 240
     height = 16 + digest[1] % 240
     mean_luma = digest[2] / 255.0
     return width, height, mean_luma
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _pil_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder: bytes → (width, height, mean luma in [0,1])."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    with Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        luma = np.asarray(img.convert("L"), dtype=np.float64)
+        return width, height, float(luma.mean() / 255.0)
 
 
 def decode_image(
@@ -59,24 +80,38 @@ def decode_image(
     """Decode binary payloads to image metadata + stats via mapInPandas.
 
     The Arrow batch loop is the production shape: one pandas batch in,
-    one out, no per-row Python dispatch overhead. ``fake=True`` uses
-    the deterministic stub decoder (no codec libs in this container).
+    one out, no per-row Python dispatch overhead. ``fake=True`` selects
+    the deterministic stub decoder; otherwise Pillow must be importable
+    on the executors (capability-checked up front on the driver so the
+    failure is immediate, not mid-job). Undecodable payloads on the
+    real path yield ``decode_ok=False`` rows, never task failures.
     """
-    if not fake:
+    if not fake and not _pil_available():
         raise NotImplementedError(
-            "real image decode requires a codec library (PIL/opencv) not "
-            "present in this environment; pass fake=True for the "
-            "deterministic stub"
+            "real image decode requires Pillow on driver and executors; "
+            "pass fake=True for the deterministic stub decoder"
         )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_fake_decode(bytes(p)) for p in pdf[payload_col]]
+            meta = []
+            ok = []
+            for p in pdf[payload_col]:
+                if fake:
+                    meta.append(_fake_decode(bytes(p)))
+                    ok.append(True)
+                else:
+                    try:
+                        meta.append(_pil_decode(bytes(p)))
+                        ok.append(True)
+                    except Exception:
+                        meta.append((0, 0, 0.0))
+                        ok.append(False)
             out = pdf.copy()
             out["width"] = [m[0] for m in meta]
             out["height"] = [m[1] for m in meta]
             out["mean_luma"] = [m[2] for m in meta]
-            out["decode_ok"] = True
+            out["decode_ok"] = ok
             yield out
 
     return df.mapInPandas(decode_batches, schema=IMAGE_META_SCHEMA)

@@ -8,6 +8,8 @@ from photon_ml_spark.ml.hypersearch import (
     grid_search,
     halton,
     quasi_random_search,
+    slice_sample,
+    sobol,
 )
 from photon_ml_spark.ml.local_glm import fit_local_glm
 
@@ -37,6 +39,52 @@ def test_halton_low_discrepancy_and_deterministic():
         np.sum(qx & qy), np.sum(qx & ~qy), np.sum(~qx & qy), np.sum(~qx & ~qy)
     ]
     assert min(counts) > 40  # ~64 each if uniform
+
+
+def test_sobol_known_prefix_and_stratification():
+    # canonical dim-2 Sobol head (after the zero point)
+    pts = sobol(7, 2)
+    expected = [
+        (0.0, 0.0), (0.5, 0.5), (0.75, 0.25), (0.25, 0.75),
+        (0.375, 0.375), (0.875, 0.875), (0.625, 0.125),
+    ]
+    assert np.allclose(pts, expected)
+    # power-of-two prefixes are perfectly stratified: 64 points put
+    # exactly 16 in each quadrant (a property Halton lacks)
+    a = sobol(64, 2, skip=1)
+    qx, qy = (a[:, 0] < 0.5), (a[:, 1] < 0.5)
+    counts = sorted(
+        [int(np.sum(qx & qy)), int(np.sum(qx & ~qy)),
+         int(np.sum(~qx & qy)), int(np.sum(~qx & ~qy))]
+    )
+    assert counts == [16, 16, 16, 16]
+    # determinism + range + higher dims
+    assert np.array_equal(sobol(100, 6, skip=3), sobol(100, 6, skip=3))
+    b = sobol(256, 6)
+    assert b.min() >= 0.0 and b.max() < 1.0
+    assert abs(b.mean() - 0.5) < 0.02
+
+
+def test_slice_sample_recovers_gaussian():
+    draws = slice_sample(
+        lambda x: -0.5 * float(((x[0] - 2.0) / 1.5) ** 2),
+        np.array([0.0]),
+        n_samples=400,
+        widths=np.array([2.0]),
+        seed=11,
+        burn_in=20,
+    )
+    assert abs(draws.mean() - 2.0) < 0.2
+    assert abs(draws.std() - 1.5) < 0.3
+
+
+def test_gp_search_slice_sampled_kernels():
+    out = gp_search(
+        _quadratic,
+        {"reg": (0.0, 1.0, "linear"), "alpha": (0.0, 1.0, "linear")},
+        n_init=6, n_iter=8, kernel_sampling="slice", n_kernel_samples=4,
+    )
+    assert out["best_value"] < 0.02
 
 
 def test_quasi_random_search_log_scale_bounds():

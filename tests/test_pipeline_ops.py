@@ -98,8 +98,9 @@ def test_ivf_speedup_and_recall(emb):
 
 def test_multimodal_decode_plumbing(docs):
     payloads = multimodal.attach_payload(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(payloads).count()
+    if not multimodal._pil_available():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(payloads).count()
 
     decoded = multimodal.decode_image(payloads, fake=True).cache()
     assert decoded.count() == docs.count()
@@ -120,6 +121,30 @@ def test_multimodal_decode_plumbing(docs):
         | ((F.col("out_w") < 224) & (F.col("out_h") < 224))
     )
     assert bad.count() == 0  # letterbox: one side exactly 224
+
+
+@pytest.mark.skipif(
+    not multimodal._pil_available(), reason="Pillow not installed"
+)
+def test_multimodal_real_decode(spark):
+    """Real-decode path (runs only where Pillow exists): a synthetic
+    PNG decodes to its true dimensions and luma; junk bytes yield
+    decode_ok=False rows, not task failures."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (40, 30), color=(255, 255, 255)).save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue()), "image/png"),
+            (2, bytearray(b"not an image"), "image/png")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    out = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    assert (out[1].width, out[1].height) == (40, 30)
+    assert out[1].decode_ok and out[1].mean_luma == pytest.approx(1.0)
+    assert not out[2].decode_ok
 
 
 def test_frame_sample_plan(spark):
