@@ -86,6 +86,7 @@ def fit_fixed_effect(
     upper_bounds=None,
     max_iter: int = 25,
     tol: float = 1e-6,
+    solver: str = "auto",
 ) -> FixedEffectGLM:
     """Fit one distributed GLM (M1) with offset (M6), weight, L2 (M4).
 
@@ -97,18 +98,50 @@ def fit_fixed_effect(
     constraints (``lower_bounds``/``upper_bounds``, LBFGSB), or the
     smoothed-hinge family — routes to the distributed custom solver
     (ml/distributed_solver.py), which handles offsets in every mode.
+
+    ``solver='tron'`` forces the trust-region truncated-Newton path
+    (A2: distributed Hessian·vector CG, TRON.scala) — smooth
+    objectives only (no L1, no bounds); ``'auto'`` picks as above.
     """
     from pyspark.ml.regression import GeneralizedLinearRegression
 
     from photon_ml_spark.ml.distributed_solver import (
         SUPPORTED_FAMILIES,
         solve_penalized,
+        solve_tron,
     )
 
     if family not in SUPPORTED_FAMILIES:
         raise ValueError(
             f"family {family!r} not supported for fixed-effect training; "
             f"choose one of {SUPPORTED_FAMILIES}"
+        )
+    if solver == "tron":
+        if elastic_net_param > 0 or lower_bounds is not None or upper_bounds is not None:
+            raise ValueError(
+                "solver='tron' handles smooth objectives only; use the "
+                "default solver for L1/elastic net or box constraints"
+            )
+        res = solve_tron(
+            df, dim, family=family,
+            indices_col=indices_col, values_col=values_col,
+            label_col=label_col, weight_col=weight_col,
+            offset_col=offset_col, reg_param=reg_param,
+            prior_mean=prior_mean, prior_precision=prior_precision,
+            max_iter=max_iter, tol=min(tol, 1e-7),
+        )
+        return FixedEffectGLM(
+            family=family,
+            coefficients=np.asarray(res["coefficients"], dtype=np.float64),
+            intercept=res["intercept"],
+            dim=dim,
+            reg_param=reg_param,
+            meta={
+                "iterations": res["n_iter"],
+                "converged": res["converged"],
+                "objective": res["objective"],
+                "optimizer": "tron",
+            },
         )
     needs_custom = (
         elastic_net_param > 0

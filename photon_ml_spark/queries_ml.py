@@ -803,6 +803,59 @@ def m1b_box_fixed_effect(spark, sf_dir):
     )
 
 
+@register(
+    "m1c_tron_fixed_effect",
+    oracle="""
+WITH d AS (
+  SELECT l_quantity AS x,
+         ROUND(l_extendedprice / 1000) AS y,
+         ROUND(l_extendedprice / 1000) / 2 AS o
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y - o) AS sr,
+         SUM(x*x) AS sxx, SUM(x*(y - o)) AS sxr
+  FROM d
+),
+sol AS (
+  SELECT (sxx + 500.0) * n - sx * sx AS det, m.* FROM m
+)
+SELECT ROUND((sxr * n - sx * sr) / det, 6) AS coef,
+       ROUND(((sxx + 500.0) * sr - sx * sxr) / det, 6) AS intercept,
+       'tron' AS optimizer, CAST(TRUE AS BOOLEAN) AS converged
+FROM sol
+""",
+    note="A2/M1: trust-region truncated Newton (TRON.scala:78-233) with "
+    "distributed Hessian·vector CG rounds "
+    "(HessianVectorAggregator.scala) — ridge with an OFFSET through the "
+    "real solve_tron path; oracle is the exact 2×2 ridge normal-equation "
+    "solution on offset-adjusted moments via Cramer's rule (intercept "
+    "unpenalized)",
+)
+def m1c_tron_fixed_effect(spark, sf_dir):
+    from photon_ml_spark.ml.glm import fit_fixed_effect
+
+    d = _t(spark, sf_dir, "lineitem").select(
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+        (F.round(F.col("l_extendedprice") / 1000, 0) / 2).alias("offset"),
+    )
+    m = fit_fixed_effect(
+        d, dim=1, family="gaussian", weight_col=None, offset_col="offset",
+        reg_param=500.0, solver="tron", tol=1e-10, max_iter=100,
+    )
+    return spark.createDataFrame(
+        [(
+            float(round(float(m.coefficients[0]), 6)),
+            float(round(float(m.intercept), 6)),
+            m.meta["optimizer"],
+            bool(m.meta["converged"]),
+        )],
+        "coef double, intercept double, optimizer string, converged boolean",
+    )
+
+
 # ------------------------------------------------------------ A12 legacy suite
 
 

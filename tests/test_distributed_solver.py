@@ -5,7 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from photon_ml_spark.ml import glm
-from photon_ml_spark.ml.distributed_solver import solve_penalized
+from photon_ml_spark.ml.distributed_solver import solve_penalized, solve_tron
 from photon_ml_spark.ml.local_glm import fit_local_glm
 from photon_ml_spark.sources import datasets
 
@@ -61,6 +61,59 @@ def test_binomial_l2_matches_local_solver(uni):
     loc = fit_local_glm(X, y, family="binomial", l2=2.0, tol=1e-12)
     assert np.allclose(res["coefficients"], loc["coefficients"], atol=1e-6)
     assert res["intercept"] == pytest.approx(loc["intercept"], abs=1e-6)
+
+
+def test_tron_matches_local_solver_gaussian(uni):
+    res = solve_tron(
+        uni, dim=1, family="gaussian", weight_col=None, offset_col=None,
+        reg_param=10.0, tol=1e-10,
+    )
+    X, y = _np_data(uni)
+    loc = fit_local_glm(X, y, family="gaussian", l2=10.0, tol=1e-12)
+    assert res["converged"]
+    assert np.allclose(res["coefficients"], loc["coefficients"], atol=1e-7)
+    assert res["intercept"] == pytest.approx(loc["intercept"], abs=1e-7)
+
+
+def test_tron_matches_local_solver_binomial_with_prior(uni):
+    """A2 Hessian·vector CG path: binomial + Gaussian prior, checked
+    against the local Newton solver on the same data."""
+    b = uni.withColumn("response", (F.col("response") > 30).cast("double"))
+    prior_mean = np.array([0.02, -0.5])
+    prior_prec = np.array([50.0, 10.0])
+    res = solve_tron(
+        b, dim=1, family="binomial", weight_col=None, offset_col=None,
+        reg_param=1.0, prior_mean=prior_mean, prior_precision=prior_prec,
+        tol=1e-9,
+    )
+    X, y = _np_data(b)
+    loc = fit_local_glm(
+        X, y, family="binomial", l2=1.0, prior_mean=prior_mean,
+        prior_precision=prior_prec, tol=1e-12,
+    )
+    assert res["converged"]
+    assert np.allclose(res["coefficients"], loc["coefficients"], atol=1e-6)
+    assert res["intercept"] == pytest.approx(loc["intercept"], abs=1e-6)
+    # quadratic convergence: far fewer outer rounds than first-order
+    assert res["n_iter"] <= 15
+
+
+def test_tron_via_fit_fixed_effect_and_validation(uni):
+    model = glm.fit_fixed_effect(
+        uni, dim=1, family="gaussian", weight_col=None, offset_col=None,
+        reg_param=10.0, solver="tron",
+    )
+    res = solve_penalized(
+        uni, dim=1, family="gaussian", weight_col=None, offset_col=None,
+        reg_param=10.0, tol=1e-10,
+    )
+    assert model.meta["optimizer"] == "tron"
+    assert np.allclose(model.coefficients, res["coefficients"], atol=1e-6)
+    with pytest.raises(ValueError, match="smooth"):
+        glm.fit_fixed_effect(
+            uni, dim=1, family="gaussian", solver="tron",
+            elastic_net_param=0.5, reg_param=1.0,
+        )
 
 
 def test_lasso_univariate_closed_form(uni):
