@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "x6_minhash_lsh_pairs",
     "x7_simhash_neardup",
     "x9_ann_brute_topk",
+    "x9b_ann_blas_topk",
     "x10_ann_ivf_topk",
     "xm1_multimodal_decode_resize",
     # streaming extension (batch side of the dual-use operators)

@@ -121,6 +121,96 @@ def cosine_topk(
     )
 
 
+def cosine_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine — Arrow/BLAS path.
+
+    Same semantics as ``cosine_topk``, with the per-pair arithmetic
+    dot / |q| / |v| in the same IEEE order — bit-identical results on
+    integer-quantized vectors (the oracle convention; the matmul
+    reassociates the dot-product sum, which only matters for
+    non-integer summands, where results agree to ~1 ulp), but
+    the corpus streams through ``mapInPandas`` and each Arrow batch
+    scores against ALL queries in one numpy matmul — BLAS throughput
+    instead of per-pair expression evaluation over an exploded
+    cross-join relation. Per batch only the local top-k per query
+    survives (ties broken by corpus id, like the final window), so the
+    shuffle input shrinks from |corpus|×|queries| rows to
+    k×n_batches×|queries|; a partitioned rank window picks the global
+    top-k from those candidates.
+
+    The query set is collected to a broadcast matrix — the same
+    "queries are small" regime the broadcast cross-join assumes
+    (guarded: raises above ``1e6`` queries; use IVF at that scale).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    if len(qrows) > 1_000_000:
+        raise ValueError(
+            "cosine_topk_blas broadcasts the query set; route >1e6 "
+            "queries through ivf_topk instead"
+        )
+    qids_np = np.array([int(r[0]) for r in qrows], dtype=np.int64)
+    Q = np.array([[float(x) for x in r[1]] for r in qrows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids_np, Q, qn))
+
+    def score_batches(batches):
+        qids, Qm, qnorm = bc.value
+        m = len(qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.array(
+                [[float(x) for x in v] for v in pdf[vec_col]], dtype=np.float64
+            )
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            vn = np.sqrt((C * C).sum(axis=1))
+            # (m, b): dot / |q| / |v| — division order fixed by the
+            # cosine_similarity oracle contract
+            S = (Qm @ C.T) / qnorm[:, None] / vn[None, :]
+            S[qids[:, None] == ids[None, :]] = -np.inf  # self matches
+            kk = min(k, S.shape[1])
+            out_q, out_id, out_c = [], [], []
+            for i in range(m):
+                # exact local order: cosine desc, id asc (lexsort keys
+                # are last-significant-first)
+                order = np.lexsort((ids, -S[i]))[:kk]
+                keep = order[np.isfinite(S[i][order])]
+                out_q.append(np.full(len(keep), qids[i], dtype=np.int64))
+                out_id.append(ids[keep])
+                out_c.append(S[i][keep])
+            yield pd.DataFrame(
+                {
+                    query_id_col: np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    cand = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        score_batches,
+        schema=f"{query_id_col} long, {id_col} long, cosine double",
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -370,6 +370,22 @@ def x9_ann_brute_topk(spark, sf_dir):
 
 
 @register(
+    "x9b_ann_blas_topk",
+    oracle=_ANN_ORACLE_BASE.format(join_cond="TRUE"),
+    note="pipeline/similarity: the SAME exact brute-force top-5 as x9 "
+    "through the Arrow/BLAS path (mapInPandas batch matmul + per-batch "
+    "partial top-k, broadcast query matrix) — identical oracle, so the "
+    "two physical strategies are verified value-equal",
+)
+def x9b_ann_blas_topk(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import cosine_topk_blas
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return cosine_topk_blas(emb, queries, k=5, vec_col="qe")
+
+
+@register(
     "x10_ann_ivf_topk",
     oracle=f"""
 WITH base AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),

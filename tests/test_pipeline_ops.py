@@ -96,6 +96,27 @@ def test_ivf_speedup_and_recall(emb):
         assert cell_of[q] == cell_of[v]
 
 
+def test_blas_topk_bit_identical_to_expression_path(emb):
+    """cosine_topk_blas must reproduce cosine_topk exactly — same
+    (query, id, rank) sets AND bit-equal cosines. Exact bit equality
+    requires integer-valued vectors (matmul reassociates the dot-product
+    sum; integer summands make every order exact), so quantize first —
+    the same convention every oracle query uses."""
+    q = emb.withColumn("qe", F.transform("qe", lambda x: F.round(x * 1000, 0)))
+    queries = q.filter(F.col("vec_id") % 25 == 0)
+    a = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk(q, queries, k=5, vec_col="qe").collect()
+    }
+    b = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in similarity.cosine_topk_blas(
+            q, queries, k=5, vec_col="qe"
+        ).collect()
+    }
+    assert a == b
+
+
 def test_multimodal_decode_plumbing(docs):
     payloads = multimodal.attach_payload(docs)
     if not multimodal._pil_available():
