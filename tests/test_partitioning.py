@@ -39,15 +39,23 @@ def test_date_partition_pruning(spark, sf_dir, tmp_path):
 
 def _unpartitioned_windows(df):
     """Physical-plan Window operators with no partition spec (the
-    `WindowExec: No Partition Defined` single-task shape). A partitioned
-    Window prints `Window [exprs], [partSpec], [orderSpec]` (two `], [`
-    separators); an unpartitioned one omits the middle group."""
+    `WindowExec: No Partition Defined` single-task shape). A fully
+    specified Window prints `Window [exprs], [partSpec], [orderSpec]`
+    (two `], [` separators); with one separator the remaining group is
+    EITHER a partition spec (partitioned-unordered count window — fine)
+    or an order spec (global ordered window — the scale killer); order
+    specs always carry ASC/DESC direction markers."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return [
-        line.strip()
-        for line in plan.splitlines()
-        if "Window [" in line and line.count("], [") < 2
-    ]
+    bad = []
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        if line.count("], [") >= 2:
+            continue
+        tail = line.rsplit("], [", 1)[-1]
+        if " ASC" in tail or " DESC" in tail or line.count("], [") == 0:
+            bad.append(line.strip())
+    return bad
 
 
 def test_auc_family_has_no_global_window(spark):
