@@ -79,6 +79,59 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return q.withColumn(out_col, (len_score + stop_score + punct_pen) / 3.0)
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document repetition signals (the Gopher-style repetition
+    filters): duplicate-token fraction (1 − distinct/total) and
+    duplicate-bigram fraction. High values flag boilerplate/spam —
+    standard LLM-corpus curation cuts. Exact int/int rationals, pure
+    Catalyst."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_dist = F.size(F.array_distinct(toks))
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    nb = F.size(bigrams)
+    nb_dist = F.size(F.array_distinct(bigrams))
+    return df.withColumns(
+        {
+            "dup_token_frac": F.when(
+                n > 0, (n - n_dist) / n.cast("double")
+            ).otherwise(F.lit(0.0)),
+            "dup_bigram_frac": F.when(
+                nb > 0, (nb - nb_dist) / nb.cast("double")
+            ).otherwise(F.lit(0.0)),
+        }
+    )
+
+
+# PII detectors: deliberately simple, deterministic regexes (emails,
+# dashed phone-number shapes, 16-digit card-number shapes) — the
+# curation-pipeline scan stage; swap patterns per policy.
+PII_PATTERNS = {
+    "emails": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phones": r"\b\d{3}-\d{3}-\d{4}\b",
+    "card_numbers": r"\b\d{16}\b",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII match counts + a redacted text column (matches
+    replaced with ``[PII]``). Counting and redaction are single-pass
+    JVM regex ops — no Python in the loop."""
+    t = F.col(text_col)
+    out = df
+    redacted = t
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        )
+        redacted = F.regexp_replace(redacted, pat, "[PII]")
+    return out.withColumn("text_redacted", redacted)
+
+
 def language_scores(text: Column) -> Column:
     """Map lang → stopword-hit count (the n-gram heuristic kernel)."""
     toks = tokens(text)

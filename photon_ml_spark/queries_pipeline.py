@@ -529,6 +529,77 @@ def x13_token_histogram(spark, sf_dir):
     )
 
 
+@register(
+    "x15_repetition_stats",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE doc_id % 4 = 0
+),
+b AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) > 1
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bigrams
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN (len(toks) - len(list_distinct(toks)))
+                 / CAST(len(toks) AS DOUBLE)
+            ELSE 0.0 END AS dup_token_frac,
+       CASE WHEN len(bigrams) > 0
+            THEN (len(bigrams) - len(list_distinct(bigrams)))
+                 / CAST(len(bigrams) AS DOUBLE)
+            ELSE 0.0 END AS dup_bigram_frac
+FROM b
+""",
+    note="pipeline/text: Gopher-style repetition filters — duplicate-"
+    "token and duplicate-bigram fractions per document (boilerplate/"
+    "spam cut); exact int/int rationals, pure Catalyst",
+)
+def x15_repetition_stats(spark, sf_dir):
+    from photon_ml_spark.operators.text import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    return repetition_stats(docs).select(
+        "doc_id", "dup_token_frac", "dup_bigram_frac"
+    )
+
+
+@register(
+    "x16_pii_scan",
+    oracle=r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS INT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '\b\d{16}\b')) AS INT)
+         AS n_card_numbers,
+       CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[PII]', 'g'),
+         '\b\d{3}-\d{3}-\d{4}\b', '[PII]', 'g'),
+         '\b\d{16}\b', '[PII]', 'g')) AS BIGINT) AS redacted_len
+FROM documents WHERE doc_id % 6 = 0
+""",
+    note="pipeline/text: PII scan stage — per-document email/phone/card "
+    "regex match counts plus redacted-text length (matches replaced "
+    "with [PII]); single-pass JVM regex, no Python",
+)
+def x16_pii_scan(spark, sf_dir):
+    from photon_ml_spark.operators.text import pii_scan
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 6 == 0)
+    return pii_scan(docs).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_card_numbers",
+        F.length("text_redacted").cast("long").alias("redacted_len"),
+    )
+
+
 _SHA_BYTE = """
   CAST(CASE WHEN substr(h, {p1}, 1) BETWEEN '0' AND '9'
             THEN ascii(substr(h, {p1}, 1)) - 48

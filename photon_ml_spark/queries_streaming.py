@@ -87,6 +87,33 @@ def e4_stream_scoring(spark, sf_dir):
 
 
 @register(
+    "e5_stream_first_seen",
+    oracle="""
+WITH r AS (
+  SELECT user_id, event_type, ts, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM events
+)
+SELECT user_id, event_type,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+       event_id AS first_event_id,
+       CAST(n AS BIGINT) AS n_occurrences
+FROM r WHERE rn = 1
+""",
+    note="streaming/e5: exact-dedup bookkeeping — first occurrence per "
+    "(user, event_type) by event time (deterministic (ts, id) "
+    "tie-break) + duplicate count; ONE aggregation state row per key "
+    "under readStream (the scalable streaming dropDuplicates)",
+)
+def e5_stream_first_seen(spark, sf_dir):
+    from photon_ml_spark.streaming.events import first_seen
+
+    return first_seen(load_events(spark, sf_dir))
+
+
+@register(
     "e3_event_sessions",
     oracle="""
 WITH o AS (

@@ -171,6 +171,39 @@ def running_user_stats(
     )
 
 
+def first_seen(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming exact-dedup bookkeeping: one row per logical event key
+    carrying its FIRST occurrence (earliest (ts, id) — deterministic
+    tie-break) and the occurrence count.
+
+    Batch/stream dual-use: a plain groupBy + min(struct) + count, so
+    under ``readStream`` it is a watermark-boundable stateful agg whose
+    state is ONE (ts, id, count) triple per key — the scalable form of
+    streaming dropDuplicates, with the duplicate count the dedup
+    report needs. (Built-in ``dropDuplicatesWithinWatermark`` keeps
+    arrival order — nondeterministic under replay; this keeps
+    event-time order.)"""
+    key_cols = key_cols or ["user_id", "event_type"]
+    first = F.min(
+        F.struct(F.col(ts_col).alias("ts"), F.col(id_col).alias("id"))
+    ).alias("__first")
+    return (
+        events.groupBy(*[F.col(c) for c in key_cols])
+        .agg(first, F.count(F.lit(1)).alias("n_occurrences"))
+        .select(
+            *key_cols,
+            F.date_format("__first.ts", "yyyy-MM-dd HH:mm:ss").alias("first_ts"),
+            F.col("__first.id").alias("first_event_id"),
+            "n_occurrences",
+        )
+    )
+
+
 def score_events(
     events: DataFrame,
     coefficients: list[float],

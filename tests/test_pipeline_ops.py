@@ -168,6 +168,44 @@ def test_multimodal_real_decode(spark):
     assert not out[2].decode_ok
 
 
+def test_pii_scan_detects_and_redacts(spark):
+    from photon_ml_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [
+            (1, "write to bob.smith+x@example.co.uk or call 555-123-4567"),
+            (2, "card 1234567890123456 expires soon; backup 555-000-1111"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in pii_scan(df).collect()}
+    assert (out[1].n_emails, out[1].n_phones, out[1].n_card_numbers) == (1, 1, 0)
+    assert (out[2].n_emails, out[2].n_phones, out[2].n_card_numbers) == (0, 1, 1)
+    assert (out[3].n_emails, out[3].n_phones, out[3].n_card_numbers) == (0, 0, 0)
+    assert "bob" not in out[1].text_redacted and "[PII]" in out[1].text_redacted
+    assert "1234567890123456" not in out[2].text_redacted
+    assert out[3].text_redacted == "nothing sensitive here"
+
+
+def test_repetition_stats_flags_boilerplate(spark):
+    from photon_ml_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "each word here appears exactly once"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert out[1].dup_token_frac == pytest.approx(6 / 8)
+    assert out[1].dup_bigram_frac == pytest.approx(5 / 7)
+    assert out[2].dup_token_frac == 0.0 and out[2].dup_bigram_frac == 0.0
+    assert out[3].dup_token_frac == 0.0 and out[3].dup_bigram_frac == 0.0
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 10.0), (2, 0.5), (3, 3600.0)], "id int, dur double")
     out = multimodal.frame_sample_plan(df, "dur", fps=2.0, max_frames=16)

@@ -104,6 +104,15 @@ def test_score_events_is_stateless_on_stream(spark, events_stream):
     assert out.err < 1e-9
 
 
+def test_first_seen_stream_matches_batch(spark, events_batch, events_stream):
+    from photon_ml_spark.streaming.events import first_seen
+
+    got = _run_stream(spark, first_seen(events_stream), "first_seen_t")
+    _assert_frames_equal(
+        first_seen(events_batch), got, ["user_id", "event_type"]
+    )
+
+
 def test_running_user_stats_stateful(spark, events_batch, events_stream):
     """applyInPandasWithState custom stateful operator: the final
     per-user state after draining the stream equals the batch
