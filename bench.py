@@ -31,9 +31,18 @@ def run_flagship(spark, sf_dir: str) -> int:
     from photon_ml_spark.ml import glm, scoring
     from photon_ml_spark.sources import datasets, featurize
 
+    # The synthetic tables are single-row-group parquet files, so the
+    # scan yields ~1 usable split: repartition to core count right after
+    # ingest and cache, the reference's own min-partition control
+    # (AvroUtils.scala:62-93). On a real cluster reading block-sized
+    # files the scan already yields enough splits and this shuffle is a
+    # no-op to remove; here it unlocks 32-way parallelism for the
+    # dictionary pass, the assembly pass, and every IRLS iteration.
+    par = spark.sparkContext.defaultParallelism
     training = datasets.lineitem_training_frame(
         spark, sf_dir, uid_strategy="monotonic"
-    )
+    ).repartition(par).cache()
+    training.count()
     dictionary = featurize.build_feature_dictionary(
         training, ["features"], has_intercept=True
     ).cache()
@@ -47,6 +56,7 @@ def run_flagship(spark, sf_dir: str) -> int:
         "features_indices", "features_values",
     ).cache()
     n = assembled.count()
+    training.unpersist()
     model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
     scored = scoring.score_literal(assembled, model)
     auc = metrics.auroc(scored, score="score", label="response").first().auroc
