@@ -58,6 +58,13 @@ class CoordinateConfig:
     min_samples: int = 1
     locked: bool = False  # M8: score but never (re)train
     pretrained: object = None  # FixedEffectGLM | model DataFrame when locked/warm
+    # per-coordinate optimizer config (GLMOptimizationConfiguration
+    # analog): elastic-net mixing (fixed kind; OWLQN when > 0), solver
+    # override ('auto' | 'tron'), box bounds (arrays, fixed kind)
+    elastic_net_param: float = 0.0
+    solver: str = "auto"
+    lower_bounds: object = None
+    upper_bounds: object = None
 
     def __post_init__(self):
         if self.kind not in ("fixed", "random"):
@@ -122,12 +129,15 @@ def _fit_coordinate(
             data, dim=cfg.dim, family=family,
             indices_col=cfg.indices_col, values_col=cfg.values_col,
             offset_col=offset_col, reg_param=cfg.reg_param,
+            elastic_net_param=cfg.elastic_net_param, solver=cfg.solver,
+            lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
         )
     return re_mod.fit_random_effects(
         data, entity_col=cfg.entity_col, dim=cfg.dim, family=family,
         indices_col=cfg.indices_col, values_col=cfg.values_col,
         offset_col=offset_col, reg_param=cfg.reg_param,
         min_samples=cfg.min_samples, prior_model=prior,
+        lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
     )
 
 

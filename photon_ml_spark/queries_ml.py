@@ -804,6 +804,56 @@ def m1b_box_fixed_effect(spark, sf_dir):
 
 
 @register(
+    "m2b_per_entity_poisson",
+    oracle="""
+SELECT CAST(l_suppkey AS VARCHAR) AS entity,
+       0.0 AS g_x, 0.0 AS g_int,
+       CAST(COUNT(*) AS BIGINT) AS n_samples
+FROM lineitem WHERE l_suppkey < 40 GROUP BY l_suppkey
+""",
+    note="M2 poisson family (count response) through the applyInPandas "
+    "per-entity Newton solver, verified by a FIXED-POINT oracle like "
+    "m13: the penalized gradient Σ(exp(m) − y)·x + λβ (intercept "
+    "unpenalized) is recomputed DISTRIBUTED at the returned "
+    "coefficients and must round to 0 per entity "
+    "(PoissonLossFunction.scala; no closed form exists for the optimum "
+    "itself)",
+)
+def m2b_per_entity_poisson(spark, sf_dir):
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 40).select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        F.col("l_linenumber").cast("double").alias("response"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array((F.col("l_quantity") / 50.0).cast("double")).alias(
+            "features_values"
+        ),
+    )
+    models = fit_random_effects(
+        li, entity_col="entity", dim=1, family="poisson",
+        weight_col=None, offset_col=None, reg_param=0.5, tol=1e-10,
+    )
+    j = li.join(models.select("entity", "coefficients", "intercept"), "entity")
+    x = F.element_at("features_values", 1)
+    mu = F.exp(F.element_at("coefficients", 1) * x + F.col("intercept"))
+    resid = mu - F.col("response")
+    grad = j.groupBy("entity").agg(
+        (F.sum(resid * x) + 0.5 * F.first(F.element_at("coefficients", 1)))
+        .alias("g1"),
+        F.sum(resid).alias("g0"),
+        F.count(F.lit(1)).alias("n_samples"),
+    )
+    # +0.0 folds IEEE −0.0 into +0.0 so the hash matches the SQL literal
+    return grad.select(
+        "entity",
+        (F.round(F.col("g1"), 3) + 0.0).alias("g_x"),
+        (F.round(F.col("g0"), 3) + 0.0).alias("g_int"),
+        "n_samples",
+    )
+
+
+@register(
     "m1c_tron_fixed_effect",
     oracle="""
 WITH d AS (

@@ -63,6 +63,33 @@ def test_two_coordinate_game(assembled):
     scored.unpersist()
 
 
+def test_per_coordinate_optimizer_config(assembled):
+    """GLMOptimizationConfiguration analog: each coordinate picks its
+    own optimizer — an L1 (OWLQN) fixed effect inside the GAME loop,
+    and a TRON fixed effect, both reachable from CoordinateConfig."""
+    import numpy as np
+
+    coords = [
+        CoordinateConfig(
+            name="global", kind="fixed", dim=5,
+            reg_param=5000.0, elastic_net_param=0.9,
+        ),
+    ]
+    model, _ = train_game(assembled, coords, family="binomial", n_iterations=1)
+    fixed = model.coordinates["global"]
+    assert fixed.meta["optimizer"] == "owlqn"
+    assert np.sum(fixed.coefficients == 0.0) >= 1  # L1 sparsifies
+
+    coords_tron = [
+        CoordinateConfig(name="global", kind="fixed", dim=5, solver="tron",
+                         reg_param=1.0),
+    ]
+    model2, _ = train_game(
+        assembled, coords_tron, family="binomial", n_iterations=1
+    )
+    assert model2.coordinates["global"].meta["optimizer"] == "tron"
+
+
 def test_locked_coordinate(assembled):
     from photon_ml_spark.ml import glm
 
