@@ -117,6 +117,70 @@ def decode_image(
     return df.mapInPandas(decode_batches, schema=IMAGE_META_SCHEMA)
 
 
+AUDIO_META_SCHEMA = (
+    "doc_id long, payload binary, media_type string, "
+    "sample_rate int, n_samples long, rms double, decode_ok boolean"
+)
+
+
+def _fake_audio_decode(payload: bytes) -> tuple[int, int, float]:
+    """Deterministic fake audio decoder: payload digest →
+    (sample_rate, n_samples, rms in [0,1])."""
+    digest = hashlib.sha256(payload).digest()
+    sample_rate = (8, 16, 22, 44)[digest[0] % 4] * 1000
+    n_samples = 1000 + (digest[1] * 256 + digest[2]) * 37
+    rms = digest[3] / 255.0
+    return sample_rate, n_samples, rms
+
+
+def decode_audio(
+    df: DataFrame, payload_col: str = "payload", fake: bool = False
+) -> DataFrame:
+    """Audio twin of ``decode_image``: binary payloads → sample rate /
+    length / RMS level via the same Arrow ``mapInPandas`` shape. No
+    audio codec library ships in this container, so only the
+    deterministic fake decoder is wired (``fake=True``); the real path
+    raises until soundfile/librosa is provided — the schema, batching,
+    and partitioning are identical either way."""
+    if not fake:
+        raise NotImplementedError(
+            "real audio decode requires an audio codec library "
+            "(soundfile/librosa) not present in this environment; pass "
+            "fake=True for the deterministic stub decoder"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = [_fake_audio_decode(bytes(p)) for p in pdf[payload_col]]
+            out = pdf.copy()
+            out["sample_rate"] = [m[0] for m in meta]
+            out["n_samples"] = [m[1] for m in meta]
+            out["rms"] = [m[2] for m in meta]
+            out["decode_ok"] = True
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)
+
+
+def resample_plan(
+    df: DataFrame, target_rate: int = 16000
+) -> DataFrame:
+    """Audio resample bookkeeping (target length after rate conversion,
+    duration) as pure Catalyst expressions — the sample-level resample
+    itself would live in the decode ``mapInPandas`` stage."""
+    return df.withColumns(
+        {
+            "duration_sec": F.col("n_samples") / F.col("sample_rate"),
+            # double multiply-then-divide, the oracle's exact op order
+            "out_samples": F.ceil(
+                F.col("n_samples").cast("double")
+                * F.lit(float(target_rate))
+                / F.col("sample_rate")
+            ).cast("long"),
+        }
+    )
+
+
 def resize_plan(
     df: DataFrame, target_w: int, target_h: int
 ) -> DataFrame:

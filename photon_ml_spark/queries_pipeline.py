@@ -655,6 +655,51 @@ def xm1_multimodal_decode_resize(spark, sf_dir):
 
 
 @register(
+    "xm3_audio_decode_resample",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 5 = 1
+),
+meta AS (
+  SELECT doc_id,
+         CAST(list_value(8, 16, 22, 44)[{_SHA_BYTE.format(p1=1, p2=2)} % 4 + 1]
+              * 1000 AS INT) AS sample_rate,
+         CAST(1000 + ({_SHA_BYTE.format(p1=3, p2=4)} * 256
+              + {_SHA_BYTE.format(p1=5, p2=6)}) * 37 AS BIGINT) AS n_samples,
+         {_SHA_BYTE.format(p1=7, p2=8)} / 255.0 AS rms
+  FROM hashed
+)
+SELECT doc_id, sample_rate, n_samples, ROUND(rms, 6) AS rms,
+       CAST(FLOOR(n_samples * 1000000.0 / sample_rate) AS BIGINT)
+         AS duration_us,
+       CAST(CEIL(n_samples * 16000.0 / sample_rate) AS BIGINT) AS out_samples
+FROM meta
+""",
+    note="pipeline/multimodal: audio twin of xm1 — binary payload -> "
+    "mapInPandas fake audio decode (sample rate / length / RMS from the "
+    "sha256 digest — real codec slot) + 16 kHz resample plan as pure "
+    "expressions; oracle reproduces the digest arithmetic",
+)
+def xm3_audio_decode_resample(spark, sf_dir):
+    from photon_ml_spark.operators.multimodal import (
+        attach_payload,
+        decode_audio,
+        resample_plan,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 1)
+    decoded = decode_audio(attach_payload(docs), fake=True)
+    planned = resample_plan(decoded, target_rate=16000)
+    return planned.select(
+        "doc_id", "sample_rate", "n_samples",
+        F.round(F.col("rms"), 6).alias("rms"),
+        F.floor(F.col("duration_sec") * 1000000.0).cast("long")
+        .alias("duration_us"),
+        "out_samples",
+    )
+
+
+@register(
     "xm2_frame_sample_plan",
     oracle="""
 WITH d AS (

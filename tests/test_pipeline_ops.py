@@ -206,6 +206,20 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert out[3].dup_token_frac == 0.0 and out[3].dup_bigram_frac == 0.0
 
 
+def test_audio_decode_plumbing(docs):
+    payloads = multimodal.attach_payload(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_audio(payloads).count()
+    decoded = multimodal.decode_audio(payloads, fake=True)
+    planned = multimodal.resample_plan(decoded, target_rate=16000)
+    row = planned.first()
+    assert row.sample_rate in (8000, 16000, 22000, 44000)
+    assert row.n_samples >= 1000 and 0.0 <= row.rms <= 1.0 and row.decode_ok
+    # resample bookkeeping: out_samples = ceil(n * 16000 / rate)
+    import math
+    assert row.out_samples == math.ceil(row.n_samples * 16000.0 / row.sample_rate)
+
+
 def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, 10.0), (2, 0.5), (3, 3600.0)], "id int, dur double")
     out = multimodal.frame_sample_plan(df, "dur", fps=2.0, max_frames=16)
