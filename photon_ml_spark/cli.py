@@ -6,12 +6,14 @@ scopt args become one JSON config here).
     python -m photon_ml_spark.cli score --config score.json
 
 Train config:
-    {"input": "<parquet path>",             # conventional-column frame
+    {"input": "<path>",                     # conventional-column frame
+     "input_format": "parquet",             # or "avro" (TrainingExampleAvro)
      "feature_bags": ["features"],          # (name,term,value) array cols
      "shard": "features",
      "coordinates": [{"name": "global", "kind": "fixed"},
                      {"name": "per_user", "kind": "random",
-                      "entity_col": "userId", "reg_param": 1.0}],
+                      "entity_col": "userId", "reg_param": 1.0,
+                      "elastic_net_param": 0.0, "solver": "auto"}],
      "family": "binomial", "n_iterations": 2,
      "output_dir": "<model dir>", "sparsity_threshold": 0.0}
 
@@ -36,7 +38,12 @@ def _assembled(spark, cfg, dictionary=None):
     from photon_ml_spark.datamodel import FeatureShardConfig
     from photon_ml_spark.sources import featurize
 
-    df = spark.read.parquet(cfg["input"])
+    if cfg.get("input_format", "parquet") == "avro":
+        from photon_ml_spark.sources.avro_io import read_training_examples
+
+        df = read_training_examples(spark, cfg["input"])
+    else:
+        df = spark.read.parquet(cfg["input"])
     bags = cfg.get("feature_bags", ["features"])
     if dictionary is None:
         dictionary = featurize.build_feature_dictionary(
@@ -69,6 +76,8 @@ def train(cfg: dict, spark: SparkSession) -> None:
             entity_col=c.get("entity_col"),
             reg_param=c.get("reg_param", 0.0),
             min_samples=c.get("min_samples", 1),
+            elastic_net_param=c.get("elastic_net_param", 0.0),
+            solver=c.get("solver", "auto"),
         )
         for c in cfg["coordinates"]
     ]

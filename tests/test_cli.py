@@ -50,3 +50,34 @@ def test_cli_train_then_score(spark, sf_dir, tmp_path, capsys):
     # T6: single output file requested
     import glob
     assert len(glob.glob(f"{scores_dir}/part-*")) == 1
+
+
+def test_cli_train_from_avro(spark, sf_dir, tmp_path, capsys):
+    """Migration-user path: the training input is TrainingExampleAvro
+    files on disk, consumed directly by the train driver."""
+    from photon_ml_spark.sources.avro_io import write_training_examples
+
+    inp = str(tmp_path / "training_avro")
+    frame = datasets.lineitem_training_frame(spark, sf_dir).select(
+        F.col("uid").cast("string").alias("uid"),
+        "response", "weight", "offset", "features",
+    )
+    write_training_examples(frame, inp)
+    model_dir = str(tmp_path / "model_avro")
+    cli.train(
+        {
+            "input": inp,
+            "input_format": "avro",
+            "feature_bags": ["features"],
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "solver": "tron",
+                 "reg_param": 1.0},
+            ],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": model_dir,
+        },
+        spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "trained" and out["updates"] == 1
