@@ -48,16 +48,25 @@ def read_libsvm(
 
 
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS); under the
-    ``nanosAsLong`` legacy flag it reads as long nanoseconds. Convert
-    to a microsecond timestamp (truncation — matching how
-    micro-resolution engines read the same file)."""
+    """Normalize the event timestamp to a microsecond TIMESTAMP.
+
+    events.parquet has shipped with either TIMESTAMP(MICROS) (read
+    natively as timestamp — no-op here) or TIMESTAMP(NANOS) (read as
+    long nanos under the ``nanosAsLong`` legacy flag). A stream reader
+    with an explicit ``ts long`` schema also lands here with raw epoch
+    longs in whichever unit the file stores. The unit is detected by
+    magnitude — epoch micros for years 1971..2200 are < 1e16 while
+    epoch nanos for the same range are > 1e16 — so both generations of
+    the test data (and both batch/stream read paths) converge on the
+    same timestamps."""
     if dict(df.dtypes).get(ts_col) == "bigint":
         # integer div: nanos exceed double's 53-bit mantissa, so `/ 1000`
         # (double division) would corrupt the low microseconds
-        df = df.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"{ts_col} div 1000"))
-        )
+        micros = F.when(
+            F.abs(F.col(ts_col)) >= F.lit(10**16),
+            F.expr(f"{ts_col} div 1000"),
+        ).otherwise(F.col(ts_col))
+        df = df.withColumn(ts_col, F.timestamp_micros(micros))
     return df
 
 

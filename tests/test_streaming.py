@@ -17,8 +17,8 @@ from photon_ml_spark.streaming.events import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SMOKE_SF_DIR", "/root/testdata/sf0.001")
-# ts arrives as long nanos under the nanosAsLong flag (see
-# datasets.normalize_event_ts)
+# ts arrives as a raw epoch long (micros or nanos depending on the
+# data generation; normalize_event_ts detects the unit by magnitude)
 EVENT_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
