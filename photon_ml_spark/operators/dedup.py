@@ -303,3 +303,126 @@ def bow_exact_dedup(df: DataFrame, id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
     """Convenience: exact dedup on the bag-of-words signature."""
     return exact_duplicates(df, bow_signature(F.col(text_col)), id_col)
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected edge list: the last
+    stage of a near-dedup pipeline, turning pairwise matches into
+    dup *clusters* so one canonical doc per cluster survives.
+
+    Returns (node, component) where component = min node id in the
+    node's component, for every node that appears in an edge.
+
+    Distributed min-label propagation with pointer jumping, the
+    DataFrame rendering of the MapReduce CC algorithms (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+
+    - each iteration is two shuffles (neighbor-min groupBy + label
+      self-join), both on node keys — no driver state, no collect;
+    - pointer jumping (label <- label(label)) contracts long paths so
+      convergence is O(log diameter) iterations, not O(diameter);
+    - labels only decrease, so SUM(label) is a strictly decreasing
+      convergence witness — one cheap aggregate per iteration instead
+      of a change-detection join;
+    - each iteration ``localCheckpoint``s the label frame: lineage
+      stays O(1) across iterations (the repo's coordinate-descent
+      persist discipline, reference RandomEffectDataset.scala:279-341
+      eager-materialization pattern).
+
+    Dup clusters are dense (diameter is tiny), so in practice this
+    runs 2-3 iterations; ``max_iter`` is a hard stop against
+    pathological chain graphs, raising rather than silently returning
+    partial components.
+    """
+    e = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .repartition("u")
+        .persist()
+    )
+    # init: label(u) = min(u, min neighbor) — one propagation step for free
+    labels = (
+        edges.groupBy("u")
+        .agg(F.min("v").alias("m"))
+        .select("u", F.least(F.col("u"), F.col("m")).alias("label"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    converged = False
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("label").alias("vl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vl").alias("nl"))
+        )
+        stepped = labels.join(nbr, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias(
+                "label"
+            ),
+        )
+        parent = stepped.select(
+            F.col("u").alias("p"), F.col("label").alias("pl")
+        )
+        jumped = (
+            stepped.join(parent, stepped["label"] == parent["p"], "left")
+            .select(
+                stepped["u"],
+                F.least(
+                    stepped["label"], F.coalesce(parent["pl"], stepped["label"])
+                ).alias("label"),
+            )
+        )
+        new_labels = jumped.localCheckpoint()
+        # labels are monotone non-increasing: unchanged sum == fixpoint
+        s = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first().s
+        labels = new_labels
+        # elementwise non-increasing => equal sums mean a fixpoint
+        # (both None on an empty edge list: converged trivially)
+        if s == prev_sum:
+            converged = True
+            break
+        prev_sum = s
+    edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select(
+        F.col("u").alias("node"), F.col("label").alias("component")
+    )
+
+
+def cluster_and_keep(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Annotate every doc with its dup-cluster id and a keep flag.
+
+    Docs in no pair form singleton clusters (cluster_id = own id,
+    kept); within a cluster the min-id doc is the canonical survivor —
+    the same keep rule as ``exact_duplicates``. One left join against
+    the component table; `filter(is_keep)` is the dedup."""
+    cc = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    return (
+        docs.join(cc, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .withColumn("is_keep", F.col("cluster_id") == F.col(id_col))
+        .drop("component")
+    )

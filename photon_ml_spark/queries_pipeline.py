@@ -205,10 +205,10 @@ def x5_minhash_signatures(spark, sf_dir):
     return minhash_signatures(sids, num_hashes=8)
 
 
-@register(
-    "x6_minhash_lsh_pairs",
-    oracle=f"""
-WITH ds AS ({_DOC_SIDS_SQL}),
+# MinHash+LSH candidate/verify pipeline as reusable CTEs (shared by the
+# x6 pairs query and the x17 cluster query).
+_LSH_PAIRS_CTES = f"""
+ds AS ({_DOC_SIDS_SQL}),
 sigs AS (
   SELECT doc_id,
          MIN((sid * 1000003 + 12345) % 2147483647) AS mh0,
@@ -245,13 +245,22 @@ inter AS (
   SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
   FROM cand c JOIN ds a ON a.doc_id = c.id_a JOIN ds b ON b.doc_id = c.id_b AND b.sid = a.sid
   GROUP BY 1, 2
-)
-SELECT id_a, id_b,
-       n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+),
+lsh_pairs AS (
+  SELECT id_a, id_b,
+         n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / CAST(sa.sz + sb.sz - n_inter AS DOUBLE) >= 0.5
+)"""
+
+
+@register(
+    "x6_minhash_lsh_pairs",
+    oracle=f"""
+WITH {_LSH_PAIRS_CTES}
+SELECT id_a, id_b, jaccard FROM lsh_pairs
 """,
     note="pipeline/dedup: full MinHash+LSH (16 hashes, 4 bands) candidate "
     "generation + exact-Jaccard verification; recall vs x4 is the LSH "
@@ -262,6 +271,39 @@ def x6_minhash_lsh_pairs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_dedup(docs, threshold=0.5, n=2)
+
+
+@register(
+    "x17_dedup_clusters",
+    oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM lsh_pairs
+),
+reach AS (
+  SELECT DISTINCT u, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+       COALESCE(c.cluster_id, d.doc_id) = d.doc_id AS is_keep
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""",
+    note="pipeline/dedup: LSH dup pairs -> connected components "
+    "(min-label propagation + pointer jumping, 2 shuffles/iter, no "
+    "driver state) -> one canonical keeper per dup cluster; oracle "
+    "replays the closure with a recursive CTE",
+)
+def x17_dedup_clusters(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import cluster_and_keep, minhash_lsh_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.5, n=2).select("id_a", "id_b")
+    return cluster_and_keep(docs, pairs).select("doc_id", "cluster_id", "is_keep")
 
 
 @register(

@@ -305,3 +305,51 @@ def test_kmeans_ivf_cells(spark, emb):
     recall_fixed = len(bp & fp) / len(bp)
     assert recall_learned >= recall_fixed
     assert recall_learned >= 0.4
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path is the pointer-jumping stress case: naive
+    propagation needs 11 iterations, jumping needs ~log2."""
+    edges = [(i, i + 1) for i in range(1, 12)] + [(100, 101), (101, 102)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    cc = {r.node: r.component
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {**{i: 1 for i in range(1, 13)},
+                  **{i: 100 for i in (100, 101, 102)}}
+
+
+def test_connected_components_edge_direction_irrelevant(spark):
+    pairs = spark.createDataFrame(
+        [(5, 2), (2, 9), (9, 5), (7, 3)], "id_a long, id_b long"
+    )
+    cc = {r.node: r.component
+          for r in dedup.connected_components(pairs).collect()}
+    assert cc == {2: 2, 5: 2, 9: 2, 3: 3, 7: 3}
+
+
+def test_connected_components_empty(spark):
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.connected_components(pairs).count() == 0
+
+
+def test_cluster_and_keep_singletons_survive(spark, docs):
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, n=2).select(
+        "id_a", "id_b"
+    )
+    out = dedup.cluster_and_keep(docs, pairs).cache()
+    assert out.count() == docs.count()
+    # exactly one keeper per cluster, and it is the min doc_id
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keep").cast("int")).alias("keepers"),
+        F.min("doc_id").alias("min_id"),
+    )
+    assert per_cluster.filter("keepers <> 1").count() == 0
+    assert out.filter("is_keep AND doc_id <> cluster_id").count() == 0
+    # paired docs share a cluster with their partner
+    first = pairs.first()
+    ca, cb = [
+        out.filter(F.col("doc_id") == v).first().cluster_id
+        for v in (first.id_a, first.id_b)
+    ]
+    assert ca == cb
+    out.unpersist()
