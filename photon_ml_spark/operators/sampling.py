@@ -69,6 +69,76 @@ def stratified_downsample(
     )
 
 
+def weighted_downsample(
+    df: DataFrame,
+    prob: Column,
+    uid_col: str = "uid",
+    seed: int = 42,
+    uniform: Column | None = None,
+) -> DataFrame:
+    """Per-row Bernoulli keep with row-dependent probability ``prob``
+    (a Column in [0,1]) — importance/quality resampling for corpus
+    curation (e.g. ``prob = clip(quality_score) ** temperature``).
+
+    Generalizes P5's fixed-rate gate to a per-row rate; same
+    determinism contract (``hash_uniform`` of the id, replayable across
+    retries and engines via the ``uniform`` override). Pure filter:
+    no shuffle, pushes down past column pruning."""
+    u = uniform if uniform is not None else hash_uniform(F.col(uid_col), seed)
+    return df.filter(u < prob)
+
+
+def corpus_mix(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    uid_col: str = "uid",
+    seed: int = 42,
+    uniform: Column | None = None,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Downsample groups (sources/domains/languages) so the surviving
+    corpus matches ``target_shares`` while keeping as much data as
+    possible: with the feasible total T* = min_g count_g / share_g, a
+    group keeps ``share_g · T* / count_g`` of its rows (rate 1 for the
+    binding group). Groups absent from ``target_shares`` are dropped.
+
+    Scale shape: one tiny count aggregate (|groups| rows), the 1-row
+    T* scalar cross-joined in-plan (never collected to the driver),
+    rates broadcast back onto the corpus, then a deterministic
+    per-row Bernoulli filter (``weighted_downsample``). The only
+    full-data pass is the final filter.
+
+    ``rate_col`` (optional) exposes each row's keep rate in the output
+    for auditing."""
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        f"{group_col} string, __share double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    joined = counts.join(shares, group_col)
+    tstar = joined.agg(
+        F.min(F.col("__cnt") / F.col("__share")).alias("__tstar")
+    )
+    rates = joined.crossJoin(F.broadcast(tstar)).select(
+        group_col,
+        F.least(
+            F.lit(1.0), F.col("__share") * F.col("__tstar") / F.col("__cnt")
+        ).alias("__rate"),
+    )
+    out = weighted_downsample(
+        df.join(F.broadcast(rates), group_col),
+        F.col("__rate"),
+        uid_col=uid_col,
+        seed=seed,
+        uniform=uniform,
+    )
+    if rate_col:
+        return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
+    return out.drop("__rate")
+
+
 def filter_entities_by_support(
     df: DataFrame,
     entity_col: str,

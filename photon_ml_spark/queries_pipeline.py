@@ -306,6 +306,51 @@ def x17_dedup_clusters(spark, sf_dir):
     return cluster_and_keep(docs, pairs).select("doc_id", "cluster_id", "is_keep")
 
 
+# Non-uniform target mix over the 20 synthetic sources (shares sum to 1).
+_MIX_SHARES = {f"src{i}": (i % 4 + 1) / 50.0 for i in range(20)}
+_MIX_SHARES_SQL = " UNION ALL ".join(
+    f"SELECT 'src{i}' AS source, {i % 4 + 1} / 50.0 AS share" for i in range(20)
+)
+
+
+@register(
+    "x18_corpus_mix",
+    oracle=f"""
+WITH shares AS ({_MIX_SHARES_SQL}),
+counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+j AS (SELECT c.source, c.cnt, s.share FROM counts c JOIN shares s USING (source)),
+tstar AS (SELECT MIN(cnt / share) AS t FROM j),
+rates AS (
+  SELECT source, LEAST(1.0, share * t / cnt) AS rate FROM j CROSS JOIN tstar
+)
+SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+FROM documents d JOIN rates r USING (source)
+WHERE CAST((48271 * ((d.doc_id * 104729 + 11) % 2147483647)) % 2147483647 AS DOUBLE)
+      / 2147483647.0 < r.rate
+""",
+    note="pipeline/mixing: downsample sources to a target corpus mix "
+    "(feasible-total rates computed in-plan, 1-row T* scalar cross-"
+    "joined — no collect) + deterministic per-row Bernoulli keep; "
+    "portable LCG gate lets the oracle reproduce the exact row set",
+)
+def x18_corpus_mix(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import corpus_mix, lcg_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    # doc_id is dense 0..N-1: pre-scale by a prime so the single LCG
+    # step wraps the modulus and mixes (bare small ids map to u ≈ 0,
+    # which would keep every row and never exercise the rates)
+    out = corpus_mix(
+        docs,
+        "source",
+        _MIX_SHARES,
+        uid_col="doc_id",
+        uniform=lcg_uniform(F.col("doc_id") * 104729, 11),
+        rate_col="rate",
+    )
+    return out.select("doc_id", "source", F.round("rate", 6).alias("rate"))
+
+
 @register(
     "x7_simhash_neardup",
     oracle=f"""

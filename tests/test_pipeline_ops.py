@@ -353,3 +353,27 @@ def test_cluster_and_keep_singletons_survive(spark, docs):
     ]
     assert ca == cb
     out.unpersist()
+
+
+def test_corpus_mix_hits_target_shares(spark, docs):
+    from photon_ml_spark.operators.sampling import corpus_mix
+
+    shares = {f"src{i}": (i % 4 + 1) / 50.0 for i in range(20)}
+    out = corpus_mix(
+        docs, "source", shares, uid_col="doc_id", rate_col="rate"
+    ).cache()
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # binding groups (max share) keep every row (rate exactly 1)
+    assert out.filter("rate = 1.0").count() > 0
+    for i in (3, 7, 11, 15, 19):
+        assert got[f"src{i}"] == 25
+    # achieved mix tracks the target within Bernoulli noise
+    total = sum(got.values())
+    for src, share in shares.items():
+        assert abs(got.get(src, 0) / total - share) < 0.05
+    # groups absent from the target are dropped entirely
+    out2 = corpus_mix(docs, "source", {"src0": 1.0}, uid_col="doc_id")
+    assert out2.select("source").distinct().collect() == [("src0",)]
+    assert out2.count() == 25
+    out.unpersist()
