@@ -21,7 +21,7 @@ pipeline shape, one less join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from photon_ml_spark.operators.text import bow_signature, tokens, word_shingles
@@ -73,35 +73,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 2,
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold.
+    """All pairs with shingle-set Jaccard ≥ threshold — EXACT, via
+    prefix filtering (the AllPairs/PPJoin family: Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07).
 
-    Plan: distinct (id, shingle) → self-equi-join on shingle (only
-    co-shingled pairs are ever materialized — never a cross join) →
-    count intersections → join per-doc set sizes → exact rational
-    Jaccard. Scales with Σ_shingle df(shingle)² — acceptable when
-    shingles are n≥2 word grams; hot shingles should be stop-listed
-    upstream for adversarial corpora.
+    Candidate generation joins only each doc's *prefix*: its first
+    ``|A| − ⌈t·|A|⌉ + 1`` shingles under a global (df asc, shingle)
+    order. Completeness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
+    so if the smallest common shingle (in the global order) sat outside
+    A's prefix, A∩B would fit inside A's last ⌈t·|A|⌉ − 1 positions —
+    contradiction; symmetrically for B. Hence every qualifying pair
+    shares a prefix-prefix shingle and the join finds it.
+
+    Scale shape: the naive self-join costs Σ_shingle df(shingle)² and
+    is dominated by hot shingles; ordering prefixes by df *ascending*
+    pushes exactly those hot shingles out of the join, leaving rare
+    shingles as candidate keys. Verification then counts the true
+    intersection only for surviving candidate pairs. All shuffles are
+    on shingle/pair keys; no driver state.
     """
     sh = doc_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    # df=1 shingles can never co-occur in a pair: prune them before the
-    # self-join (set sizes above still count them — union semantics
-    # unchanged). On natural corpora most shingles are unique, so this
-    # shrinks the quadratic join input by far more than the extra
-    # aggregation costs.
-    shared = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") >= 2)
-        .select("shingle"),
-        "shingle",
-        "left_semi",
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc global ordering (df asc, shingle asc), window partitioned
+    # by doc — never a global window
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, id_col)
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy("__df", "shingle")
+            ),
+        )
     )
-    a = shared.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shared.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    prefix = ranked.filter(
+        F.col("__rn")
+        <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
+    )
+    # df=1 shingles can never co-occur in a pair: drop them from the
+    # candidate join (sizes above still count them — union unchanged)
+    pref = prefix.filter(F.col("__df") >= 2).select(id_col, "shingle")
+    cand = (
+        pref.select(F.col(id_col).alias("id_a"), "shingle")
+        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
