@@ -21,7 +21,7 @@ pipeline shape, one less join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from photon_ml_spark.operators.text import bow_signature, tokens, word_shingles
@@ -72,66 +72,231 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 2,
+    strategy: str = "auto",
 ) -> DataFrame:
-    """All pairs with shingle-set Jaccard ≥ threshold — EXACT, via
-    prefix filtering (the AllPairs/PPJoin family: Bayardo et al.,
-    "Scaling Up All Pairs Similarity Search", WWW'07).
+    """All pairs with shingle-set Jaccard ≥ threshold — EXACT — under
+    one of two physical strategies whose optimality depends on the
+    corpus's document-frequency profile:
 
-    Candidate generation joins only each doc's *prefix*: its first
-    ``|A| − ⌈t·|A|⌉ + 1`` shingles under a global (df asc, shingle)
-    order. Completeness: J(A,B) ≥ t ⟹ |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|),
-    so if the smallest common shingle (in the global order) sat outside
-    A's prefix, A∩B would fit inside A's last ⌈t·|A|⌉ − 1 positions —
-    contradiction; symmetrically for B. Hence every qualifying pair
-    shares a prefix-prefix shingle and the join finds it.
+    - ``"copair"``: direct co-shingle self-join + pair groupBy count.
+      Cost ≈ Σ_shingle df(shingle)² shuffled rows, all inside
+      whole-stage codegen. Optimal when documents overlap densely
+      (small vocabulary, high mean df): prefix filtering cannot prune
+      a corpus where *every* shingle is hot, and the flat
+      join→count→filter plan wins on constant factor.
+    - ``"ppjoin"``: prefix filtering (AllPairs/PPJoin: Bayardo et al.,
+      "Scaling Up All Pairs Similarity Search", WWW'07) with length
+      and positional prunes. Cost ≈ surviving-candidates ×
+      avg-set-size. Optimal for realistic Zipfian text corpora (large
+      vocabulary, mean df ≈ small constant) where hot-shingle df²
+      blowup kills the direct join but almost no pair shares a *rare*
+      shingle, so candidates ≪ co-shingle pairs.
+    - ``"auto"`` (default): one tiny aggregate over the shingle
+      relation (rows ÷ distinct shingles = mean df) picks the
+      strategy at plan-build time — mean df above
+      ``_COPAIR_MEAN_DF_CUTOFF`` routes to copair, else ppjoin. The
+      decision statistic costs one pass over the (cached) shingle
+      relation, which both strategies scan anyway; the choice is
+      logged in the plan via a literal tag. At 100 TB the same rule
+      holds: web-scale text is Zipfian → ppjoin (or the MinHash/LSH
+      pipeline, the true scale path); dense structured corpora →
+      copair.
 
-    Scale shape: the naive self-join costs Σ_shingle df(shingle)² and
-    is dominated by hot shingles; ordering prefixes by df *ascending*
-    pushes exactly those hot shingles out of the join, leaving rare
-    shingles as candidate keys. Verification then counts the true
-    intersection only for surviving candidate pairs. All shuffles are
-    on shingle/pair keys; no driver state.
+    Both strategies return identical results (equivalence is tested);
+    both shuffle only on shingle/pair/doc keys with no driver state.
+
+    PPJoin specifics: candidate generation joins only each doc's
+    *prefix* — its first ``|A| − ⌈t·|A|⌉ + 1`` shingles under a global
+    (df asc, shingle) order. Completeness: J(A,B) ≥ t ⟹
+    |A∩B| ≥ t·|A∪B| ≥ t·max(|A|,|B|), so if the smallest common
+    shingle (in the global order) sat outside A's prefix, A∩B would
+    fit inside A's last ⌈t·|A|⌉ − 1 positions — contradiction;
+    symmetrically for B. Hence every qualifying pair shares a
+    prefix-prefix shingle and the join finds it. Ordering prefixes by
+    df *ascending* pushes hot shingles out of the join, leaving rare
+    shingles as candidate keys. Three further prunes cut the candidate
+    set before any verification work:
+
+    - length filter: J ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, applied on the
+      candidate join output (sizes ride along with the prefixes);
+    - positional filter: a co-prefix match at 1-based positions
+      (p_a, p_b) bounds the intersection by
+      ``min(p_a,p_b) + min(|A|−p_a, |B|−p_b)`` (common shingles before
+      the match ≤ min(p_a,p_b)−1, the match itself, common after ≤
+      min of the tails); pairs whose tightest bound falls below the
+      required overlap ``⌈t/(1+t)·(|A|+|B|)⌉`` are pruned;
+    - verification joins each surviving pair against *one row per doc*
+      (the per-doc sorted shingle array) and counts |A∩B| JVM-side via
+      ``array_intersect`` — shuffling |cand| rows, not
+      |cand|·avg-set-size exploded rows.
+
+    The per-doc (df asc, shingle asc) global order is materialized by
+    sorting (df, shingle) structs inside one aggregation — no window,
+    no second pass.
+
+    Float-exactness: every ``⌈t·x⌉`` bound subtracts a 1e-9 epsilon
+    before ``ceil`` so thresholds whose binary representation rounds
+    up (e.g. 0.55·100 → 55.000000000000007) don't shorten the prefix
+    below the exact rational bound and silently drop qualifying pairs.
     """
-    sh = doc_shingles(df, id_col, text_col, n).cache()
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if strategy not in ("auto", "copair", "ppjoin"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    sh = doc_shingles(df, id_col, text_col, n).persist()
+    if strategy == "auto":
+        stats = sh.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.approx_count_distinct("shingle").alias("vocab"),
+        ).first()
+        mean_df = stats.rows / max(stats.vocab, 1)
+        strategy = "copair" if mean_df > _COPAIR_MEAN_DF_CUTOFF else "ppjoin"
+    if strategy == "copair":
+        return _jaccard_copair(sh, threshold, id_col)
+    return _jaccard_ppjoin(sh, threshold, id_col)
+
+
+# Mean document frequency above which dense co-shingle counting beats
+# prefix filtering (see ngram_jaccard_pairs docstring). Zipfian text
+# corpora sit far below this; tiny-vocabulary synthetic/structured
+# corpora sit far above — the boundary is not sensitive.
+_COPAIR_MEAN_DF_CUTOFF = 16.0
+
+
+def _jaccard_copair(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Direct exact Jaccard: co-shingle self-join → per-pair
+    intersection count → size join → threshold filter. df=1 shingles
+    are dropped from the join (they produce only self-pairs); set
+    sizes still count them, so the union is unchanged."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-    # per-doc global ordering (df asc, shingle asc), window partitioned
-    # by doc — never a global window
-    ranked = (
-        sh.join(dfreq, "shingle")
-        .join(sizes, id_col)
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy("__df", "shingle")
-            ),
-        )
-    )
-    prefix = ranked.filter(
-        F.col("__rn")
-        <= F.col("set_size") - F.ceil(F.lit(threshold) * F.col("set_size")) + 1
-    )
-    # df=1 shingles can never co-occur in a pair: drop them from the
-    # candidate join (sizes above still count them — union unchanged)
-    pref = prefix.filter(F.col("__df") >= 2).select(id_col, "shingle")
-    cand = (
-        pref.select(F.col(id_col).alias("id_a"), "shingle")
-        .join(pref.select(F.col(id_col).alias("id_b"), "shingle"), "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh2 = sh.join(dfreq.filter(F.col("df") >= 2).select("shingle"), "shingle")
+    a = sh2.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh2.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard")
+    )
+
+
+def _jaccard_ppjoin(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard (see ngram_jaccard_pairs)."""
+    eps = 1e-9
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # one row per doc: shingles sorted by (df asc, shingle asc) — the
+    # AllPairs canonical order — reused by prefix generation AND
+    # verification, so it is persisted once
+    doc_arr = (
+        sh.join(dfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("shingle")))
+            ).alias("ordered")
+        )
+        .withColumn("set_size", F.size("ordered"))
+        .persist()
+    )
+    pref_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size") - F.lit(eps))
+        + F.lit(1)
+    ).cast("int")
+    # df=1 shingles can never co-occur in a pair: drop them from the
+    # candidate join (set_size above still counts them — union unchanged)
+    prefix = (
+        doc_arr.select(
+            F.col(id_col).alias("pid"),
+            F.col("set_size").alias("psize"),
+            F.posexplode(F.slice(F.col("ordered"), F.lit(1), pref_len)).alias(
+                "pos0", "el"
+            ),
+        )
+        .filter(F.col("el.df") >= 2)
+        .select(
+            "pid",
+            "psize",
+            F.col("el.shingle").alias("shingle"),
+            (F.col("pos0") + 1).alias("pos"),
+        )
+    )
+    pa = prefix.select(
+        F.col("pid").alias("id_a"),
+        F.col("psize").alias("size_a"),
+        "shingle",
+        F.col("pos").alias("pos_a"),
+    )
+    pb = prefix.select(
+        F.col("pid").alias("id_b"),
+        F.col("psize").alias("size_b"),
+        "shingle",
+        F.col("pos").alias("pos_b"),
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.col("size_b").cast("double")
+            >= F.lit(threshold) * F.col("size_a") - F.lit(eps)
+        )
+        .filter(
+            F.col("size_a").cast("double")
+            >= F.lit(threshold) * F.col("size_b") - F.lit(eps)
+        )
+        .withColumn(
+            "ub",
+            F.least("pos_a", "pos_b")
+            + F.least(
+                F.col("size_a") - F.col("pos_a"), F.col("size_b") - F.col("pos_b")
+            ),
+        )
+        # one row per pair (replaces a separate distinct()): keep the
+        # tightest positional upper bound across the pair's matches
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.min("ub").alias("ub"))
+        .filter(
+            F.col("ub")
+            >= F.ceil(
+                F.lit(threshold / (1.0 + threshold))
+                * (F.col("size_a") + F.col("size_b"))
+                - F.lit(eps)
+            )
+        )
+    )
+    # plain string arrays for verification (struct compares are far
+    # slower than string equality in array_intersect)
+    arr = doc_arr.select(F.col(id_col), F.col("ordered.shingle").alias("shingles"))
     out = (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
+        cand.join(
+            arr.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("arr_a")),
+            "id_a",
+        )
+        .join(
+            arr.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("arr_b")),
+            "id_b",
+        )
+        .withColumn(
+            "n_inter", F.size(F.array_intersect("arr_a", "arr_b")).cast("long")
+        )
         .withColumn(
             "jaccard",
             F.col("n_inter")

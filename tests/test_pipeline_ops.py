@@ -43,6 +43,47 @@ def test_minhash_lsh_recall_vs_exact(docs):
         assert abs(j - exact[p]) < 1e-12
 
 
+def test_jaccard_strategies_agree(docs):
+    """copair and ppjoin are two physical plans for the same exact
+    operator — identical output, threshold where float ceil rounds up."""
+    for th in (0.5, 0.55):
+        cp = {
+            (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(docs, th, n=2, strategy="copair").collect()
+        }
+        pp = {
+            (r.id_a, r.id_b): (r.n_inter, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(docs, th, n=2, strategy="ppjoin").collect()
+        }
+        assert cp == pp
+
+
+def test_jaccard_prefix_float_ceil_boundary(spark):
+    """threshold=0.55, |A|=100: float 0.55*100 = 55.000000000000007, so a
+    ceil without the epsilon guard shortens A's prefix to 45 and misses
+    the B⊂A pair with J = 55/100 = 0.55 exactly (the smallest common
+    shingle sits at position 46 of A's df-ascending order)."""
+    rows = [(1, f"u{i:02d}") for i in range(45)]
+    rows += [(1, f"s{i:02d}") for i in range(55)]
+    rows += [(2, f"s{i:02d}") for i in range(55)]
+    sh = spark.createDataFrame(rows, ["doc_id", "shingle"])
+    out = dedup._jaccard_ppjoin(sh, 0.55, "doc_id").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.id_a, r.id_b, r.n_inter) == (1, 2, 55)
+    assert abs(r.jaccard - 0.55) < 1e-12
+    # copair agrees
+    cp = dedup._jaccard_copair(sh, 0.55, "doc_id").collect()
+    assert len(cp) == 1 and cp[0].n_inter == 55
+
+
+def test_jaccard_bad_args(docs):
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(docs, 1.5)
+    with pytest.raises(ValueError):
+        dedup.ngram_jaccard_pairs(docs, 0.5, strategy="nope")
+
+
 def test_simhash_band_completeness(docs):
     """Banded candidate generation must find every pair the full cross
     join finds (pigeonhole guarantee bands > max_hamming)."""
