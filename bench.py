@@ -73,26 +73,22 @@ BENCH_QUERIES = [
     "j1_residual_attach",
     "j11_score_add",
     "a4_feature_stats",
-    "a10_auroc",
-    "a11_grouped_precision_at_k",
+    "a9_metric_suite",  # incl. AUROC/AUPR/precision@k/grouped-AUC sweeps
     "t2_reservoir_cap",
     "u5_entity_index_union",
     "p8_pearson_topk",
+    "m1_glr_fixed_effect",
     "m2_per_entity_ridge",
     "m10_hessian_variance",
-    "m12_game_scoring",
+    "m12_game_scoring",  # incl. S8/S9 sink round-trips
     # training-data pipeline extensions
     "x1_text_quality",
     "x4_ngram_jaccard_pairs",
-    "x6_minhash_lsh_pairs",
-    "x7_simhash_neardup",
-    "x9_ann_brute_topk",
-    "x9b_ann_blas_topk",
-    "x10_ann_ivf_topk",
-    "xm1_multimodal_decode_resize",
+    "x6_neardup_pairs",  # MinHash+LSH ∪ SimHash ∪ embedding-cosine
+    "x9_ann_topk",  # brute ∪ BLAS ∪ IVF
+    "xm1_multimodal_suite",
     # streaming extension (batch side of the dual-use operators)
-    "e1_event_window_agg",
-    "e3_event_sessions",
+    "e1_event_windows",  # tumbling ∪ session
 ]
 
 

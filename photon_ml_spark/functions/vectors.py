@@ -15,6 +15,13 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 
+# Hard cap on plan-literal coefficient vectors: past this the compiled
+# plan itself becomes megabytes (driver analysis/codegen cost, plan
+# broadcast per stage) and the coefficient-table join is strictly
+# better. ~10k is the comfortable zone; 50k the enforced ceiling.
+MAX_LITERAL_COEFFICIENTS = 50_000
+
+
 def sparse_dot_literal(
     indices: Column, values: Column, coefficients: list[float]
 ) -> Column:
@@ -23,8 +30,18 @@ def sparse_dot_literal(
     Good to ~10k coefficients (the literal is embedded in the plan and
     broadcast with it); beyond that use ``score_by_join`` in
     ml/scoring.py, which shuffles instead of inlining. JVM-side only:
-    zip_with + aggregate, no Python.
+    zip_with + aggregate, no Python. Raises above
+    ``MAX_LITERAL_COEFFICIENTS`` — the same driver-resident contract as
+    the reference's broadcast FixedEffectModel, but enforced.
     """
+    if len(coefficients) > MAX_LITERAL_COEFFICIENTS:
+        raise ValueError(
+            f"{len(coefficients)} coefficients exceed the plan-literal "
+            f"cap ({MAX_LITERAL_COEFFICIENTS}); score via the "
+            "(feature_index -> coefficient) table join instead "
+            "(ml/scoring.py score_by_join), which shuffles rather than "
+            "inlining the vector into the compiled plan"
+        )
     coef = F.array(*[F.lit(float(c)) for c in coefficients])
     terms = F.zip_with(
         values,

@@ -606,12 +606,24 @@ def cluster_and_keep(
 
     Docs in no pair form singleton clusters (cluster_id = own id,
     kept); within a cluster the min-id doc is the canonical survivor —
-    the same keep rule as ``exact_duplicates``. One left join against
-    the component table; `filter(is_keep)` is the dedup."""
+    the same keep rule as ``exact_duplicates``.
+
+    The keeper is the min id among the cluster's docs PRESENT in
+    ``docs`` (one groupBy on cluster_id), not the raw component label:
+    if ``pairs`` references ids absent from ``docs`` (a stale edge
+    list) the phantom id can be the component minimum, and labeling it
+    the keeper would silently drop the whole cluster under
+    ``filter(is_keep)``. When pair ids ⊆ doc ids the two rules agree
+    exactly."""
     cc = connected_components(pairs, src, dst).withColumnRenamed("node", id_col)
+    labeled = docs.join(cc, id_col, "left").withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    )
+    keepers = labeled.groupBy("cluster_id").agg(
+        F.min(id_col).alias("__keep_id")
+    )
     return (
-        docs.join(cc, id_col, "left")
-        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
-        .withColumn("is_keep", F.col("cluster_id") == F.col(id_col))
-        .drop("component")
+        labeled.join(keepers, "cluster_id")
+        .withColumn("is_keep", F.col(id_col) == F.col("__keep_id"))
+        .drop("component", "__keep_id")
     )

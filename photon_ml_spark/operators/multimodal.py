@@ -133,30 +133,66 @@ def _fake_audio_decode(payload: bytes) -> tuple[int, int, float]:
     return sample_rate, n_samples, rms
 
 
+def _soundfile_available() -> bool:
+    try:
+        import soundfile  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _soundfile_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder: bytes → (sample_rate, n_samples, rms in [0,1])."""
+    import io
+    import math
+
+    import soundfile as sf
+
+    data, rate = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+    mono = data.mean(axis=1)
+    rms = math.sqrt(float((mono * mono).mean())) if len(mono) else 0.0
+    return int(rate), int(len(mono)), rms
+
+
 def decode_audio(
     df: DataFrame, payload_col: str = "payload", fake: bool = False
 ) -> DataFrame:
     """Audio twin of ``decode_image``: binary payloads → sample rate /
-    length / RMS level via the same Arrow ``mapInPandas`` shape. No
-    audio codec library ships in this container, so only the
-    deterministic fake decoder is wired (``fake=True``); the real path
-    raises until soundfile/librosa is provided — the schema, batching,
-    and partitioning are identical either way."""
-    if not fake:
+    length / RMS level via the same Arrow ``mapInPandas`` shape, with
+    the same capability gating — the REAL decoder (soundfile) when the
+    library imports (capability-checked up front on the driver, so the
+    failure is immediate, not mid-job; undecodable payloads yield
+    ``decode_ok=False`` rows, never task failures), the deterministic
+    fake with ``fake=True``, and a fail-fast raise when neither
+    applies. This container ships no audio codec, so the real path is
+    exercised only where soundfile exists (skip-marked test); schema,
+    batching, and partitioning are identical either way."""
+    if not fake and not _soundfile_available():
         raise NotImplementedError(
-            "real audio decode requires an audio codec library "
-            "(soundfile/librosa) not present in this environment; pass "
-            "fake=True for the deterministic stub decoder"
+            "real audio decode requires soundfile on driver and "
+            "executors; pass fake=True for the deterministic stub decoder"
         )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            meta = [_fake_audio_decode(bytes(p)) for p in pdf[payload_col]]
+            meta = []
+            ok = []
+            for p in pdf[payload_col]:
+                if fake:
+                    meta.append(_fake_audio_decode(bytes(p)))
+                    ok.append(True)
+                else:
+                    try:
+                        meta.append(_soundfile_decode(bytes(p)))
+                        ok.append(True)
+                    except Exception:
+                        meta.append((0, 0, 0.0))
+                        ok.append(False)
             out = pdf.copy()
             out["sample_rate"] = [m[0] for m in meta]
             out["n_samples"] = [m[1] for m in meta]
             out["rms"] = [m[2] for m in meta]
-            out["decode_ok"] = True
+            out["decode_ok"] = ok
             yield out
 
     return df.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)

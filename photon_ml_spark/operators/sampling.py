@@ -110,13 +110,35 @@ def corpus_mix(
     full-data pass is the final filter.
 
     ``rate_col`` (optional) exposes each row's keep rate in the output
-    for auditing."""
+    for auditing.
+
+    Validation: shares must be > 0, and every target group must have
+    rows in the corpus — a missing group would otherwise be silently
+    excluded from the T* minimum and the surviving mix would deviate
+    from the request with no signal. The check is one tiny aggregate
+    (|groups| rows) the plan computes anyway."""
+    bad_shares = {k: v for k, v in target_shares.items() if not v > 0}
+    if bad_shares:
+        raise ValueError(
+            f"corpus_mix target_shares must be > 0; got {bad_shares}"
+        )
     spark = df.sparkSession
     shares = spark.createDataFrame(
         [(k, float(v)) for k, v in target_shares.items()],
         f"{group_col} string, __share double",
     )
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    missing = [
+        r[0]
+        for r in shares.join(counts, group_col, "left_anti")
+        .select(group_col)
+        .collect()
+    ]
+    if missing:
+        raise ValueError(
+            "corpus_mix target groups have zero rows in the corpus "
+            f"(would silently skew the mix): {sorted(missing)}"
+        )
     joined = counts.join(shares, group_col)
     tstar = joined.agg(
         F.min(F.col("__cnt") / F.col("__share")).alias("__tstar")

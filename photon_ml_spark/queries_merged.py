@@ -1,0 +1,316 @@
+"""Suite queries: merged gate rows so every component family is
+driver-verified.
+
+The driver's correctness gate records the FIRST 50 entries of the
+query registry (``all_queries()`` iteration order). Round 2 had 71
+registrations, leaving 21 queries — including every streaming (e*) and
+multimodal (xm*) component — outside the gate window, verified only by
+the local oracle replica (tests/test_oracle.py).
+
+This module folds near-duplicate registrations into suite queries that
+exercise ALL constituents inside one oracle-compared result, shrinking
+the registry to ≤ 50 gate slots for every family:
+
+- ``a9_metric_suite``     = a9 × a9b × a10 × a10b × a11 × a11b × a12 × a13
+                            (cross join of 1-row metric frames, columns
+                            prefixed per constituent)
+- ``m1_custom_solvers``   = m1b (LBFGSB box) × m1c (TRON) × m9b (prior)
+- ``x6_neardup_pairs``    = x6 (MinHash+LSH) ∪ x7 (SimHash) ∪ x8
+                            (embedding cosine), variant-tagged pair rows
+- ``x9_ann_topk``         = x9 (brute) ∪ x9b (Arrow/BLAS) ∪ x10 (IVF),
+                            variant-tagged top-k rows
+- ``e1_event_windows``    = e1 (tumbling windows) ∪ e3 (session windows)
+- ``xm1_multimodal_suite``= xm1 (image) ∪ xm2 (video frames) ∪ xm3
+                            (audio), melted to (variant, doc_id, k, v)
+
+Every constituent's run function keeps living (and is importable) in
+its home module; the originals whose union semantics would be muddy
+(m2b stationarity vs m2 coefficients, x5 signatures, e4 scoring, x13/
+x15/x11 text stats) stay registered standalone and are ordered AFTER
+the gate window by ``queries.GATE_ORDER`` — still replayed by the
+local oracle suite.
+
+Exactness: cross joins of 1-row frames and UNION ALL of already-
+hash-matching constituents introduce no new float arithmetic; integer
+casts to double are exact below 2^53.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+# Ensure every constituent registration exists before we capture it.
+from photon_ml_spark import (  # noqa: F401
+    queries_core,
+    queries_ml,
+    queries_pipeline,
+    queries_streaming,
+)
+from photon_ml_spark.queries import QUERY_REGISTRY, register
+
+# name -> (prefix/variant tag, output columns) for each folded query
+_FOLDED = {
+    # 1-row metric scalars (cross-joined)
+    "a9_metric_suite": ("a9", ["rmse", "mae", "logistic_loss", "n"]),
+    "a9b_loss_kernels": ("a9b", ["poisson_loss", "smoothed_hinge_loss", "n"]),
+    "a10_auroc": ("a10", ["auroc"]),
+    "a10b_aupr": ("a10b", ["aupr"]),
+    "a11_grouped_precision_at_k": ("a11", ["mean_precision_at_k", "n_groups"]),
+    "a11b_grouped_auc": ("a11b", ["mean_group_auc", "n_groups"]),
+    "a12_peak_f1_aic": ("a12", ["peak_f1", "loglik", "aic", "aicc"]),
+    "a13_eval_suite": (
+        "a13",
+        ["rmse", "mae", "logistic_loss", "squared_loss", "weight_sum", "n"],
+    ),
+    # 1-row custom-solver scalars (cross-joined)
+    "m1b_box_fixed_effect": ("box", ["coef", "intercept", "optimizer"]),
+    "m1c_tron_fixed_effect": ("tron", ["coef", "intercept", "optimizer", "converged"]),
+    "m9b_fixed_effect_prior": ("prior", ["coef", "intercept", "optimizer"]),
+    # near-dup pair relations (unioned, stat column per variant)
+    "x6_minhash_lsh_pairs": ("minhash_lsh", ["id_a", "id_b", "jaccard"]),
+    "x7_simhash_neardup": ("simhash", ["id_a", "id_b", "hamming"]),
+    "x8_embedding_neardup": ("embedding", ["id_a", "id_b", "cosine"]),
+    # ANN top-k variants (unioned; identical schemas)
+    "x9_ann_brute_topk": ("brute", ["query_id", "vec_id", "cosine", "rank"]),
+    "x9b_ann_blas_topk": ("blas", ["query_id", "vec_id", "cosine", "rank"]),
+    "x10_ann_ivf_topk": ("ivf", ["query_id", "vec_id", "cosine", "rank"]),
+    # event-time windows (unioned)
+    "e1_event_window_agg": (
+        "tumbling",
+        ["window_start", "event_type", "n_events", "value_sum"],
+    ),
+    "e3_event_sessions": (
+        "session",
+        ["user_id", "session_start", "n_events", "value_sum"],
+    ),
+    # multimodal plans (melted + unioned)
+    "xm1_multimodal_decode_resize": (
+        "image",
+        ["width", "height", "mean_luma", "out_w", "out_h", "pad_x", "pad_y"],
+    ),
+    "xm2_frame_sample_plan": ("video", ["n_frames", "last_ts"]),
+    "xm3_audio_decode_resample": (
+        "audio",
+        ["sample_rate", "n_samples", "rms", "duration_us", "out_samples"],
+    ),
+}
+
+_SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
+
+
+def _widen(spark, sf_dir, names):
+    """Cross join 1-row frames, prefixing columns per constituent."""
+    out = None
+    for name in names:
+        prefix, cols = _FOLDED[name]
+        df = _SPEC[name].run(spark, sf_dir)
+        df = df.select([F.col(c).alias(f"{prefix}_{c}") for c in cols])
+        out = df if out is None else out.crossJoin(df)
+    return out
+
+
+def _widen_sql(names) -> str:
+    sel = ", ".join(
+        f"t{i}.{c} AS {_FOLDED[n][0]}_{c}"
+        for i, n in enumerate(names)
+        for c in _FOLDED[n][1]
+    )
+    frm = " CROSS JOIN ".join(
+        f"({_SPEC[n].oracle.strip()}) t{i}" for i, n in enumerate(names)
+    )
+    return f"SELECT {sel} FROM {frm}"
+
+
+_METRIC_PARTS = [
+    "a9_metric_suite",
+    "a9b_loss_kernels",
+    "a10_auroc",
+    "a10b_aupr",
+    "a11_grouped_precision_at_k",
+    "a11b_grouped_auc",
+    "a12_peak_f1_aic",
+    "a13_eval_suite",
+]
+
+
+@register(
+    "a9_metric_suite",
+    oracle=_widen_sql(_METRIC_PARTS),
+    note="A9/A10/A11/A12/A13/T5 metric-evaluator suite in ONE gate row: "
+    "RMSE/MAE/logloss, Poisson+smoothed-hinge kernels, weighted AUROC, "
+    "AUPR, grouped precision@5, grouped AUC, peak-F1/AIC, one-pass "
+    "EvaluationSuite — cross join of the eight 1-row constituent "
+    "queries (each still importable standalone); constituent notes in "
+    "queries_core.py",
+)
+def a9_metric_suite(spark, sf_dir):
+    return _widen(spark, sf_dir, _METRIC_PARTS)
+
+
+_SOLVER_PARTS = [
+    "m1b_box_fixed_effect",
+    "m1c_tron_fixed_effect",
+    "m9b_fixed_effect_prior",
+]
+
+
+@register(
+    "m1_custom_solvers",
+    oracle=_widen_sql(_SOLVER_PARTS),
+    note="M1/M4/M9/A2 custom distributed solvers in ONE gate row: LBFGSB "
+    "box-constrained fit, TRON trust-region Newton (offset + CG "
+    "Hessian-vector rounds), Gaussian-prior fixed-effect fit — cross "
+    "join of the three 1-row constituent queries; constituent notes in "
+    "queries_ml.py",
+)
+def m1_custom_solvers(spark, sf_dir):
+    return _widen(spark, sf_dir, _SOLVER_PARTS)
+
+
+@register(
+    "x6_neardup_pairs",
+    oracle=f"""
+SELECT 'minhash_lsh' AS variant, id_a, id_b, jaccard AS stat
+FROM ({_SPEC["x6_minhash_lsh_pairs"].oracle.strip()}) t0
+UNION ALL
+SELECT 'simhash' AS variant, id_a, id_b, CAST(hamming AS DOUBLE) AS stat
+FROM ({_SPEC["x7_simhash_neardup"].oracle.strip()}) t1
+UNION ALL
+SELECT 'embedding' AS variant, id_a, id_b, cosine AS stat
+FROM ({_SPEC["x8_embedding_neardup"].oracle.strip()}) t2
+""",
+    note="pipeline/dedup near-dup pair suite in ONE gate row: MinHash+LSH "
+    "(stat=verified jaccard), SimHash bands (stat=hamming), embedding "
+    "cosine blocks (stat=cosine) — variant-tagged union; constituent "
+    "notes in queries_pipeline.py",
+)
+def x6_neardup_pairs(spark, sf_dir):
+    lsh = (
+        _SPEC["x6_minhash_lsh_pairs"].run(spark, sf_dir)
+        .select(
+            F.lit("minhash_lsh").alias("variant"),
+            "id_a", "id_b", F.col("jaccard").alias("stat"),
+        )
+    )
+    sim = (
+        _SPEC["x7_simhash_neardup"].run(spark, sf_dir)
+        .select(
+            F.lit("simhash").alias("variant"),
+            "id_a", "id_b", F.col("hamming").cast("double").alias("stat"),
+        )
+    )
+    emb = (
+        _SPEC["x8_embedding_neardup"].run(spark, sf_dir)
+        .select(
+            F.lit("embedding").alias("variant"),
+            "id_a", "id_b", F.col("cosine").alias("stat"),
+        )
+    )
+    return lsh.unionByName(sim).unionByName(emb)
+
+
+_ANN_PARTS = ["x9_ann_brute_topk", "x9b_ann_blas_topk", "x10_ann_ivf_topk"]
+
+
+@register(
+    "x9_ann_topk",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{_FOLDED[n][0]}' AS variant, query_id, vec_id, cosine, rank "
+        f"FROM ({_SPEC[n].oracle.strip()}) t{i}"
+        for i, n in enumerate(_ANN_PARTS)
+    ),
+    note="pipeline/similarity ANN suite in ONE gate row: exact brute-force "
+    "cosine top-5, the Arrow/BLAS batch-matmul physical variant (same "
+    "oracle rows — value-equal by construction), and IVF cell-bucketed "
+    "top-5 — variant-tagged union; constituent notes in "
+    "queries_pipeline.py",
+)
+def x9_ann_topk(spark, sf_dir):
+    parts = [
+        _SPEC[n].run(spark, sf_dir).select(
+            F.lit(_FOLDED[n][0]).alias("variant"),
+            "query_id", "vec_id", "cosine", "rank",
+        )
+        for n in _ANN_PARTS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "e1_event_windows",
+    oracle=f"""
+SELECT 'tumbling' AS variant, event_type AS key, window_start AS ts,
+       n_events, value_sum
+FROM ({_SPEC["e1_event_window_agg"].oracle.strip()}) t0
+UNION ALL
+SELECT 'session' AS variant, CAST(user_id AS VARCHAR) AS key,
+       session_start AS ts, n_events, value_sum
+FROM ({_SPEC["e3_event_sessions"].oracle.strip()}) t1
+""",
+    note="streaming event-time windowing suite in ONE gate row: tumbling "
+    "15-min windows (key=event_type) and 5-min-gap session windows "
+    "(key=user_id) — variant-tagged union of the batch sides of the "
+    "dual-use operators; constituent notes in queries_streaming.py",
+)
+def e1_event_windows(spark, sf_dir):
+    tumb = (
+        _SPEC["e1_event_window_agg"].run(spark, sf_dir)
+        .select(
+            F.lit("tumbling").alias("variant"),
+            F.col("event_type").alias("key"),
+            F.col("window_start").alias("ts"),
+            "n_events", "value_sum",
+        )
+    )
+    sess = (
+        _SPEC["e3_event_sessions"].run(spark, sf_dir)
+        .select(
+            F.lit("session").alias("variant"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("session_start").alias("ts"),
+            "n_events", "value_sum",
+        )
+    )
+    return tumb.unionByName(sess)
+
+
+_XM_PARTS = [
+    "xm1_multimodal_decode_resize",
+    "xm2_frame_sample_plan",
+    "xm3_audio_decode_resample",
+]
+
+
+def _melt_sql(name) -> str:
+    variant, cols = _FOLDED[name]
+    sql = _SPEC[name].oracle.strip()
+    return " UNION ALL ".join(
+        f"SELECT '{variant}' AS variant, doc_id, '{c}' AS k, "
+        f"CAST({c} AS DOUBLE) AS v FROM ({sql}) m_{variant}_{c}"
+        for c in cols
+    )
+
+
+@register(
+    "xm1_multimodal_suite",
+    oracle=" UNION ALL ".join(_melt_sql(n) for n in _XM_PARTS),
+    note="pipeline/multimodal suite in ONE gate row: image decode+letterbox "
+    "resize plan, video frame-sampling plan, audio decode+resample plan "
+    "— each constituent's numeric outputs melted to (variant, doc_id, "
+    "k, v) and unioned; constituent notes in queries_pipeline.py "
+    "(decode stages are the capability-gated Arrow mapInPandas paths, "
+    "deterministic-fake mode for the oracle)",
+)
+def xm1_multimodal_suite(spark, sf_dir):
+    parts = []
+    for name in _XM_PARTS:
+        variant, cols = _FOLDED[name]
+        df = _SPEC[name].run(spark, sf_dir)
+        pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
+        parts.append(
+            df.selectExpr("doc_id", f"stack({len(cols)}, {pairs}) AS (k, v)")
+            .select(F.lit(variant).alias("variant"), "doc_id", "k", "v")
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

@@ -314,19 +314,33 @@ SELECT uid, ROUND(fixed_score, 6) AS fixed_score, ROUND(re_score, 6) AS re_score
        ROUND(1.0 / (1.0 + EXP(-(fixed_score + re_score))), 6) AS prediction
 FROM scored
 """,
-    note="M12/J4/J5/J11/P10: full GAME scoring composition — broadcast "
-    "fixed-effect dot product + per-entity model-table left join (missing "
-    "model → 0, RandomEffectModel.scala:283-287) after P10 sparsification, "
-    "score sum, sigmoid mean (GameModel.scala:108-112)",
+    note="M12/J4/J5/J11/P10 + S8/S9 SINK ROUND-TRIP: full GAME scoring "
+    "composition — broadcast fixed-effect dot product + per-entity "
+    "model-table left join (missing model → 0, "
+    "RandomEffectModel.scala:283-287) after P10 sparsification, score "
+    "sum, sigmoid mean (GameModel.scala:108-112). The GAME model is "
+    "saved and RELOADED through the model sink/scan "
+    "(ModelProcessingUtils.scala:77-265) before scoring, and the "
+    "scored output is written and RE-READ through the S8 score sink "
+    "(GameScoringDriver.scala:229-256) — the oracle-compared rows are "
+    "the re-read table, so a green row proves both sinks round-trip",
 )
 def m12_game_scoring(spark, sf_dir):
+    import os
+
     import numpy as np
 
+    from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, GameModel
     from photon_ml_spark.ml.glm import FixedEffectGLM
     from photon_ml_spark.ml.scoring import (
         apply_mean,
         score_literal,
         score_random_effect,
+    )
+    from photon_ml_spark.sources.model_io import (
+        load_game_model,
+        save_game_model,
+        save_scores,
     )
 
     li = _t(spark, sf_dir, "lineitem")
@@ -359,6 +373,30 @@ def m12_game_scoring(spark, sf_dir):
         family="binomial", coefficients=np.array([0.05, -0.02]),
         intercept=0.1, dim=2,
     )
+    # S9 model sink/scan round-trip: persist the GAME model (fixed
+    # coefficient table + per-entity model table + metadata) and score
+    # with the RELOADED coordinates, not the in-memory ones
+    game = GameModel(family="binomial")
+    game.configs["fx"] = CoordinateConfig(
+        name="fx", kind="fixed", dim=2,
+        indices_col="fx_indices", values_col="fx_values",
+    )
+    game.coordinates["fx"] = fixed
+    game.configs["re"] = CoordinateConfig(
+        name="re", kind="random", dim=1, entity_col="entity",
+    )
+    game.coordinates["re"] = sparse
+    warehouse = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "spark-warehouse",
+    )
+    model_path = os.path.join(
+        warehouse, f"m12_model_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_game_model(game, model_path, spark)
+    loaded = load_game_model(model_path, spark)
+    fixed = loaded.coordinates["fx"]
+    sparse = loaded.coordinates["re"]
     with_fixed = score_literal(
         rows_in.withColumn(
             "fx_indices", F.array(F.lit(0).cast("long"), F.lit(1).cast("long"))
@@ -378,12 +416,19 @@ def m12_game_scoring(spark, sf_dir):
         "total", F.col("fixed_score") + F.col("re_score")
     )
     out = apply_mean(out, "binomial", margin_col="total", out_col="prediction")
-    return out.select(
+    out = out.select(
         "uid", r6(F.col("fixed_score")).alias("fixed_score"),
         r6(F.col("re_score")).alias("re_score"),
         r6(F.col("total")).alias("total"),
         r6(F.col("prediction")).alias("prediction"),
     )
+    # S8 score sink round-trip (+T6 file limit): write, re-read, and
+    # return the RE-READ rows — what the oracle compares
+    scores_path = os.path.join(
+        warehouse, f"m12_scores_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_scores(out, scores_path, output_files_limit=2)
+    return spark.read.parquet(scores_path)
 
 
 @register(
@@ -749,6 +794,56 @@ def m9b_fixed_effect_prior(spark, sf_dir):
             m.meta["optimizer"],
         )],
         "coef double, intercept double, optimizer string",
+    )
+
+
+@register(
+    "m1_glr_fixed_effect",
+    oracle="""
+SELECT 0.0 AS g_coef, 0.0 AS g_int, CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+""",
+    note="M1/A1/M6 MAIN path — spark.ml GLR IRLS (binomial, offset + "
+    "weight, JVM-side whole-stage codegen), the solver the flagship "
+    "uses (DistributedOptimizationProblem.scala:112-157, "
+    "GeneralizedLinearModel training loop). Verified by the m13/m2b "
+    "FIXED-POINT pattern: the weighted logistic gradient "
+    "Σ w·(σ(margin)−y)·x is recomputed DISTRIBUTED at the returned "
+    "coefficients and must round to 0 (no closed form exists for the "
+    "MLE itself)",
+)
+def m1_glr_fixed_effect(spark, sf_dir):
+    from photon_ml_spark.ml.glm import fit_fixed_effect
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array((F.col("l_quantity") / 10.0)).alias("features_values"),
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
+        (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("weight"),
+        (F.col("l_discount") * 2.0).alias("offset"),
+    )
+    m = fit_fixed_effect(
+        li, dim=1, family="binomial", weight_col="weight", offset_col="offset",
+        reg_param=0.0, tol=1e-10, max_iter=100,
+    )
+    assert m.meta.get("iterations", 0) > 0  # really went through IRLS
+    x = F.element_at("features_values", 1)
+    margin = (
+        x * float(m.coefficients[0]) + F.col("offset") + float(m.intercept)
+    )
+    resid = (
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)) - F.col("response")
+    ) * F.col("weight")
+    g = li.agg(
+        F.sum(resid * x).alias("gc"),
+        F.sum(resid).alias("gi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # +0.0 folds IEEE −0.0 into +0.0 so the hash matches the SQL literal
+    return g.select(
+        (F.round(F.col("gc"), 3) + 0.0).alias("g_coef"),
+        (F.round(F.col("gi"), 3) + 0.0).alias("g_int"),
+        "n",
     )
 
 

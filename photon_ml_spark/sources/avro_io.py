@@ -34,6 +34,15 @@ codec) or ``null``. Sync markers are derived deterministically from
 The JVM avro core library bundled with Spark (avro-1.12.1.jar) is
 used in tests as an independent cross-check of this codec — files we
 write are re-read through ``org.apache.avro.file.DataFileReader``.
+
+SCALE CAVEAT: the fallback decodes rows in Python (row-at-a-time
+inside each file task). It is a COMPATIBILITY path — correct, tested,
+and parallel per file, but a 100 TB Avro scan through it would be
+Python-bound (~10-100x slower than a columnar JVM scan). Production
+deployments must put ``spark-avro`` (org.apache.spark:spark-avro) on
+the classpath — ``read_avro``/``write_avro`` detect and prefer it
+automatically, turning the same call sites into JVM-side vectorized
+scans with pushdown.
 """
 
 from __future__ import annotations

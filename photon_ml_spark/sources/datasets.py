@@ -66,6 +66,25 @@ def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
             F.abs(F.col(ts_col)) >= F.lit(10**16),
             F.expr(f"{ts_col} div 1000"),
         ).otherwise(F.col(ts_col))
+        # magnitude detection is only sound for 1971..2200: epoch nanos
+        # before ~Apr 1970 read as micros, micros after ~2286 read as
+        # nanos. Outside the window fail fast instead of silently
+        # picking a unit (zero extra passes — the guard rides the same
+        # projection).
+        lo = 31_536_000 * 10**6          # 1971-01-01 in epoch micros
+        hi = 7_258_118_400 * 10**6       # 2200-01-01 in epoch micros
+        micros = F.when(
+            (micros < F.lit(lo)) | (micros > F.lit(hi)),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ambiguous epoch magnitude in '{ts_col}' (unit "
+                        "detection supports 1971..2200 only): "
+                    ),
+                    F.col(ts_col).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(micros)
         df = df.withColumn(ts_col, F.timestamp_micros(micros))
     return df
 

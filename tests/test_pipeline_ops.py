@@ -249,8 +249,9 @@ def test_repetition_stats_flags_boilerplate(spark):
 
 def test_audio_decode_plumbing(docs):
     payloads = multimodal.attach_payload(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_audio(payloads).count()
+    if not multimodal._soundfile_available():
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_audio(payloads).count()
     decoded = multimodal.decode_audio(payloads, fake=True)
     planned = multimodal.resample_plan(decoded, target_rate=16000)
     row = planned.first()
@@ -259,6 +260,34 @@ def test_audio_decode_plumbing(docs):
     # resample bookkeeping: out_samples = ceil(n * 16000 / rate)
     import math
     assert row.out_samples == math.ceil(row.n_samples * 16000.0 / row.sample_rate)
+
+
+@pytest.mark.skipif(
+    not multimodal._soundfile_available(), reason="soundfile not installed"
+)
+def test_audio_real_decode(spark):
+    """Real audio path (runs only where soundfile exists): a synthetic
+    WAV decodes to its true rate/length/RMS; junk bytes yield
+    decode_ok=False rows, not task failures."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<400h", *([16384] * 400)))
+    rows = [(1, bytearray(buf.getvalue()), "audio/wav"),
+            (2, bytearray(b"not audio"), "audio/wav")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_type string"
+    )
+    out = {r.doc_id: r for r in multimodal.decode_audio(df).collect()}
+    assert (out[1].sample_rate, out[1].n_samples) == (8000, 400)
+    assert out[1].decode_ok and out[1].rms == pytest.approx(0.5, abs=0.01)
+    assert not out[2].decode_ok
 
 
 def test_frame_sample_plan(spark):
@@ -394,6 +423,43 @@ def test_cluster_and_keep_singletons_survive(spark, docs):
     ]
     assert ca == cb
     out.unpersist()
+
+
+def test_cluster_and_keep_phantom_pair_ids(spark):
+    """Edges referencing ids absent from docs (stale pair list) must not
+    wipe the cluster: the keeper is the min id among PRESENT docs."""
+    docs2 = spark.createDataFrame([(10,), (11,), (12,)], ["doc_id"])
+    # phantom doc 1 is the component minimum but absent from docs
+    pairs = spark.createDataFrame([(1, 10), (10, 11)], ["id_a", "id_b"])
+    out = {r.doc_id: (r.cluster_id, r.is_keep)
+           for r in dedup.cluster_and_keep(docs2, pairs).collect()}
+    assert out[10] == (1, True)   # min PRESENT doc keeps
+    assert out[11] == (1, False)
+    assert out[12] == (12, True)  # singleton untouched
+
+
+def test_corpus_mix_validation(spark, docs):
+    from photon_ml_spark.operators.sampling import corpus_mix
+
+    with pytest.raises(ValueError, match="must be > 0"):
+        corpus_mix(docs, "source", {"src0": 0.0}, uid_col="doc_id")
+    with pytest.raises(ValueError, match="zero rows"):
+        corpus_mix(
+            docs, "source", {"src0": 0.5, "no_such_source": 0.5},
+            uid_col="doc_id",
+        )
+
+
+def test_sparse_dot_literal_cap():
+    from photon_ml_spark.functions.vectors import (
+        MAX_LITERAL_COEFFICIENTS,
+        sparse_dot_literal,
+    )
+
+    with pytest.raises(ValueError, match="score_by_join"):
+        sparse_dot_literal(
+            F.col("i"), F.col("v"), [0.0] * (MAX_LITERAL_COEFFICIENTS + 1)
+        )
 
 
 def test_corpus_mix_hits_target_shares(spark, docs):

@@ -61,6 +61,17 @@ def events_stream(spark):
     )
 
 
+def test_normalize_event_ts_ambiguous_magnitude_raises(spark):
+    """Outside the documented 1971..2200 window the micros/nanos
+    magnitude heuristic is unsound — must fail fast, not silently
+    pick a unit (e.g. 1969 nanos would read as year-2286+ micros)."""
+    ok = spark.createDataFrame([(1_700_000_000_000_000,)], "ts long")
+    assert normalize_event_ts(ok).count() == 1  # 2023, in-window
+    bad = spark.createDataFrame([(10_000_000_000,)], "ts long")  # 1970-04
+    with pytest.raises(Exception, match="ambiguous epoch magnitude"):
+        normalize_event_ts(bad).collect()
+
+
 def test_windowed_counts_stream_matches_batch(spark, events_batch, events_stream):
     batch = windowed_event_counts(events_batch)
     stream = windowed_event_counts(events_stream, watermark="2 hours")
