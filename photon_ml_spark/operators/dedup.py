@@ -388,11 +388,21 @@ def minhash_lsh_dedup(
     n: int = 1,
     num_hashes: int = 16,
     bands: int = 4,
+    doc_sids: DataFrame | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → minhash → banded
     buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
-    Returns (id_a, id_b, jaccard)."""
-    sids = token_ids(df, id_col, text_col, n).cache()
+    Returns (id_a, id_b, jaccard).
+
+    ``doc_sids`` (optional): a pre-built ``token_ids`` frame, so one
+    cached shingle-id relation can feed several dedup pipelines
+    (minhash + simhash share it in the gate suite) instead of each
+    re-running the vocabulary sort."""
+    sids = (
+        doc_sids
+        if doc_sids is not None
+        else token_ids(df, id_col, text_col, n).cache()
+    )
     sigs = minhash_signatures(sids, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
@@ -449,18 +459,19 @@ def simhash_neardup_pairs(
     n: int = 1,
     bits: int = SIMHASH_BITS,
     bands: int = 4,
+    doc_sids: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, found via banded
     buckets then exact popcount verification. Pigeonhole completeness:
     a pair differing in ≤ max_hamming bits must agree exactly on at
     least one band when ``bands > max_hamming`` — asserted here rather
-    than assumed."""
+    than assumed. ``doc_sids``: see ``minhash_lsh_dedup``."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
             "for complete candidate generation"
         )
-    sids = token_ids(df, id_col, text_col, n)
+    sids = doc_sids if doc_sids is not None else token_ids(df, id_col, text_col, n)
     sigs = simhash_signatures(sids, id_col, bits).cache()
     band_bits = bits // bands
     bucketed = None

@@ -187,19 +187,25 @@ FROM ({_SPEC["x8_embedding_neardup"].oracle.strip()}) t2
     "notes in queries_pipeline.py",
 )
 def x6_neardup_pairs(spark, sf_dir):
-    lsh = (
-        _SPEC["x6_minhash_lsh_pairs"].run(spark, sf_dir)
-        .select(
-            F.lit("minhash_lsh").alias("variant"),
-            "id_a", "id_b", F.col("jaccard").alias("stat"),
-        )
+    from photon_ml_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        simhash_neardup_pairs,
+        token_ids,
     )
-    sim = (
-        _SPEC["x7_simhash_neardup"].run(spark, sf_dir)
-        .select(
-            F.lit("simhash").alias("variant"),
-            "id_a", "id_b", F.col("hamming").cast("double").alias("stat"),
-        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # one cached shingle-id relation feeds both the minhash and simhash
+    # constituents (both shingle at n=2) — the vocabulary sort runs once
+    sids = token_ids(docs, n=2).persist()
+    lsh = minhash_lsh_dedup(docs, threshold=0.5, n=2, doc_sids=sids).select(
+        F.lit("minhash_lsh").alias("variant"),
+        "id_a", "id_b", F.col("jaccard").alias("stat"),
+    )
+    sim = simhash_neardup_pairs(
+        docs, max_hamming=3, n=2, doc_sids=sids
+    ).select(
+        F.lit("simhash").alias("variant"),
+        "id_a", "id_b", F.col("hamming").cast("double").alias("stat"),
     )
     emb = (
         _SPEC["x8_embedding_neardup"].run(spark, sf_dir)
