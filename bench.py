@@ -32,16 +32,16 @@ def run_flagship(spark, sf_dir: str) -> int:
     from photon_ml_spark.sources import datasets, featurize
 
     # The synthetic tables are single-row-group parquet files, so the
-    # scan yields ~1 usable split: repartition to core count right after
-    # ingest and cache, the reference's own min-partition control
-    # (AvroUtils.scala:62-93). On a real cluster reading block-sized
-    # files the scan already yields enough splits and this shuffle is a
-    # no-op to remove; here it unlocks 32-way parallelism for the
-    # dictionary pass, the assembly pass, and every IRLS iteration.
+    # scan yields ~3 usable splits: spread the RAW scan to core count
+    # BEFORE featurization (pre_repartition) so the bag-building
+    # projection — not just downstream stages — runs 32-way; the
+    # reference's own min-partition control (AvroUtils.scala:62-93).
+    # On a real cluster reading block-sized files the scan already
+    # yields enough splits and this shuffle is a no-op to remove.
     par = spark.sparkContext.defaultParallelism
     training = datasets.lineitem_training_frame(
-        spark, sf_dir, uid_strategy="monotonic"
-    ).repartition(par).cache()
+        spark, sf_dir, uid_strategy="monotonic", pre_repartition=par
+    ).cache()
     training.count()
     dictionary = featurize.build_feature_dictionary(
         training, ["features"], has_intercept=True

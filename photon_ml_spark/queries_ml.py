@@ -815,13 +815,16 @@ FROM lineitem
 def m1_glr_fixed_effect(spark, sf_dir):
     from photon_ml_spark.ml.glm import fit_fixed_effect
 
+    # single-row-group synthetic parquet yields ~3 splits; spread to
+    # core count so each IRLS pass parallelizes (no-op to remove on
+    # real block-sized files — same note as bench.py flagship)
     li = _t(spark, sf_dir, "lineitem").select(
         F.array(F.lit(0).cast("long")).alias("features_indices"),
         F.array((F.col("l_quantity") / 10.0)).alias("features_values"),
         F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("response"),
         (F.lit(1.0) + F.col("l_linenumber") / 10.0).alias("weight"),
         (F.col("l_discount") * 2.0).alias("offset"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     m = fit_fixed_effect(
         li, dim=1, family="binomial", weight_col="weight", offset_col="offset",
         reg_param=0.0, tol=1e-10, max_iter=100,

@@ -153,7 +153,8 @@ def daily_paths(
 
 
 def lineitem_training_frame(
-    spark: SparkSession, sf_dir: str, uid_strategy: str = "stable"
+    spark: SparkSession, sf_dir: str, uid_strategy: str = "stable",
+    pre_repartition: int | None = None,
 ) -> DataFrame:
     """lineitem ⋈ orders → (uid, response, offset, weight, tags, features).
 
@@ -168,8 +169,17 @@ def lineitem_training_frame(
     - feature bag ``features``: scaled numeric measures.
     - id tags: ``suppkey`` / ``custkey`` for per-entity (random-effect)
       coordinates.
+    - ``pre_repartition``: spread the RAW scan across N partitions
+      BEFORE the join/featurization so the bag-building projection
+      runs at full parallelism (a post-hoc ``.repartition`` exchanges
+      the already-projected wide rows and leaves the projection at the
+      scan's split count — measured ~2x slower on single-row-group
+      files). On real block-sized files the scan yields enough splits
+      and this is a no-op to remove.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    if pre_repartition:
+        li = li.repartition(pre_repartition)
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
