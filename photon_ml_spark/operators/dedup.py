@@ -505,6 +505,43 @@ def bow_exact_dedup(df: DataFrame, id_col: str = "doc_id",
     return exact_duplicates(df, bow_signature(F.col(text_col)), id_col)
 
 
+def contaminated_docs(
+    train: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination detection: for every training document,
+    count word n-gram collisions with an evaluation/benchmark corpus.
+
+    Returns one row per CONTAMINATED training doc:
+    (id, n_shared_ngrams = distinct n-grams also found anywhere in the
+    eval set, n_eval_docs = distinct eval docs sharing ≥ 1 n-gram).
+    Docs with zero overlap are absent — filter/anti-join downstream to
+    quarantine or drop.
+
+    Scale shape: both sides reduce to distinct (doc, shingle) pairs;
+    the overlap is one equi-join on the shingle key + one groupBy on
+    the training doc. Eval/benchmark sets are typically tiny next to
+    a 100 TB training corpus, so Catalyst broadcasts the eval side
+    (AQE decides from measured size — no hint needed); the train side
+    is never shuffled except by the final doc-key aggregation.
+    """
+    tr = doc_shingles(train, id_col, text_col, n)
+    ev = doc_shingles(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("__eval_id"), "shingle"
+    )
+    return (
+        tr.join(ev, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_ngrams"),
+            F.countDistinct("__eval_id").alias("n_eval_docs"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",

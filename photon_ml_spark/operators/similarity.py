@@ -294,3 +294,39 @@ def cosine_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    patterns: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (the SemDedup
+    pattern, Abbas et al., "SemDeDup", arXiv:2303.09540): rows whose
+    embeddings are near-parallel are semantic duplicates even when
+    their text differs, so one canonical representative per semantic
+    cluster survives.
+
+    Pipeline (all existing bucketed primitives composed — no new
+    shuffle shapes): hyperplane-LSH cell assignment (deterministic
+    literal planes) → within-cell cosine ≥ threshold pairs
+    (``cosine_neardup_pairs`` blocked by cell, bounding the quadratic
+    term to cell populations) → distributed connected components →
+    min-id keeper per cluster (``dedup.cluster_and_keep``).
+
+    Returns every input row annotated (id, cluster_id, is_keep);
+    ``filter(is_keep)`` is the dedup. Recall trade: near-dup pairs
+    split across cells are missed with probability 1 − (1 − θ/π)^planes
+    per plane-side flip — fewer planes = bigger cells = higher recall
+    and more comparisons, the standard LSH dial (multi-probe over
+    neighboring cells narrows it further, see ``ivf_topk``).
+    """
+    from photon_ml_spark.operators.dedup import cluster_and_keep
+
+    cells = df.withColumn("__cell", hyperplane_cell(F.col(vec_col), patterns))
+    pairs = cosine_neardup_pairs(
+        cells, threshold, block_col="__cell", id_col=id_col, vec_col=vec_col
+    ).select("id_a", "id_b")
+    return cluster_and_keep(df, pairs, id_col=id_col)

@@ -821,6 +821,94 @@ def xm2_frame_sample_plan(spark, sf_dir):
     )
 
 
+_TRIGRAM_SET_SQL = f"""
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+  FROM ({_BIGRAMS_SQL})
+"""
+
+
+@register(
+    "x19_contamination",
+    oracle=f"""
+WITH sh AS ({_TRIGRAM_SET_SQL}),
+tr AS (SELECT * FROM sh WHERE doc_id % 4 <> 0),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 4 = 0)
+SELECT tr.doc_id,
+       CAST(COUNT(DISTINCT tr.shingle) AS BIGINT) AS n_shared_ngrams,
+       CAST(COUNT(DISTINCT ev.eval_id) AS BIGINT) AS n_eval_docs
+FROM tr JOIN ev USING (shingle)
+GROUP BY tr.doc_id
+HAVING COUNT(DISTINCT tr.shingle) >= 5
+""",
+    note="pipeline/contamination: benchmark-contamination detection — "
+    "word-trigram collisions between the training split and a held-out "
+    "eval split (shingle equi-join + per-doc distinct counts; eval side "
+    "broadcast-sized in practice); docs sharing >= 5 distinct trigrams "
+    "flagged",
+)
+def x19_contamination(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import contaminated_docs
+
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 4 != 0)
+    ev = docs.filter(F.col("doc_id") % 4 == 0)
+    out = contaminated_docs(train, ev, n=3)
+    return out.filter(F.col("n_shared_ngrams") >= 5)
+
+
+@register(
+    "x20_semantic_dedup",
+    oracle=f"""
+WITH RECURSIVE base AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),
+cells AS (
+  SELECT vec_id, qe,
+    CASE WHEN list_dot_product(qe, list_transform(range(0, 64),
+         i -> CASE WHEN (i >> 0) % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 1 ELSE 0 END
+  + CASE WHEN list_dot_product(qe, list_transform(range(0, 64),
+         i -> CASE WHEN (i >> 1) % 2 = 0 THEN 1.0 ELSE -1.0 END)) > 0 THEN 2 ELSE 0 END AS cell
+  FROM base
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.qe, b.qe)
+          / sqrt(list_dot_product(a.qe, a.qe)) / sqrt(list_dot_product(b.qe, b.qe)) >= 0.4
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT DISTINCT u, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY u)
+SELECT b.vec_id,
+       COALESCE(c.cluster_id, b.vec_id) AS cluster_id,
+       COALESCE(c.cluster_id, b.vec_id) = b.vec_id AS is_keep
+FROM base b LEFT JOIN comp c USING (vec_id)
+""",
+    note="pipeline/semantic-dedup: SemDedup pattern — hyperplane-LSH "
+    "cells -> within-cell cosine >= 0.4 pairs -> distributed connected "
+    "components -> min-id keeper per semantic cluster; oracle replays "
+    "the closure with a recursive CTE (quantized-integer cosine)",
+)
+def x20_semantic_dedup(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import (
+        alternating_patterns,
+        semantic_dedup,
+    )
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    out = semantic_dedup(
+        emb, threshold=0.4, patterns=alternating_patterns(64, 2), vec_col="qe"
+    )
+    return out.select("vec_id", "cluster_id", "is_keep")
+
+
 @register(
     "x11_fingerprint",
     oracle="""

@@ -462,6 +462,64 @@ def test_sparse_dot_literal_cap():
         )
 
 
+def test_contaminated_docs_semantics(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here now"),
+            (3, "quick brown fox appears again quick brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "benchmark says the quick brown fox jumps high"),
+         (101, "another eval doc with quick brown fox inside")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup.contaminated_docs(train, ev, n=3).collect()}
+    # doc 1 shares 'the quick brown','quick brown fox','brown fox jumps'
+    assert out[1].n_shared_ngrams == 3 and out[1].n_eval_docs == 2
+    assert 2 not in out  # clean doc absent
+    assert out[3].n_shared_ngrams == 1  # only 'quick brown fox'
+
+
+def test_semantic_dedup_matches_unblocked_clusters(emb):
+    """Cell blocking must agree with unblocked clustering restricted to
+    same-cell pairs; every input row comes back exactly once with one
+    keeper per cluster."""
+    from photon_ml_spark.operators.similarity import (
+        alternating_patterns,
+        cosine_neardup_pairs,
+        hyperplane_cell,
+        semantic_dedup,
+    )
+
+    pats = alternating_patterns(64, 2)
+    out = semantic_dedup(emb, 0.4, pats, vec_col="qe").cache()
+    assert out.count() == emb.count()
+    per_cluster = out.groupBy("cluster_id").agg(
+        F.sum(F.col("is_keep").cast("int")).alias("keepers"),
+        F.min("vec_id").alias("min_id"),
+    )
+    assert per_cluster.filter("keepers <> 1").count() == 0
+    assert out.filter("is_keep AND vec_id <> cluster_id").count() == 0
+    # blocked pair set == unblocked pair set restricted to same cell
+    cells = emb.withColumn("__cell", hyperplane_cell(F.col("qe"), pats))
+    brute = cosine_neardup_pairs(emb, 0.4, vec_col="qe")
+    cmap = {r.vec_id: r["__cell"] for r in cells.select("vec_id", "__cell").collect()}
+    brute_same_cell = {
+        (r.id_a, r.id_b) for r in brute.collect() if cmap[r.id_a] == cmap[r.id_b]
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(
+            cells, 0.4, block_col="__cell", vec_col="qe"
+        ).collect()
+    }
+    assert blocked == brute_same_cell
+    out.unpersist()
+
+
 def test_corpus_mix_hits_target_shares(spark, docs):
     from photon_ml_spark.operators.sampling import corpus_mix
 
