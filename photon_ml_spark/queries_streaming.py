@@ -114,6 +114,95 @@ def e5_stream_first_seen(spark, sf_dir):
 
 
 @register(
+    "e6_asof_join",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0
+),
+r AS (
+  SELECT user_id, ts, CAST(MAX(ROUND(value * 100)) AS BIGINT) AS snap_v
+  FROM events WHERE event_id % 7 = 0 GROUP BY 1, 2
+)
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS asof_ts,
+       r.snap_v AS asof_snap_v
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    note="temporal/as-of join: attach the most recent per-user snapshot "
+    "(right_ts <= left_ts, inclusive) to each event — union + tagged "
+    "per-key ordered window carrying the last right payload forward "
+    "(one shuffle + one sort, the merge-join shape); oracle is "
+    "DuckDB's native ASOF LEFT JOIN",
+)
+def e6_asof_join(spark, sf_dir):
+    from photon_ml_spark.operators.temporal import as_of_join
+
+    ev = load_events(spark, sf_dir)
+    left = ev.filter(F.col("event_id") % 3 == 0).select(
+        "event_id", "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max(F.round(F.col("value") * 100)).cast("long").alias("snap_v"))
+    )
+    out = as_of_join(left, right, on="user_id", payload_cols=["snap_v"])
+    return out.select(
+        "event_id", "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("asof_ts"),
+        F.col("asof_snap_v"),
+    )
+
+
+@register(
+    "e7_range_join",
+    oracle="""
+WITH l AS (
+  SELECT event_id, user_id, CAST(epoch(ts) AS BIGINT) AS t
+  FROM events WHERE event_id % 5 = 0
+),
+r AS (
+  SELECT event_id AS anchor_id, user_id,
+         CAST(epoch(ts) AS BIGINT) AS t_start,
+         CAST(epoch(ts) AS BIGINT) + 600 AS t_end
+  FROM events WHERE event_id % 11 = 0
+)
+SELECT l.event_id, r.anchor_id, l.user_id
+FROM l JOIN r ON l.user_id = r.user_id
+               AND l.t >= r.t_start AND l.t <= r.t_end
+""",
+    note="temporal/range join: events joined to every same-user 10-min "
+    "interval containing them — right intervals exploded over "
+    "fixed-width time buckets, equi-join on (user, bucket) + exact "
+    "range filter (the interval-join decomposition; a raw BETWEEN "
+    "predicate would BroadcastNestedLoopJoin); oracle is the plain "
+    "quadratic BETWEEN join",
+)
+def e7_range_join(spark, sf_dir):
+    from photon_ml_spark.operators.temporal import range_join
+
+    ev = load_events(spark, sf_dir).withColumn(
+        "t", F.unix_timestamp("ts")
+    )
+    left = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id", "t"
+    )
+    right = ev.filter(F.col("event_id") % 11 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("t").alias("t_start"),
+        (F.col("t") + 600).alias("t_end"),
+    )
+    out = range_join(
+        left, right, on="user_id", left_ts="t",
+        right_start="t_start", right_end="t_end", bucket_width=600,
+    )
+    return out.select("event_id", "anchor_id", "user_id")
+
+
+@register(
     "e3_event_sessions",
     oracle="""
 WITH o AS (
