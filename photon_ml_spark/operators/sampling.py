@@ -88,6 +88,44 @@ def weighted_downsample(
     return df.filter(u < prob)
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    test_frac: float,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    uniform: Column | None = None,
+) -> DataFrame:
+    """Train/test split that cannot leak near-duplicates across the
+    boundary: the split key is the doc's near-dup CLUSTER, not the doc,
+    so a document and all its near-copies land on the same side. A
+    per-doc split over a deduplicated-by-pairs corpus still leaks —
+    two near-copies that both survived (e.g. below the dedup threshold
+    but above memorization similarity) would straddle the boundary.
+
+    ``pairs`` is any near-dup edge list (MinHash/LSH, SimHash,
+    embedding cosine, semantic); docs in no pair are singleton
+    clusters. Returns every doc annotated (cluster_id, split ∈
+    {'train','test'}). The gate is the same deterministic
+    engine-portable uniform as the samplers, applied to cluster_id —
+    one connected-components pass + one hash, no extra shuffles beyond
+    ``cluster_and_keep``.
+    """
+    if not 0.0 <= test_frac <= 1.0:
+        raise ValueError(f"test_frac must be in [0, 1], got {test_frac}")
+    from photon_ml_spark.operators.dedup import cluster_and_keep
+
+    ck = cluster_and_keep(docs, pairs, id_col=id_col)
+    u = (
+        uniform
+        if uniform is not None
+        else hash_uniform(F.col("cluster_id"), seed)
+    )
+    return ck.drop("is_keep").withColumn(
+        "split", F.when(u < test_frac, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def corpus_mix(
     df: DataFrame,
     group_col: str,

@@ -199,6 +199,62 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into token-window chunks of at most
+    ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
+    tokens — the standard context-window preparation for LLM training.
+
+    Chunk i covers tokens [i·stride + 1, i·stride + max_tokens] with
+    stride = max_tokens − overlap; the final chunk may be short; empty
+    documents produce no chunks. Output: the input row's id plus
+    (chunk_id, chunk_tokens = token count, chunk_text = the chunk
+    re-joined with single spaces).
+
+    Pure Catalyst expressions (tokenize → index arithmetic → slice →
+    posexplode): chunking is a flatMap with no shuffle at all — it
+    composes with downstream packing (``greedy_pack``) or dedup without
+    ever moving data for the split itself.
+    """
+    if overlap >= max_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
+        )
+    stride = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    # 1 chunk when n <= max_tokens, else 1 + ceil((n - max_tokens)/stride)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.greatest(
+            F.ceil((n - F.lit(max_tokens)) / F.lit(stride)), F.lit(0)
+        ).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, (i * stride + 1).cast("int"), max_tokens),
+    )
+    return (
+        df.withColumn("__n_chunks", n_chunks)
+        .filter(F.col("__n_chunks") > 0)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "__chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("__chunk").alias("chunk_tokens"),
+            F.concat_ws(" ", "__chunk").alias("chunk_text"),
+        )
+    )
+
+
 def greedy_pack(
     df: DataFrame,
     token_budget: int,

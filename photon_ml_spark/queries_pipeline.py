@@ -910,6 +910,82 @@ def x20_semantic_dedup(spark, sf_dir):
 
 
 @register(
+    "x21_doc_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+c AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CASE WHEN n <= 120 THEN 1
+                              ELSE 1 + CAST(CEIL((n - 120) / 100.0) AS BIGINT)
+                         END)) AS cid
+  FROM nz
+)
+SELECT doc_id, CAST(cid AS INT) AS chunk_id,
+       CAST(len(list_slice(toks, cid * 100 + 1, cid * 100 + 120)) AS INT)
+         AS chunk_tokens,
+       array_to_string(list_slice(toks, cid * 100 + 1, cid * 100 + 120), ' ')
+         AS chunk_text
+FROM c
+""",
+    note="pipeline/chunking: token-window document chunking "
+    "(max_tokens=120, overlap=20) — pure-expression flatMap (tokenize "
+    "-> index arithmetic -> slice -> posexplode), no shuffle; the "
+    "standard LLM context-window preparation upstream of packing (x14)",
+)
+def x21_doc_chunking(spark, sf_dir):
+    from photon_ml_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=120, overlap=20)
+
+
+@register(
+    "x22_leakage_safe_split",
+    oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM lsh_pairs
+  UNION ALL SELECT id_b, id_a FROM lsh_pairs
+),
+reach AS (
+  SELECT DISTINCT u, u AS label FROM edges
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+comp AS (SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u),
+labeled AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN CAST((48271 * ((cluster_id * 104729 + 11) % 2147483647))
+                      % 2147483647 AS DOUBLE) / 2147483647.0 < 0.25
+            THEN 'test' ELSE 'train' END AS split
+FROM labeled
+""",
+    note="pipeline/splitting: leakage-safe train/test split — the split "
+    "key is the LSH near-dup CLUSTER (connected components), so a doc "
+    "and all its near-copies land on the same side; deterministic "
+    "portable LCG gate at test_frac=0.25",
+)
+def x22_leakage_safe_split(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import minhash_lsh_dedup
+    from photon_ml_spark.operators.sampling import (
+        lcg_uniform,
+        leakage_safe_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_dedup(docs, threshold=0.5, n=2).select("id_a", "id_b")
+    out = leakage_safe_split(
+        docs, pairs, test_frac=0.25,
+        uniform=lcg_uniform(F.col("cluster_id") * 104729, 11),
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
+@register(
     "x11_fingerprint",
     oracle="""
 SELECT doc_id,

@@ -520,6 +520,56 @@ def test_semantic_dedup_matches_unblocked_clusters(emb):
     out.unpersist()
 
 
+def test_chunk_documents_windows(spark):
+    from photon_ml_spark.operators.text import chunk_documents
+
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(f"t{i:03d}" for i in range(25))),  # 25 tokens
+         (2, "a b c"),                                    # single short chunk
+         (3, "")],                                        # no chunks
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs2, max_tokens=10, overlap=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 8 -> chunks at 0,8,16 cover 25 tokens; last is short
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_tokens for r in c1] == [10, 10, 9]
+    assert c1[0].chunk_text.split()[-2:] == c1[1].chunk_text.split()[:2]  # overlap
+    assert c1[2].chunk_text.split()[-1] == "t024"  # full coverage
+    assert [r.chunk_tokens for r in by_doc[2]] == [3]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        chunk_documents(docs2, max_tokens=5, overlap=5)
+
+
+def test_leakage_safe_split_invariants(docs):
+    from photon_ml_spark.operators.sampling import leakage_safe_split
+
+    pairs = dedup.minhash_lsh_dedup(docs, threshold=0.5, n=2).select(
+        "id_a", "id_b"
+    )
+    out = leakage_safe_split(docs, pairs, test_frac=0.3).cache()
+    assert out.count() == docs.count()
+    # every cluster lives entirely on one side
+    sides = out.groupBy("cluster_id").agg(
+        F.countDistinct("split").alias("n_sides")
+    )
+    assert sides.filter("n_sides > 1").count() == 0
+    # both sides populated and paired docs stay together
+    counts = {r.split: r.n for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts.get("train", 0) > 0 and counts.get("test", 0) > 0
+    p = pairs.first()
+    sa, sb = [out.filter(F.col("doc_id") == v).first().split
+              for v in (p.id_a, p.id_b)]
+    assert sa == sb
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, test_frac=1.5)
+    out.unpersist()
+
+
 def test_corpus_mix_hits_target_shares(spark, docs):
     from photon_ml_spark.operators.sampling import corpus_mix
 
