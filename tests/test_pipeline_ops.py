@@ -77,6 +77,33 @@ def test_jaccard_prefix_float_ceil_boundary(spark):
     assert len(cp) == 1 and cp[0].n_inter == 55
 
 
+def test_jaccard_strategies_agree_zipf_regime(spark):
+    """The sparse-vocabulary regime (mean df ~1.5, where auto routes to
+    ppjoin): both strategies still find exactly the planted pairs."""
+    import random
+
+    random.seed(7)
+    vocab = [f"w{i}" for i in range(10_000)]
+    weights = [1.0 / (i + 1) for i in range(10_000)]
+    rows = [
+        (d, " ".join(random.choices(vocab, weights=weights, k=40)))
+        for d in range(2_000)
+    ]
+    for i in range(20):  # planted near-dups: one token changed
+        toks = rows[i][1].split()
+        toks[3] = "zz"
+        rows.append((100_000 + i, " ".join(toks)))
+    df2 = spark.createDataFrame(rows, "doc_id long, text string")
+    cp = {(r.id_a, r.id_b) for r in
+          dedup.ngram_jaccard_pairs(df2, 0.8, n=2, strategy="copair").collect()}
+    pp = {(r.id_a, r.id_b) for r in
+          dedup.ngram_jaccard_pairs(df2, 0.8, n=2, strategy="ppjoin").collect()}
+    auto = {(r.id_a, r.id_b) for r in
+            dedup.ngram_jaccard_pairs(df2, 0.8, n=2, strategy="auto").collect()}
+    assert cp == pp == auto
+    assert {(i, 100_000 + i) for i in range(20)} <= cp
+
+
 def test_jaccard_bad_args(docs):
     with pytest.raises(ValueError):
         dedup.ngram_jaccard_pairs(docs, 1.5)
