@@ -4,6 +4,7 @@ scopt args become one JSON config here).
 
     python -m photon_ml_spark.cli train --config train.json
     python -m photon_ml_spark.cli score --config score.json
+    python -m photon_ml_spark.cli curate --config curate.json
 
 Train config:
     {"input": "<path>",                     # conventional-column frame
@@ -113,17 +114,128 @@ def score(cfg: dict, spark: SparkSession) -> None:
     print(json.dumps({"status": "scored", "output_dir": cfg["output_dir"]}))
 
 
+def curate(cfg: dict, spark: SparkSession) -> None:
+    """End-to-end training-corpus curation driver — the data-pipeline
+    twin of ``train``/``score``. Every stage is optional and config-
+    gated; stages compose in the canonical order quality → exact dedup
+    → near-dedup → contamination → mix → split → chunk:
+
+    {"input": "<docs parquet: doc_id, text[, source]>",
+     "output_dir": "<dir>",
+     "quality": {"min_tokens": 5, "min_quality": 0.2,
+                 "languages": ["en"]},            # drop below/outside
+     "exact_dedup": true,                          # bag-of-words keeper
+     "near_dedup": {"threshold": 0.5, "n": 2},     # MinHash+LSH clusters
+     "contamination": {"eval_input": "<parquet>",  # drop docs overlapping
+                       "ngram": 3, "min_shared": 5},
+     "mix": {"shares": {"src0": 0.5, ...}},        # corpus mixing
+     "split": {"test_frac": 0.1},                  # leakage-safe (uses
+                                                   # near-dedup clusters)
+     "chunk": {"max_tokens": 1024, "overlap": 64}}
+
+    Writes ``{output_dir}/{train,test}`` (or ``{output_dir}/docs`` when
+    no split) and prints a one-line JSON per-stage row-count report.
+    """
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators import dedup, sampling, text
+
+    docs = spark.read.parquet(cfg["input"])
+    report: dict[str, int] = {"input": docs.count()}
+
+    q = cfg.get("quality")
+    if q:
+        scored = text.quality_score(docs)
+        if "languages" in q:
+            scored = text.identify_language(scored)
+            scored = scored.filter(F.col("lang_pred").isin(*q["languages"]))
+        if "min_tokens" in q:
+            scored = scored.filter(F.col("n_tokens") >= q["min_tokens"])
+        if "min_quality" in q:
+            scored = scored.filter(F.col("quality") >= q["min_quality"])
+        docs = scored.select(*docs.columns).cache()
+        report["after_quality"] = docs.count()
+
+    if cfg.get("exact_dedup"):
+        dups = dedup.bow_exact_dedup(docs)
+        losers = dups.select(
+            F.explode("doc_ids").alias("doc_id"), F.col("keep_id")
+        ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
+        docs = docs.join(losers, "doc_id", "left_anti").cache()
+        report["after_exact_dedup"] = docs.count()
+
+    pairs = None
+    nd = cfg.get("near_dedup")
+    if nd:
+        pairs = dedup.minhash_lsh_dedup(
+            docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2)
+        ).select("id_a", "id_b").cache()
+        # keep one doc per near-dup cluster unless a split stage wants
+        # the full clusters (split drops nothing; it separates them)
+        if not cfg.get("split"):
+            docs = (
+                dedup.cluster_and_keep(docs, pairs)
+                .filter("is_keep").drop("cluster_id", "is_keep").cache()
+            )
+            report["after_near_dedup"] = docs.count()
+
+    cont = cfg.get("contamination")
+    if cont:
+        ev = spark.read.parquet(cont["eval_input"])
+        bad = dedup.contaminated_docs(
+            docs, ev, n=cont.get("ngram", 3)
+        ).filter(F.col("n_shared_ngrams") >= cont.get("min_shared", 1))
+        docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
+        report["after_contamination"] = docs.count()
+
+    mix = cfg.get("mix")
+    if mix:
+        docs = sampling.corpus_mix(
+            docs, mix.get("group_col", "source"), mix["shares"],
+            uid_col="doc_id",
+        ).cache()
+        report["after_mix"] = docs.count()
+
+    ch = cfg.get("chunk")
+
+    def _finish(frame, name):
+        if ch:
+            frame = text.chunk_documents(
+                frame, max_tokens=ch["max_tokens"],
+                overlap=ch.get("overlap", 0),
+            )
+        frame.write.mode("overwrite").parquet(f"{cfg['output_dir']}/{name}")
+        report[f"out_{name}"] = frame.count()
+
+    sp = cfg.get("split")
+    if sp:
+        if pairs is None:
+            pairs = spark.createDataFrame([], "id_a long, id_b long")
+        labeled = sampling.leakage_safe_split(
+            docs, pairs, test_frac=sp.get("test_frac", 0.1)
+        )
+        for side in ("train", "test"):
+            _finish(
+                labeled.filter(F.col("split") == side)
+                .drop("cluster_id", "split"),
+                side,
+            )
+    else:
+        _finish(docs, "docs")
+    print(json.dumps({"status": "curated", "report": report}))
+
+
 def main(argv: list[str] | None = None) -> None:
     from photon_ml_spark.session import get_spark
 
     ap = argparse.ArgumentParser(prog="photon_ml_spark")
-    ap.add_argument("command", choices=["train", "score"])
+    ap.add_argument("command", choices=["train", "score", "curate"])
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
     with open(args.config) as f:
         cfg = json.load(f)
     spark = get_spark(app_name=f"photon-ml-spark-{args.command}")
-    {"train": train, "score": score}[args.command](cfg, spark)
+    {"train": train, "score": score, "curate": curate}[args.command](cfg, spark)
 
 
 if __name__ == "__main__":

@@ -81,3 +81,45 @@ def test_cli_train_from_avro(spark, sf_dir, tmp_path, capsys):
     )
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "trained" and out["updates"] == 1
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """Full curation driver: quality filter -> exact dedup -> LSH
+    near-dedup -> contamination drop -> leakage-safe split -> chunk."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    ev = str(tmp_path / "eval.parquet")
+    docs.filter(F.col("doc_id") % 10 == 0).write.parquet(ev)
+    out_dir = str(tmp_path / "curated")
+
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": out_dir,
+            "quality": {"min_tokens": 3},
+            "exact_dedup": True,
+            "near_dedup": {"threshold": 0.5, "n": 2},
+            "contamination": {"eval_input": ev, "ngram": 3,
+                              "min_shared": 20},
+            "split": {"test_frac": 0.2},
+            "chunk": {"max_tokens": 64, "overlap": 8},
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "curated"
+    r = rep["report"]
+    assert r["input"] >= r["after_quality"] >= r["after_exact_dedup"] \
+        >= r["after_contamination"] > 0
+    train = spark.read.parquet(f"{out_dir}/train")
+    test = spark.read.parquet(f"{out_dir}/test")
+    assert {"doc_id", "chunk_id", "chunk_tokens", "chunk_text"} \
+        <= set(train.columns)
+    assert train.count() == r["out_train"] > 0
+    assert test.count() == r["out_test"] > 0
+    # chunking respects the window size
+    assert train.agg(F.max("chunk_tokens")).first()[0] <= 64
+    # leakage safety: no doc appears on both sides
+    both = train.select("doc_id").intersect(test.select("doc_id"))
+    assert both.count() == 0
