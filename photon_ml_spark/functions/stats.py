@@ -167,3 +167,33 @@ def normalization_factors(
         else:
             raise ValueError(f"unknown normalization: {kind}")
     return out
+
+
+def feature_quantiles(
+    df: DataFrame,
+    cols: list[str],
+    probs: list[float] = (0.25, 0.5, 0.75, 0.99),
+    exact: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-feature quantile summary (the percentile block A4's
+    min/max/moment stats lack): one wide row with
+    ``{col}_q{int(p*100)}`` columns.
+
+    ``exact=True`` uses Spark's exact ``percentile`` (linear
+    interpolation, identical to SQL ``quantile_cont``) — it buffers
+    each column's values in the aggregation, fine up to ~10^8 rows per
+    executor. At 100 TB set ``exact=False`` for ``approx_percentile``
+    (t-digest-style sketch, mergeable, bounded memory) — same output
+    schema, rank error bounded by the default accuracy.
+    """
+    fn = "percentile" if exact else "approx_percentile"
+    arr = "array(" + ", ".join(str(float(p)) for p in probs) + ")"
+    aggs = []
+    for c in cols:
+        q = F.expr(f"{fn}({c}, {arr})")
+        for i, p in enumerate(probs):
+            aggs.append(
+                F.round(q[i], round_digits).alias(f"{c}_q{int(p * 100)}")
+            )
+    return df.agg(*aggs)

@@ -996,6 +996,37 @@ def a11b_grouped_auc(spark, sf_dir):
     )
 
 
+@register(
+    "a14_feature_quantiles",
+    oracle="""
+SELECT ROUND(quantile_cont(l_quantity, 0.25), 6) AS l_quantity_q25,
+       ROUND(quantile_cont(l_quantity, 0.5), 6) AS l_quantity_q50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS l_quantity_q75,
+       ROUND(quantile_cont(l_quantity, 0.99), 6) AS l_quantity_q99,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS l_extendedprice_q25,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS l_extendedprice_q50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS l_extendedprice_q75,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS l_extendedprice_q99,
+       ROUND(quantile_cont(l_discount, 0.25), 6) AS l_discount_q25,
+       ROUND(quantile_cont(l_discount, 0.5), 6) AS l_discount_q50,
+       ROUND(quantile_cont(l_discount, 0.75), 6) AS l_discount_q75,
+       ROUND(quantile_cont(l_discount, 0.99), 6) AS l_discount_q99
+FROM lineitem
+""",
+    note="A4/A8 percentile block: exact per-feature quantile summary "
+    "(Spark `percentile` linear interpolation == SQL quantile_cont); "
+    "the scale path flips exact=False to the mergeable t-digest-style "
+    "approx_percentile sketch with the same schema",
+)
+def a14_feature_quantiles(spark, sf_dir):
+    from photon_ml_spark.functions.stats import feature_quantiles
+
+    li = _t(spark, sf_dir, "lineitem")
+    return feature_quantiles(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 # ------------------------------------------------------------------ top-k
 
 
