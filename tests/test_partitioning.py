@@ -137,3 +137,42 @@ def test_coordinate_descent_per_update_validation(spark, sf_dir):
     # training should not get catastrophically worse across updates
     first, last = history[0]["metrics"]["rmse"], history[-1]["metrics"]["rmse"]
     assert last <= first * 1.5
+
+
+def test_range_join_plan_is_hash_join(spark):
+    """The bucketed range join must compile to a hash/sort-merge
+    equi-join; the naive BETWEEN predicate nested-loops. This is the
+    operator's entire reason to exist — locked at the plan level."""
+    from photon_ml_spark.operators.temporal import range_join
+
+    left = spark.range(0, 1000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("t"),
+        F.col("id").alias("uid"),
+    )
+    right = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 7).alias("t_start"),
+        (F.col("id") * 7 + 30).alias("t_end"), F.col("id").alias("rid"),
+    )
+    bucketed = range_join(
+        left, right, on="k", left_ts="t",
+        right_start="t_start", right_end="t_end", bucket_width=30,
+    )
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+    naive = left.join(right, "k").filter(
+        (F.col("t") >= F.col("t_start")) & (F.col("t") <= F.col("t_end"))
+    )
+    # the naive shape degrades only without an equality key — document
+    # the contrast on the keyless variant
+    naive_keyless = left.drop("k").crossJoin(right.drop("k")).filter(
+        (F.col("t") >= F.col("t_start")) & (F.col("t") <= F.col("t_end"))
+    )
+    keyless_plan = naive_keyless._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" in keyless_plan or "CartesianProduct" in keyless_plan
+    keyless_bucketed = range_join(
+        left.drop("k"), right.drop("k"), on=None, left_ts="t",
+        right_start="t_start", right_end="t_end", bucket_width=30,
+    )
+    kb_plan = keyless_bucketed._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in kb_plan and "CartesianProduct" not in kb_plan
