@@ -199,6 +199,58 @@ def word_shingles(text: Column, n: int = 2) -> Column:
     return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
+def unigram_perplexity(
+    df: DataFrame,
+    lm_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an add-one-smoothed unigram
+    language model — the CCNet-style quality filter shape (documents
+    far from the reference distribution score high perplexity; filter
+    or bucket on it downstream). A unigram LM keeps the whole pipeline
+    in Catalyst; swapping in externally-trained n-gram logprobs only
+    changes the model table.
+
+    ``lm_df`` is the reference corpus to fit the model on (defaults to
+    ``df`` itself — self-perplexity, which still ranks outliers).
+    Returns (id, n_tokens, ppl) for docs with ≥ 1 token, where
+    ppl = exp(−Σ ln p(tok) / n) with p(tok) = (count + 1) /
+    (total + vocab) and unseen tokens backed off to count 0.
+
+    Scale shape: the model is one token-count aggregate (vocab-sized,
+    typically broadcastable) plus a 1-row total; scoring is one join
+    on the token key + one per-doc aggregation — two shuffles on
+    token/doc keys, no driver state.
+    """
+    lm_src = lm_df if lm_df is not None else df
+    toks_rel = lm_src.select(
+        F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    counts = toks_rel.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    totals = counts.agg(
+        F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    doc_toks = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+    )
+    scored = (
+        doc_toks.join(counts, "__tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce(F.col("__cnt"), F.lit(0)) + 1).cast("double")
+                / (F.col("__total") + F.col("__vocab")).cast("double")
+            ).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     max_tokens: int,

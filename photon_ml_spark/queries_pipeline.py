@@ -986,6 +986,36 @@ def x22_leakage_safe_split(spark, sf_dir):
 
 
 @register(
+    "x23_unigram_perplexity",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+totals AS (SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(EXP(-SUM(LN((c.cnt + 1) / CAST(t.total + t.vocab AS DOUBLE)))
+                 / COUNT(*)), 6) AS ppl
+FROM toks JOIN counts c USING (tok) CROSS JOIN totals t
+GROUP BY doc_id
+""",
+    note="pipeline/quality: CCNet-style perplexity filter — add-one "
+    "unigram LM fitted on the corpus (vocab-sized count agg + 1-row "
+    "total), per-doc ppl = exp(-mean ln p); token join + per-doc agg, "
+    "fully in Catalyst",
+)
+def x23_unigram_perplexity(spark, sf_dir):
+    from photon_ml_spark.operators.text import unigram_perplexity
+
+    docs = _t(spark, sf_dir, "documents")
+    out = unigram_perplexity(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("ppl", 6).alias("ppl")
+    )
+
+
+@register(
     "x11_fingerprint",
     oracle="""
 SELECT doc_id,

@@ -547,6 +547,25 @@ def test_semantic_dedup_matches_unblocked_clusters(emb):
     out.unpersist()
 
 
+def test_unigram_perplexity_ranks_outliers(spark):
+    from photon_ml_spark.operators.text import unigram_perplexity
+
+    ref = spark.createDataFrame(
+        [(i, "the cat sat on the mat " * 5) for i in range(20)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zqx vbn wkj plm qrs ttv")],  # all unseen tokens
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.ppl for r in unigram_perplexity(probe, lm_df=ref).collect()}
+    assert out[101] > out[100] * 3  # out-of-distribution doc scores much higher
+    # self-perplexity default: uniform corpus -> every doc scores the same
+    self_ppl = {r.ppl for r in unigram_perplexity(ref).collect()}
+    assert len(self_ppl) == 1
+
+
 def test_chunk_documents_windows(spark):
     from photon_ml_spark.operators.text import chunk_documents
 
