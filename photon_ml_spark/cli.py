@@ -123,7 +123,8 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     {"input": "<docs parquet: doc_id, text[, source]>",
      "output_dir": "<dir>",
      "quality": {"min_tokens": 5, "min_quality": 0.2,
-                 "languages": ["en"]},            # drop below/outside
+                 "languages": ["en"],
+                 "max_ppl": 5000},                # drop below/outside
      "exact_dedup": true,                          # bag-of-words keeper
      "near_dedup": {"threshold": 0.5, "n": 2},     # MinHash+LSH clusters
      "contamination": {"eval_input": "<parquet>",  # drop docs overlapping
@@ -153,6 +154,13 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             scored = scored.filter(F.col("n_tokens") >= q["min_tokens"])
         if "min_quality" in q:
             scored = scored.filter(F.col("quality") >= q["min_quality"])
+        if "max_ppl" in q:
+            ppl = text.unigram_perplexity(docs).select(
+                "doc_id", F.col("ppl")
+            )
+            scored = scored.join(ppl, "doc_id").filter(
+                F.col("ppl") <= q["max_ppl"]
+            )
         docs = scored.select(*docs.columns).cache()
         report["after_quality"] = docs.count()
 

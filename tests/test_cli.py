@@ -97,7 +97,7 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
         {
             "input": inp,
             "output_dir": out_dir,
-            "quality": {"min_tokens": 3},
+            "quality": {"min_tokens": 3, "max_ppl": 1e9},
             "exact_dedup": True,
             "near_dedup": {"threshold": 0.5, "n": 2},
             "contamination": {"eval_input": ev, "ngram": 3,
