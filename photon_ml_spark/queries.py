@@ -124,7 +124,7 @@ GATE_ORDER = [
     "x12_quality_filter",
     "x14_sequence_packing",
     "x16_pii_scan",
-    "x17_dedup_clusters",
+    "x17_cluster_suite",
     "x18_corpus_mix",
     # streaming extension
     "e1_event_windows",

@@ -64,6 +64,14 @@ _FOLDED = {
         "a13",
         ["rmse", "mae", "logistic_loss", "squared_loss", "weight_sum", "n"],
     ),
+    "a14_feature_quantiles": (
+        "a14",
+        [
+            f"{c}_q{p}"
+            for c in ("l_quantity", "l_extendedprice", "l_discount")
+            for p in (25, 50, 75, 99)
+        ],
+    ),
     # 1-row custom-solver scalars (cross-joined)
     "m1b_box_fixed_effect": ("box", ["coef", "intercept", "optimizer"]),
     "m1c_tron_fixed_effect": ("tron", ["coef", "intercept", "optimizer", "converged"]),
@@ -85,6 +93,9 @@ _FOLDED = {
         "session",
         ["user_id", "session_start", "n_events", "value_sum"],
     ),
+    # dup-cluster resolution over two modalities (unioned)
+    "x17_dedup_clusters": ("text_lsh", ["doc_id", "cluster_id", "is_keep"]),
+    "x20_semantic_dedup": ("embedding", ["vec_id", "cluster_id", "is_keep"]),
     # multimodal plans (melted + unioned)
     "xm1_multimodal_decode_resize": (
         "image",
@@ -132,6 +143,7 @@ _METRIC_PARTS = [
     "a11b_grouped_auc",
     "a12_peak_f1_aic",
     "a13_eval_suite",
+    "a14_feature_quantiles",
 ]
 
 
@@ -280,6 +292,39 @@ def e1_event_windows(spark, sf_dir):
         )
     )
     return tumb.unionByName(sess)
+
+
+@register(
+    "x17_cluster_suite",
+    oracle=f"""
+SELECT 'text_lsh' AS variant, doc_id AS id, cluster_id, is_keep
+FROM ({_SPEC["x17_dedup_clusters"].oracle.strip()}) t0
+UNION ALL
+SELECT 'embedding' AS variant, vec_id AS id, cluster_id, is_keep
+FROM ({_SPEC["x20_semantic_dedup"].oracle.strip()}) t1
+""",
+    note="dup-cluster resolution suite in ONE gate row: LSH text "
+    "near-dup clusters (connected components + canonical keeper over "
+    "documents) and SemDedup embedding clusters (same components over "
+    "hyperplane-cell cosine pairs) — variant-tagged union; constituent "
+    "notes in queries_pipeline.py",
+)
+def x17_cluster_suite(spark, sf_dir):
+    text = (
+        _SPEC["x17_dedup_clusters"].run(spark, sf_dir)
+        .select(
+            F.lit("text_lsh").alias("variant"),
+            F.col("doc_id").alias("id"), "cluster_id", "is_keep",
+        )
+    )
+    emb = (
+        _SPEC["x20_semantic_dedup"].run(spark, sf_dir)
+        .select(
+            F.lit("embedding").alias("variant"),
+            F.col("vec_id").alias("id"), "cluster_id", "is_keep",
+        )
+    )
+    return text.unionByName(emb)
 
 
 _XM_PARTS = [
