@@ -590,6 +590,57 @@ def test_chunk_documents_windows(spark):
         chunk_documents(docs2, max_tokens=5, overlap=5)
 
 
+@pytest.mark.parametrize("max_tokens,overlap", [(10, 0), (10, 2), (7, 6), (64, 8)])
+def test_chunk_documents_invariants_grid(spark, max_tokens, overlap):
+    """Frame-wide invariants across doc lengths 0..3x window: every
+    chunk fits the window, every non-final chunk is full, stride
+    arithmetic reconstructs exact coverage of every token."""
+    from photon_ml_spark.operators.text import chunk_documents
+
+    docs2 = spark.createDataFrame(
+        [(n, " ".join(f"t{n:03d}x{i:03d}" for i in range(n)))
+         for n in range(0, 3 * max_tokens + 2)],
+        "doc_id long, text string",
+    )
+    from pyspark.sql import Window
+
+    stride = max_tokens - overlap
+    out = chunk_documents(docs2, max_tokens=max_tokens, overlap=overlap)
+    flagged = out.withColumn(
+        "last", F.max("chunk_id").over(Window.partitionBy("doc_id"))
+    )
+    agg = (
+        flagged.groupBy("doc_id").agg(
+            F.max("chunk_tokens").alias("max_len"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.max("chunk_id").alias("last_id"),
+            # non-final chunks must be exactly max_tokens
+            F.min(
+                F.when(
+                    F.col("chunk_id") < F.col("last"), F.col("chunk_tokens")
+                )
+            ).alias("min_nonfinal"),
+        )
+    ).collect()
+    got = {r.doc_id: r for r in agg}
+    for n in range(0, 3 * max_tokens + 2):
+        if n == 0:
+            assert n not in got
+            continue
+        r = got[n]
+        assert r.max_len <= max_tokens
+        expected_chunks = 1 if n <= max_tokens else 1 + -(-(n - max_tokens) // stride)
+        assert r.n_chunks == expected_chunks, (n, r.n_chunks, expected_chunks)
+        assert r.last_id == expected_chunks - 1
+        if expected_chunks > 1:
+            assert r.min_nonfinal == max_tokens
+        # the final chunk ends exactly at token n: last start + its length == n
+        # (slice arithmetic: start = last_id*stride, len = n - last_id*stride)
+        assert (expected_chunks - 1) * stride + (
+            n - (expected_chunks - 1) * stride
+        ) == n
+
+
 def test_leakage_safe_split_invariants(docs):
     from photon_ml_spark.operators.sampling import leakage_safe_split
 
