@@ -176,3 +176,27 @@ def test_range_join_plan_is_hash_join(spark):
     )
     kb_plan = keyless_bucketed._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in kb_plan and "CartesianProduct" not in kb_plan
+
+
+def test_as_of_join_plan_single_exchange(spark):
+    """The as-of join must cost exactly one shuffle + one per-key sort
+    (the merge-join shape) with no join operator at all — the whole
+    point of the tagged-union rendering."""
+    from photon_ml_spark.operators.temporal import as_of_join
+
+    left = spark.range(0, 100).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("ts"),
+        F.col("id").alias("uid"),
+    )
+    right = spark.range(0, 20).select(
+        (F.col("id") % 5).alias("k"), (F.col("id") * 3).alias("ts"),
+        F.col("id").alias("v"),
+    )
+    plan = (
+        as_of_join(left, right, on="k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # the single window is fully partitioned by the key
+    assert "windowspecdefinition(k#" in plan
