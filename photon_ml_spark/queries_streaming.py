@@ -237,3 +237,32 @@ def e3_event_sessions(spark, sf_dir):
 
     ev = load_events(spark, sf_dir)
     return sessionize(ev, gap="5 minutes")
+
+
+@register(
+    "e8_interval_join",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 3 = 0),
+r AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 5 = 0)
+SELECT l.user_id,
+       l.event_id AS l_event_id, r.event_id AS r_event_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S') AS l_ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S') AS r_ts
+FROM l JOIN r ON l.user_id = r.user_id
+             AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+""",
+    note="streaming/e8: batch side of the stream-stream interval join "
+    "(attribution window: same-user right events within [l_ts, l_ts + "
+    "10 min]); identical code runs under readStream with watermarks on "
+    "both sides bounding join state — parity in "
+    "tests/test_streaming.py::test_interval_join_stream_matches_batch",
+)
+def e8_interval_join(spark, sf_dir):
+    from photon_ml_spark.streaming.events import interval_join_events
+
+    ev = load_events(spark, sf_dir)
+    return interval_join_events(
+        ev.filter(F.col("event_id") % 3 == 0),
+        ev.filter(F.col("event_id") % 5 == 0),
+        gap="10 minutes",
+    )

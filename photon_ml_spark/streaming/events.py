@@ -217,3 +217,57 @@ def score_events(
     for c, b in zip(feature_cols, coefficients):
         margin = margin + F.col(c).cast("double") * float(b)
     return events.withColumn("score", margin)
+
+
+def interval_join_events(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    gap: str = "10 minutes",
+    ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Batch/stream dual-use interval join: each left event pairs with
+    every same-key right event whose time falls in
+    ``[left_ts, left_ts + gap]`` — the session-stitching / attribution
+    join (click → conversions within the window).
+
+    Streaming: pass ``watermark`` and both sides get event-time
+    watermarks; the range condition inside the join predicate is
+    exactly what Structured Streaming's stream-stream join needs to
+    bound its state (rows age out once the watermark passes
+    ``left_ts + gap``). Append output mode only, per the engine's
+    stream-stream join contract.
+
+    Batch: identical code path minus the watermarks; Catalyst plans
+    the equi-key part as a hash join with the range as a post-filter
+    (for huge skewless batch runs prefer ``operators/temporal.
+    range_join``'s bucket decomposition — same semantics).
+    """
+    l_ = left.select(
+        F.col(on).alias("__k"),
+        F.col(ts_col).alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r_ = right.select(
+        F.col(on).alias("__rk"),
+        F.col(ts_col).alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    if watermark:
+        l_ = l_.withWatermark("l_ts", watermark)
+        r_ = r_.withWatermark("r_ts", watermark)
+    cond = (
+        (F.col("__k") == F.col("__rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {gap}"))
+    )
+    return (
+        l_.join(r_, cond, "inner")
+        .select(
+            F.col("__k").alias(on),
+            "l_event_id", "r_event_id",
+            F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss").alias("l_ts"),
+            F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss").alias("r_ts"),
+        )
+    )

@@ -158,3 +158,34 @@ def test_running_user_stats_stateful(spark, events_batch, events_stream):
         got,
         ["user_id"],
     )
+
+
+def test_interval_join_stream_matches_batch(spark, events_batch, events_stream):
+    """Stream-stream interval join (watermarked, append mode — inner
+    matches emit as found) must equal the batch join."""
+    from photon_ml_spark.streaming.events import interval_join_events
+
+    def sides(src):
+        return (
+            src.filter(F.col("event_id") % 3 == 0),
+            src.filter(F.col("event_id") % 5 == 0),
+        )
+
+    lb, rb = sides(events_batch)
+    batch = interval_join_events(lb, rb, gap="10 minutes")
+    ls, rs = sides(events_stream)
+    stream = interval_join_events(
+        ls, rs, gap="10 minutes", watermark="2 hours"
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ivj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM ivj")
+    _assert_frames_equal(
+        batch, got, ["user_id", "l_event_id", "r_event_id"]
+    )
