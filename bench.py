@@ -72,7 +72,7 @@ BENCH_QUERIES = [
     "s7_date_range_scan",
     "j1_residual_attach",
     "j11_score_add",
-    "a4_feature_stats",
+    "a4_stats_suite",
     "a9_metric_suite",  # incl. AUROC/AUPR/precision@k/grouped-AUC sweeps
     "t2_reservoir_cap",
     "u5_entity_index_union",

@@ -675,3 +675,197 @@ def cluster_and_keep(
         .withColumn("is_keep", F.col(id_col) == F.col("__keep_id"))
         .drop("component", "__keep_id")
     )
+
+
+# ------------------------------------------------------- substring dedup
+
+# Double rolling-hash parameters for the scale path: two independent
+# (base, modulus) pairs over ~2^31 primes; identity of a window is the
+# (h1, h2) pair — 2^62 key space, collision-free in practice and
+# verified against the exact string strategy in tests.
+_SUBDUP_HASHES: list[tuple[int, int]] = [
+    (1_000_003, 2_147_483_647),  # Mersenne 2^31-1
+    (999_983, 2_147_483_629),
+]
+
+
+def _window_keys_string(toks: DataFrame, n: int) -> DataFrame:
+    """(id, pos, wkey): every length-n token window as its joined
+    string. Exact and ANSI-replayable; shuffles ~n tokens per window."""
+    return toks.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda i: F.concat_ws(
+                    " ", F.slice("__toks", i + 1, n)
+                ),
+            )
+        ).alias("pos", "wkey"),
+    )
+
+
+def _window_keys_rolling(toks: DataFrame, n: int) -> DataFrame:
+    """(id, pos, wkey): length-n windows keyed by a double polynomial
+    hash Σ h(tok_{pos+j})·B^{n-1-j} mod M.
+
+    Each token row fans out to its n containing windows with a
+    LITERAL power-of-B coefficient, and the per-window modular sum
+    folds in the map-side partial aggregate — the explode never hits
+    the shuffle. Wire cost per window: 16 bytes of hashes vs ~n
+    joined tokens for the string strategy (~10-20x less). This is the
+    100 TB path; exactness vs the string strategy is a regression
+    test, and callers needing a proof can re-verify flagged groups."""
+    powers = [
+        [pow(b, k, m) for k in range(n - 1, -1, -1)] for b, m in _SUBDUP_HASHES
+    ]
+    tok_rows = toks.select(
+        "__id",
+        F.posexplode("__toks").alias("idx", "tok"),
+        F.size("__toks").alias("__nt"),
+    ).select(
+        "__id",
+        "idx",
+        "__nt",
+        *[
+            F.pmod(F.xxhash64(F.lit(hi), "tok"), F.lit(m)).alias(f"h{hi}")
+            for hi, (_, m) in enumerate(_SUBDUP_HASHES)
+        ],
+    )
+    # token at idx contributes h·B^{n-1-j} to window starting at idx-j
+    contrib = tok_rows.select(
+        "__id",
+        "__nt",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n - 1)),
+                    lambda j: F.struct(
+                        (F.col("idx") - j).alias("pos"),
+                        *[
+                            F.element_at(
+                                F.array([F.lit(p) for p in powers[hi]]),
+                                (j + 1).cast("int"),
+                            ).alias(f"p{hi}")
+                            for hi in range(len(_SUBDUP_HASHES))
+                        ],
+                    ),
+                ),
+                lambda s: (s["pos"] >= 0) & (s["pos"] <= F.col("__nt") - n),
+            )
+        ).alias("c"),
+        *[F.col(f"h{hi}") for hi in range(len(_SUBDUP_HASHES))],
+    )
+    agg = contrib.groupBy("__id", F.col("c.pos").alias("pos")).agg(
+        *[
+            F.pmod(
+                F.sum(
+                    F.pmod(
+                        F.col(f"h{hi}") * F.col(f"c.p{hi}"),
+                        F.lit(_SUBDUP_HASHES[hi][1]),
+                    )
+                ),
+                F.lit(_SUBDUP_HASHES[hi][1]),
+            ).alias(f"w{hi}")
+            for hi in range(len(_SUBDUP_HASHES))
+        ]
+    )
+    return agg.select(
+        "__id", "pos", F.concat_ws(":", "w0", "w1").alias("wkey")
+    )
+
+
+def duplicated_window_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strategy: str = "string",
+) -> DataFrame:
+    """Exact substring-level dedup at token granularity (the
+    dedup-training-data pattern of Lee et al. 2022, arXiv:2107.06499,
+    done with shuffles instead of a suffix array): find every length-n
+    token window occurring >= min_df times corpus-wide and return each
+    doc's duplicated regions merged into maximal spans.
+
+    Returns (id, span_start, span_end, n_windows): token-coordinate
+    half-open spans, overlapping/adjacent window hits coalesced
+    (gaps-and-islands over a per-doc ordered window — partitioned by
+    doc, no global sort).
+
+    strategy="string" groups windows by their joined token string —
+    exact by construction, ANSI-replayable (the oracle path).
+    strategy="rolling" groups by a double rolling hash — same spans,
+    ~10-20x less shuffle; use at scale.
+    """
+    if strategy not in ("string", "rolling"):
+        raise ValueError(f"unknown strategy {strategy!r}")
+    toks = df.select(
+        F.col(id_col).alias("__id"), tokens(F.col(text_col)).alias("__toks")
+    ).filter(F.size("__toks") >= n)
+    keyed = (
+        _window_keys_string(toks, n)
+        if strategy == "string"
+        else _window_keys_rolling(toks, n)
+    )
+    dup_keys = (
+        keyed.groupBy("wkey")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_df)
+        .select("wkey")
+    )
+    hits = keyed.join(dup_keys, "wkey", "left_semi")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + n).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = hits.withColumn(
+        "__new", F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0)
+    ).withColumn("__island", F.sum("__new").over(w))
+    return (
+        islands.groupBy(F.col("__id").alias(id_col), "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + n).alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .drop("__island")
+    )
+
+
+def strip_duplicated_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove every token covered by a duplicated span, keeping the
+    first (canonical) occurrence corpus-wide is NOT attempted — like
+    Lee et al.'s self-deduplication, all copies of a duplicated run
+    are dropped. Spans collect per doc (bounded by doc length), then a
+    single array filter keeps uncovered tokens. Returns
+    (id, clean_text, n_removed_tokens)."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = tokens(F.col(text_col))
+    covered = lambda i: F.exists(  # noqa: E731
+        F.col("__spans"),
+        lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
+    )
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    return (
+        df.join(per_doc, id_col, "left")
+        .withColumn(
+            "__kept",
+            F.when(F.col("__spans").isNull(), toks).otherwise(kept),
+        )
+        .select(
+            id_col,
+            F.array_join("__kept", " ").alias("clean_text"),
+            (F.size(toks) - F.size("__kept")).alias("n_removed_tokens"),
+        )
+    )

@@ -76,6 +76,9 @@ def _load_all_registrations():
 # already gate-covered (m2b stationarity vs m2, x5 signatures vs the
 # x6 suite, e4 scoring vs m12, x11/x13/x15 text stats vs x1/x12/x16)
 # and remain verified by the local oracle replica (tests/test_oracle).
+# Round 3 folded near-neighbour rows (f5+f6, p5+p6, a4+a8) into suite
+# rows to free slots for the new temporal-join / curation / chunk-split
+# families while staying at exactly 50 entries.
 GATE_ORDER = [
     # sources / projections / joins / functions / top-k / unions
     "s3_feature_dictionary",
@@ -85,22 +88,19 @@ GATE_ORDER = [
     "s5_nameterm_bags",
     "p1_game_datum_projection",
     "p4_data_validation",
-    "p5_random_downsample",
-    "p6_stratified_downsample",
+    "p5_downsample_suite",
     "p8_pearson_topk",
     "p9_entity_support_filter",
     "f4_daily_paths",
-    "f5_link_functions",
-    "f6_vector_ops",
+    "f5_scalar_kernels",
     "j1_residual_attach",
     "j3_warmstart_classify",
     "j8_passive_anti_join",
     "j11_score_add",
     "u5_entity_index_union",
     "t2_reservoir_cap",
-    "a4_feature_stats",
+    "a4_stats_suite",
     "a5_entity_cardinality",
-    "a8_dataset_stats",
     "a9_metric_suite",
     # ML training / scoring
     "m1_glr_fixed_effect",
@@ -117,7 +117,7 @@ GATE_ORDER = [
     # training-data pipeline extensions
     "x1_text_quality",
     "x2_language_id",
-    "x3_bow_exact_dedup",
+    "x3_exact_dedup",
     "x4_ngram_jaccard_pairs",
     "x6_neardup_pairs",
     "x9_ann_topk",
@@ -126,10 +126,13 @@ GATE_ORDER = [
     "x16_pii_scan",
     "x17_cluster_suite",
     "x18_corpus_mix",
+    "x19_curation_scores",
+    "x21_chunk_split",
     # streaming extension
     "e1_event_windows",
     "e2_event_json_props",
     "e5_stream_first_seen",
+    "e6_temporal_joins",
     # multimodal extension
     "xm1_multimodal_suite",
 ]

@@ -106,6 +106,40 @@ _FOLDED = {
         "audio",
         ["sample_rate", "n_samples", "rms", "duration_us", "out_samples"],
     ),
+    # round-3 folds: scalar kernels (melted on uid)
+    "f5_link_functions": ("links", ["sigmoid", "exp_mean", "log1p_exp"]),
+    "f6_vector_ops": ("vectors", ["dot_ab", "norm_a", "cosine_ab"]),
+    # round-3 folds: stats (melted; a4 keyed by feature, a8 single-row)
+    "a4_feature_stats": (
+        "feature",
+        ["cnt", "mean", "variance", "min", "max", "l1", "l2", "mean_abs", "nnz"],
+    ),
+    "a8_dataset_stats": (
+        "dataset",
+        ["n", "response_sum_100k", "response_mean", "response_stddev"],
+    ),
+    # round-3 folds: samplers (variant-tagged union, nullable slots)
+    "p5_random_downsample": ("random", ["uid"]),
+    "p6_stratified_downsample": ("stratified", ["label", "cnt", "weight_sum"]),
+    # round-3 folds: temporal joins (variant-tagged union)
+    "e6_asof_join": ("asof", ["event_id", "user_id", "ts", "asof_ts", "asof_snap_v"]),
+    "e7_range_join": ("range", ["event_id", "anchor_id", "user_id"]),
+    "e8_interval_join": (
+        "interval",
+        ["user_id", "l_event_id", "r_event_id", "l_ts", "r_ts"],
+    ),
+    # round-3 folds: curation scores (melted on doc_id)
+    "x19_contamination": ("contamination", ["n_shared_ngrams", "n_eval_docs"]),
+    "x23_unigram_perplexity": ("perplexity", ["n_tokens", "ppl"]),
+    # round-3 folds: chunking / splitting (variant-tagged union)
+    "x21_doc_chunking": ("chunk", ["chunk_id", "chunk_tokens", "chunk_text"]),
+    "x22_leakage_safe_split": ("split", ["cluster_id", "split"]),
+    # round-3 folds: exact dedup at doc and substring granularity
+    "x3_bow_exact_dedup": ("doc", ["dup_key", "n_docs", "keep_id"]),
+    "x24_substring_spans": (
+        "substring",
+        ["doc_id", "span_start", "span_end", "n_windows"],
+    ),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
@@ -334,12 +368,12 @@ _XM_PARTS = [
 ]
 
 
-def _melt_sql(name) -> str:
+def _melt_sql(name, key="doc_id") -> str:
     variant, cols = _FOLDED[name]
     sql = _SPEC[name].oracle.strip()
     return " UNION ALL ".join(
-        f"SELECT '{variant}' AS variant, doc_id, '{c}' AS k, "
-        f"CAST({c} AS DOUBLE) AS v FROM ({sql}) m_{variant}_{c}"
+        f"SELECT '{variant}' AS variant, {key}, '{c}' AS k, "
+        f'CAST("{c}" AS DOUBLE) AS v FROM ({sql}) m_{variant}_{c}'
         for c in cols
     )
 
@@ -365,3 +399,236 @@ def xm1_multimodal_suite(spark, sf_dir):
             .select(F.lit(variant).alias("variant"), "doc_id", "k", "v")
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# --------------------------------------------------------- round-3 suites
+# Round 3 added four new component families (temporal joins, curation
+# scoring, chunk/split) on top of a registry already at the 50-row gate
+# limit. The three suites below gate them; the three after fold existing
+# near-neighbour gate rows (link∪vector kernels, random∪stratified
+# samplers, feature∪dataset stats) to free the slots.
+
+
+def _melt_df(df, variant, cols, key_col, key_out):
+    pairs = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    return df.selectExpr(
+        f"{key_col} AS {key_out}", f"stack({len(cols)}, {pairs}) AS (k, v)"
+    ).select(F.lit(variant).alias("variant"), key_out, "k", "v")
+
+
+@register(
+    "f5_scalar_kernels",
+    oracle=f"{_melt_sql('f5_link_functions', key='uid')} UNION ALL "
+    f"{_melt_sql('f6_vector_ops', key='uid')}",
+    note="F5/F6 scalar-kernel suite in ONE gate row: logistic/exp/"
+    "log1p-exp link kernels and dot/L2-norm/cosine vector kernels, "
+    "each constituent's columns melted to (variant, uid, k, v) — pure "
+    "Catalyst expressions both; constituent notes in queries_core.py",
+)
+def f5_scalar_kernels(spark, sf_dir):
+    links = _melt_df(
+        _SPEC["f5_link_functions"].run(spark, sf_dir),
+        "links", _FOLDED["f5_link_functions"][1], "uid", "uid",
+    )
+    vecs = _melt_df(
+        _SPEC["f6_vector_ops"].run(spark, sf_dir),
+        "vectors", _FOLDED["f6_vector_ops"][1], "uid", "uid",
+    )
+    return links.unionByName(vecs)
+
+
+_A8_KEY = "'dataset' AS feature"
+
+
+@register(
+    "a4_stats_suite",
+    oracle=f"{_melt_sql('a4_feature_stats', key='feature')} UNION ALL "
+    f"{_melt_sql('a8_dataset_stats', key=_A8_KEY)}",
+    note="A4/A8/F8/S10 statistics suite in ONE gate row: per-feature "
+    "count/mean/var/min/max/L1/L2/meanAbs/nnz summary and the dataset "
+    "response summary, melted to (variant, feature, k, v) — integer-"
+    "exact sums on both sides; constituent notes in queries_core.py",
+)
+def a4_stats_suite(spark, sf_dir):
+    feat = _melt_df(
+        _SPEC["a4_feature_stats"].run(spark, sf_dir),
+        "feature", _FOLDED["a4_feature_stats"][1], "feature", "feature",
+    )
+    ds = _melt_df(
+        _SPEC["a8_dataset_stats"].run(spark, sf_dir),
+        "dataset", _FOLDED["a8_dataset_stats"][1], "'dataset'", "feature",
+    )
+    return feat.unionByName(ds)
+
+
+@register(
+    "p5_downsample_suite",
+    oracle=f"""
+SELECT 'random' AS variant, uid, CAST(NULL AS DOUBLE) AS label,
+       CAST(NULL AS BIGINT) AS cnt, CAST(NULL AS DOUBLE) AS weight_sum
+FROM ({_SPEC["p5_random_downsample"].oracle.strip()}) t0
+UNION ALL
+SELECT 'stratified' AS variant, CAST(NULL AS BIGINT) AS uid, label,
+       cnt, weight_sum
+FROM ({_SPEC["p6_stratified_downsample"].oracle.strip()}) t1
+""",
+    note="P5/P6 down-sampler suite in ONE gate row: the exact seeded "
+    "uniform row set (portable Park-Miller gate) and the stratified "
+    "keep-positives/gate-negatives class summary — variant-tagged "
+    "union; constituent notes in queries_core.py",
+)
+def p5_downsample_suite(spark, sf_dir):
+    rand = _SPEC["p5_random_downsample"].run(spark, sf_dir).select(
+        F.lit("random").alias("variant"),
+        "uid",
+        F.lit(None).cast("double").alias("label"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(None).cast("double").alias("weight_sum"),
+    )
+    strat = _SPEC["p6_stratified_downsample"].run(spark, sf_dir).select(
+        F.lit("stratified").alias("variant"),
+        F.lit(None).cast("long").alias("uid"),
+        "label", "cnt", "weight_sum",
+    )
+    return rand.unionByName(strat)
+
+
+@register(
+    "e6_temporal_joins",
+    oracle=f"""
+SELECT 'asof' AS variant, event_id AS l_id, CAST(NULL AS BIGINT) AS r_id,
+       user_id, ts AS l_ts, asof_ts AS r_ts, asof_snap_v AS payload
+FROM ({_SPEC["e6_asof_join"].oracle.strip()}) t0
+UNION ALL
+SELECT 'range' AS variant, event_id AS l_id, anchor_id AS r_id, user_id,
+       CAST(NULL AS VARCHAR) AS l_ts, CAST(NULL AS VARCHAR) AS r_ts,
+       CAST(NULL AS BIGINT) AS payload
+FROM ({_SPEC["e7_range_join"].oracle.strip()}) t1
+UNION ALL
+SELECT 'interval' AS variant, l_event_id AS l_id, r_event_id AS r_id,
+       user_id, l_ts, r_ts, CAST(NULL AS BIGINT) AS payload
+FROM ({_SPEC["e8_interval_join"].oracle.strip()}) t2
+""",
+    note="temporal-join suite in ONE gate row: as-of join (merge-join "
+    "shape — one shuffle + one ordered window, no join operator), "
+    "bucketed range join (interval decomposition to an equi-join), and "
+    "the batch side of the watermarked stream-stream interval join — "
+    "variant-tagged union; constituent notes in queries_streaming.py",
+)
+def e6_temporal_joins(spark, sf_dir):
+    asof = _SPEC["e6_asof_join"].run(spark, sf_dir).select(
+        F.lit("asof").alias("variant"),
+        F.col("event_id").alias("l_id"),
+        F.lit(None).cast("long").alias("r_id"),
+        "user_id",
+        F.col("ts").alias("l_ts"),
+        F.col("asof_ts").alias("r_ts"),
+        F.col("asof_snap_v").alias("payload"),
+    )
+    rng = _SPEC["e7_range_join"].run(spark, sf_dir).select(
+        F.lit("range").alias("variant"),
+        F.col("event_id").alias("l_id"),
+        F.col("anchor_id").alias("r_id"),
+        "user_id",
+        F.lit(None).cast("string").alias("l_ts"),
+        F.lit(None).cast("string").alias("r_ts"),
+        F.lit(None).cast("long").alias("payload"),
+    )
+    iv = _SPEC["e8_interval_join"].run(spark, sf_dir).select(
+        F.lit("interval").alias("variant"),
+        F.col("l_event_id").alias("l_id"),
+        F.col("r_event_id").alias("r_id"),
+        "user_id", "l_ts", "r_ts",
+        F.lit(None).cast("long").alias("payload"),
+    )
+    return asof.unionByName(rng).unionByName(iv)
+
+
+@register(
+    "x19_curation_scores",
+    oracle=f"{_melt_sql('x19_contamination')} UNION ALL "
+    f"{_melt_sql('x23_unigram_perplexity')}",
+    note="curation-scoring suite in ONE gate row: benchmark-contamination "
+    "detection (train/eval trigram collisions, shingle equi-join) and "
+    "CCNet-style add-one unigram-LM perplexity — melted to (variant, "
+    "doc_id, k, v); constituent notes in queries_pipeline.py",
+)
+def x19_curation_scores(spark, sf_dir):
+    cont = _melt_df(
+        _SPEC["x19_contamination"].run(spark, sf_dir),
+        "contamination", _FOLDED["x19_contamination"][1], "doc_id", "doc_id",
+    )
+    ppl = _melt_df(
+        _SPEC["x23_unigram_perplexity"].run(spark, sf_dir),
+        "perplexity", _FOLDED["x23_unigram_perplexity"][1], "doc_id", "doc_id",
+    )
+    return cont.unionByName(ppl)
+
+
+@register(
+    "x21_chunk_split",
+    oracle=f"""
+SELECT 'chunk' AS variant, doc_id, CAST(chunk_id AS BIGINT) AS idx,
+       CAST(chunk_tokens AS BIGINT) AS n_tok, chunk_text AS tag
+FROM ({_SPEC["x21_doc_chunking"].oracle.strip()}) t0
+UNION ALL
+SELECT 'split' AS variant, doc_id, cluster_id AS idx,
+       CAST(NULL AS BIGINT) AS n_tok, split AS tag
+FROM ({_SPEC["x22_leakage_safe_split"].oracle.strip()}) t1
+""",
+    note="context-preparation suite in ONE gate row: token-window "
+    "document chunking (pure-expression flatMap, zero shuffle) and the "
+    "leakage-safe train/test split keyed by LSH near-dup cluster — "
+    "variant-tagged union; constituent notes in queries_pipeline.py",
+)
+def x21_chunk_split(spark, sf_dir):
+    chunk = _SPEC["x21_doc_chunking"].run(spark, sf_dir).select(
+        F.lit("chunk").alias("variant"),
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("idx"),
+        F.col("chunk_tokens").cast("long").alias("n_tok"),
+        F.col("chunk_text").alias("tag"),
+    )
+    split = _SPEC["x22_leakage_safe_split"].run(spark, sf_dir).select(
+        F.lit("split").alias("variant"),
+        "doc_id",
+        F.col("cluster_id").alias("idx"),
+        F.lit(None).cast("long").alias("n_tok"),
+        F.col("split").alias("tag"),
+    )
+    return chunk.unionByName(split)
+
+
+@register(
+    "x3_exact_dedup",
+    oracle=f"""
+SELECT 'doc' AS variant, dup_key AS key, n_docs AS a, keep_id AS b,
+       CAST(NULL AS BIGINT) AS c
+FROM ({_SPEC["x3_bow_exact_dedup"].oracle.strip()}) t0
+UNION ALL
+SELECT 'substring' AS variant, CAST(doc_id AS VARCHAR) AS key,
+       span_start AS a, span_end AS b, n_windows AS c
+FROM ({_SPEC["x24_substring_spans"].oracle.strip()}) t1
+""",
+    note="exact-dedup suite in ONE gate row: document-level exact dedup "
+    "(hash-groupBy on the canonical bag-of-words signature) and "
+    "substring-level exact dedup (duplicated 10-token windows merged "
+    "to maximal per-doc spans, Lee et al. 2022) — variant-tagged "
+    "union; constituent notes in queries_pipeline.py",
+)
+def x3_exact_dedup(spark, sf_dir):
+    doc = _SPEC["x3_bow_exact_dedup"].run(spark, sf_dir).select(
+        F.lit("doc").alias("variant"),
+        F.col("dup_key").alias("key"),
+        F.col("n_docs").alias("a"),
+        F.col("keep_id").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    sub = _SPEC["x24_substring_spans"].run(spark, sf_dir).select(
+        F.lit("substring").alias("variant"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("span_start").alias("a"),
+        F.col("span_end").alias("b"),
+        F.col("n_windows").alias("c"),
+    )
+    return doc.unionByName(sub)

@@ -151,6 +151,50 @@ def x3_bow_exact_dedup(spark, sf_dir):
 
 
 @register(
+    "x24_substring_spans",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (SELECT doc_id, unnest(range(0, len(toks) - 9)) AS pos, toks
+      FROM t WHERE len(toks) >= 10),
+k AS (SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos + 1, pos + 10), ' ') AS wkey
+      FROM w),
+d AS (SELECT wkey FROM k GROUP BY wkey HAVING COUNT(*) >= 2),
+h AS (SELECT doc_id, pos FROM k SEMI JOIN d USING (wkey)),
+i AS (SELECT doc_id, pos,
+        CASE WHEN MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > MAX(pos + 10) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS nw
+      FROM h),
+j AS (SELECT doc_id, pos, SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS UNBOUNDED PRECEDING) AS island FROM i)
+SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 10 AS span_end,
+       CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM j GROUP BY doc_id, island
+""",
+    note="pipeline/dedup: exact substring-level dedup (Lee et al. 2022 "
+    "arXiv:2107.06499 at token granularity) — every duplicated 10-token "
+    "window corpus-wide, merged to maximal per-doc spans via "
+    "gaps-and-islands (doc-partitioned windows). Gate row runs the "
+    "exact string-window strategy; the rolling double-hash scale path "
+    "(16 bytes/window on the wire, explode folded map-side) is "
+    "span-identical by regression test",
+)
+def x24_substring_spans(spark, sf_dir):
+    from photon_ml_spark.operators.dedup import duplicated_window_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicated_window_spans(docs, n=10, min_df=2).select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        "n_windows",
+    )
+
+
+@register(
     "x4_ngram_jaccard_pairs",
     oracle=f"""
 WITH sh AS ({_DOC_BIGRAM_SET_SQL}),

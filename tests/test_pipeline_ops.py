@@ -689,3 +689,74 @@ def test_corpus_mix_hits_target_shares(spark, docs):
     assert out2.select("source").distinct().collect() == [("src0",)]
     assert out2.count() == 25
     out.unpersist()
+
+
+# ------------------------------------------------------- substring dedup
+
+
+def test_substring_rolling_matches_string(docs):
+    """The rolling double-hash scale path must produce byte-identical
+    spans to the exact string-window strategy."""
+    a = sorted(
+        tuple(r)
+        for r in dedup.duplicated_window_spans(docs, n=10).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in dedup.duplicated_window_spans(
+            docs, n=10, strategy="rolling"
+        ).collect()
+    )
+    assert a and a == b
+
+
+def test_substring_spans_are_maximal_and_duplicated(docs, spark):
+    """Every reported span is (1) within doc bounds, (2) at least n
+    tokens long, and (3) non-overlapping / non-adjacent per doc."""
+    n = 10
+    spans = dedup.duplicated_window_spans(docs, n=n).collect()
+    lens = {
+        r.doc_id: r.n
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.lower("text"), r"\s+")).alias("n")
+        ).collect()
+    }
+    per_doc: dict[int, list[tuple[int, int]]] = {}
+    for r in spans:
+        assert r.span_end - r.span_start >= n
+        assert 0 <= r.span_start and r.span_end <= lens[r.doc_id] + 1
+        per_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    for doc_id, ss in per_doc.items():
+        ss.sort()
+        for (s1, e1), (s2, e2) in zip(ss, ss[1:]):
+            assert s2 > e1, f"doc {doc_id}: spans {s1,e1} and {s2,e2} not merged"
+
+
+def test_strip_duplicated_spans_removes_all_duplication(docs, spark):
+    """Self-check: after stripping, re-detection finds zero duplicated
+    windows (the Lee et al. fixed point) and untouched docs round-trip."""
+    spans = dedup.duplicated_window_spans(docs, n=10)
+    clean = dedup.strip_duplicated_spans(docs, spans)
+    again = dedup.duplicated_window_spans(
+        clean.select("doc_id", F.col("clean_text").alias("text")), n=10
+    )
+    assert again.count() == 0
+    touched = {r.doc_id for r in spans.select("doc_id").distinct().collect()}
+    untouched_bad = clean.filter(
+        ~F.col("doc_id").isin(list(touched)) & (F.col("n_removed_tokens") != 0)
+    )
+    assert untouched_bad.count() == 0
+
+
+def test_substring_short_docs_excluded(spark):
+    """Docs shorter than n produce no windows and never crash."""
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "")], ["doc_id", "text"]
+    )
+    assert dedup.duplicated_window_spans(df, n=5).count() == 0
+    out = dedup.duplicated_window_spans(df, n=2).collect()
+    # "a b c" duplicated across docs 1 and 2 -> one full-doc span each
+    assert sorted((r.doc_id, r.span_start, r.span_end) for r in out) == [
+        (1, 0, 3),
+        (2, 0, 3),
+    ]
