@@ -265,3 +265,80 @@ def per_entity_cap(
             / F.least(F.col("__total"), F.lit(cap)).cast("double"),
         )
     return out.drop("__rn", "__total")
+
+
+# ------------------------------------------------------- global shuffle
+
+
+def shuffle_assignment(
+    df: DataFrame,
+    uid_col: str = "uid",
+    n_shards: int = 8,
+    seed: int = 17,
+    uniform: Column | None = None,
+    order_key: Column | None = None,
+) -> DataFrame:
+    """Deterministic global-shuffle assignment for training-data export:
+    adds ``shard`` (pseudo-random shard id) and ``ord`` (within-shard
+    order key) as pure column expressions.
+
+    (shard, ord, uid) totally orders the dataset as a pseudo-random
+    permutation — the pre-training "shuffle the corpus" step — without
+    a global sort: the physical layout needs ONE hash exchange on
+    shard plus a per-partition sort (``write_training_shards``), so
+    the plan scales to any corpus size. Defaults use the
+    engine-portable Park–Miller LCG (exact BIGINT arithmetic, oracle-
+    replayable); production can pass ``uniform=hash_uniform(...)`` /
+    ``order_key=xxhash64(...)`` for stronger mixing.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    uid = F.col(uid_col)
+
+    # Two LCG rounds, not one: a single Park–Miller step is linear in
+    # uid with multiplier 48271, so a block of consecutive uids smaller
+    # than M/48271 ≈ 44k maps to one narrow interval — every row lands
+    # in shard 0. The composition (A²·x mod M, effective multiplier
+    # ≈ 1.8e8) wraps every ~12 consecutive uids and spreads them
+    # uniformly, while remaining a bijection on Z_M (tie-free order
+    # keys for distinct uids < M) and exact in BIGINT on any engine.
+    def lcg2(x):
+        h1 = (F.lit(_LCG_A) * (x % _LCG_M)) % _LCG_M
+        return (F.lit(_LCG_A) * h1) % _LCG_M
+
+    u = (
+        uniform
+        if uniform is not None
+        else lcg2(uid + F.lit(seed)).cast("double") / float(_LCG_M)
+    )
+    o = order_key if order_key is not None else lcg2(uid + F.lit(seed + 1))
+    return df.withColumns(
+        {
+            "shard": F.floor(u * n_shards).cast("long"),
+            "ord": o.cast("long"),
+        }
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 8,
+    uid_col: str = "uid",
+    seed: int = 17,
+    fmt: str = "parquet",
+) -> None:
+    """Materialize the shuffled corpus as ``path/shard=K/`` directories,
+    one sorted file per shard: one hash exchange on shard + a local
+    (shard, ord, uid) sort — no global ordering operator anywhere in
+    the plan. Readers stream shards independently; concatenating
+    shard 0..n-1 replays the full pseudo-random permutation."""
+    out = shuffle_assignment(df, uid_col=uid_col, n_shards=n_shards, seed=seed)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "ord", uid_col)
+        .write.partitionBy("shard")
+        .format(fmt)
+        .mode("overwrite")
+        .save(path)
+    )

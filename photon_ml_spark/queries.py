@@ -122,7 +122,7 @@ GATE_ORDER = [
     "x6_neardup_pairs",
     "x9_ann_topk",
     "x12_quality_filter",
-    "x14_sequence_packing",
+    "x14_pack_shuffle",
     "x16_pii_scan",
     "x17_cluster_suite",
     "x18_corpus_mix",

@@ -140,18 +140,27 @@ _FOLDED = {
         "substring",
         ["doc_id", "span_start", "span_end", "n_windows"],
     ),
+    # round-3 folds: packing / export layout
+    "x14_sequence_packing": ("pack", ["shard", "pack_id", "n_docs", "pack_tokens"]),
+    "x25_global_shuffle": ("shuffle", ["uid", "shard", "ord"]),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
 
 
 def _widen(spark, sf_dir, names):
-    """Cross join 1-row frames, prefixing columns per constituent."""
+    """Cross join 1-row frames, prefixing columns per constituent.
+
+    Each frame coalesces to one partition first: a cartesian product
+    multiplies partition counts (three 8-partition 1-row frames would
+    schedule 512 tasks for a single output row)."""
     out = None
     for name in names:
         prefix, cols = _FOLDED[name]
         df = _SPEC[name].run(spark, sf_dir)
-        df = df.select([F.col(c).alias(f"{prefix}_{c}") for c in cols])
+        df = df.select(
+            [F.col(c).alias(f"{prefix}_{c}") for c in cols]
+        ).coalesce(1)
         out = df if out is None else out.crossJoin(df)
     return out
 
@@ -632,3 +641,38 @@ def x3_exact_dedup(spark, sf_dir):
         F.col("n_windows").alias("c"),
     )
     return doc.unionByName(sub)
+
+
+@register(
+    "x14_pack_shuffle",
+    oracle=f"""
+SELECT 'pack' AS variant, shard, pack_id AS a, n_docs AS b,
+       pack_tokens AS c
+FROM ({_SPEC["x14_sequence_packing"].oracle.strip()}) t0
+UNION ALL
+SELECT 'shuffle' AS variant, shard, uid AS a, ord AS b,
+       CAST(NULL AS BIGINT) AS c
+FROM ({_SPEC["x25_global_shuffle"].oracle.strip()}) t1
+""",
+    note="batch-layout suite in ONE gate row: fixed-budget sequence "
+    "packing (shard-local running sums) and the deterministic global "
+    "corpus shuffle (pseudo-random shard + tie-free order key, one "
+    "exchange + local sort, no global sort) — variant-tagged union; "
+    "constituent notes in queries_pipeline.py",
+)
+def x14_pack_shuffle(spark, sf_dir):
+    pack = _SPEC["x14_sequence_packing"].run(spark, sf_dir).select(
+        F.lit("pack").alias("variant"),
+        "shard",
+        F.col("pack_id").alias("a"),
+        F.col("n_docs").alias("b"),
+        F.col("pack_tokens").alias("c"),
+    )
+    shuf = _SPEC["x25_global_shuffle"].run(spark, sf_dir).select(
+        F.lit("shuffle").alias("variant"),
+        "shard",
+        F.col("uid").alias("a"),
+        F.col("ord").alias("b"),
+        F.lit(None).cast("long").alias("c"),
+    )
+    return pack.unionByName(shuf)

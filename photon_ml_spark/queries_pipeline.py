@@ -597,6 +597,40 @@ def x14_sequence_packing(spark, sf_dir):
 
 
 @register(
+    "x25_global_shuffle",
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey * 100 + l_linenumber AS uid
+  FROM lineitem WHERE l_orderkey % 7 = 0
+)
+SELECT uid,
+       CAST(FLOOR(CAST((48271 * ((48271 * ((uid + 17) % 2147483647))
+                                 % 2147483647)) % 2147483647
+                       AS DOUBLE) / 2147483647.0 * 8) AS BIGINT) AS shard,
+       CAST((48271 * ((48271 * ((uid + 18) % 2147483647)) % 2147483647))
+            % 2147483647 AS BIGINT) AS ord
+FROM d
+""",
+    note="pipeline/export: deterministic global shuffle — pseudo-random "
+    "shard + tie-free within-shard order key as pure expressions "
+    "(Park-Miller bijection), so the pre-training corpus shuffle costs "
+    "one hash exchange + local sort, never a global sort; the physical "
+    "writer (write_training_shards: one sorted file per shard dir) is "
+    "round-trip tested in tests/test_pipeline_ops.py",
+)
+def x25_global_shuffle(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import shuffle_assignment
+
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 7 == 0)
+    d = li.select(
+        (F.col("l_orderkey") * 100 + F.col("l_linenumber")).alias("uid")
+    )
+    return shuffle_assignment(d, uid_col="uid", n_shards=8, seed=17).select(
+        "uid", "shard", "ord"
+    )
+
+
+@register(
     "x12_quality_filter",
     oracle=f"""
 WITH t AS (

@@ -760,3 +760,41 @@ def test_substring_short_docs_excluded(spark):
         (1, 0, 3),
         (2, 0, 3),
     ]
+
+
+# ------------------------------------------------------- global shuffle
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    """One sorted file per shard dir; union of shards == input; rows
+    within each file follow the (ord, uid) permutation order."""
+    import glob
+
+    from photon_ml_spark.operators.sampling import (
+        shuffle_assignment,
+        write_training_shards,
+    )
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "uid")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, n_shards=8, uid_col="uid", seed=17)
+
+    expected = {
+        (r.uid, r.shard, r.ord)
+        for r in shuffle_assignment(df, "uid", 8, 17).collect()
+    }
+    back = spark.read.parquet(path)
+    assert {
+        (r.uid, r.shard, r.ord) for r in back.collect()
+    } == expected
+
+    sizes = []
+    for k in range(8):
+        files = glob.glob(f"{path}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {len(files)} files"
+        pdf = spark.read.parquet(files[0]).toPandas()
+        sizes.append(len(pdf))
+        ords = list(zip(pdf["ord"], pdf["uid"]))
+        assert ords == sorted(ords), f"shard {k} not in permutation order"
+    # pseudo-random sharding balances within a loose tolerance
+    assert min(sizes) > 0.5 * max(sizes)
