@@ -344,3 +344,63 @@ def greedy_pack(
     return staged.withColumn(
         "pack_id", F.floor((cum - F.col("n_tokens")) / token_budget).cast("long")
     )
+
+
+def model_quality_filter(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    reg_param: float = 10.0,
+    keep_cutoff: float = 650.0,
+) -> DataFrame:
+    """Model-based quality filtering: distill the heuristic quality
+    score into one tiny linear probe per group and keep documents the
+    MODEL predicts above the cutoff — the classifier-filter curation
+    pattern (a fasttext-style quality model deciding keep/drop), with
+    the training done by the distributed per-entity solver instead of
+    a driver-side library.
+
+    Features and targets are integer-quantized (ROUND(ratio·1000)) so
+    the probe's normal equations stay exact and engine-replayable (the
+    m2 discipline). Returns per-doc rows with the group's fitted
+    (coef, intercept), the prediction, and the keep flag; aggregate
+    downstream as needed. Scale shape: feature extraction is
+    scan-speed Catalyst, training shuffles once on group, scoring is a
+    broadcast-size model join.
+    """
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+
+    q = quality_score(df, text_col)
+    feats = q.withColumns(
+        {
+            "x_q": F.round(F.col("stopword_ratio") * 1000, 0),
+            "y_q": F.round(F.col("quality") * 1000, 0),
+        }
+    )
+    train = feats.select(
+        F.col(group_col).cast("string").alias("entity"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("x_q").cast("double")).alias("features_values"),
+        F.col("y_q").alias("response"),
+    )
+    models = fit_random_effects(
+        train,
+        entity_col="entity",
+        dim=1,
+        family="gaussian",
+        weight_col=None,
+        offset_col=None,
+        reg_param=reg_param,
+        tol=1e-12,
+    ).select(
+        F.col("entity").alias(group_col),
+        F.element_at("coefficients", 1).alias("probe_coef"),
+        F.col("intercept").alias("probe_intercept"),
+    )
+    scored = feats.join(F.broadcast(models), group_col).withColumn(
+        "probe_pred",
+        F.round(
+            F.col("probe_coef") * F.col("x_q") + F.col("probe_intercept"), 6
+        ),
+    )
+    return scored.withColumn("is_keep", F.col("probe_pred") >= keep_cutoff)

@@ -121,7 +121,7 @@ GATE_ORDER = [
     "x4_ngram_jaccard_pairs",
     "x6_neardup_pairs",
     "x9_ann_topk",
-    "x12_quality_filter",
+    "x12_quality_suite",
     "x14_pack_shuffle",
     "x16_pii_scan",
     "x17_cluster_suite",

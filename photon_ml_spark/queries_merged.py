@@ -143,6 +143,12 @@ _FOLDED = {
     # round-3 folds: packing / export layout
     "x14_sequence_packing": ("pack", ["shard", "pack_id", "n_docs", "pack_tokens"]),
     "x25_global_shuffle": ("shuffle", ["uid", "shard", "ord"]),
+    # round-3 folds: quality filtering, heuristic and model-based
+    "x12_quality_filter": ("heuristic", ["n_kept", "tokens_kept", "mean_quality"]),
+    "x26_model_quality_filter": (
+        "probe",
+        ["probe_coef", "probe_intercept", "n_docs", "n_kept"],
+    ),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
@@ -676,3 +682,26 @@ def x14_pack_shuffle(spark, sf_dir):
         F.lit(None).cast("long").alias("c"),
     )
     return pack.unionByName(shuf)
+
+
+@register(
+    "x12_quality_suite",
+    oracle=f"{_melt_sql('x12_quality_filter', key='lang')} UNION ALL "
+    f"{_melt_sql('x26_model_quality_filter', key='lang')}",
+    note="quality-filter suite in ONE gate row: the heuristic keep/drop "
+    "filter (per-language survivor mass) and the MODEL-based filter "
+    "(heuristic distilled into a per-language linear probe by the "
+    "distributed solver, keep = probe prediction >= cutoff) — melted "
+    "to (variant, lang, k, v); constituent notes in "
+    "queries_pipeline.py",
+)
+def x12_quality_suite(spark, sf_dir):
+    heur = _melt_df(
+        _SPEC["x12_quality_filter"].run(spark, sf_dir),
+        "heuristic", _FOLDED["x12_quality_filter"][1], "lang", "lang",
+    )
+    probe = _melt_df(
+        _SPEC["x26_model_quality_filter"].run(spark, sf_dir),
+        "probe", _FOLDED["x26_model_quality_filter"][1], "lang", "lang",
+    )
+    return heur.unionByName(probe)

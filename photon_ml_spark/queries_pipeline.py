@@ -668,6 +668,65 @@ def x12_quality_filter(spark, sf_dir):
 
 
 @register(
+    "x26_model_quality_filter",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_TOKS_SQL} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, lang,
+         ROUND(CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS BIGINT)
+               / CAST(len(toks) AS DOUBLE) * 1000) AS x_q,
+         ROUND((LEAST(len(toks), 100) / 100.0
+                + LEAST(CAST(len(list_filter(toks, x -> x IN ('a','the','and','of','to'))) AS BIGINT)
+                        / CAST(len(toks) AS DOUBLE) * 4.0, 1.0)
+                + GREATEST(1.0 - CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT)
+                           / CAST(GREATEST(length(text), 1) AS DOUBLE) * 10.0, 0.0))
+               / 3.0 * 1000) AS y_q
+  FROM t
+),
+m AS (
+  SELECT lang, COUNT(*) AS n, SUM(x_q) AS sx, SUM(y_q) AS sy,
+         SUM(x_q*x_q) AS sxx, SUM(x_q*y_q) AS sxy
+  FROM f GROUP BY lang
+),
+probe AS (
+  SELECT lang,
+         (n*sxy - sx*sy) / ((sxx + 10.0)*n - sx*sx) AS coef,
+         ((sxx + 10.0)*sy - sx*sxy) / ((sxx + 10.0)*n - sx*sx) AS intercept
+  FROM m
+)
+SELECT f.lang,
+       ROUND(p.coef, 6) AS probe_coef,
+       ROUND(p.intercept, 6) AS probe_intercept,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN ROUND(p.coef * f.x_q + p.intercept, 6) >= 650.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM f JOIN probe p USING (lang)
+GROUP BY f.lang, p.coef, p.intercept
+""",
+    note="pipeline/curation: MODEL-based quality filtering — the "
+    "heuristic quality score distilled into one linear probe per "
+    "language (trained by the distributed per-entity solver, the "
+    "fasttext-classifier-filter pattern), documents kept when the "
+    "PROBE's prediction clears the cutoff; integer-quantized features "
+    "keep the normal equations exact so the oracle replays the closed "
+    "form (ridge l2=10, intercept unpenalized)",
+)
+def x26_model_quality_filter(spark, sf_dir):
+    from photon_ml_spark.operators.text import model_quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    out = model_quality_filter(docs, group_col="lang", keep_cutoff=650.0)
+    return out.groupBy("lang").agg(
+        F.round(F.first("probe_coef"), 6).alias("probe_coef"),
+        F.round(F.first("probe_intercept"), 6).alias("probe_intercept"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_keep").cast("long")).alias("n_kept"),
+    )
+
+
+@register(
     "x13_token_histogram",
     oracle=f"""
 WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents)

@@ -798,3 +798,22 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
         assert ords == sorted(ords), f"shard {k} not in permutation order"
     # pseudo-random sharding balances within a loose tolerance
     assert min(sizes) > 0.5 * max(sizes)
+
+
+def test_model_quality_filter_probe_semantics(docs, spark):
+    """The distilled probe must (1) assign higher mean heuristic
+    quality to kept docs than dropped ones, and (2) learn a positive
+    stopword coefficient (the heuristic rewards stopword density)."""
+    from photon_ml_spark.operators.text import model_quality_filter
+
+    out = model_quality_filter(docs).cache()
+    coefs = out.select("lang", "probe_coef").distinct().collect()
+    assert coefs and all(r.probe_coef > 0 for r in coefs)
+    grp = {
+        r.is_keep: r.mq
+        for r in out.groupBy("is_keep")
+        .agg(F.avg(F.col("y_q")).alias("mq"))
+        .collect()
+    }
+    assert grp[True] > grp[False]
+    out.unpersist()
