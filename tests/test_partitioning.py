@@ -200,3 +200,61 @@ def test_as_of_join_plan_single_exchange(spark):
     assert "Join" not in plan
     # the single window is fully partitioned by the key
     assert "windowspecdefinition(k#" in plan
+
+
+def test_substring_dedup_plan_shapes(spark, sf_dir):
+    """Substring dedup: spans come from doc-partitioned windows only
+    (no global window), and the rolling strategy's per-window modular
+    sums partial-aggregate BEFORE the exchange — the n-fold
+    contribution explode must never hit the shuffle."""
+    from photon_ml_spark.operators.dedup import (
+        _window_keys_rolling,
+        duplicated_window_spans,
+    )
+    from photon_ml_spark.sources.datasets import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    for strat in ("string", "rolling"):
+        bad = _unpartitioned_windows(
+            duplicated_window_spans(docs, n=10, strategy=strat)
+        )
+        assert not bad, f"{strat}: unpartitioned Window in plan: {bad}"
+
+    toks = docs.selectExpr(
+        "doc_id AS __id",
+        "filter(split(lower(text), '\\\\s+'), t -> t != '') AS __toks",
+    ).filter(F.size("__toks") >= 10)
+    plan = (
+        _window_keys_rolling(toks, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-window modular sums must combine map-side (partial_sum
+    # directly over the Generate/explode output), so the n-fold
+    # contribution fan-out never reaches a shuffle
+    i_explode = plan.find("Generate explode")
+    i_partial = plan.find("partial_sum")
+    assert i_partial != -1, "no map-side partial aggregate in plan"
+    assert i_explode != -1 and i_partial < i_explode, (
+        "partial aggregate must consume the contribution explode "
+        "(printed above it in the bottom-up plan)"
+    )
+
+
+def test_shard_writer_plan_no_global_sort(spark):
+    """write_training_shards' layout = one hash exchange + local sort:
+    the plan must contain no global (range-partitioned) sort."""
+    from photon_ml_spark.operators.sampling import shuffle_assignment
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "uid")
+    out = (
+        shuffle_assignment(df, "uid", 8, 17)
+        .repartition(8, "shard")
+        .sortWithinPartitions("shard", "ord", "uid")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Sort [" in line:
+            assert "false, 0" in line, f"global sort in shard layout: {line}"
+    assert "rangepartitioning" not in plan.lower()
