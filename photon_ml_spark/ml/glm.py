@@ -201,9 +201,10 @@ def fit_fixed_effect(
     if offset_col:
         glr.setOffsetCol(offset_col)
     model = glr.fit(vec_df)
-    vec_df.unpersist()
     # training diagnostics (the legacy driver's model log, A12 inputs:
-    # Evaluation.scala / Driver.computeAndLogModelMetrics)
+    # Evaluation.scala / Driver.computeAndLogModelMetrics) — extracted
+    # BEFORE unpersist: each first access runs a predictions pass over
+    # vec_df, which must hit the cache, not recompute the lineage
     s = model.summary
     meta = {"iterations": s.numIterations}
     for attr in ("deviance", "nullDeviance", "aic", "dispersion"):
@@ -211,6 +212,7 @@ def fit_fixed_effect(
             meta[attr] = float(getattr(s, attr))
         except Exception:
             pass
+    vec_df.unpersist()
     return FixedEffectGLM(
         family=family,
         coefficients=np.asarray(model.coefficients.toArray(), dtype=np.float64),
