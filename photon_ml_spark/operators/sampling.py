@@ -126,6 +126,42 @@ def leakage_safe_split(
     )
 
 
+def _share_rates(df: DataFrame, group_col: str, target_shares: dict[str, float]):
+    """Shared machinery for share-targeted resampling: validate
+    ``target_shares`` (> 0, every group present in the corpus), join
+    group counts to shares, and compute the feasible-total scalar
+    T* = min_g count_g / share_g. Returns (joined, tstar) frames —
+    |groups| rows and 1 row respectively; the only driver round-trip is
+    the tiny missing-group check."""
+    bad_shares = {k: v for k, v in target_shares.items() if not v > 0}
+    if bad_shares:
+        raise ValueError(
+            f"target_shares must be > 0; got {bad_shares}"
+        )
+    spark = df.sparkSession
+    shares = spark.createDataFrame(
+        [(k, float(v)) for k, v in target_shares.items()],
+        f"{group_col} string, __share double",
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    missing = [
+        r[0]
+        for r in shares.join(counts, group_col, "left_anti")
+        .select(group_col)
+        .collect()
+    ]
+    if missing:
+        raise ValueError(
+            "target groups have zero rows in the corpus "
+            f"(would silently skew the mix): {sorted(missing)}"
+        )
+    joined = counts.join(shares, group_col)
+    tstar = joined.agg(
+        F.min(F.col("__cnt") / F.col("__share")).alias("__tstar")
+    )
+    return joined, tstar
+
+
 def corpus_mix(
     df: DataFrame,
     group_col: str,
@@ -155,32 +191,7 @@ def corpus_mix(
     excluded from the T* minimum and the surviving mix would deviate
     from the request with no signal. The check is one tiny aggregate
     (|groups| rows) the plan computes anyway."""
-    bad_shares = {k: v for k, v in target_shares.items() if not v > 0}
-    if bad_shares:
-        raise ValueError(
-            f"corpus_mix target_shares must be > 0; got {bad_shares}"
-        )
-    spark = df.sparkSession
-    shares = spark.createDataFrame(
-        [(k, float(v)) for k, v in target_shares.items()],
-        f"{group_col} string, __share double",
-    )
-    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    missing = [
-        r[0]
-        for r in shares.join(counts, group_col, "left_anti")
-        .select(group_col)
-        .collect()
-    ]
-    if missing:
-        raise ValueError(
-            "corpus_mix target groups have zero rows in the corpus "
-            f"(would silently skew the mix): {sorted(missing)}"
-        )
-    joined = counts.join(shares, group_col)
-    tstar = joined.agg(
-        F.min(F.col("__cnt") / F.col("__share")).alias("__tstar")
-    )
+    joined, tstar = _share_rates(df, group_col, target_shares)
     rates = joined.crossJoin(F.broadcast(tstar)).select(
         group_col,
         F.least(
@@ -197,6 +208,157 @@ def corpus_mix(
     if rate_col:
         return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
     return out.drop("__rate")
+
+
+def oversample_to_shares(
+    df: DataFrame,
+    group_col: str,
+    target_shares: dict[str, float],
+    max_epochs: float = 4.0,
+    uid_col: str = "uid",
+    seed: int = 42,
+    uniform: Column | None = None,
+    rate_col: str | None = None,
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Epoch-capped oversampling to a target corpus mix (the UniMax
+    recipe, Chung et al. 2023): where ``corpus_mix`` only DROPS rows,
+    this REPEATS under-represented groups — each group's expected
+    repetition factor is ``share_g · T / count_g`` with the total T
+    chosen so the most-repeated group runs exactly ``max_epochs``
+    epochs (T = max_epochs · min_g count_g/share_g). Groups above
+    their share are downsampled (rate < 1), never repeated.
+
+    Deterministic integerization: each row emits ``floor(rate)`` copies
+    plus one more iff ``uniform < frac(rate)`` — exact shares in
+    expectation, replayable across retries/engines. Copies are tagged
+    ``copy_col`` (0-based) so downstream shuffling/packing can spread
+    them. Scale shape matches ``corpus_mix``: tiny count agg, 1-row T*
+    cross-joined in-plan, broadcast rates, then one generate-explode
+    pass — output size Σ count_g·rate_g ≤ max_epochs · |df|.
+    """
+    if not max_epochs >= 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    joined, tstar = _share_rates(df, group_col, target_shares)
+    rates = joined.crossJoin(F.broadcast(tstar)).select(
+        group_col,
+        (
+            F.col("__share") * F.col("__tstar") * float(max_epochs)
+            / F.col("__cnt")
+        ).alias("__rate"),
+    )
+    u = uniform if uniform is not None else hash_uniform(F.col(uid_col), seed)
+    n = (
+        F.floor(F.col("__rate"))
+        + F.when(u < F.col("__rate") - F.floor(F.col("__rate")), 1).otherwise(0)
+    ).cast("int")
+    # slice of a constant template array: empty slice (n=0) drops the
+    # row under explode; never builds sequence(0, -1)
+    max_copies = int(max_epochs) + 1
+    template = F.sequence(F.lit(0), F.lit(max_copies - 1))
+    out = (
+        df.join(F.broadcast(rates), group_col)
+        .withColumn("__n", n)
+        .withColumn(copy_col, F.explode(F.slice(template, 1, F.col("__n"))))
+        .drop("__n")
+    )
+    if rate_col:
+        return out.withColumn(rate_col, F.col("__rate")).drop("__rate")
+    return out.drop("__rate")
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    temperature: float = 1.0,
+    seed: int = 42,
+    uniform: Column | None = None,
+    smoothing: float = 1.0,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by the log importance ratio of two add-one-
+    smoothed unigram LMs — one fitted on the ``is_target`` rows (the
+    domain sample), one on the rest (the raw pool) — then draw ``k``
+    raw documents WITHOUT replacement proportionally to
+    ``exp(logweight / temperature)`` via the Gumbel top-k trick with a
+    deterministic per-doc uniform.
+
+    Returns the k selected docs: (id, n_tokens, logweight, gumbel_key,
+    rank). Scale shape: one token explode feeding a vocab-sized count
+    aggregate (both LMs in a single pass, partial-agg'd map-side), the
+    log-ratio table joined back onto raw tokens (AQE broadcasts it
+    while it fits; ``n_buckets`` hashes tokens into a bounded feature
+    space first — the paper's hashed-ngram device — making the table
+    O(n_buckets) at any corpus size, at the cost of engine-portable
+    replay), a per-doc sum, and a TakeOrdered top-k — no global sort,
+    no driver-side scoring. The final ``rank`` window orders k rows on
+    one partition, k being driver-bounded by construction.
+    """
+    from photon_ml_spark.operators.text import tokens
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not temperature > 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    tok = F.explode(tokens(F.col(text_col))).alias("__tok")
+    toks = df.select(F.col(id_col), is_target.alias("__tgt"), tok)
+    if n_buckets is not None:
+        toks = toks.withColumn(
+            "__tok", F.pmod(F.xxhash64("__tok", F.lit(seed)), n_buckets)
+        )
+    counts = toks.groupBy("__tok").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").alias("__tt"),
+        F.sum("__cr").alias("__tr"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    s = float(smoothing)
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "__tok",
+        (
+            F.log((F.col("__ct") + s) / (F.col("__tt") + s * F.col("__v")))
+            - F.log((F.col("__cr") + s) / (F.col("__tr") + s * F.col("__v")))
+        ).alias("__lr"),
+    )
+    scores = (
+        toks.filter(~F.col("__tgt"))
+        .join(lm, "__tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__lr").alias("logweight"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    u = uniform if uniform is not None else hash_uniform(F.col(id_col), seed)
+    keyed = (
+        df.filter(~is_target)
+        .select(id_col)
+        .join(scores, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("logweight", F.lit(0.0)).alias("logweight"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "gumbel_key",
+            F.col("logweight") / float(temperature) - F.log(-F.log(u)),
+        )
+    )
+    topk = keyed.orderBy(F.desc("gumbel_key"), F.col(id_col)).limit(k)
+    # ranking k rows: constant partition spec is deliberate — the frame
+    # is ≤ k rows by the limit above, single-task by construction
+    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("gumbel_key"), F.col(id_col)
+    )
+    return topk.withColumn("rank", F.row_number().over(rank_win))
 
 
 def filter_entities_by_support(

@@ -149,6 +149,13 @@ _FOLDED = {
         "probe",
         ["probe_coef", "probe_intercept", "n_docs", "n_kept"],
     ),
+    # round-3 folds: corpus mixing / selection (variant-tagged union)
+    "x18_corpus_mix": ("mix", ["doc_id", "source", "rate"]),
+    "x27_dsir_select": ("dsir", ["doc_id", "n_tokens", "gumbel_key", "rank"]),
+    "x28_epoch_oversample": (
+        "epochs",
+        ["doc_id", "source", "copy_idx", "rate"],
+    ),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
@@ -705,3 +712,53 @@ def x12_quality_suite(spark, sf_dir):
         "probe", _FOLDED["x26_model_quality_filter"][1], "lang", "lang",
     )
     return heur.unionByName(probe)
+
+
+@register(
+    "x18_corpus_mix",
+    oracle=f"""
+SELECT 'mix' AS variant, doc_id, source AS tag,
+       CAST(NULL AS BIGINT) AS idx, CAST(NULL AS BIGINT) AS n,
+       rate AS val
+FROM ({_SPEC["x18_corpus_mix"].oracle.strip()}) t0
+UNION ALL
+SELECT 'epochs' AS variant, doc_id, source AS tag, copy_idx AS idx,
+       CAST(NULL AS BIGINT) AS n, rate AS val
+FROM ({_SPEC["x28_epoch_oversample"].oracle.strip()}) t1
+UNION ALL
+SELECT 'dsir' AS variant, doc_id, CAST(NULL AS VARCHAR) AS tag,
+       CAST(rank AS BIGINT) AS idx, n_tokens AS n, gumbel_key AS val
+FROM ({_SPEC["x27_dsir_select"].oracle.strip()}) t2
+""",
+    note="corpus mixing/selection suite in ONE gate row: share-targeted "
+    "downsampling (x18), epoch-capped UniMax oversampling with copy "
+    "tags (x28), and DSIR Gumbel-top-k importance resampling toward a "
+    "target domain LM (x27) — variant-tagged union; constituent notes "
+    "in queries_pipeline.py",
+)
+def x18_corpus_mix(spark, sf_dir):
+    mix = _SPEC["x18_corpus_mix"].run(spark, sf_dir).select(
+        F.lit("mix").alias("variant"),
+        "doc_id",
+        F.col("source").alias("tag"),
+        F.lit(None).cast("long").alias("idx"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("rate").alias("val"),
+    )
+    epochs = _SPEC["x28_epoch_oversample"].run(spark, sf_dir).select(
+        F.lit("epochs").alias("variant"),
+        "doc_id",
+        F.col("source").alias("tag"),
+        F.col("copy_idx").alias("idx"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("rate").alias("val"),
+    )
+    dsir = _SPEC["x27_dsir_select"].run(spark, sf_dir).select(
+        F.lit("dsir").alias("variant"),
+        "doc_id",
+        F.lit(None).cast("string").alias("tag"),
+        F.col("rank").cast("long").alias("idx"),
+        F.col("n_tokens").alias("n"),
+        F.col("gumbel_key").alias("val"),
+    )
+    return mix.unionByName(epochs).unionByName(dsir)

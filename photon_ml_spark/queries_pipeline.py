@@ -396,6 +396,117 @@ def x18_corpus_mix(spark, sf_dir):
 
 
 @register(
+    "x28_epoch_oversample",
+    oracle=f"""
+WITH shares AS ({_MIX_SHARES_SQL}),
+counts AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+j AS (SELECT c.source, c.cnt, s.share FROM counts c JOIN shares s USING (source)),
+tstar AS (SELECT MIN(cnt / share) AS t FROM j),
+rates AS (SELECT source, share * t * 3.0 / cnt AS rate FROM j CROSS JOIN tstar),
+base AS (
+  SELECT d.doc_id, d.source, r.rate,
+         CAST(FLOOR(r.rate) AS BIGINT)
+         + CASE WHEN CAST((48271 * ((d.doc_id * 104729 + 13) % 2147483647))
+                          % 2147483647 AS DOUBLE) / 2147483647.0
+                     < r.rate - FLOOR(r.rate)
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates r USING (source)
+)
+SELECT doc_id, source,
+       CAST(unnest(generate_series(0, n - 1)) AS BIGINT) AS copy_idx,
+       ROUND(rate, 6) AS rate
+FROM base WHERE n >= 1
+""",
+    note="pipeline/mixing: epoch-capped oversampling to target shares "
+    "(UniMax, Chung et al. 2023) — under-represented sources REPEATED "
+    "up to max_epochs=3, over-represented downsampled, copies tagged; "
+    "floor(rate) + deterministic-Bernoulli(frac) integerization makes "
+    "the exact copy multiset engine-replayable",
+)
+def x28_epoch_oversample(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import (
+        lcg_uniform,
+        oversample_to_shares,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = oversample_to_shares(
+        docs,
+        "source",
+        _MIX_SHARES,
+        max_epochs=3.0,
+        uid_col="doc_id",
+        uniform=lcg_uniform(F.col("doc_id") * 104729, 13),
+        rate_col="rate",
+    )
+    return out.select(
+        "doc_id", "source",
+        F.col("copy_idx").cast("long").alias("copy_idx"),
+        F.round("rate", 6).alias("rate"),
+    )
+
+
+@register(
+    "x27_dsir_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'zh') AS tgt, unnest({_TOKS_SQL}) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT tok, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+         SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+  FROM toks GROUP BY tok
+),
+totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr, COUNT(*) AS v FROM counts),
+lm AS (
+  SELECT tok,
+         LN((ct + 1) / CAST(tt + v AS DOUBLE))
+         - LN((cr + 1) / CAST(tr + v AS DOUBLE)) AS lr
+  FROM counts CROSS JOIN totals
+),
+scores AS (
+  SELECT t.doc_id, SUM(l.lr) AS logweight, COUNT(*) AS n_tokens
+  FROM toks t JOIN lm l USING (tok) WHERE NOT t.tgt GROUP BY t.doc_id
+),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+         COALESCE(s.logweight, 0.0)
+         - LN(-LN(CAST((48271 * ((d.doc_id * 104729 + 11) % 2147483647))
+                        % 2147483647 AS DOUBLE) / 2147483647.0)) AS gk
+  FROM documents d LEFT JOIN scores s USING (doc_id)
+  WHERE NOT (d.lang = 'zh')
+)
+SELECT doc_id, n_tokens, ROUND(gk, 6) + 0.0 AS gumbel_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY gk DESC, doc_id) AS INTEGER) AS rank
+FROM keyed ORDER BY gk DESC, doc_id LIMIT 40
+""",
+    note="pipeline/selection: DSIR importance resampling (Xie et al. "
+    "NeurIPS 2023) — add-one unigram LMs over target (lang='zh') vs "
+    "raw docs in ONE count pass, per-doc log importance ratio via a "
+    "vocab-bounded join, Gumbel top-k (deterministic portable uniform) "
+    "draws k=40 raw docs ∝ exp(logweight) without replacement; "
+    "TakeOrdered top-k, no global sort",
+)
+def x27_dsir_select(spark, sf_dir):
+    from photon_ml_spark.operators.sampling import dsir_select, lcg_uniform
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dsir_select(
+        docs,
+        F.col("lang") == "zh",
+        k=40,
+        uniform=lcg_uniform(F.col("doc_id") * 104729, 11),
+    )
+    return out.select(
+        "doc_id", "n_tokens",
+        (F.round("gumbel_key", 6) + 0.0).alias("gumbel_key"),
+        "rank",
+    )
+
+
+@register(
     "x7_simhash_neardup",
     oracle=f"""
 WITH ds AS ({_DOC_SIDS_SQL}),

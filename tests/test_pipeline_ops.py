@@ -691,6 +691,80 @@ def test_corpus_mix_hits_target_shares(spark, docs):
     out.unpersist()
 
 
+def test_oversample_to_shares_repeats_and_caps(spark, docs):
+    from photon_ml_spark.operators.sampling import oversample_to_shares
+
+    shares = {f"src{i}": (i % 4 + 1) / 50.0 for i in range(20)}
+    out = oversample_to_shares(
+        docs, "source", shares, max_epochs=3.0, uid_col="doc_id",
+        rate_col="rate",
+    ).cache()
+    # binding groups (max share) run exactly max_epochs epochs: every
+    # row repeated 3x, copy_idx 0..2
+    binding = out.filter(F.col("source") == "src3")
+    assert binding.count() == 75
+    assert binding.agg(F.max("copy_idx")).first()[0] == 2
+    # (doc_id, copy_idx) is a key — no accidental duplicate explosion
+    n = out.count()
+    assert out.select("doc_id", "copy_idx").distinct().count() == n
+    # rates never exceed the epoch cap; achieved mix tracks the target
+    assert out.filter(F.col("rate") > 3.0).count() == 0
+    got = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(got.values())
+    for src, share in shares.items():
+        assert abs(got.get(src, 0) / total - share) < 0.05
+    out.unpersist()
+    with pytest.raises(ValueError):
+        oversample_to_shares(docs, "source", shares, max_epochs=0.5)
+    with pytest.raises(ValueError):
+        oversample_to_shares(docs, "source", {"src0": -1.0})
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    from photon_ml_spark.operators.sampling import dsir_select
+
+    rows = (
+        # target domain sample: zz/yy vocabulary
+        [(i, "zz yy zz yy zz", "tgt") for i in range(5)]
+        # raw pool: 10 target-like docs, 40 off-domain docs
+        + [(100 + i, "zz yy zz aa", "raw") for i in range(10)]
+        + [(200 + i, "aa bb cc dd aa bb", "raw") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    out = dsir_select(
+        df, F.col("kind") == "tgt", k=10, temperature=0.05,
+    ).cache()
+    got = [r.doc_id for r in out.collect()]
+    assert len(got) == 10
+    # low temperature → Gumbel noise negligible: exactly the
+    # target-like raw docs selected, never the target rows themselves
+    assert set(got) == {100 + i for i in range(10)}
+    assert sorted(r.rank for r in out.collect()) == list(range(1, 11))
+    # deterministic replay
+    again = [r.doc_id for r in dsir_select(
+        df, F.col("kind") == "tgt", k=10, temperature=0.05
+    ).collect()]
+    assert got == again
+    out.unpersist()
+    with pytest.raises(ValueError):
+        dsir_select(df, F.col("kind") == "tgt", k=0)
+    with pytest.raises(ValueError):
+        dsir_select(df, F.col("kind") == "tgt", k=5, temperature=0.0)
+
+
+def test_dsir_hashed_buckets_bound_the_lm_table(spark, docs):
+    """n_buckets (the paper's hashed-ngram device) must bound the
+    log-ratio relation regardless of vocabulary size."""
+    from photon_ml_spark.operators.sampling import dsir_select
+
+    out = dsir_select(
+        docs, F.col("lang") == "zh", k=15, n_buckets=16,
+    )
+    assert out.count() == 15
+    assert out.filter(F.col("n_tokens") > 0).count() == 15
+
+
 # ------------------------------------------------------- substring dedup
 
 
