@@ -404,3 +404,152 @@ def model_quality_filter(
         ),
     )
     return scored.withColumn("is_keep", F.col("probe_pred") >= keep_cutoff)
+
+
+# ------------------------------------------------------------ BPE tokenizer
+
+# Symbol-string layout for BPE merge rounds: symbols joined by TWO
+# spaces with double-space sentinels at both ends. A merge of the pair
+# (a, b) is then the leftmost-non-overlapping global regex replace of
+# " a  b " with " ab " — each match consumes ONE of the two boundary
+# spaces on each side and the replacement restores it, so adjacent
+# matches (e.g. "a a a a" merging (a,a) twice) still fire, while odd
+# runs merge left-to-right exactly like the reference algorithm
+# (Sennrich et al., ACL 2016). The same replace runs verbatim in any
+# regex engine with global leftmost semantics (Java, RE2), which is
+# what makes the training loop engine-replayable.
+_BPE_SEP = "  "
+
+
+def _bpe_symbol_string(word: Column) -> Column:
+    return F.concat(
+        F.lit(_BPE_SEP), F.array_join(F.split(word, ""), _BPE_SEP), F.lit(_BPE_SEP)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    min_pair_count: int = 2,
+    word_pattern: str | None = r"^[a-z0-9]+$",
+):
+    """Learn a byte-pair-encoding merge table from a corpus, Spark-first.
+
+    Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus
+    — so the iterated state is vocab-bounded no matter the corpus size
+    (100 TB of text still reduces to one `groupBy(word).count()`; the
+    per-round work is a pair-count aggregate over that table). Each
+    round: adjacent-symbol pairs weighted by word count → argmax
+    (count desc, then lexicographic — deterministic ties) → merge
+    applied to every word via one regex replace (layout note above).
+
+    The driver holds only the argmax row per round (the coordinate-
+    descent orchestration discipline: loops over MODEL STATE, never
+    rows); merges are tokenizer artifacts, bounded by ``n_merges``,
+    and returned as a DataFrame (merge_idx, left, right, merged,
+    pair_count). Training stops early when no pair reaches
+    ``min_pair_count``. ``word_pattern`` filters words to a regex-safe
+    alphabet (None disables; symbols are then re-escaped defensively).
+    """
+    import re as _re
+
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    if word_pattern is not None:
+        words = words.filter(F.col("word").rlike(word_pattern))
+    words = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("s", _bpe_symbol_string(F.col("word")))
+        .persist()
+    )
+    merges: list[tuple] = []
+    cur = words
+    for _ in range(n_merges):
+        sy = F.split(F.trim(F.col("s")), _BPE_SEP)
+        pairs = (
+            cur.select("cnt", sy.alias("sy"))
+            .filter(F.size("sy") >= 2)
+            .select(
+                "cnt",
+                F.expr(
+                    "explode(transform(sequence(1, size(sy)-1),"
+                    " i -> struct(sy[i-1] AS l, sy[i] AS r)))"
+                ).alias("p"),
+            )
+            .select("cnt", "p.l", "p.r")
+        )
+        best = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0].c < min_pair_count:
+            break
+        l, r, c = best[0].l, best[0].r, int(best[0].c)
+        merges.append((len(merges), l, r, l + r, c))
+        pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
+        cur = cur.withColumn(
+            "s", F.regexp_replace("s", pat, f" {l}{r} ")
+        )
+    words.unpersist()
+    return df.sparkSession.createDataFrame(
+        merges,
+        "merge_idx int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_encode_words(words: DataFrame, merges: list, word_col: str = "word") -> DataFrame:
+    """Apply an ordered merge list to a word relation → ``syms`` array
+    column (the word's BPE segmentation). ``merges`` is a list of
+    (left, right) pairs (or rows with .left/.right) in training order —
+    a tokenizer artifact, bounded by the merge budget, embedded in the
+    plan the way model coefficients are. One regex replace per merge,
+    all scan-speed Catalyst."""
+    import re as _re
+
+    s = _bpe_symbol_string(F.col(word_col))
+    for m in merges:
+        l, r = (m.left, m.right) if hasattr(m, "left") else (m[0], m[1])
+        pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
+        s = F.regexp_replace(s, pat, f" {l}{r} ")
+    return words.withColumn("syms", F.split(F.trim(s), _BPE_SEP))
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_pattern: str | None = r"^[a-z0-9]+$",
+) -> DataFrame:
+    """Encode documents with a trained merge list: (id, bpe_tokens).
+
+    Scale shape: encoding is applied to the DISTINCT-WORD relation
+    (vocab-bounded) and joined back — the regex chain never runs over
+    the full corpus; the join broadcasts while the vocab fits and
+    shuffles on word otherwise. Token order is restored by sorting the
+    collected (position, syms) pairs — per-document state only."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    if word_pattern is not None:
+        toks = toks.filter(F.col("word").rlike(word_pattern))
+    vocab = bpe_encode_words(toks.select("word").distinct(), merges)
+    return (
+        toks.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda x: x["syms"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )

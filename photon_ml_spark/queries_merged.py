@@ -131,9 +131,10 @@ _FOLDED = {
     # round-3 folds: curation scores (melted on doc_id)
     "x19_contamination": ("contamination", ["n_shared_ngrams", "n_eval_docs"]),
     "x23_unigram_perplexity": ("perplexity", ["n_tokens", "ppl"]),
-    # round-3 folds: chunking / splitting (variant-tagged union)
+    # round-3 folds: chunking / splitting / tokenizer (variant-tagged union)
     "x21_doc_chunking": ("chunk", ["chunk_id", "chunk_tokens", "chunk_text"]),
     "x22_leakage_safe_split": ("split", ["cluster_id", "split"]),
+    "x29_bpe_tokenizer": ("bpe", ["kind", "idx", "tag", "n"]),
     # round-3 folds: exact dedup at doc and substring granularity
     "x3_bow_exact_dedup": ("doc", ["dup_key", "n_docs", "keep_id"]),
     "x24_substring_spans": (
@@ -597,10 +598,15 @@ UNION ALL
 SELECT 'split' AS variant, doc_id, cluster_id AS idx,
        CAST(NULL AS BIGINT) AS n_tok, split AS tag
 FROM ({_SPEC["x22_leakage_safe_split"].oracle.strip()}) t1
+UNION ALL
+SELECT 'bpe_' || kind AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       idx, n AS n_tok, tag
+FROM ({_SPEC["x29_bpe_tokenizer"].oracle.strip()}) t2
 """,
     note="context-preparation suite in ONE gate row: token-window "
-    "document chunking (pure-expression flatMap, zero shuffle) and the "
-    "leakage-safe train/test split keyed by LSH near-dup cluster — "
+    "document chunking (pure-expression flatMap, zero shuffle), the "
+    "leakage-safe train/test split keyed by LSH near-dup cluster, and "
+    "distributed BPE tokenizer training + per-language encode stats — "
     "variant-tagged union; constituent notes in queries_pipeline.py",
 )
 def x21_chunk_split(spark, sf_dir):
@@ -618,7 +624,14 @@ def x21_chunk_split(spark, sf_dir):
         F.lit(None).cast("long").alias("n_tok"),
         F.col("split").alias("tag"),
     )
-    return chunk.unionByName(split)
+    bpe = _SPEC["x29_bpe_tokenizer"].run(spark, sf_dir).select(
+        F.concat(F.lit("bpe_"), F.col("kind")).alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        "idx",
+        F.col("n").alias("n_tok"),
+        "tag",
+    )
+    return chunk.unionByName(split).unionByName(bpe)
 
 
 @register(

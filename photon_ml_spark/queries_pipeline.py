@@ -1263,6 +1263,122 @@ def x23_unigram_perplexity(spark, sf_dir):
     )
 
 
+def _bpe_oracle_sql(n_merges: int, min_pair_count: int) -> str:
+    """Generate the DuckDB replay of ``bpe_train`` + per-language encode
+    stats: one CTE triple (pair counts → argmax → merge applied) per
+    round. An empty argmax (no pair ≥ min_pair_count) leaves the word
+    table unchanged via the LEFT JOIN + COALESCE, matching the
+    operator's early stop — later rounds then stay empty too."""
+    ctes = [
+        f"""w0 AS (
+  SELECT word, COUNT(*) AS cnt,
+         '  ' || array_to_string(regexp_split_to_array(word, ''), '  ') || '  ' AS s
+  FROM (SELECT unnest({_TOKS_SQL}) AS word FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+  GROUP BY word
+)"""
+    ]
+    for i in range(n_merges):
+        ctes.append(
+            f"""p{i} AS (
+  SELECT sy[i] AS l, sy[i+1] AS r, SUM(cnt) AS c
+  FROM (SELECT cnt, regexp_split_to_array(trim(s), '  ') AS sy FROM w{i}),
+       LATERAL unnest(generate_series(1, len(sy) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT l, r, c FROM p{i} WHERE c >= {min_pair_count}
+         ORDER BY c DESC, l, r LIMIT 1),
+w{i + 1} AS (
+  SELECT word, cnt,
+         COALESCE(regexp_replace(s, ' ' || b.l || '  ' || b.r || ' ',
+                                 ' ' || b.l || b.r || ' ', 'g'), s) AS s
+  FROM w{i} LEFT JOIN b{i} b ON TRUE
+)"""
+        )
+    ctes.append(
+        f"""enc AS (
+  SELECT word, regexp_split_to_array(trim(s), '  ') AS syms
+  FROM w{n_merges}
+),
+dt AS (
+  SELECT lang, word
+  FROM (SELECT lang, unnest({_TOKS_SQL}) AS word FROM documents)
+  WHERE regexp_matches(word, '^[a-z0-9]+$')
+),
+lang_tot AS (
+  SELECT dt.lang, SUM(len(e.syms)) AS total
+  FROM dt JOIN enc e USING (word) GROUP BY dt.lang
+),
+lang_vocab AS (
+  SELECT lang, COUNT(DISTINCT sym) AS dv
+  FROM (SELECT dt.lang, unnest(e.syms) AS sym
+        FROM dt JOIN enc e USING (word))
+  GROUP BY lang
+)"""
+    )
+    merge_rows = " UNION ALL ".join(
+        f"SELECT 'merge' AS kind, CAST({i} AS BIGINT) AS idx, "
+        f"l || '>' || l || r AS tag, CAST(c AS BIGINT) AS n FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\n{merge_rows}\n"
+        + "UNION ALL\n"
+        + "SELECT 'encode' AS kind, CAST(lv.dv AS BIGINT) AS idx, "
+        + "lt.lang AS tag, CAST(lt.total AS BIGINT) AS n\n"
+        + "FROM lang_tot lt JOIN lang_vocab lv USING (lang)"
+    )
+
+
+@register(
+    "x29_bpe_tokenizer",
+    oracle=_bpe_oracle_sql(6, 2),
+    note="pipeline/tokenizer: distributed BPE training (Sennrich et al. "
+    "2016) on the WORD-FREQUENCY table — vocab-bounded state however "
+    "large the corpus; per round one pair-count aggregate + argmax "
+    "(count desc, lexicographic ties) + one global-leftmost regex "
+    "merge, engine-replayable via the double-space symbol layout — "
+    "plus per-language encode stats (total BPE tokens, distinct "
+    "symbols) from the vocab-level encode joined back to documents",
+)
+def x29_bpe_tokenizer(spark, sf_dir):
+    from photon_ml_spark.operators.text import (
+        bpe_encode_words,
+        bpe_train,
+        tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges_df = bpe_train(docs, n_merges=6, min_pair_count=2)
+    merges = merges_df.collect()
+    merge_rows = merges_df.select(
+        F.lit("merge").alias("kind"),
+        F.col("merge_idx").cast("long").alias("idx"),
+        F.concat("left", F.lit(">"), "merged").alias("tag"),
+        F.col("pair_count").alias("n"),
+    )
+    toks = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike(r"^[a-z0-9]+$"))
+    vocab = bpe_encode_words(toks.select("word").distinct(), merges)
+    j = toks.join(vocab, "word")
+    tot = j.groupBy("lang").agg(F.sum(F.size("syms")).alias("n"))
+    dv = (
+        j.select("lang", F.explode("syms").alias("sym"))
+        .groupBy("lang")
+        .agg(F.countDistinct("sym").alias("dv"))
+    )
+    enc_rows = tot.join(dv, "lang").select(
+        F.lit("encode").alias("kind"),
+        F.col("dv").cast("long").alias("idx"),
+        F.col("lang").alias("tag"),
+        F.col("n").cast("long").alias("n"),
+    )
+    return merge_rows.unionByName(enc_rows)
+
+
 @register(
     "x11_fingerprint",
     oracle="""

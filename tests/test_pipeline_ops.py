@@ -765,6 +765,57 @@ def test_dsir_hashed_buckets_bound_the_lm_table(spark, docs):
     assert out.filter(F.col("n_tokens") > 0).count() == 15
 
 
+def test_bpe_train_matches_reference_example(spark):
+    """The Sennrich et al. running example: merges must come out in the
+    canonical order (es, est, lo, low, ...) with exact pair counts."""
+    from photon_ml_spark.operators.text import bpe_train
+
+    text = "low " * 5 + "lower " * 2 + "newest " * 6 + "widest " * 3
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    m = [tuple(r) for r in bpe_train(df, n_merges=4, min_pair_count=2).collect()]
+    assert m == [
+        (0, "e", "s", "es", 9),
+        (1, "es", "t", "est", 9),
+        (2, "l", "o", "lo", 7),
+        (3, "lo", "w", "low", 7),
+    ]
+    with pytest.raises(ValueError):
+        bpe_train(df, n_merges=0)
+
+
+def test_bpe_encode_roundtrip_and_adjacent_merges(spark):
+    """Concatenating a word's BPE symbols must reproduce the word, and
+    runs of the merged pair must merge left-to-right non-overlapping
+    (aaaa -> [aa, aa]; aaa -> [aa, a])."""
+    from photon_ml_spark.operators.text import bpe_encode, bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "aaaa aaa aa banana bandana")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=3, min_pair_count=2).collect()
+    assert (merges[0].left, merges[0].right) == ("a", "a")
+    enc = bpe_encode(df, merges).first().bpe_tokens
+    assert "".join(enc) == "aaaaaaaaabananabandana"
+    words = spark.createDataFrame(
+        [(1, "aaaa"), (2, "aaa")], "doc_id long, text string"
+    )
+    by_id = {
+        r.doc_id: r.bpe_tokens for r in bpe_encode(words, [("a", "a")]).collect()
+    }
+    assert by_id[1] == ["aa", "aa"]
+    assert by_id[2] == ["aa", "a"]
+
+
+def test_bpe_early_stop_below_min_pair_count(spark):
+    from photon_ml_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame(
+        [(0, "ab cd ef")], "doc_id long, text string"
+    )
+    m = bpe_train(df, n_merges=5, min_pair_count=2).collect()
+    assert m == []  # every pair occurs once
+
+
 # ------------------------------------------------------- substring dedup
 
 
