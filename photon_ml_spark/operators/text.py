@@ -553,3 +553,45 @@ def bpe_encode(
             ).alias("bpe_tokens")
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of the doc's DISTINCT
+    word n-grams that occur in no other document — high novelty marks
+    original content, low novelty boilerplate/templated text (the
+    curation signal complementing near-dup removal: a doc can be below
+    every pairwise dup threshold yet consist entirely of corpus-common
+    n-grams).
+
+    Returns (id, n_ngrams, n_novel, novelty). Scale shape: one distinct
+    (doc, shingle) relation feeding (a) the per-shingle document-
+    frequency aggregate and (b) a join back for the per-doc fraction —
+    two shuffles on the shingle key, partial-agg'd map-side; no
+    all-pairs anything. Docs with fewer than n tokens have no n-grams
+    and are omitted (novelty is undefined for them).
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+    docfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    return (
+        sh.join(docfreq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .withColumn(
+            "novelty", F.col("n_novel") / F.col("n_ngrams").cast("double")
+        )
+    )

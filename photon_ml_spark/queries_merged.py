@@ -131,6 +131,7 @@ _FOLDED = {
     # round-3 folds: curation scores (melted on doc_id)
     "x19_contamination": ("contamination", ["n_shared_ngrams", "n_eval_docs"]),
     "x23_unigram_perplexity": ("perplexity", ["n_tokens", "ppl"]),
+    "x30_ngram_novelty": ("novelty", ["n_ngrams", "n_novel", "novelty"]),
     # round-3 folds: chunking / splitting / tokenizer (variant-tagged union)
     "x21_doc_chunking": ("chunk", ["chunk_id", "chunk_tokens", "chunk_text"]),
     "x22_leakage_safe_split": ("split", ["cluster_id", "split"]),
@@ -573,11 +574,13 @@ def e6_temporal_joins(spark, sf_dir):
 @register(
     "x19_curation_scores",
     oracle=f"{_melt_sql('x19_contamination')} UNION ALL "
-    f"{_melt_sql('x23_unigram_perplexity')}",
+    f"{_melt_sql('x23_unigram_perplexity')} UNION ALL "
+    f"{_melt_sql('x30_ngram_novelty')}",
     note="curation-scoring suite in ONE gate row: benchmark-contamination "
-    "detection (train/eval trigram collisions, shingle equi-join) and "
-    "CCNet-style add-one unigram-LM perplexity — melted to (variant, "
-    "doc_id, k, v); constituent notes in queries_pipeline.py",
+    "detection (train/eval trigram collisions, shingle equi-join), "
+    "CCNet-style add-one unigram-LM perplexity, and per-doc trigram "
+    "novelty (document-frequency join) — melted to (variant, doc_id, "
+    "k, v); constituent notes in queries_pipeline.py",
 )
 def x19_curation_scores(spark, sf_dir):
     cont = _melt_df(
@@ -588,7 +591,11 @@ def x19_curation_scores(spark, sf_dir):
         _SPEC["x23_unigram_perplexity"].run(spark, sf_dir),
         "perplexity", _FOLDED["x23_unigram_perplexity"][1], "doc_id", "doc_id",
     )
-    return cont.unionByName(ppl)
+    nov = _melt_df(
+        _SPEC["x30_ngram_novelty"].run(spark, sf_dir),
+        "novelty", _FOLDED["x30_ngram_novelty"][1], "doc_id", "doc_id",
+    )
+    return cont.unionByName(ppl).unionByName(nov)
 
 
 @register(

@@ -1107,6 +1107,35 @@ def x19_contamination(spark, sf_dir):
 
 
 @register(
+    "x30_ngram_novelty",
+    oracle=f"""
+WITH sh AS ({_TRIGRAM_SET_SQL}),
+dfreq AS (SELECT shingle, COUNT(*) AS dfq FROM sh GROUP BY shingle)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       CAST(SUM(CASE WHEN dfq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN dfq = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+FROM sh JOIN dfreq USING (shingle)
+GROUP BY sh.doc_id
+""",
+    note="pipeline/curation: per-doc trigram novelty — fraction of the "
+    "doc's distinct word trigrams occurring in no other doc (document-"
+    "frequency agg + join back on the shingle key, no all-pairs); low "
+    "novelty flags boilerplate that survives pairwise near-dup "
+    "thresholds",
+)
+def x30_ngram_novelty(spark, sf_dir):
+    from photon_ml_spark.operators.text import ngram_novelty
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_novelty(docs, n=3)
+    return out.select(
+        "doc_id", "n_ngrams", "n_novel", F.round("novelty", 6).alias("novelty")
+    )
+
+
+@register(
     "x20_semantic_dedup",
     oracle=f"""
 WITH RECURSIVE base AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),

@@ -765,6 +765,24 @@ def test_dsir_hashed_buckets_bound_the_lm_table(spark, docs):
     assert out.filter(F.col("n_tokens") > 0).count() == 15
 
 
+def test_ngram_novelty_extremes(spark):
+    from photon_ml_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e"),          # unique content
+            (1, "x y z w"),            # duplicated below
+            (2, "x y z w"),
+            (3, "q r"),                # < n tokens: no trigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_ngrams == 3
+    assert out[1].novelty == 0.0 and out[2].novelty == 0.0
+    assert 3 not in out  # undefined for docs shorter than n tokens
+
+
 def test_bpe_train_matches_reference_example(spark):
     """The Sennrich et al. running example: merges must come out in the
     canonical order (es, est, lo, low, ...) with exact pair counts."""
