@@ -124,12 +124,18 @@ def curate(cfg: dict, spark: SparkSession) -> None:
      "output_dir": "<dir>",
      "quality": {"min_tokens": 5, "min_quality": 0.2,
                  "languages": ["en"],
-                 "max_ppl": 5000},                # drop below/outside
+                 "max_ppl": 5000,                  # drop below/outside
+                 "min_novelty": 0.1},              # trigram-novelty floor
      "exact_dedup": true,                          # bag-of-words keeper
      "near_dedup": {"threshold": 0.5, "n": 2},     # MinHash+LSH clusters
      "contamination": {"eval_input": "<parquet>",  # drop docs overlapping
                        "ngram": 3, "min_shared": 5},
-     "mix": {"shares": {"src0": 0.5, ...}},        # corpus mixing
+     "select": {"target_lang": "zh", "k": 100,     # DSIR importance
+                "temperature": 1.0},               # resampling toward
+                                                   # the target domain
+     "mix": {"shares": {"src0": 0.5, ...},         # corpus mixing;
+             "mode": "oversample",                 # optional UniMax
+             "max_epochs": 4.0},                   # epoch-capped repeat
      "split": {"test_frac": 0.1},                  # leakage-safe (uses
                                                    # near-dedup clusters)
      "chunk": {"max_tokens": 1024, "overlap": 64}}
@@ -160,6 +166,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             )
             scored = scored.join(ppl, "doc_id").filter(
                 F.col("ppl") <= q["max_ppl"]
+            )
+        if "min_novelty" in q:
+            nov = text.ngram_novelty(docs).select("doc_id", "novelty")
+            scored = scored.join(nov, "doc_id").filter(
+                F.col("novelty") >= q["min_novelty"]
             )
         docs = scored.select(*docs.columns).cache()
         report["after_quality"] = docs.count()
@@ -196,12 +207,37 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
         report["after_contamination"] = docs.count()
 
+    sel = cfg.get("select")
+    if sel:
+        chosen = sampling.dsir_select(
+            docs,
+            F.col(sel.get("lang_col", "lang")) == sel["target_lang"],
+            k=sel["k"],
+            temperature=sel.get("temperature", 1.0),
+        ).select("doc_id")
+        docs = docs.join(chosen, "doc_id", "left_semi").cache()
+        report["after_select"] = docs.count()
+
     mix = cfg.get("mix")
     if mix:
-        docs = sampling.corpus_mix(
-            docs, mix.get("group_col", "source"), mix["shares"],
-            uid_col="doc_id",
-        ).cache()
+        if mix.get("mode") == "oversample" and cfg.get("split"):
+            # copies of one doc must never straddle the train/test
+            # boundary, and the test side should not be oversampled at
+            # all — split first, then oversample the train side
+            raise ValueError(
+                "mix.mode='oversample' cannot run before 'split': "
+                "split the corpus first, then oversample the train side"
+            )
+        if mix.get("mode") == "oversample":
+            docs = sampling.oversample_to_shares(
+                docs, mix.get("group_col", "source"), mix["shares"],
+                max_epochs=mix.get("max_epochs", 4.0), uid_col="doc_id",
+            ).cache()
+        else:
+            docs = sampling.corpus_mix(
+                docs, mix.get("group_col", "source"), mix["shares"],
+                uid_col="doc_id",
+            ).cache()
         report["after_mix"] = docs.count()
 
     ch = cfg.get("chunk")

@@ -3,6 +3,7 @@ model + dictionary, check outputs."""
 
 import json
 
+import pytest
 from pyspark.sql import functions as F
 
 from photon_ml_spark import cli
@@ -123,3 +124,53 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     # leakage safety: no doc appears on both sides
     both = train.select("doc_id").intersect(test.select("doc_id"))
     assert both.count() == 0
+
+
+def test_cli_curate_select_and_oversample(spark, tmp_path, capsys):
+    """Round-3 stages: trigram-novelty floor, DSIR selection toward a
+    target language, and UniMax oversampling to target shares."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out_dir = str(tmp_path / "curated")
+    shares = {s: 1.0 for s in
+              [r.source for r in docs.select("source").distinct().collect()]}
+
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": out_dir,
+            "quality": {"min_tokens": 3, "min_novelty": 0.0},
+            "select": {"target_lang": "zh", "k": 20},
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["report"]["after_select"] == 20
+    assert spark.read.parquet(f"{out_dir}/docs").count() == 20
+
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": out_dir,
+            "mix": {"shares": shares, "mode": "oversample",
+                    "max_epochs": 2.0},
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    r = rep["report"]
+    assert r["after_mix"] >= r["input"]  # oversampling repeats rows
+    out = spark.read.parquet(f"{out_dir}/docs")
+    assert "copy_idx" in out.columns and out.count() == r["after_mix"]
+
+    with pytest.raises(ValueError, match="oversample"):
+        cli.curate(
+            {
+                "input": inp,
+                "output_dir": out_dir,
+                "mix": {"shares": shares, "mode": "oversample"},
+                "split": {"test_frac": 0.2},
+            },
+            spark,
+        )
