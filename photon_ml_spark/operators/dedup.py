@@ -869,3 +869,194 @@ def strip_duplicated_spans(
             (F.size(toks) - F.size("__kept")).alias("n_removed_tokens"),
         )
     )
+
+
+# ------------------------------------------------- incremental near-dedup
+
+
+def token_ids_hashed(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
+) -> DataFrame:
+    """(doc, sid) with ``sid = pmod(xxhash64(shingle), MINHASH_PRIME)``
+    — the scale/incremental twin of ``token_ids``: no vocabulary sort,
+    no dictionary state, and (crucially for incremental dedup) the id
+    of a shingle is STABLE across batches, so signatures computed today
+    join against signatures computed last month. The trade is losing
+    SQL-portable dense ids (the gate queries keep using ``token_ids``)
+    and a ~n²/2p birthday collision rate in the prime field —
+    negligible overcount of intersections below ~10M distinct shingles
+    per verification pair's union."""
+    sh = doc_shingles(df, id_col, text_col, n)
+    return sh.select(
+        id_col, F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sid")
+    ).distinct()
+
+
+def save_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = 16,
+) -> None:
+    """Materialize the incremental-dedup state for a corpus:
+    ``{path}/doc_sids`` (hashed shingle sets, for exact-Jaccard
+    verification of future cross pairs) and ``{path}/signatures``
+    (minhash rows, for LSH banding). Both are plain parquet relations —
+    partition/bucket them by id downstream if the corpus warrants."""
+    sids = token_ids_hashed(docs, id_col, text_col, n)
+    sids.write.mode("overwrite").parquet(f"{path}/doc_sids")
+    spark = docs.sparkSession
+    saved = spark.read.parquet(f"{path}/doc_sids")
+    minhash_signatures(saved, id_col, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/signatures")
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    index_path: str,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs introduced by a NEW batch against an indexed
+    corpus — the daily-increment production flow: never recompute the
+    existing corpus, just LSH-join the batch's signatures against the
+    stored index and exact-verify the candidates.
+
+    Returns (id_a, id_b, jaccard) for every pair with Jaccard ≥
+    ``threshold`` where at least one side is a new doc (new-old and
+    new-new; old-old pairs were resolved when the index was built).
+    Restricting one join side to the batch keeps the bucket join
+    O(|batch| · bucket-occupancy): the index side is touched only on
+    buckets the batch actually hits — with the signature table
+    partitioned on the bucket key, that is an index lookup, not a
+    corpus scan. New batch ids must be disjoint from indexed ids
+    (raises otherwise — colliding ids would silently merge shingle
+    sets in verification).
+
+    After resolving, extend the index by writing the batch's
+    ``token_ids_hashed`` / ``minhash_signatures`` rows alongside the
+    stored relations (append mode) so the next increment sees them.
+    """
+    spark = new_docs.sparkSession
+    old_sids = spark.read.parquet(f"{index_path}/doc_sids")
+    old_sigs = spark.read.parquet(f"{index_path}/signatures")
+    new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
+    new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
+    clash = new_sids.select(id_col).distinct().join(
+        old_sids.select(id_col).distinct(), id_col, "left_semi"
+    )
+    if clash.limit(1).count() > 0:
+        raise ValueError(
+            "incremental_neardup: new batch ids overlap the indexed "
+            "corpus ids — re-key the batch before indexing"
+        )
+
+    def bucketed(sigs):
+        rows_per_band = num_hashes // bands
+        parts = []
+        for b in range(bands):
+            cols = [
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ]
+            parts.append(
+                sigs.select(
+                    F.col(id_col),
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_", *[c.cast("string") for c in cols]
+                    ).alias("bucket"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    all_b = bucketed(old_sigs.unionByName(new_sigs)).select(
+        F.col(id_col).alias("id_a"), "band", "bucket"
+    )
+    new_b = bucketed(new_sigs).select(
+        F.col(id_col).alias("id_b"), "band", "bucket"
+    )
+    cand = (
+        all_b.join(new_b, ["band", "bucket"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .distinct()
+    )
+    sids = old_sids.unionByName(new_sids)
+    sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sids.select(F.col(id_col).alias("id_a"), "sid")
+    b = sids.select(F.col(id_col).alias("id_b"), "sid")
+    inter = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "sid"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def drop_new_duplicates(
+    new_docs: DataFrame,
+    pairs: DataFrame,
+    indexed_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve an increment's pairs into surviving new docs: a new doc
+    matching ANY indexed doc is dropped (the corpus copy wins —
+    first-seen semantics, the batch analog of the streaming e5
+    operator); among new-new clusters the canonical min-id keeper
+    survives (``cluster_and_keep`` on the batch-internal edges)."""
+    old = indexed_ids.select(F.col(id_col))
+    hits_old = (
+        pairs.join(old.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        .select(F.col("id_b").alias(id_col))
+        .unionByName(
+            pairs.join(
+                old.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
+            ).select(F.col("id_a").alias(id_col))
+        )
+        .distinct()
+    )
+    survivors = new_docs.join(hits_old, id_col, "left_anti")
+    new_new = (
+        pairs.join(old.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
+        .join(old.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
+        .select("id_a", "id_b")
+    )
+    return (
+        cluster_and_keep(survivors, new_new, id_col=id_col)
+        .filter("is_keep")
+        .drop("cluster_id", "is_keep")
+    )

@@ -960,3 +960,64 @@ def test_model_quality_filter_probe_semantics(docs, spark):
     }
     assert grp[True] > grp[False]
     out.unpersist()
+
+
+# --------------------------------------------------- incremental dedup
+
+
+def test_incremental_neardup_matches_batch(docs, spark, tmp_path):
+    """Index 2/3 of the corpus, run the last third as an increment: the
+    increment's pairs must equal the full-batch pipeline's pairs
+    restricted to those involving a new doc (same hashed shingle ids,
+    same verification arithmetic)."""
+    from photon_ml_spark.operators.dedup import (
+        drop_new_duplicates,
+        incremental_neardup,
+        minhash_lsh_dedup,
+        save_minhash_index,
+        token_ids_hashed,
+    )
+
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = str(tmp_path / "mh_index")
+    save_minhash_index(old, idx, n=2)
+
+    inc = incremental_neardup(new, idx, threshold=0.5, n=2)
+    got = {(r.id_a, r.id_b, round(r.jaccard, 9)) for r in inc.collect()}
+
+    full = minhash_lsh_dedup(
+        docs, threshold=0.5, n=2, doc_sids=token_ids_hashed(docs, n=2).cache()
+    )
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+    want = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert got == want and len(got) > 0
+
+    kept = drop_new_duplicates(new, inc, old.select("doc_id"))
+    kept_ids = {r.doc_id for r in kept.select("doc_id").collect()}
+    # every new doc paired with an indexed doc is gone
+    old_ids = {r.doc_id for r in old.select("doc_id").collect()}
+    for ia, ib, _ in got:
+        if ia in old_ids:
+            assert ib not in kept_ids
+        elif ib in old_ids:
+            assert ia not in kept_ids
+        else:  # new-new: min id survives unless itself dropped via old
+            assert ib not in kept_ids
+    assert len(kept_ids) > 0
+
+
+def test_incremental_neardup_rejects_id_overlap(docs, spark, tmp_path):
+    from photon_ml_spark.operators.dedup import (
+        incremental_neardup,
+        save_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_index2")
+    save_minhash_index(docs.limit(50), idx, n=2)
+    with pytest.raises(ValueError, match="overlap"):
+        incremental_neardup(docs.limit(10), idx, threshold=0.5, n=2)
