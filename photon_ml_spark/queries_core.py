@@ -58,21 +58,33 @@ def s3_feature_dictionary(spark, sf_dir):
 @register(
     "s1_avro_roundtrip_scan",
     oracle="""
-SELECT CAST(COUNT(*) AS BIGINT) AS n_examples,
+SELECT 'avro' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
        CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT) AS n_uids,
        CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS label_sum,
        CAST(SUM(l_quantity) AS DOUBLE) AS qty_value_sum,
        CAST(SUM(2) AS BIGINT) AS n_features
 FROM lineitem
 WHERE l_suppkey < 10
+UNION ALL
+SELECT 'libsvm' AS variant,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(NULL AS BIGINT) AS n_uids,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE) AS label_sum,
+       CAST(SUM(l_quantity + l_linenumber) AS DOUBLE) AS qty_value_sum,
+       CAST(SUM(2) AS BIGINT) AS n_features
+FROM lineitem
+WHERE l_suppkey < 10
 """,
-    note="S1/S2/S11 wire format: lineitem -> TrainingExampleAvro files "
-    "on disk (pure-Python OCF codec, deflate, distributed per-partition "
-    "write) -> distributed Avro scan back -> aggregate. The oracle "
-    "computes the same aggregate straight from parquet, so the Avro "
-    "encode/decode round trip must be value-exact "
-    "(AvroDataReader.scala:85-208, TrainingExampleAvro.avsc). Integer-"
-    "valued summands only (exactness convention)",
+    note="S1/S2/S6/S11 I/O round-trip suite: lineitem -> "
+    "TrainingExampleAvro files (pure-Python OCF codec, deflate, "
+    "distributed per-partition write) -> distributed Avro scan back -> "
+    "aggregate; and lineitem -> LibSVM text sink -> built-in libsvm "
+    "scan back -> aggregate. The oracle computes the same aggregates "
+    "straight from parquet, so both encode/decode round trips must be "
+    "value-exact (AvroDataReader.scala:85-208, TrainingExampleAvro."
+    "avsc; LibSVMInputDataFormat.scala:31-89). Integer-valued summands "
+    "only (exactness convention)",
 )
 def s1_avro_roundtrip_scan(spark, sf_dir):
     import os
@@ -100,13 +112,49 @@ def s1_avro_roundtrip_scan(spark, sf_dir):
     avro_io.write_training_examples(li, path)
     back = avro_io.read_training_examples(spark, path)
     qty = F.filter("features", lambda s: s["term"] == F.lit("qty"))
-    return back.agg(
+    avro = back.agg(
+        F.lit("avro").alias("variant"),
         F.count(F.lit(1)).alias("n_examples"),
         F.countDistinct("uid").alias("n_uids"),
         F.sum("response").alias("label_sum"),
         F.sum(F.element_at(qty, 1)["value"]).alias("qty_value_sum"),
         F.sum(F.size("features")).alias("n_features"),
     )
+
+    # LibSVM round trip (S6): integer-valued nonzero features only —
+    # the text format drops zeros and prints decimals, so exactness
+    # holds exactly for this class of vectors
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    from photon_ml_spark.sources.datasets import read_libsvm, write_libsvm
+
+    svm_in = _t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 10).select(
+        F.when(F.col("l_returnflag") == "R", 1.0).otherwise(0.0).alias("label"),
+        array_to_vector(
+            F.array(
+                F.col("l_quantity").cast("double"),
+                F.col("l_linenumber").cast("double"),
+            )
+        ).alias("features"),
+    )
+    svm_path = path + "_libsvm"
+    write_libsvm(svm_in, svm_path)
+    svm_back = read_libsvm(spark, svm_path, num_features=2).select(
+        "label", vector_to_array(F.col("features")).alias("fa")
+    )
+    libsvm = svm_back.agg(
+        F.lit("libsvm").alias("variant"),
+        F.count(F.lit(1)).alias("n_examples"),
+        F.lit(None).cast("long").alias("n_uids"),
+        F.sum("label").alias("label_sum"),
+        F.sum(
+            F.aggregate("fa", F.lit(0.0), lambda acc, x: acc + x)
+        ).alias("qty_value_sum"),
+        F.sum(
+            F.size(F.filter("fa", lambda x: x != 0.0))
+        ).cast("long").alias("n_features"),
+    )
+    return avro.unionByName(libsvm)
 
 
 @register(

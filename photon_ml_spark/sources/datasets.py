@@ -47,6 +47,16 @@ def read_libsvm(
     return reader.load(path)
 
 
+def write_libsvm(df: DataFrame, path: str) -> None:
+    """S6 LibSVM text sink: ``df`` must carry (label double, features
+    VectorUDT). Zero-valued entries are dropped by the format itself —
+    round-trip fidelity holds for nonzero features only (inherent to
+    LibSVM, not this writer)."""
+    df.select("label", "features").write.format("libsvm").mode(
+        "overwrite"
+    ).save(path)
+
+
 def normalize_event_ts(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Normalize the event timestamp to a microsecond TIMESTAMP.
 
