@@ -125,7 +125,9 @@ def curate(cfg: dict, spark: SparkSession) -> None:
      "quality": {"min_tokens": 5, "min_quality": 0.2,
                  "languages": ["en"],
                  "max_ppl": 5000,                  # drop below/outside
-                 "min_novelty": 0.1},              # trigram-novelty floor
+                 "min_novelty": 0.1,               # trigram-novelty floor
+                 "blocked_terms": ["spam"]},       # drop docs containing
+                                                   # any blocked token
      "exact_dedup": true,                          # bag-of-words keeper
      "near_dedup": {"threshold": 0.5, "n": 2},     # MinHash+LSH clusters
      "contamination": {"eval_input": "<parquet>",  # drop docs overlapping
@@ -171,6 +173,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             nov = text.ngram_novelty(docs).select("doc_id", "novelty")
             scored = scored.join(nov, "doc_id").filter(
                 F.col("novelty") >= q["min_novelty"]
+            )
+        if q.get("blocked_terms"):
+            blocked = F.array(*[F.lit(t) for t in q["blocked_terms"]])
+            scored = scored.filter(
+                ~F.arrays_overlap(text.tokens(F.col("text")), blocked)
             )
         docs = scored.select(*docs.columns).cache()
         report["after_quality"] = docs.count()

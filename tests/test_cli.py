@@ -164,6 +164,22 @@ def test_cli_curate_select_and_oversample(spark, tmp_path, capsys):
     out = spark.read.parquet(f"{out_dir}/docs")
     assert "copy_idx" in out.columns and out.count() == r["after_mix"]
 
+    # blocklist: no surviving doc contains a blocked token
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": out_dir,
+            "quality": {"blocked_terms": ["spark", "window"]},
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    out = spark.read.parquet(f"{out_dir}/docs")
+    assert out.count() == rep["report"]["after_quality"] > 0
+    assert out.filter(
+        F.col("text").rlike(r"(^| )(spark|window)( |$)")
+    ).count() == 0
+
     with pytest.raises(ValueError, match="oversample"):
         cli.curate(
             {
