@@ -494,14 +494,35 @@ UNION ALL
 SELECT '__fixed__', ROUND(f2.b, 6), ROUND(f2.a, 6),
        (SELECT COUNT(*) FROM d)
 FROM f2
+UNION ALL
+SELECT '__m8_fixed__', ROUND(m8.b, 6), ROUND(m8.a, 6),
+       (SELECT COUNT(*) FROM d)
+FROM (
+  SELECT (n*sxy - sx*sy) / (n*sxx - sx*sx) AS b,
+         (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a
+  FROM (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+           SUM(y - (0.5*x + 0.25)) AS sy, SUM(x*x) AS sxx,
+           SUM(x*(y - (0.5*x + 0.25))) AS sxy
+    FROM d
+  )
+) m8
+UNION ALL
+SELECT '__m8_locked__', 0.5, 0.25,
+       (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) FROM d)
 """,
-    note="M3/M7/J1/J11 through the REAL train_game loop: 2 backfitting "
+    note="M3/M7/M8/J1/J11 through the REAL train_game loop: 2 backfitting "
     "iterations over [fixed global, per-supplier ridge] with gaussian "
     "family — fixed1 → RE1 on residual → fixed2 on (y − RE1 score) via "
     "the incremental summed-score subtraction → RE2 warm-started from "
     "RE1 (CoordinateDescent.scala:373-463). Every stage is a closed-form "
-    "least-squares solve, so the oracle replays the whole descent in SQL; "
-    "the binomial/locked/validation variants stay in "
+    "least-squares solve, so the oracle replays the whole descent in SQL. "
+    "The __m8_* rows run a SECOND train_game with the random coordinate "
+    "LOCKED to a constant pretrained model (coef 0.5, intercept 0.25): "
+    "partial retraining scores-but-never-trains the locked coordinate "
+    "(GameEstimator.train:770-775) — the fixed coordinate's closed form "
+    "on the locked residual and the untouched locked model are both "
+    "oracle-checked; the binomial/validation variants stay in "
     "tests/test_coordinate_descent.py",
 )
 def m3_coordinate_descent(spark, sf_dir):
@@ -547,7 +568,51 @@ def m3_coordinate_descent(spark, sf_dir):
         )],
         "entity string, coef double, intercept double",
     ).withColumn("n_samples", F.lit(li.count()).cast("long"))
-    return re.unionByName(fixed_row)
+
+    # M8 partial retraining: random coordinate LOCKED to a constant
+    # pretrained model — scored, never trained; only the fixed
+    # coordinate fits (on the locked residual)
+    pretrained = li.select(F.col("suppkey").alias("entity")).distinct().select(
+        "entity",
+        F.array(F.lit(0.5)).alias("coefficients"),
+        F.lit(0.25).alias("intercept"),
+    )
+    m8_model, _ = train_game(
+        li,
+        coordinates=[
+            CoordinateConfig(
+                name="per_supplier", kind="random", dim=1,
+                entity_col="suppkey", locked=True, pretrained=pretrained,
+            ),
+            CoordinateConfig(name="global", kind="fixed", dim=1),
+        ],
+        family="gaussian",
+        n_iterations=1,
+    )
+    m8_fixed = m8_model.coordinates["global"]
+    locked = m8_model.coordinates["per_supplier"]
+    locked_stats = locked.agg(
+        F.countDistinct("entity").alias("n"),
+        F.min(F.element_at("coefficients", 1)).alias("cmin"),
+        F.max(F.element_at("coefficients", 1)).alias("cmax"),
+        F.min("intercept").alias("imin"),
+        F.max("intercept").alias("imax"),
+    ).first()
+    assert locked_stats.cmin == locked_stats.cmax == 0.5
+    assert locked_stats.imin == locked_stats.imax == 0.25
+    m8_rows = spark.createDataFrame(
+        [
+            (
+                "__m8_fixed__",
+                float(round(float(m8_fixed.coefficients[0]), 6)),
+                float(round(float(m8_fixed.intercept), 6)),
+                int(li.count()),
+            ),
+            ("__m8_locked__", 0.5, 0.25, int(locked_stats.n)),
+        ],
+        "entity string, coef double, intercept double, n_samples long",
+    )
+    return re.unionByName(fixed_row).unionByName(m8_rows)
 
 
 # -------------------------------------------------------------- M11 grid
