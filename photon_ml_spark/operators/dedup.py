@@ -949,8 +949,11 @@ def incremental_neardup(
     old_sigs = spark.read.parquet(f"{index_path}/signatures")
     new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
     new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
-    clash = new_sids.select(id_col).distinct().join(
-        old_sids.select(id_col).distinct(), id_col, "left_semi"
+    # id-collision guard over the SIGNATURE relations (1 row/doc on the
+    # index side — not the much larger doc_sids), no pre-distinct: a
+    # semi-join dedups by construction
+    clash = new_sigs.select(id_col).join(
+        old_sigs.select(id_col), id_col, "left_semi"
     )
     if clash.limit(1).count() > 0:
         raise ValueError(

@@ -465,8 +465,16 @@ def bpe_train(
         .withColumn("s", _bpe_symbol_string(F.col("word")))
         .persist()
     )
+    # Generation discipline (the coordinate-descent persist pattern):
+    # each merge round's word table is persisted and the superseded
+    # generation dropped once its successor materializes, so round k
+    # applies ONE regex over round k-1's cache instead of re-running
+    # the whole merge chain from scratch (O(rounds) total regex work,
+    # not O(rounds²)). Every 32nd generation is localCheckpoint'ed so
+    # logical lineage stays bounded at large merge budgets.
     merges: list[tuple] = []
     cur = words
+    prev_gen = None
     for _ in range(n_merges):
         sy = F.split(F.trim(F.col("s")), _BPE_SEP)
         pairs = (
@@ -488,14 +496,26 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # the collect materialized `cur`; its parent generation is now safe to drop
+        if prev_gen is not None:
+            prev_gen.unpersist()
+            prev_gen = None
         if not best or best[0].c < min_pair_count:
             break
         l, r, c = best[0].l, best[0].r, int(best[0].c)
         merges.append((len(merges), l, r, l + r, c))
         pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
-        cur = cur.withColumn(
-            "s", F.regexp_replace("s", pat, f" {l}{r} ")
-        )
+        nxt = cur.withColumn("s", F.regexp_replace("s", pat, f" {l}{r} "))
+        if len(merges) % 32 == 0:
+            nxt = nxt.localCheckpoint(eager=False)
+        else:
+            nxt = nxt.persist()
+        prev_gen = cur if cur is not words else None
+        cur = nxt
+    if prev_gen is not None:
+        prev_gen.unpersist()
+    if cur is not words:
+        cur.unpersist()
     words.unpersist()
     return df.sparkSession.createDataFrame(
         merges,

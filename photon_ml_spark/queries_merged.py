@@ -76,6 +76,7 @@ _FOLDED = {
     "m1b_box_fixed_effect": ("box", ["coef", "intercept", "optimizer"]),
     "m1c_tron_fixed_effect": ("tron", ["coef", "intercept", "optimizer", "converged"]),
     "m9b_fixed_effect_prior": ("prior", ["coef", "intercept", "optimizer"]),
+    "j7_byjoin_scoring": ("byjoin", ["bcast_sum", "shuffle_sum", "n"]),
     # near-dup pair relations (unioned, stat column per variant)
     "x6_minhash_lsh_pairs": ("minhash_lsh", ["id_a", "id_b", "jaccard"]),
     "x7_simhash_neardup": ("simhash", ["id_a", "id_b", "hamming"]),
@@ -226,17 +227,19 @@ _SOLVER_PARTS = [
     "m1b_box_fixed_effect",
     "m1c_tron_fixed_effect",
     "m9b_fixed_effect_prior",
+    "j7_byjoin_scoring",
 ]
 
 
 @register(
     "m1_custom_solvers",
     oracle=_widen_sql(_SOLVER_PARTS),
-    note="M1/M4/M9/A2 custom distributed solvers in ONE gate row: LBFGSB "
-    "box-constrained fit, TRON trust-region Newton (offset + CG "
-    "Hessian-vector rounds), Gaussian-prior fixed-effect fit — cross "
-    "join of the three 1-row constituent queries; constituent notes in "
-    "queries_ml.py",
+    note="M1/M4/M9/A2/J7 custom distributed solvers + wide-model scoring "
+    "in ONE gate row: LBFGSB box-constrained fit, TRON trust-region "
+    "Newton (offset + CG Hessian-vector rounds), Gaussian-prior "
+    "fixed-effect fit, and score_by_join through both its broadcast "
+    "(J7) and shuffle physical strategies — cross join of the four "
+    "1-row constituent queries; constituent notes in queries_ml.py",
 )
 def m1_custom_solvers(spark, sf_dir):
     return _widen(spark, sf_dir, _SOLVER_PARTS)

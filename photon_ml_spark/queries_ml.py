@@ -34,30 +34,65 @@ m AS (
   SELECT entity, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
          SUM(x*x) AS sxx, SUM(x*y) AS sxy
   FROM d GROUP BY entity
+),
+closed AS (
+  SELECT entity,
+         ROUND((n*sxy - sx*sy) / ((sxx + 10.0)*n - sx*sx), 6) AS coef,
+         ROUND(((sxx + 10.0)*sy - sx*sxy) / ((sxx + 10.0)*n - sx*sx), 6)
+           AS intercept,
+         CAST(n AS BIGINT) AS n_samples
+  FROM m
 )
-SELECT CAST(entity AS VARCHAR) AS entity,
-       ROUND((n*sxy - sx*sy) / ((sxx + 10.0)*n - sx*sx), 6) AS coef,
-       ROUND(((sxx + 10.0)*sy - sx*sxy) / ((sxx + 10.0)*n - sx*sx), 6)
-         AS intercept,
-       CAST(n AS BIGINT) AS n_samples
-FROM m
+SELECT 'ridge' AS variant, CAST(entity AS VARCHAR) AS entity,
+       coef, intercept, n_samples
+FROM closed
+UNION ALL
+SELECT 'subspace', CAST(entity AS VARCHAR), coef, intercept, n_samples
+FROM closed
+UNION ALL
+SELECT 'exempt', CAST(entity AS VARCHAR), coef, intercept, n_samples
+FROM closed WHERE entity % 5 = 0
 """,
-    note="M2/M4/A6: one ridge GLM per entity via the real "
+    note="M2/M4/A6 + P7/J10/J12 per-entity solver suite in ONE gate row. "
+    "'ridge': one ridge GLM per entity via the real "
     "groupBy(entity).applyInPandas local Newton solver (gaussian, l2=10, "
     "intercept unpenalized) — integer-valued inputs make the normal "
     "equations exact, matched against the SQL closed form "
-    "(RandomEffectCoordinate.scala:234-300, SingleNodeOptimizationProblem)",
+    "(RandomEffectCoordinate.scala:234-300, SingleNodeOptimizationProblem). "
+    "'subspace' (P7): the SAME problem embedded in a dim=3 space with each "
+    "entity active only at index suppkey%3, solved with "
+    "project_subspace=True (RandomEffectDataset.scala:390-426, "
+    "LinearSubspaceProjector.scala:37-66); coef is the SUM of the full "
+    "scattered coefficient vector, so it matches the closed form iff the "
+    "subspace solve is right AND the scatter-back leaves exact zeros "
+    "elsewhere. 'exempt' (J12+J10+P9): min_samples=10^9 makes every "
+    "entity under-supported; a prior model for suppkey%5==0 entities "
+    "joins in (J10 left join, RandomEffectDataset.scala:405-421) and "
+    "exempts exactly those from the support filter "
+    "(RandomEffectDataset.scala:586-606) — they are warm-started (M7) "
+    "and refit to the same closed form; everyone else is dropped",
 )
 def m2_per_entity_ridge(spark, sf_dir):
     from photon_ml_spark.ml.random_effects import fit_random_effects
 
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_suppkey").cast("string").alias("entity"),
+        F.col("l_suppkey").alias("suppkey"),
         F.array(F.lit(0).cast("long")).alias("features_indices"),
         F.array(F.col("l_quantity").cast("double")).alias("features_values"),
         F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
     )
-    models = fit_random_effects(
+
+    def out(models, variant, coef_col):
+        return models.select(
+            F.lit(variant).alias("variant"),
+            "entity",
+            r6(coef_col).alias("coef"),
+            r6(F.col("intercept")).alias("intercept"),
+            "n_samples",
+        )
+
+    ridge = fit_random_effects(
         li,
         entity_col="entity",
         dim=1,
@@ -67,11 +102,55 @@ def m2_per_entity_ridge(spark, sf_dir):
         reg_param=10.0,
         tol=1e-10,
     )
-    return models.select(
-        "entity",
-        r6(F.element_at("coefficients", 1)).alias("coef"),
-        r6(F.col("intercept")).alias("intercept"),
-        "n_samples",
+
+    # P7: same data at index suppkey%3 of a dim=3 space; the solver must
+    # solve in the 1-dim active subspace and scatter back exact zeros
+    wide = li.withColumn(
+        "features_indices", F.array((F.col("suppkey") % 3).cast("long"))
+    )
+    sub = fit_random_effects(
+        wide,
+        entity_col="entity",
+        dim=3,
+        family="gaussian",
+        weight_col=None,
+        offset_col=None,
+        reg_param=10.0,
+        tol=1e-10,
+        project_subspace=True,
+    )
+    coef_sum = F.aggregate(
+        "coefficients", F.lit(0.0), lambda acc, c: acc + c
+    )
+
+    # J12: every entity is below min_samples; only those with a prior
+    # model survive (warm-started from zeros, refit to the same optimum)
+    prior = (
+        li.filter(F.col("suppkey") % 5 == 0)
+        .select("entity")
+        .distinct()
+        .select(
+            "entity",
+            F.array(F.lit(0.0)).alias("coefficients"),
+            F.lit(0.0).alias("intercept"),
+        )
+    )
+    exempt = fit_random_effects(
+        li,
+        entity_col="entity",
+        dim=1,
+        family="gaussian",
+        weight_col=None,
+        offset_col=None,
+        reg_param=10.0,
+        tol=1e-10,
+        min_samples=10**9,
+        prior_model=prior,
+    )
+    return (
+        out(ridge, "ridge", F.element_at("coefficients", 1))
+        .unionByName(out(sub, "subspace", coef_sum))
+        .unionByName(out(exempt, "exempt", F.element_at("coefficients", 1)))
     )
 
 
@@ -963,6 +1042,56 @@ def m1b_box_fixed_effect(spark, sf_dir):
             m.meta["optimizer"],
         )],
         "coef double, intercept double, optimizer string",
+    )
+
+
+@register(
+    "j7_byjoin_scoring",
+    oracle="""
+WITH s AS (
+  SELECT 3.0 * p_size + -2.0 * (p_partkey % 7) + 1.0 AS score FROM part
+)
+SELECT CAST(SUM(score) AS DOUBLE) AS bcast_sum,
+       CAST(SUM(score) AS DOUBLE) AS shuffle_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM s
+""",
+    note="J4/J7 wide-model scoring paths (FixedEffectCoordinate.scala:"
+    "144-155; RandomEffectCoordinate.scala:346-366 broadcast set): the "
+    "SAME (feature_index → coefficient) model table scores the part "
+    "relation twice through score_by_join — once with the broadcast "
+    "hint (J7's broadcast-the-small-set physical strategy), once with "
+    "broadcast_model=False (the shuffle join for models past broadcast "
+    "size) — and both exact integer score sums must equal the SQL "
+    "closed form. Gates the model-as-table scoring path the literal "
+    "plan (J4, m12) cannot exercise",
+)
+def j7_byjoin_scoring(spark, sf_dir):
+    from photon_ml_spark.ml.scoring import score_by_join
+
+    part = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("uid"),
+        F.array(F.lit(0).cast("long"), F.lit(1).cast("long")).alias(
+            "features_indices"
+        ),
+        F.array(
+            F.col("p_size").cast("double"),
+            (F.col("p_partkey") % 7).cast("double"),
+        ).alias("features_values"),
+    )
+    model = spark.createDataFrame(
+        [(0, 3.0), (1, -2.0)], "feature_index long, coefficient double"
+    )
+    sums = []
+    for bcast in (True, False):
+        scored = score_by_join(
+            part, model, intercept=1.0, broadcast_model=bcast
+        )
+        sums.append(scored.agg(F.sum("score"), F.count(F.lit(1))).first())
+    assert sums[0][1] == sums[1][1]
+    return spark.createDataFrame(
+        [(float(sums[0][0]), float(sums[1][0]), int(sums[0][1]))],
+        "bcast_sum double, shuffle_sum double, n long",
     )
 
 
