@@ -470,8 +470,12 @@ def bpe_train(
     # generation dropped once its successor materializes, so round k
     # applies ONE regex over round k-1's cache instead of re-running
     # the whole merge chain from scratch (O(rounds) total regex work,
-    # not O(rounds²)). Every 32nd generation is localCheckpoint'ed so
-    # logical lineage stays bounded at large merge budgets.
+    # not O(rounds²)). Persisting does NOT truncate the logical plan —
+    # left unchecked the nested-cache plan tree blows analysis up past
+    # ~30 rounds (measured: plan-string OOM) — so every 8th generation
+    # is EAGERLY localCheckpoint'ed, replacing the lineage with a leaf
+    # LogicalRDD; the eager materialization is work the next argmax
+    # round would have done anyway.
     merges: list[tuple] = []
     cur = words
     prev_gen = None
@@ -506,11 +510,14 @@ def bpe_train(
         merges.append((len(merges), l, r, l + r, c))
         pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
         nxt = cur.withColumn("s", F.regexp_replace("s", pat, f" {l}{r} "))
-        if len(merges) % 32 == 0:
-            nxt = nxt.localCheckpoint(eager=False)
+        if len(merges) % 8 == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+            if cur is not words:
+                cur.unpersist()
+            prev_gen = None
         else:
             nxt = nxt.persist()
-        prev_gen = cur if cur is not words else None
+            prev_gen = cur if cur is not words else None
         cur = nxt
     if prev_gen is not None:
         prev_gen.unpersist()

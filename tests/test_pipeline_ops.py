@@ -834,6 +834,30 @@ def test_bpe_early_stop_below_min_pair_count(spark):
     assert m == []  # every pair occurs once
 
 
+def test_bpe_train_deep_merge_budget_crosses_checkpoint_generation(spark):
+    """A >32-merge run crosses the localCheckpoint generation boundary
+    (the lineage-bound discipline for production-size merge budgets);
+    the learned table must still be the complete greedy sequence. One
+    word of 36 distinct characters (appearing twice) has every pair at
+    count 2, so 35 merges fold it into a single symbol — any dropped or
+    corrupted generation breaks the final encoding."""
+    import string
+
+    from photon_ml_spark.operators.text import bpe_encode, bpe_train
+
+    alphabet = string.ascii_lowercase + string.digits  # 36 distinct chars
+    df = spark.createDataFrame(
+        [(0, f"{alphabet} {alphabet}")], "doc_id long, text string"
+    )
+    rows = bpe_train(df, n_merges=35, min_pair_count=2).collect()
+    assert len(rows) == 35
+    assert all(r.pair_count == 2 for r in rows)
+    # tie-break is (count desc, left, right): '0' < 'a', so digits fold first
+    assert (rows[0].left, rows[0].right, rows[0].merged) == ("0", "1", "01")
+    enc = bpe_encode(df, rows).first().bpe_tokens
+    assert enc == [alphabet, alphabet]
+
+
 # ------------------------------------------------------- substring dedup
 
 
