@@ -582,6 +582,55 @@ def bpe_encode(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group corpus data card — the summary a curation pipeline
+    publishes alongside its output shards (doc/token counts,
+    exact-duplicate mass, PII incidence). One pass over the corpus:
+    every signal is a scan-speed expression feeding a single grouped
+    aggregate; the only non-trivial aggregate is the exact
+    count-distinct of normalized-content fingerprints (Catalyst
+    partial-aggregates it map-side; swap in approx_count_distinct when
+    a ±2% duplicate-mass estimate is acceptable at extreme group
+    cardinalities).
+
+    Returns one row per group: (group, n_docs, n_tokens,
+    n_unique_docs, n_pii_docs, dup_doc_frac).
+    """
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col),
+        token_count(t).alias("__nt"),
+        fingerprint_md5(t).alias("__fp"),
+        (
+            F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["emails"]), 0))
+            > 0
+        ).alias("__pii"),
+    )
+    return (
+        base.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.countDistinct("__fp").alias("n_unique_docs"),
+            F.sum(F.when(F.col("__pii"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pii_docs"),
+        )
+        .withColumn(
+            "dup_doc_frac",
+            F.round(
+                (F.col("n_docs") - F.col("n_unique_docs"))
+                / F.col("n_docs").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
 def ngram_novelty(
     df: DataFrame,
     n: int = 3,

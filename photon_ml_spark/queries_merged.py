@@ -148,6 +148,10 @@ _FOLDED = {
     "x25_global_shuffle": ("shuffle", ["uid", "shard", "ord"]),
     # round-3 folds: quality filtering, heuristic and model-based
     "x12_quality_filter": ("heuristic", ["n_kept", "tokens_kept", "mean_quality"]),
+    "x31_corpus_report": (
+        "report",
+        ["n_docs", "n_tokens", "n_unique_docs", "n_pii_docs", "dup_doc_frac"],
+    ),
     "x26_model_quality_filter": (
         "probe",
         ["probe_coef", "probe_intercept", "n_docs", "n_kept"],
@@ -720,13 +724,15 @@ def x14_pack_shuffle(spark, sf_dir):
 @register(
     "x12_quality_suite",
     oracle=f"{_melt_sql('x12_quality_filter', key='lang')} UNION ALL "
-    f"{_melt_sql('x26_model_quality_filter', key='lang')}",
+    f"{_melt_sql('x26_model_quality_filter', key='lang')} UNION ALL "
+    f"{_melt_sql('x31_corpus_report', key='lang')}",
     note="quality-filter suite in ONE gate row: the heuristic keep/drop "
-    "filter (per-language survivor mass) and the MODEL-based filter "
+    "filter (per-language survivor mass), the MODEL-based filter "
     "(heuristic distilled into a per-language linear probe by the "
-    "distributed solver, keep = probe prediction >= cutoff) — melted "
-    "to (variant, lang, k, v); constituent notes in "
-    "queries_pipeline.py",
+    "distributed solver, keep = probe prediction >= cutoff), and the "
+    "per-language corpus data card (doc/token counts, duplicate mass, "
+    "PII incidence) — melted to (variant, lang, k, v); constituent "
+    "notes in queries_pipeline.py",
 )
 def x12_quality_suite(spark, sf_dir):
     heur = _melt_df(
@@ -737,7 +743,11 @@ def x12_quality_suite(spark, sf_dir):
         _SPEC["x26_model_quality_filter"].run(spark, sf_dir),
         "probe", _FOLDED["x26_model_quality_filter"][1], "lang", "lang",
     )
-    return heur.unionByName(probe)
+    report = _melt_df(
+        _SPEC["x31_corpus_report"].run(spark, sf_dir),
+        "report", _FOLDED["x31_corpus_report"][1], "lang", "lang",
+    )
+    return heur.unionByName(probe).unionByName(report)
 
 
 @register(

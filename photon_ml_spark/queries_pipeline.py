@@ -742,6 +742,38 @@ def x25_global_shuffle(spark, sf_dir):
 
 
 @register(
+    "x31_corpus_report",
+    oracle=r"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
+                                 '\s+', ' ', 'g'))) AS fp,
+         len(regexp_extract_all(text,
+             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0 AS pii
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+       CAST(SUM(CASE WHEN pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii_docs,
+       ROUND((COUNT(*) - COUNT(DISTINCT fp)) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS dup_doc_frac
+FROM t GROUP BY lang
+""",
+    note="pipeline/text: per-language corpus data card — doc/token counts, "
+    "exact-duplicate mass via normalized-fingerprint count-distinct, PII "
+    "incidence; the summary a curation run publishes next to its shards",
+)
+def x31_corpus_report(spark, sf_dir):
+    from photon_ml_spark.operators.text import corpus_report
+
+    return corpus_report(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "x12_quality_filter",
     oracle=f"""
 WITH t AS (
