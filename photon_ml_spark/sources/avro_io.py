@@ -627,6 +627,49 @@ SCORING_RESULT_SCHEMA = json.dumps({
     ],
 })
 
+# photon-avro-schemas/src/main/avro/ResponsePredictionAvro.avsc — the
+# "SimplifiedResponsePrediction" scoring-input format (weight/offset
+# carry schema-level defaults rather than nullable unions)
+RESPONSE_PREDICTION_SCHEMA = json.dumps({
+    "name": "SimplifiedResponsePrediction", "namespace": _NS,
+    "type": "record",
+    "fields": [
+        {"name": "response", "type": "double"},
+        {"name": "features", "type": {"type": "array", "items": {
+            "name": "FeatureAvro", "namespace": _NS, "type": "record",
+            "fields": [
+                {"name": "name", "type": "string"},
+                {"name": "term", "type": "string"},
+                {"name": "value", "type": "double"},
+            ]}}},
+        {"name": "weight", "type": "double", "default": 1.0},
+        {"name": "offset", "type": "double", "default": 0.0},
+    ],
+})
+
+# photon-avro-schemas/src/main/avro/FeatureSummarizationResultAvro.avsc
+FEATURE_SUMMARIZATION_SCHEMA = json.dumps({
+    "name": "FeatureSummarizationResultAvro", "namespace": _NS,
+    "type": "record",
+    "fields": [
+        {"name": "featureName", "type": "string"},
+        {"name": "featureTerm", "type": "string"},
+        {"name": "metrics", "type": {"type": "map", "values": "double"}},
+    ],
+})
+
+# photon-avro-schemas/src/main/avro/LatentFactorAvro.avsc (the matrix-
+# factorization persistence format; the reference ships the schema with
+# no trainer — supported here so existing factor files keep reading)
+LATENT_FACTOR_SCHEMA = json.dumps({
+    "name": "LatentFactorAvro", "namespace": _NS, "type": "record",
+    "fields": [
+        {"name": "effectId", "type": "string"},
+        {"name": "latentFactor",
+         "type": {"type": "array", "items": "double"}},
+    ],
+})
+
 INTERCEPT_NAME = "(INTERCEPT)"  # Constants.scala INTERCEPT_NAME/TERM
 INTERCEPT_TERM = ""
 
@@ -663,6 +706,65 @@ def write_training_examples(df: DataFrame, path: str) -> None:
         .cast("double").alias("offset"),
     )
     write_avro(out, path, TRAINING_EXAMPLE_SCHEMA)
+
+
+def read_response_predictions(spark: SparkSession, path: str) -> DataFrame:
+    """SimplifiedResponsePrediction files → conventional frame
+    (response, weight, offset, features). The reference reads this as
+    its scoring-input format (AvroDataReader honors the schema's
+    weight=1.0 / offset=0.0 defaults; OCF files always carry concrete
+    values, so the read is a straight projection)."""
+    raw = read_avro(spark, path, avro_schema=RESPONSE_PREDICTION_SCHEMA)
+    return raw.select("response", "weight", "offset", "features")
+
+
+def write_response_predictions(df: DataFrame, path: str) -> None:
+    """Conventional frame → SimplifiedResponsePrediction files; absent
+    weight/offset columns take the schema defaults (1.0 / 0.0)."""
+    out = df.select(
+        F.col("response").cast("double").alias("response"),
+        F.col("features"),
+        (F.col("weight") if "weight" in df.columns else F.lit(1.0))
+        .cast("double").alias("weight"),
+        (F.col("offset") if "offset" in df.columns else F.lit(0.0))
+        .cast("double").alias("offset"),
+    )
+    write_avro(out, path, RESPONSE_PREDICTION_SCHEMA)
+
+
+def read_feature_summaries(spark: SparkSession, path: str) -> DataFrame:
+    """S10 summary scan: FeatureSummarizationResultAvro files →
+    (featureName, featureTerm, metrics map<string,double>)."""
+    return read_avro(spark, path, avro_schema=FEATURE_SUMMARIZATION_SCHEMA)
+
+
+def write_feature_summaries(df: DataFrame, path: str) -> None:
+    """S10 summary sink in the reference wire format
+    (ModelProcessingUtils.scala:514-604): expects columns featureName,
+    featureTerm, metrics (map<string,double>)."""
+    out = df.select(
+        F.col("featureName").cast("string").alias("featureName"),
+        F.col("featureTerm").cast("string").alias("featureTerm"),
+        F.col("metrics"),
+    )
+    write_avro(out, path, FEATURE_SUMMARIZATION_SCHEMA)
+
+
+def read_latent_factors(spark: SparkSession, path: str) -> DataFrame:
+    """LatentFactorAvro files → (effectId, latentFactor array<double>).
+    The reference ships this schema with no trainer; reading keeps a
+    migrating user's existing factor files usable (e.g. as an
+    embedding table for the similarity operators)."""
+    return read_avro(spark, path, avro_schema=LATENT_FACTOR_SCHEMA)
+
+
+def write_latent_factors(df: DataFrame, path: str) -> None:
+    """(effectId, latentFactor) frame → LatentFactorAvro files."""
+    out = df.select(
+        F.col("effectId").cast("string").alias("effectId"),
+        F.col("latentFactor"),
+    )
+    write_avro(out, path, LATENT_FACTOR_SCHEMA)
 
 
 def fixed_effect_to_avro_frame(

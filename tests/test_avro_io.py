@@ -197,3 +197,65 @@ def test_scoring_result_sink(spark, tmp_path):
     assert back.count() == 100
     got = {r.uid: r.predictionScore for r in back.collect()}
     assert all(math.isclose(got[str(i)], i * 0.01) for i in range(100))
+
+
+def test_response_prediction_round_trip(spark, tmp_path):
+    """SimplifiedResponsePrediction wire format: absent weight/offset
+    columns take the schema defaults (1.0 / 0.0) at write time."""
+    path = str(tmp_path / "resp_pred_avro")
+    rows = spark.range(50).select(
+        (F.col("id") % 2).cast("double").alias("response"),
+        F.array(
+            F.struct(
+                F.lit("f").alias("name"),
+                F.lit("x").alias("term"),
+                (F.col("id") * 0.5).alias("value"),
+            )
+        ).alias("features"),
+    )
+    avro_io.write_response_predictions(rows, path)
+    back = avro_io.read_response_predictions(spark, path)
+    assert back.columns == ["response", "weight", "offset", "features"]
+    got = {r.features[0].value: (r.weight, r.offset, r.response)
+           for r in back.collect()}
+    assert len(got) == 50
+    assert all(w == 1.0 and o == 0.0 for (w, o, _) in got.values())
+    assert got[10.0][2] == 0.0  # id=20 -> response 0
+
+
+def test_feature_summarization_round_trip(spark, tmp_path):
+    """FeatureSummarizationResultAvro: the S10 summary sink format —
+    metrics travel as a map<string,double>."""
+    path = str(tmp_path / "summary_avro")
+    summary = spark.range(10).select(
+        F.concat(F.lit("feat"), F.col("id")).alias("featureName"),
+        F.lit("").alias("featureTerm"),
+        F.create_map(
+            F.lit("mean"), F.col("id") * 1.5,
+            F.lit("max"), F.col("id") * 2.0,
+        ).alias("metrics"),
+    )
+    avro_io.write_feature_summaries(summary, path)
+    back = avro_io.read_feature_summaries(spark, path)
+    got = {r.featureName: dict(r.metrics) for r in back.collect()}
+    assert len(got) == 10
+    assert got["feat3"] == {"mean": 4.5, "max": 6.0}
+
+
+def test_latent_factor_round_trip(spark, tmp_path):
+    """LatentFactorAvro: matrix-factorization factor persistence — the
+    read side keeps a migrating user's factor files usable as an
+    embedding table."""
+    path = str(tmp_path / "factors_avro")
+    factors = spark.range(20).select(
+        F.concat(F.lit("e"), F.col("id")).alias("effectId"),
+        F.array(
+            F.col("id").cast("double"),
+            (F.col("id") * -0.25),
+        ).alias("latentFactor"),
+    )
+    avro_io.write_latent_factors(factors, path)
+    back = avro_io.read_latent_factors(spark, path)
+    got = {r.effectId: list(r.latentFactor) for r in back.collect()}
+    assert len(got) == 20
+    assert got["e4"] == [4.0, -1.0]
