@@ -140,10 +140,16 @@ def curate(cfg: dict, spark: SparkSession) -> None:
              "max_epochs": 4.0},                   # epoch-capped repeat
      "split": {"test_frac": 0.1},                  # leakage-safe (uses
                                                    # near-dedup clusters)
-     "chunk": {"max_tokens": 1024, "overlap": 64}}
+     "chunk": {"max_tokens": 1024, "overlap": 64},
+     "report": true}                               # publish per-language
+                                                   # data cards (input +
+                                                   # surviving corpus)
 
     Writes ``{output_dir}/{train,test}`` (or ``{output_dir}/docs`` when
     no split) and prints a one-line JSON per-stage row-count report.
+    With ``report`` on, ``{output_dir}/report/{input,output}`` hold the
+    ``corpus_report`` data cards (doc/token counts, duplicate mass, PII
+    incidence per language) for the corpus before and after curation.
     """
     from pyspark.sql import functions as F
 
@@ -151,6 +157,21 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     docs = spark.read.parquet(cfg["input"])
     report: dict[str, int] = {"input": docs.count()}
+
+    def _card(frame, name):
+        # group by whichever descriptor column the corpus carries
+        g = next(
+            (c for c in ("lang", "source") if c in frame.columns), None
+        )
+        frame = (
+            frame if g else frame.withColumn("corpus", F.lit("all"))
+        )
+        text.corpus_report(frame, group_col=g or "corpus").write.mode(
+            "overwrite"
+        ).parquet(f"{cfg['output_dir']}/report/{name}")
+
+    if cfg.get("report"):
+        _card(docs, "input")
 
     q = cfg.get("quality")
     if q:
@@ -257,6 +278,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             )
         frame.write.mode("overwrite").parquet(f"{cfg['output_dir']}/{name}")
         report[f"out_{name}"] = frame.count()
+
+    if cfg.get("report"):
+        # the card describes the surviving DOCUMENTS (pre-chunking —
+        # chunk rows are training artifacts, not corpus members)
+        _card(docs, "output")
 
     sp = cfg.get("split")
     if sp:

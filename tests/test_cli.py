@@ -105,6 +105,7 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
                               "min_shared": 20},
             "split": {"test_frac": 0.2},
             "chunk": {"max_tokens": 64, "overlap": 8},
+            "report": True,
         },
         spark,
     )
@@ -124,6 +125,15 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     # leakage safety: no doc appears on both sides
     both = train.select("doc_id").intersect(test.select("doc_id"))
     assert both.count() == 0
+    # data cards: input card covers the raw corpus, output card the
+    # surviving docs (duplicate mass shrinks, never grows)
+    card_in = spark.read.parquet(f"{out_dir}/report/input")
+    card_out = spark.read.parquet(f"{out_dir}/report/output")
+    assert {"n_docs", "n_tokens", "n_unique_docs", "n_pii_docs",
+            "dup_doc_frac"} <= set(card_in.columns)
+    assert card_in.agg(F.sum("n_docs")).first()[0] == r["input"]
+    assert card_out.agg(F.sum("n_docs")).first()[0] \
+        == r["after_contamination"]
 
 
 def test_cli_curate_select_and_oversample(spark, tmp_path, capsys):
