@@ -302,17 +302,59 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     print(json.dumps({"status": "curated", "report": report}))
 
 
+def curate_stream(cfg: dict, spark: SparkSession) -> None:
+    """Streaming near-dedup driver: drain a document-stream directory
+    through the shared incremental minhash index (first-seen-wins, see
+    streaming/curation.py) and stop when the backlog is empty:
+
+    {"input_dir": "<dir of parquet files (a stream source)>",
+     "schema": "doc_id long, source string, lang string, text string",
+     "index_path": "<dedup state dir (shared with batch increments)>",
+     "output_dir": "<survivor parquet dir>",
+     "checkpoint_dir": "<streaming checkpoint>",
+     "threshold": 0.5, "n": 2,                     # jaccard / shingle n
+     "max_files_per_trigger": 1}                   # micro-batch bound
+    """
+    from photon_ml_spark.streaming.curation import stream_neardup
+
+    reader = spark.readStream.schema(cfg["schema"])
+    if cfg.get("max_files_per_trigger"):
+        reader = reader.option(
+            "maxFilesPerTrigger", cfg["max_files_per_trigger"]
+        )
+    q = stream_neardup(
+        reader.parquet(cfg["input_dir"]),
+        cfg["index_path"],
+        cfg["output_dir"],
+        cfg["checkpoint_dir"],
+        threshold=cfg.get("threshold", 0.5),
+        n=cfg.get("n", 1),
+        num_hashes=cfg.get("num_hashes", 16),
+        bands=cfg.get("bands", 4),
+    )
+    q.awaitTermination()
+    n_out = spark.read.parquet(cfg["output_dir"]).count()
+    print(json.dumps({"status": "curated-stream", "survivors": n_out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     from photon_ml_spark.session import get_spark
 
     ap = argparse.ArgumentParser(prog="photon_ml_spark")
-    ap.add_argument("command", choices=["train", "score", "curate"])
+    ap.add_argument(
+        "command", choices=["train", "score", "curate", "curate-stream"]
+    )
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
     with open(args.config) as f:
         cfg = json.load(f)
     spark = get_spark(app_name=f"photon-ml-spark-{args.command}")
-    {"train": train, "score": score, "curate": curate}[args.command](cfg, spark)
+    {
+        "train": train,
+        "score": score,
+        "curate": curate,
+        "curate-stream": curate_stream,
+    }[args.command](cfg, spark)
 
 
 if __name__ == "__main__":

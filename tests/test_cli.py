@@ -2,6 +2,7 @@
 model + dictionary, check outputs."""
 
 import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -200,3 +201,40 @@ def test_cli_curate_select_and_oversample(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_cli_curate_stream(spark, tmp_path, capsys):
+    """curate-stream drains the backlog through the incremental index
+    and reports the survivor count."""
+    import glob as _glob
+    import shutil
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(tmp)
+    shutil.copyfile(
+        _glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/batch0.parquet"
+    )
+    cfgp = str(tmp_path / "cfg.json")
+    with open(cfgp, "w") as f:
+        json.dump(
+            {
+                "input_dir": src,
+                "schema": "doc_id long, source string, lang string, "
+                          "text string",
+                "index_path": str(tmp_path / "index"),
+                "output_dir": str(tmp_path / "out"),
+                "checkpoint_dir": str(tmp_path / "ckpt"),
+                "threshold": 0.5,
+                "n": 2,
+            },
+            f,
+        )
+    cli.curate_stream(json.load(open(cfgp)), spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "curated-stream"
+    assert 0 < rep["survivors"] < docs.count()
+    idx = spark.read.parquet(str(tmp_path / "index" / "signatures"))
+    assert idx.count() == rep["survivors"]
