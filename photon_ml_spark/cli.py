@@ -39,10 +39,21 @@ def _assembled(spark, cfg, dictionary=None):
     from photon_ml_spark.datamodel import FeatureShardConfig
     from photon_ml_spark.sources import featurize
 
-    if cfg.get("input_format", "parquet") == "avro":
+    fmt = cfg.get("input_format", "parquet")
+    if fmt == "avro":
         from photon_ml_spark.sources.avro_io import read_training_examples
 
         df = read_training_examples(spark, cfg["input"])
+    elif fmt == "response_prediction_avro":
+        # the reference's scoring-input format carries no uid; assign
+        # one like GameScoringDriver does (P2, zipWithUniqueId analog)
+        from pyspark.sql import functions as F
+
+        from photon_ml_spark.sources.avro_io import read_response_predictions
+
+        df = read_response_predictions(spark, cfg["input"]).withColumn(
+            "uid", F.monotonically_increasing_id()
+        )
     else:
         df = spark.read.parquet(cfg["input"])
     bags = cfg.get("feature_bags", ["features"])

@@ -84,6 +84,29 @@ def test_cli_train_from_avro(spark, sf_dir, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["status"] == "trained" and out["updates"] == 1
 
+    # migration-user SCORING path: the reference's ResponsePrediction
+    # scoring-input format (no uid — the driver assigns one)
+    from photon_ml_spark.sources.avro_io import write_response_predictions
+
+    score_in = str(tmp_path / "resp_pred_avro")
+    write_response_predictions(frame, score_in)
+    scores_dir = str(tmp_path / "scores_from_avro")
+    cli.score(
+        {
+            "input": score_in,
+            "input_format": "response_prediction_avro",
+            "feature_bags": ["features"],
+            "model_dir": model_dir,
+            "output_dir": scores_dir,
+        },
+        spark,
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "scored"
+    scored = spark.read.parquet(scores_dir)
+    assert scored.count() == frame.count()
+    assert {"uid", "score", "prediction"} <= set(scored.columns)
+
 
 def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     """Full curation driver: quality filter -> exact dedup -> LSH
