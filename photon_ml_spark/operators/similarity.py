@@ -330,3 +330,102 @@ def semantic_dedup(
         cells, threshold, block_col="__cell", id_col=id_col, vec_col=vec_col
     ).select("id_a", "id_b")
     return cluster_and_keep(df, pairs, id_col=id_col)
+
+
+# ------------------------------------------------------ persisted IVF index
+
+
+def save_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> None:
+    """Materialize the ANN state for repeated query batches — the
+    similarity twin of ``dedup.save_minhash_index``:
+
+    - ``{path}/centroids``: (cell, centroid) — k rows, the coarse
+      quantizer; broadcast-sized by construction.
+    - ``{path}/vectors``: (id, embedding) parquet PARTITIONED BY cell —
+      a probed query touches only its cells' files. With the
+      centroid side of the scoring join broadcast, Spark's dynamic
+      partition pruning skips unprobed cells at scan time; at 100 TB
+      that is the difference between reading n_probe/k of the corpus
+      and reading all of it.
+
+    Build cost is one KMeans fit + one partitioned write; rebuild when
+    the corpus distribution drifts (the quantizer, not the data,
+    decides recall).
+    """
+    assigned, model = kmeans_cells(
+        corpus, k=k, vec_col=vec_col, out_col="cell",
+        seed=seed, max_iter=max_iter,
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell int, centroid array<double>",
+    )
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.select(id_col, vec_col, "cell").write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(f"{path}/vectors")
+
+
+def ivf_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k cosine search against a persisted IVF index: each query is
+    routed to its ``n_probe`` nearest centroids (classic IVF nprobe —
+    probing MORE cells monotonically improves recall; n_probe = k
+    degenerates to exact brute force over the partitioned corpus), then
+    candidates come from one equi-join on the cell key.
+
+    The centroid ranking is a broadcast cross join against k rows; the
+    candidate join broadcasts the routed query set, so the only big-
+    data operation is the partition-pruned corpus scan + per-query
+    top-k window.
+    """
+    centroids = spark.read.parquet(f"{index_path}/centroids")
+    q = queries.select(
+        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+    )
+    routed = q.crossJoin(F.broadcast(centroids)).withColumn(
+        "__sim", cosine_similarity(F.col("__qv"), F.col("centroid"))
+    )
+    probe_win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("__sim"), F.asc("cell")
+    )
+    probes = (
+        routed.withColumn("__pr", F.row_number().over(probe_win))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, "__qv", "cell")
+    )
+    vectors = spark.read.parquet(f"{index_path}/vectors")
+    joined = vectors.join(F.broadcast(probes), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.withColumn(
+        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

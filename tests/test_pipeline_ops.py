@@ -1045,3 +1045,49 @@ def test_incremental_neardup_rejects_id_overlap(docs, spark, tmp_path):
     save_minhash_index(docs.limit(50), idx, n=2)
     with pytest.raises(ValueError, match="overlap"):
         incremental_neardup(docs.limit(10), idx, threshold=0.5, n=2)
+
+
+def test_ivf_index_full_probe_equals_brute_and_pruned_probe_recall(
+    spark, emb, tmp_path
+):
+    """Persisted IVF index: probing every cell must reproduce exact
+    brute-force top-k (the index is lossless, only the probe is lossy);
+    single-probe recall on KMeans cells is measured; the scan should
+    only touch the probed cells' partitions (partition-pruned layout)."""
+    from photon_ml_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    idx = str(tmp_path / "ivf_index")
+    corpus = emb.select("vec_id", F.col("qe").alias("embedding"))
+    save_ivf_index(corpus, idx, k=4)
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)
+
+    brute = {
+        (r.query_id, r.vec_id, round(r.cosine, 9))
+        for r in cosine_topk(corpus, queries, k=5).collect()
+    }
+    full = {
+        (r.query_id, r.vec_id, round(r.cosine, 9))
+        for r in ivf_topk_from_index(
+            spark, idx, queries, k=5, n_probe=4
+        ).collect()
+    }
+    assert full == brute
+
+    one = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk_from_index(
+            spark, idx, queries, k=5, n_probe=1
+        ).collect()
+    }
+    bp = {(q, v) for q, v, _ in brute}
+    recall = len(bp & one) / len(bp)
+    assert 0.3 <= recall <= 1.0
+
+    # layout: the vector table is hive-partitioned by cell
+    import glob as _glob
+
+    assert _glob.glob(f"{idx}/vectors/cell=*")
