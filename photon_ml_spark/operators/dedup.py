@@ -923,11 +923,18 @@ def incremental_neardup(
     n: int = 1,
     num_hashes: int = 16,
     bands: int = 4,
+    new_sids: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs introduced by a NEW batch against an indexed
     corpus — the daily-increment production flow: never recompute the
     existing corpus, just LSH-join the batch's signatures against the
     stored index and exact-verify the candidates.
+
+    ``new_sids`` (optional): a pre-built ``token_ids_hashed`` frame the
+    caller persists and reuses (e.g. for the index-append write after
+    resolution) — the ``doc_sids`` pattern; when omitted one is cached
+    here and left to LRU eviction, fine for a one-shot batch but a
+    leak-per-trigger in a streaming loop.
 
     Returns (id_a, id_b, jaccard) for every pair with Jaccard ≥
     ``threshold`` where at least one side is a new doc (new-old and
@@ -947,7 +954,8 @@ def incremental_neardup(
     spark = new_docs.sparkSession
     old_sids = spark.read.parquet(f"{index_path}/doc_sids")
     old_sigs = spark.read.parquet(f"{index_path}/signatures")
-    new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
+    if new_sids is None:
+        new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
     new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
     # id-collision guard over the SIGNATURE relations (1 row/doc on the
     # index side — not the much larger doc_sids), no pre-distinct: a

@@ -96,17 +96,30 @@ def neardup_process_batch(
     fresh = batch.join(indexed_ids, id_col, "left_anti")
     if fresh.isEmpty():
         return
-    pairs = incremental_neardup(
-        fresh, index_path, threshold=threshold, id_col=id_col,
-        text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
-    )
-    survivors = drop_new_duplicates(fresh, pairs, indexed_ids, id_col=id_col)
-    survivors.write.mode("append").parquet(out_path)
-    sids = token_ids_hashed(survivors, id_col, text_col, n)
-    sids.write.mode("append").parquet(f"{index_path}/doc_sids")
-    minhash_signatures(sids, id_col, num_hashes).write.mode("append").parquet(
-        f"{index_path}/signatures"
-    )
+    # one shingle-id relation serves detection AND the index append;
+    # explicitly unpersisted so a long-running stream doesn't leak one
+    # cached frame per trigger
+    sids = token_ids_hashed(fresh, id_col, text_col, n).persist()
+    try:
+        pairs = incremental_neardup(
+            fresh, index_path, threshold=threshold, id_col=id_col,
+            text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
+            new_sids=sids,
+        )
+        survivors = drop_new_duplicates(
+            fresh, pairs, indexed_ids, id_col=id_col
+        ).persist()
+        survivors.write.mode("append").parquet(out_path)
+        keep_sids = sids.join(
+            survivors.select(id_col), id_col, "left_semi"
+        )
+        keep_sids.write.mode("append").parquet(f"{index_path}/doc_sids")
+        minhash_signatures(keep_sids, id_col, num_hashes).write.mode(
+            "append"
+        ).parquet(f"{index_path}/signatures")
+        survivors.unpersist()
+    finally:
+        sids.unpersist()
 
 
 def stream_neardup(
