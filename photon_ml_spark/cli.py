@@ -287,8 +287,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 frame, max_tokens=ch["max_tokens"],
                 overlap=ch.get("overlap", 0),
             )
-        frame.write.mode("overwrite").parquet(f"{cfg['output_dir']}/{name}")
-        report[f"out_{name}"] = frame.count()
+        path = f"{cfg['output_dir']}/{name}"
+        frame.write.mode("overwrite").parquet(path)
+        # count the WRITTEN table (parquet metadata, near-free) rather
+        # than re-executing the split/chunk lineage a second time
+        report[f"out_{name}"] = spark.read.parquet(path).count()
 
     if cfg.get("report"):
         # the card describes the surviving DOCUMENTS (pre-chunking —

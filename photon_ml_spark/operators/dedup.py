@@ -21,6 +21,8 @@ pipeline shape, one less join.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
@@ -351,15 +353,13 @@ def minhash_signatures(
     return doc_sids.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(
-    signatures: DataFrame,
-    id_col: str = "doc_id",
-    num_hashes: int = 16,
-    bands: int = 4,
+def _banded(
+    signatures: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Band the signature; docs sharing any band bucket are candidates.
-    Shuffle key = (band_index, band_signature): duplicate-heavy buckets
-    stay together, everything else never meets (the LSH point)."""
+    """(id, band, bucket): the LSH banding shared by every minhash
+    consumer (one definition — batch, incremental, and streaming dedup
+    must derive IDENTICAL bucket keys or cross-flow joins silently
+    miss)."""
     rows_per_band = num_hashes // bands
     bucketed = None
     for b in range(bands):
@@ -370,6 +370,56 @@ def lsh_candidate_pairs(
             F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
         )
         bucketed = part if bucketed is None else bucketed.unionByName(part)
+    return bucketed
+
+
+def _verify_jaccard_pairs(
+    cand: DataFrame, sids: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate (id_a, id_b) pairs
+    against a (id, sid) shingle relation — the shared tail of every
+    LSH dedup flow. Returns (id_a, id_b, jaccard) at ≥ threshold."""
+    sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sids.select(F.col(id_col).alias("id_a"), "sid")
+    b = sids.select(F.col(id_col).alias("id_b"), "sid")
+    inter = (
+        cand.join(a, "id_a").join(b, ["id_b", "sid"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col(id_col).alias("id_a"),
+                         F.col("set_size").alias("size_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("id_b"),
+                         F.col("set_size").alias("size_b")),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Band the signature; docs sharing any band bucket are candidates.
+    Shuffle key = (band_index, band_signature): duplicate-heavy buckets
+    stay together, everything else never meets (the LSH point)."""
+    bucketed = _banded(signatures, id_col, num_hashes, bands)
     a = bucketed.select(F.col(id_col).alias("id_a"), "band", "bucket")
     b2 = bucketed.select(F.col(id_col).alias("id_b"), "band", "bucket")
     return (
@@ -405,25 +455,7 @@ def minhash_lsh_dedup(
     )
     sigs = minhash_signatures(sids, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sids.select(F.col(id_col).alias("id_a"), "sid")
-    b = sids.select(F.col(id_col).alias("id_b"), "sid")
-    inter = (
-        cand.join(a, "id_a").join(b, ["id_b", "sid"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a")), "id_a")
-        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b")), "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _verify_jaccard_pairs(cand, sids, id_col, threshold)
 
 
 SIMHASH_BITS = 16
@@ -912,6 +944,51 @@ def save_minhash_index(
     minhash_signatures(saved, id_col, num_hashes).write.mode(
         "overwrite"
     ).parquet(f"{path}/signatures")
+    write_index_params(spark, path, n=n, num_hashes=num_hashes)
+
+
+INDEX_PARAMS_FILE = "params.json"
+
+
+def write_index_params(spark, path: str, **params) -> None:
+    """Persist the index's construction parameters next to its
+    relations. Signatures computed with different shingle n or hash
+    counts barely intersect — a parameter-mismatched increment finds
+    almost no duplicates while reporting success — so every index
+    carries a manifest and every increment validates against it."""
+    from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+    _hadoop_write_text(
+        spark, f"{path}/{INDEX_PARAMS_FILE}", json.dumps(params, sort_keys=True)
+    )
+
+
+def validate_index_params(spark, path: str, **params) -> None:
+    """Raise when the stored index was built with different parameters
+    than this increment is using. Pre-manifest indexes (no params.json)
+    are accepted as-is — nothing to check."""
+    from photon_ml_spark.sources.model_io import _hadoop_read_text
+
+    try:
+        stored = json.loads(
+            _hadoop_read_text(spark, f"{path}/{INDEX_PARAMS_FILE}")
+        )
+    except Exception:
+        return
+    bad = {
+        k: (stored[k], v)
+        for k, v in params.items()
+        if k in stored and stored[k] != v
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: index={s} vs increment={v}" for k, (s, v) in bad.items()
+        )
+        raise ValueError(
+            "minhash index parameter mismatch — an increment run with "
+            "different shingle/signature parameters would silently "
+            f"miss duplicates ({detail})"
+        )
 
 
 def incremental_neardup(
@@ -924,6 +1001,8 @@ def incremental_neardup(
     num_hashes: int = 16,
     bands: int = 4,
     new_sids: DataFrame | None = None,
+    old_sids: DataFrame | None = None,
+    old_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs introduced by a NEW batch against an indexed
     corpus — the daily-increment production flow: never recompute the
@@ -935,6 +1014,12 @@ def incremental_neardup(
     resolution) — the ``doc_sids`` pattern; when omitted one is cached
     here and left to LRU eviction, fine for a one-shot batch but a
     leak-per-trigger in a streaming loop.
+
+    ``old_sids``/``old_sigs`` (optional): override the index state
+    relations instead of reading them from ``index_path`` — the
+    replay path of ``streaming.curation`` passes the stored relations
+    with the current batch's own staging partition filtered out, so a
+    re-run sees exactly the pre-batch state.
 
     Returns (id_a, id_b, jaccard) for every pair with Jaccard ≥
     ``threshold`` where at least one side is a new doc (new-old and
@@ -952,10 +1037,23 @@ def incremental_neardup(
     stored relations (append mode) so the next increment sees them.
     """
     spark = new_docs.sparkSession
-    old_sids = spark.read.parquet(f"{index_path}/doc_sids")
-    old_sigs = spark.read.parquet(f"{index_path}/signatures")
+    validate_index_params(
+        spark, index_path, n=n, num_hashes=num_hashes
+    )
+    # column-pinned reads: the stored relations may carry extra layout
+    # columns (e.g. a batch=N staging partition) — select exactly the
+    # logical schema so unions line up
+    if old_sids is None:
+        old_sids = spark.read.parquet(f"{index_path}/doc_sids")
+    old_sids = old_sids.select(id_col, "sid")
+    if old_sigs is None:
+        old_sigs = spark.read.parquet(f"{index_path}/signatures")
+    old_sigs = old_sigs.select(
+        id_col, *[f"mh{i}" for i in range(num_hashes)]
+    )
     if new_sids is None:
         new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
+    new_sids = new_sids.select(id_col, "sid")
     new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
     # id-collision guard over the SIGNATURE relations (1 row/doc on the
     # index side — not the much larger doc_sids), no pre-distinct: a
@@ -969,31 +1067,10 @@ def incremental_neardup(
             "corpus ids — re-key the batch before indexing"
         )
 
-    def bucketed(sigs):
-        rows_per_band = num_hashes // bands
-        parts = []
-        for b in range(bands):
-            cols = [
-                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-            ]
-            parts.append(
-                sigs.select(
-                    F.col(id_col),
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "_", *[c.cast("string") for c in cols]
-                    ).alias("bucket"),
-                )
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    all_b = bucketed(old_sigs.unionByName(new_sigs)).select(
-        F.col(id_col).alias("id_a"), "band", "bucket"
-    )
-    new_b = bucketed(new_sigs).select(
+    all_b = _banded(
+        old_sigs.unionByName(new_sigs), id_col, num_hashes, bands
+    ).select(F.col(id_col).alias("id_a"), "band", "bucket")
+    new_b = _banded(new_sigs, id_col, num_hashes, bands).select(
         F.col(id_col).alias("id_b"), "band", "bucket"
     )
     cand = (
@@ -1005,36 +1082,8 @@ def incremental_neardup(
         )
         .distinct()
     )
-    sids = old_sids.unionByName(new_sids)
-    sizes = sids.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sids.select(F.col(id_col).alias("id_a"), "sid")
-    b = sids.select(F.col(id_col).alias("id_b"), "sid")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "sid"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    return (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_a"),
-                         F.col("set_size").alias("size_a")),
-            "id_a",
-        )
-        .join(
-            sizes.select(F.col(id_col).alias("id_b"),
-                         F.col("set_size").alias("size_b")),
-            "id_b",
-        )
-        .withColumn(
-            "jaccard",
-            F.col("n_inter")
-            / (F.col("size_a") + F.col("size_b") - F.col("n_inter")).cast(
-                "double"
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    return _verify_jaccard_pairs(
+        cand, old_sids.unionByName(new_sids), id_col, threshold
     )
 
 

@@ -104,6 +104,11 @@ def decode_image(
                     try:
                         meta.append(_pil_decode(bytes(p)))
                         ok.append(True)
+                    except ImportError:
+                        # executor lacks PIL though the driver check
+                        # passed — misconfiguration, fail loudly (see
+                        # decode_audio)
+                        raise
                     except Exception:
                         meta.append((0, 0, 0.0))
                         ok.append(False)
@@ -185,6 +190,13 @@ def decode_audio(
                     try:
                         meta.append(_soundfile_decode(bytes(p)))
                         ok.append(True)
+                    except ImportError:
+                        # the driver-side capability check passed but
+                        # THIS executor lacks soundfile (heterogeneous
+                        # cluster image): misconfiguration, not bad
+                        # data — fail the task loudly instead of
+                        # marking the whole corpus undecodable
+                        raise
                     except Exception:
                         meta.append((0, 0, 0.0))
                         ok.append(False)

@@ -357,9 +357,11 @@ def dsir_select(
     # the frame is ≤ k rows by the limit above, single-task by
     # construction (pmod(id, 1) rather than a literal so Catalyst's
     # constant folding can't erase the partition spec)
-    rank_win = Window.partitionBy(F.pmod(F.col(id_col), F.lit(1))).orderBy(
-        F.desc("gumbel_key"), F.col(id_col)
-    )
+    # type-agnostic constant key (xxhash64 takes any column type —
+    # pmod over the raw id would break on string doc ids under ANSI)
+    rank_win = Window.partitionBy(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(1))
+    ).orderBy(F.desc("gumbel_key"), F.col(id_col))
     return topk.withColumn("rank", F.row_number().over(rank_win))
 
 

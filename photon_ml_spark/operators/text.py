@@ -601,14 +601,18 @@ def corpus_report(
     n_unique_docs, n_pii_docs, dup_doc_frac).
     """
     t = F.col(text_col)
+    # a doc is PII-bearing when ANY registered detector fires — the
+    # card must not under-report classes pii_scan itself would flag
+    has_pii = F.lit(False)
+    for pat in PII_PATTERNS.values():
+        has_pii = has_pii | (
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)) > 0
+        )
     base = df.select(
         F.col(group_col),
         token_count(t).alias("__nt"),
         fingerprint_md5(t).alias("__fp"),
-        (
-            F.size(F.regexp_extract_all(t, F.lit(PII_PATTERNS["emails"]), 0))
-            > 0
-        ).alias("__pii"),
+        has_pii.alias("__pii"),
     )
     return (
         base.groupBy(group_col)

@@ -750,8 +750,10 @@ WITH t AS (
                               x -> x <> '')) AS BIGINT) AS n_tokens,
          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\w\s]', '', 'g'),
                                  '\s+', ' ', 'g'))) AS fp,
-         len(regexp_extract_all(text,
-             '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0 AS pii
+         (len(regexp_extract_all(text,
+              '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) > 0
+          OR len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) > 0
+          OR len(regexp_extract_all(text, '\b\d{16}\b')) > 0) AS pii
   FROM documents
 )
 SELECT lang,

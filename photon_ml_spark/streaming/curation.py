@@ -48,6 +48,7 @@ def neardup_process_batch(
     batch: DataFrame,
     index_path: str,
     out_path: str,
+    batch_id: int = 0,
     threshold: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -56,67 +57,94 @@ def neardup_process_batch(
     bands: int = 4,
 ) -> None:
     """Process ONE micro-batch (or one daily batch — same function):
-    drop near-dups against the index, append survivors to ``out_path``
-    and their dedup state to ``index_path``. Bootstraps the index from
-    the first batch when ``index_path`` is empty."""
+    drop near-dups against the index, publish survivors under
+    ``out_path`` and their dedup state under ``index_path``.
+    Bootstraps the index (and its parameter manifest) from the first
+    batch when ``index_path`` is empty.
+
+    ``batch_id`` is the replay-stable batch identity (Structured
+    Streaming's foreachBatch id; a date ordinal for daily jobs). Every
+    write is an OVERWRITE of the batch's own ``batch=<id>`` staging
+    subdirectory — the standard foreachBatch exactly-once recipe — so
+    a replay after a crash at ANY point rewrites identical content
+    instead of appending duplicates (survivor sets are deterministic
+    given the batch and the prior index state, which a failed attempt
+    never mutates outside its own staging dirs)."""
     from photon_ml_spark.operators.dedup import (
         cluster_and_keep,
         drop_new_duplicates,
         incremental_neardup,
         minhash_lsh_dedup,
         minhash_signatures,
-        save_minhash_index,
         token_ids_hashed,
+        write_index_params,
     )
 
     spark = batch.sparkSession
     if batch.isEmpty():
         return
-    if not _hadoop_exists(spark, f"{index_path}/signatures"):
-        # bootstrap: batch-internal LSH dedup, survivors found the index
-        pairs = minhash_lsh_dedup(
-            batch, threshold=threshold, n=n, id_col=id_col,
-            text_col=text_col, num_hashes=num_hashes, bands=bands,
-        )
-        survivors = (
-            cluster_and_keep(batch, pairs, id_col=id_col)
-            .filter("is_keep")
-            .drop("cluster_id", "is_keep")
-        )
-        survivors.write.mode("append").parquet(out_path)
-        save_minhash_index(
-            survivors, index_path, id_col=id_col, text_col=text_col,
-            n=n, num_hashes=num_hashes,
-        )
-        return
 
-    # at-least-once idempotence: ids already indexed were handled by a
-    # prior (possibly partially-failed) run of this same batch
-    indexed_ids = spark.read.parquet(f"{index_path}/signatures").select(id_col)
-    fresh = batch.join(indexed_ids, id_col, "left_anti")
-    if fresh.isEmpty():
-        return
-    # one shingle-id relation serves detection AND the index append;
-    # explicitly unpersisted so a long-running stream doesn't leak one
-    # cached frame per trigger
-    sids = token_ids_hashed(fresh, id_col, text_col, n).persist()
-    try:
-        pairs = incremental_neardup(
-            fresh, index_path, threshold=threshold, id_col=id_col,
-            text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
-            new_sids=sids,
-        )
-        survivors = drop_new_duplicates(
-            fresh, pairs, indexed_ids, id_col=id_col
-        ).persist()
-        survivors.write.mode("append").parquet(out_path)
+    def publish(survivors, sids):
         keep_sids = sids.join(
             survivors.select(id_col), id_col, "left_semi"
         )
-        keep_sids.write.mode("append").parquet(f"{index_path}/doc_sids")
+        survivors.write.mode("overwrite").parquet(
+            f"{out_path}/batch={int(batch_id)}"
+        )
+        keep_sids.write.mode("overwrite").parquet(
+            f"{index_path}/doc_sids/batch={int(batch_id)}"
+        )
         minhash_signatures(keep_sids, id_col, num_hashes).write.mode(
-            "append"
-        ).parquet(f"{index_path}/signatures")
+            "overwrite"
+        ).parquet(f"{index_path}/signatures/batch={int(batch_id)}")
+
+    if not _hadoop_exists(spark, f"{index_path}/signatures"):
+        # bootstrap: batch-internal LSH dedup, survivors found the index
+        sids = token_ids_hashed(batch, id_col, text_col, n).persist()
+        try:
+            pairs = minhash_lsh_dedup(
+                batch, threshold=threshold, n=n, id_col=id_col,
+                text_col=text_col, num_hashes=num_hashes, bands=bands,
+                doc_sids=sids,
+            )
+            survivors = (
+                cluster_and_keep(batch, pairs, id_col=id_col)
+                .filter("is_keep")
+                .drop("cluster_id", "is_keep")
+            )
+            write_index_params(
+                spark, index_path, n=n, num_hashes=num_hashes
+            )
+            publish(survivors, sids)
+        finally:
+            sids.unpersist()
+        return
+
+    # Replay safety: the prior index state is the stored relations
+    # MINUS this batch's own staging partition — a replayed batch (even
+    # after a crash mid-publish) recomputes against exactly the state
+    # it saw the first time, so the staged overwrites rewrite identical
+    # content. (A per-doc "already indexed" prefilter would NOT be
+    # safe: docs dropped as duplicates never enter the index, so the
+    # filter would shrink the batch on replay and the overwrite would
+    # wipe the original survivors.)
+    not_mine = F.col("batch") != int(batch_id)
+    old_sigs = spark.read.parquet(f"{index_path}/signatures").filter(not_mine)
+    old_sids = spark.read.parquet(f"{index_path}/doc_sids").filter(not_mine)
+    # one shingle-id relation serves detection AND the index append;
+    # explicitly unpersisted so a long-running stream doesn't leak one
+    # cached frame per trigger
+    sids = token_ids_hashed(batch, id_col, text_col, n).persist()
+    try:
+        pairs = incremental_neardup(
+            batch, index_path, threshold=threshold, id_col=id_col,
+            text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
+            new_sids=sids, old_sids=old_sids, old_sigs=old_sigs,
+        )
+        survivors = drop_new_duplicates(
+            batch, pairs, old_sigs.select(id_col), id_col=id_col
+        ).persist()
+        publish(survivors, sids)
         survivors.unpersist()
     finally:
         sids.unpersist()
@@ -141,7 +169,7 @@ def stream_neardup(
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         neardup_process_batch(
-            batch, index_path, out_path,
+            batch, index_path, out_path, batch_id=batch_id,
             threshold=threshold, id_col=id_col, text_col=text_col,
             n=n, num_hashes=num_hashes, bands=bands,
         )

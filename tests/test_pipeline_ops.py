@@ -1047,6 +1047,24 @@ def test_incremental_neardup_rejects_id_overlap(docs, spark, tmp_path):
         incremental_neardup(docs.limit(10), idx, threshold=0.5, n=2)
 
 
+def test_incremental_neardup_rejects_parameter_mismatch(docs, spark, tmp_path):
+    """An increment shingling at a different n than the index was built
+    with finds near-zero duplicates while reporting success — the
+    stored parameter manifest must make that a loud error."""
+    from photon_ml_spark.operators.dedup import (
+        incremental_neardup,
+        save_minhash_index,
+    )
+
+    idx = str(tmp_path / "mh_index3")
+    save_minhash_index(docs.filter(F.col("doc_id") % 3 != 0), idx, n=2)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        incremental_neardup(new, idx, threshold=0.5, n=1)
+    with pytest.raises(ValueError, match="parameter mismatch"):
+        incremental_neardup(new, idx, threshold=0.5, n=2, num_hashes=8)
+
+
 def test_ivf_index_full_probe_equals_brute_and_pruned_probe_recall(
     spark, emb, tmp_path
 ):

@@ -53,9 +53,9 @@ def test_stream_neardup_matches_sequential_batches(spark, tmp_path_factory, docs
     # reference: the SAME function as two sequential daily batches
     idx_b = os.path.join(root, "index_batch")
     out_b = os.path.join(root, "out_batch")
-    for half in (half_a, half_b):
+    for i, half in enumerate((half_a, half_b)):
         neardup_process_batch(
-            half, idx_b, out_b, threshold=0.5, n=2, bands=8
+            half, idx_b, out_b, batch_id=i, threshold=0.5, n=2, bands=8
         )
     batch_ids = sorted(
         r.doc_id for r in spark.read.parquet(out_b).select("doc_id").collect()
@@ -92,7 +92,9 @@ def test_stream_neardup_matches_sequential_batches(spark, tmp_path_factory, docs
     assert idx_ids == stream_ids
 
     # at-least-once replay: re-running the last batch changes nothing
-    neardup_process_batch(half_b, idx_b, out_b, threshold=0.5, n=2, bands=8)
+    neardup_process_batch(
+        half_b, idx_b, out_b, batch_id=1, threshold=0.5, n=2, bands=8
+    )
     again = sorted(
         r.doc_id for r in spark.read.parquet(out_b).select("doc_id").collect()
     )
