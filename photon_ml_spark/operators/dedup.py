@@ -935,16 +935,34 @@ def save_minhash_index(
     """Materialize the incremental-dedup state for a corpus:
     ``{path}/doc_sids`` (hashed shingle sets, for exact-Jaccard
     verification of future cross pairs) and ``{path}/signatures``
-    (minhash rows, for LSH banding). Both are plain parquet relations —
-    partition/bucket them by id downstream if the corpus warrants."""
+    (minhash rows, for LSH banding).
+
+    Canonical layout: every writer of an index — this batch bootstrap
+    AND the streaming increments (``streaming.curation``) — stages its
+    rows under a ``batch=<id>`` subdirectory of each relation, so
+    parquet partition discovery always yields a ``batch`` column and
+    the stream's replay-staging overwrites compose with a batch-built
+    index instead of breaking discovery with mixed flat/partitioned
+    files. The batch bootstrap uses the reserved id ``batch=-1``
+    (stream batch ids are >= 0). ``params.json`` is written LAST — it
+    doubles as the bootstrap-complete commit marker (a crash before it
+    leaves a rebuildable directory, never a half-index that passes an
+    existence check)."""
     sids = token_ids_hashed(docs, id_col, text_col, n)
-    sids.write.mode("overwrite").parquet(f"{path}/doc_sids")
+    sids.write.mode("overwrite").parquet(
+        f"{path}/doc_sids/batch={BOOTSTRAP_BATCH_ID}"
+    )
     spark = docs.sparkSession
     saved = spark.read.parquet(f"{path}/doc_sids")
     minhash_signatures(saved, id_col, num_hashes).write.mode(
         "overwrite"
-    ).parquet(f"{path}/signatures")
+    ).parquet(f"{path}/signatures/batch={BOOTSTRAP_BATCH_ID}")
     write_index_params(spark, path, n=n, num_hashes=num_hashes)
+
+
+#: reserved ``batch=`` partition id for batch-built (non-stream) index
+#: bootstraps; stream micro-batch ids are always >= 0
+BOOTSTRAP_BATCH_ID = -1
 
 
 INDEX_PARAMS_FILE = "params.json"
@@ -966,15 +984,20 @@ def write_index_params(spark, path: str, **params) -> None:
 def validate_index_params(spark, path: str, **params) -> None:
     """Raise when the stored index was built with different parameters
     than this increment is using. Pre-manifest indexes (no params.json)
-    are accepted as-is — nothing to check."""
-    from photon_ml_spark.sources.model_io import _hadoop_read_text
+    are accepted as-is — nothing to check. Only the file's ABSENCE is
+    tolerated: a transient read/permission/parse failure propagates,
+    because swallowing it would silently disable the mismatch guard and
+    revert to the no-duplicates-found failure mode it exists to stop."""
+    from photon_ml_spark.sources.model_io import (
+        _hadoop_exists,
+        _hadoop_read_text,
+    )
 
-    try:
-        stored = json.loads(
-            _hadoop_read_text(spark, f"{path}/{INDEX_PARAMS_FILE}")
-        )
-    except Exception:
+    if not _hadoop_exists(spark, f"{path}/{INDEX_PARAMS_FILE}"):
         return
+    stored = json.loads(
+        _hadoop_read_text(spark, f"{path}/{INDEX_PARAMS_FILE}")
+    )
     bad = {
         k: (stored[k], v)
         for k, v in params.items()

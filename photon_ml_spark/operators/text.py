@@ -13,7 +13,7 @@ exact arithmetic in SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # Tiny per-language stopword profiles for the n-gram/stopword-hit
 # language heuristic. Real deployments plug in fasttext-style models
@@ -427,124 +427,209 @@ def _bpe_symbol_string(word: Column) -> Column:
     )
 
 
+def _bpe_merge_word(syms: list, left: str, right: str):
+    """Merge every (left, right) adjacency in a symbol list,
+    left-to-right non-overlapping (aaa + (a,a) -> [aa, a]) — the same
+    scan order a single regex-replace pass applies. Returns the input
+    list unchanged (identity) when nothing merged, so callers can test
+    ``is`` for staleness."""
+    out, i, n, changed = [], 0, len(syms), False
+    while i < n:
+        if i < n - 1 and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+            changed = True
+        else:
+            out.append(syms[i])
+            i += 1
+    return out if changed else syms
+
+
+def _bpe_local_merge_loop(
+    vocab: list, n_merges: int, min_pair_count: int
+) -> list:
+    """The greedy BPE merge loop over a collected word-frequency table
+    ``[(symbol_list, count), …]`` — pure driver-local data-structure
+    work, the sentencepiece/HF shape. Pair selection is (count desc,
+    then (left, right) lexicographic) via a lazy-deletion heap; counts
+    are maintained incrementally, touching only the words that contain
+    the merged pair (a pair→word-ids index). Returns
+    [(merge_idx, left, right, merged, pair_count), …]."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    pair_counts: Counter = Counter()
+    pair_words: dict = defaultdict(set)
+    for wi, (syms, cnt) in enumerate(vocab):
+        for p in zip(syms, syms[1:]):
+            pair_counts[p] += cnt
+            pair_words[p].add(wi)
+    heap = [(-c, l, r) for (l, r), c in pair_counts.items()]
+    heapq.heapify(heap)
+
+    merges: list[tuple] = []
+    while len(merges) < n_merges and heap:
+        negc, l, r = heapq.heappop(heap)
+        c = pair_counts.get((l, r))
+        if c is None or c != -negc:
+            continue  # stale heap entry (count changed since push)
+        if c < min_pair_count:
+            break  # heap top is the true max — nothing else qualifies
+        merges.append((len(merges), l, r, l + r, c))
+        del pair_counts[(l, r)]
+        for wi in pair_words.pop((l, r), ()):
+            syms, cnt = vocab[wi]
+            new = _bpe_merge_word(syms, l, r)
+            if new is syms:
+                continue  # stale index entry — pair already gone
+            vocab[wi] = (new, cnt)
+            old_p = Counter(zip(syms, syms[1:]))
+            new_p = Counter(zip(new, new[1:]))
+            for p in set(old_p) | set(new_p):
+                d = new_p.get(p, 0) - old_p.get(p, 0)
+                if d == 0 or p == (l, r):
+                    continue
+                nc = pair_counts.get(p, 0) + d * cnt
+                if nc <= 0:
+                    pair_counts.pop(p, None)
+                else:
+                    pair_counts[p] = nc
+                    if d > 0:
+                        pair_words[p].add(wi)
+                    heapq.heappush(heap, (-nc, p[0], p[1]))
+    return merges
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 8,
     min_pair_count: int = 2,
     word_pattern: str | None = r"^[a-z0-9]+$",
+    max_vocab_rows: int = 10_000_000,
 ):
     """Learn a byte-pair-encoding merge table from a corpus, Spark-first.
 
     Classic BPE trains on the WORD-FREQUENCY table, not the raw corpus
-    — so the iterated state is vocab-bounded no matter the corpus size
-    (100 TB of text still reduces to one `groupBy(word).count()`; the
-    per-round work is a pair-count aggregate over that table). Each
-    round: adjacent-symbol pairs weighted by word count → argmax
-    (count desc, then lexicographic — deterministic ties) → merge
-    applied to every word via one regex replace (layout note above).
+    — so 100 TB of text reduces to ONE distributed
+    ``groupBy(word).count()`` (the only stage that touches the
+    corpus). The vocab-bounded frequency table (a few million rows for
+    web-scale text under ``word_pattern``) is then collected and the
+    merge loop runs DRIVER-LOCAL with incremental pair counts and a
+    lazy-deletion heap — exactly how sentencepiece/HF train. A
+    production merge budget is 30k–100k rounds; one Spark job per
+    round would cost O(days) of job-launch latency independent of data
+    size, so the loop must not scale with n_merges × job-latency.
+    (Earlier design, for the record: a per-round distributed
+    pair-count + regex rewrite — correct, vocab-bounded, but
+    structurally unable to reach real merge budgets.)
 
-    The driver holds only the argmax row per round (the coordinate-
-    descent orchestration discipline: loops over MODEL STATE, never
-    rows); merges are tokenizer artifacts, bounded by ``n_merges``,
-    and returned as a DataFrame (merge_idx, left, right, merged,
-    pair_count). Training stops early when no pair reaches
-    ``min_pair_count``. ``word_pattern`` filters words to a regex-safe
-    alphabet (None disables; symbols are then re-escaped defensively).
+    Argmax ties break (count desc, then (left, right) lexicographic) —
+    deterministic. Training stops early when no pair reaches
+    ``min_pair_count``. ``word_pattern`` filters words (None keeps
+    everything). ``max_vocab_rows`` bounds the driver collect: the
+    word-frequency table is small by construction for natural-language
+    corpora, but a pathological corpus (random strings) could make
+    "vocab-bounded" unbounded — raises instead of OOMing the driver
+    (mitigate with a tighter ``word_pattern`` or pre-filtering).
+
+    Returns a DataFrame (merge_idx, left, right, merged, pair_count).
     """
-    import re as _re
-
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
     if word_pattern is not None:
         words = words.filter(F.col("word").rlike(word_pattern))
-    words = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("s", _bpe_symbol_string(F.col("word")))
-        .persist()
-    )
-    # Generation discipline (the coordinate-descent persist pattern):
-    # each merge round's word table is persisted and the superseded
-    # generation dropped once its successor materializes, so round k
-    # applies ONE regex over round k-1's cache instead of re-running
-    # the whole merge chain from scratch (O(rounds) total regex work,
-    # not O(rounds²)). Persisting does NOT truncate the logical plan —
-    # left unchecked the nested-cache plan tree blows analysis up past
-    # ~30 rounds (measured: plan-string OOM) — so every 8th generation
-    # is EAGERLY localCheckpoint'ed, replacing the lineage with a leaf
-    # LogicalRDD; the eager materialization is work the next argmax
-    # round would have done anyway.
-    merges: list[tuple] = []
-    cur = words
-    prev_gen = None
-    for _ in range(n_merges):
-        sy = F.split(F.trim(F.col("s")), _BPE_SEP)
-        pairs = (
-            cur.select("cnt", sy.alias("sy"))
-            .filter(F.size("sy") >= 2)
-            .select(
-                "cnt",
-                F.expr(
-                    "explode(transform(sequence(1, size(sy)-1),"
-                    " i -> struct(sy[i-1] AS l, sy[i] AS r)))"
-                ).alias("p"),
-            )
-            .select("cnt", "p.l", "p.r")
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    rows = freq.limit(max_vocab_rows + 1).collect()
+    if len(rows) > max_vocab_rows:
+        raise ValueError(
+            f"bpe_train: word-frequency table exceeds max_vocab_rows="
+            f"{max_vocab_rows}; tighten word_pattern or raise the cap"
         )
-        best = (
-            pairs.groupBy("l", "r")
-            .agg(F.sum("cnt").alias("c"))
-            .orderBy(F.desc("c"), "l", "r")
-            .limit(1)
-            .collect()
-        )
-        # the collect materialized `cur`; its parent generation is now safe to drop
-        if prev_gen is not None:
-            prev_gen.unpersist()
-            prev_gen = None
-        if not best or best[0].c < min_pair_count:
-            break
-        l, r, c = best[0].l, best[0].r, int(best[0].c)
-        merges.append((len(merges), l, r, l + r, c))
-        pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
-        nxt = cur.withColumn("s", F.regexp_replace("s", pat, f" {l}{r} "))
-        if len(merges) % 8 == 0:
-            nxt = nxt.localCheckpoint(eager=True)
-            if cur is not words:
-                cur.unpersist()
-            prev_gen = None
-        else:
-            nxt = nxt.persist()
-            prev_gen = cur if cur is not words else None
-        cur = nxt
-    if prev_gen is not None:
-        prev_gen.unpersist()
-    if cur is not words:
-        cur.unpersist()
-    words.unpersist()
+    vocab = [(list(r.word), int(r.cnt)) for r in rows]
+    merges = _bpe_local_merge_loop(vocab, n_merges, min_pair_count)
     return df.sparkSession.createDataFrame(
         merges,
         "merge_idx int, left string, right string, merged string, pair_count long",
     )
 
 
+#: merge-list size above which bpe_encode_words switches from a
+#: Catalyst regex chain to the Arrow-batched local encoder: one
+#: regexp_replace expression per merge is scan-speed for tokenizer-
+#: artifact-sized lists, but a production merge table (30k-100k rows)
+#: would build a plan tree 100k expressions deep — analysis, not data,
+#: becomes the bottleneck (same class of limit as the enforced
+#: literal-coefficient cap in functions/vectors.py).
+BPE_ENCODE_PLAN_CAP = 64
+
+
+def _bpe_rank_encode(word: str, ranks: dict) -> list:
+    """Encode ONE word with a merge-rank table: repeatedly merge the
+    lowest-rank adjacent pair present (ties impossible — ranks are
+    unique). Equivalent to applying the merges sequentially in
+    training order, because a merge can only create pairs involving
+    its own output symbol, and any merge consuming that symbol was
+    necessarily learned LATER — so earlier merges can never become
+    newly applicable."""
+    syms = list(word)
+    while len(syms) >= 2:
+        best_rank, best_i = None, -1
+        for i in range(len(syms) - 1):
+            rk = ranks.get((syms[i], syms[i + 1]))
+            if rk is not None and (best_rank is None or rk < best_rank):
+                best_rank, best_i = rk, i
+        if best_rank is None:
+            break
+        l, r = syms[best_i], syms[best_i + 1]
+        syms = _bpe_merge_word(syms, l, r)
+    return syms
+
+
 def bpe_encode_words(words: DataFrame, merges: list, word_col: str = "word") -> DataFrame:
     """Apply an ordered merge list to a word relation → ``syms`` array
     column (the word's BPE segmentation). ``merges`` is a list of
     (left, right) pairs (or rows with .left/.right) in training order —
-    a tokenizer artifact, bounded by the merge budget, embedded in the
-    plan the way model coefficients are. One regex replace per merge,
-    all scan-speed Catalyst."""
+    a tokenizer artifact embedded in the plan the way model
+    coefficients are.
+
+    Two physical strategies, same output (equivalence asserted in
+    tests): up to ``BPE_ENCODE_PLAN_CAP`` merges, one Catalyst
+    regexp_replace per merge (JVM scan-speed, SQL-replayable — the
+    gate-query path); above it, an Arrow-batched ``mapInPandas``
+    rank-greedy encoder whose cost is independent of merge count per
+    plan (the ranks dict ships once per task), which is how a
+    production 30k-merge tokenizer encodes. Both run over the
+    DISTINCT-WORD relation, never the corpus."""
     import re as _re
 
-    s = _bpe_symbol_string(F.col(word_col))
-    for m in merges:
-        l, r = (m.left, m.right) if hasattr(m, "left") else (m[0], m[1])
-        pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
-        s = F.regexp_replace(s, pat, f" {l}{r} ")
-    return words.withColumn("syms", F.split(F.trim(s), _BPE_SEP))
+    pairs = [
+        (m.left, m.right) if hasattr(m, "left") else (m[0], m[1])
+        for m in merges
+    ]
+    if len(pairs) <= BPE_ENCODE_PLAN_CAP:
+        s = _bpe_symbol_string(F.col(word_col))
+        for l, r in pairs:
+            pat = " " + _re.escape(l) + _BPE_SEP + _re.escape(r) + " "
+            s = F.regexp_replace(s, pat, f" {l}{r} ")
+        return words.withColumn("syms", F.split(F.trim(s), _BPE_SEP))
+
+    ranks = {p: i for i, p in enumerate(pairs)}
+    out_schema = T.StructType(
+        words.schema.fields
+        + [T.StructField("syms", T.ArrayType(T.StringType()))]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["syms"] = [
+                _bpe_rank_encode(w, ranks) for w in pdf[word_col]
+            ]
+            yield pdf
+
+    return words.mapInPandas(encode, schema=out_schema)
 
 
 def bpe_encode(

@@ -39,6 +39,13 @@ def _hadoop_write_text(spark: SparkSession, path: str, text: str) -> None:
         out.close()
 
 
+def _hadoop_exists(spark: SparkSession, path: str) -> bool:
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def _hadoop_read_text(spark: SparkSession, path: str) -> str:
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

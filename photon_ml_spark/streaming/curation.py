@@ -18,13 +18,23 @@ Semantics (first-seen-wins, the near-dup analog of ``first_seen``):
   sees them.
 
 Fault tolerance: ``foreachBatch`` is at-least-once, so a replayed
-micro-batch must be idempotent. Docs whose ids are already indexed are
-filtered out up front — a retried batch finds its own survivors in the
-index, drops them as already-present, and appends nothing new. (The
-parquet appends themselves can leave duplicate FILES on a crash
-between the two writes; production hardening would stage per-batch-id
-subdirectories — the standard foreachBatch idempotence recipe — which
-is orthogonal to the dedup logic and omitted here.)
+micro-batch must be idempotent. Every write of a batch is an
+OVERWRITE of the batch's own ``batch=<id>`` staging subdirectory (the
+standard foreachBatch exactly-once recipe), and the pre-batch index
+state a replay recomputes against excludes the batch's own staging
+partitions — so a retry after a crash at ANY point rewrites identical
+content instead of appending duplicates. ``save_minhash_index``
+stages its bootstrap rows under the reserved ``batch=-1`` partition,
+so batch-built and stream-built indexes share one canonical layout.
+
+Batch identity: the staging recipe assumes ``batch_id`` values are
+unique per input across ALL writers of an index — a stream restarted
+with a fresh checkpoint restarts foreachBatch ids at 0 and would
+silently overwrite an unrelated earlier batch's partition. Each
+published batch therefore leaves a ``_published/batch-<id>.json``
+marker carrying a content fingerprint of its input; a batch whose id
+is already published with a DIFFERENT fingerprint is refused, and one
+with the SAME fingerprint is a completed replay and skips cleanly.
 
 State growth: the index gains one signature row and one shingle-set
 per SURVIVING doc — the same O(corpus) state the batch index carries;
@@ -34,14 +44,32 @@ never a corpus scan.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from photon_ml_spark.sources.model_io import (
+    _hadoop_exists,
+    _hadoop_read_text,
+    _hadoop_write_text,
+)
 
-def _hadoop_exists(spark: SparkSession, path: str) -> bool:
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+
+def _batch_fingerprint(batch: DataFrame, id_col: str, text_col: str) -> dict:
+    """Deterministic, order-independent identity of a batch's input:
+    row count + xor of the (id, text) row hashes. Two different inputs
+    colliding on both is vanishingly unlikely; a replay of the same
+    input always matches (foreachBatch replays deliver the same
+    rows)."""
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("idhash"),
+    ).collect()[0]
+    return {"n": row["n"], "idhash": int(row["idhash"] or 0)}
+
+
+def _marker_path(index_path: str, batch_id: int) -> str:
+    return f"{index_path}/_published/batch-{int(batch_id)}.json"
 
 
 def neardup_process_batch(
@@ -60,16 +88,14 @@ def neardup_process_batch(
     drop near-dups against the index, publish survivors under
     ``out_path`` and their dedup state under ``index_path``.
     Bootstraps the index (and its parameter manifest) from the first
-    batch when ``index_path`` is empty.
+    batch when ``index_path`` has no committed index.
 
     ``batch_id`` is the replay-stable batch identity (Structured
-    Streaming's foreachBatch id; a date ordinal for daily jobs). Every
-    write is an OVERWRITE of the batch's own ``batch=<id>`` staging
-    subdirectory — the standard foreachBatch exactly-once recipe — so
-    a replay after a crash at ANY point rewrites identical content
-    instead of appending duplicates (survivor sets are deterministic
-    given the batch and the prior index state, which a failed attempt
-    never mutates outside its own staging dirs)."""
+    Streaming's foreachBatch id; a date ordinal for daily jobs); must
+    be >= 0 (``batch=-1`` is reserved for batch-built bootstraps).
+    Every write is an OVERWRITE of the batch's own ``batch=<id>``
+    staging subdirectory — see the module docstring for the replay /
+    identity contract."""
     from photon_ml_spark.operators.dedup import (
         cluster_and_keep,
         drop_new_duplicates,
@@ -81,8 +107,30 @@ def neardup_process_batch(
     )
 
     spark = batch.sparkSession
+    if int(batch_id) < 0:
+        raise ValueError(
+            "neardup_process_batch: batch_id must be >= 0 "
+            "(batch=-1 is the reserved save_minhash_index bootstrap id)"
+        )
     if batch.isEmpty():
         return
+
+    # batch-identity guard: refuse an id collision across writers
+    # (fresh-checkpoint restart against a populated index); skip a
+    # completed replay of the same input
+    marker = _marker_path(index_path, batch_id)
+    fp = _batch_fingerprint(batch, id_col, text_col)
+    if _hadoop_exists(spark, marker):
+        stored = json.loads(_hadoop_read_text(spark, marker))
+        if stored == fp:
+            return  # fully published already — replay is a no-op
+        raise ValueError(
+            f"neardup_process_batch: batch_id={int(batch_id)} was "
+            "already published for a DIFFERENT input (restarted stream "
+            "with a fresh checkpoint?) — overwriting its staging "
+            "partition would corrupt the shared index; re-key batches "
+            "or use a new index/output root"
+        )
 
     def publish(survivors, sids):
         keep_sids = sids.join(
@@ -98,7 +146,14 @@ def neardup_process_batch(
             "overwrite"
         ).parquet(f"{index_path}/signatures/batch={int(batch_id)}")
 
-    if not _hadoop_exists(spark, f"{index_path}/signatures"):
+    # bootstrap-complete detection keys on params.json — written LAST
+    # by every bootstrap path, so it is a commit marker (a crash
+    # mid-bootstrap leaves no params.json and the restart re-bootstraps
+    # over the uncommitted staging dirs instead of wedging on an
+    # unreadable half-index)
+    from photon_ml_spark.operators.dedup import INDEX_PARAMS_FILE
+
+    if not _hadoop_exists(spark, f"{index_path}/{INDEX_PARAMS_FILE}"):
         # bootstrap: batch-internal LSH dedup, survivors found the index
         sids = token_ids_hashed(batch, id_col, text_col, n).persist()
         try:
@@ -112,10 +167,11 @@ def neardup_process_batch(
                 .filter("is_keep")
                 .drop("cluster_id", "is_keep")
             )
+            publish(survivors, sids)
             write_index_params(
                 spark, index_path, n=n, num_hashes=num_hashes
             )
-            publish(survivors, sids)
+            _hadoop_write_text(spark, marker, json.dumps(fp, sort_keys=True))
         finally:
             sids.unpersist()
         return
@@ -128,9 +184,19 @@ def neardup_process_batch(
     # safe: docs dropped as duplicates never enter the index, so the
     # filter would shrink the batch on replay and the overwrite would
     # wipe the original survivors.)
+    old_sigs = spark.read.parquet(f"{index_path}/signatures")
+    old_sids = spark.read.parquet(f"{index_path}/doc_sids")
+    if "batch" not in old_sigs.columns or "batch" not in old_sids.columns:
+        raise ValueError(
+            "neardup_process_batch: index at "
+            f"{index_path!r} has a legacy flat layout (no batch= "
+            "staging partitions) — replay-safe staged overwrites "
+            "cannot compose with it; rebuild it with "
+            "save_minhash_index (which stages under batch=-1)"
+        )
     not_mine = F.col("batch") != int(batch_id)
-    old_sigs = spark.read.parquet(f"{index_path}/signatures").filter(not_mine)
-    old_sids = spark.read.parquet(f"{index_path}/doc_sids").filter(not_mine)
+    old_sigs = old_sigs.filter(not_mine)
+    old_sids = old_sids.filter(not_mine)
     # one shingle-id relation serves detection AND the index append;
     # explicitly unpersisted so a long-running stream doesn't leak one
     # cached frame per trigger
@@ -145,6 +211,7 @@ def neardup_process_batch(
             batch, pairs, old_sigs.select(id_col), id_col=id_col
         ).persist()
         publish(survivors, sids)
+        _hadoop_write_text(spark, marker, json.dumps(fp, sort_keys=True))
         survivors.unpersist()
     finally:
         sids.unpersist()
