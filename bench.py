@@ -66,6 +66,40 @@ def run_flagship(spark, sf_dir: str) -> int:
     return n
 
 
+def run_curate(spark, sf_dir: str) -> None:
+    """The composed curate CLI end-to-end (quality → exact dedup →
+    near-dedup → leakage-safe split → chunk + data cards) over the
+    documents table — regressions in the COMPOSITION (stage wiring,
+    cache discipline), not just the constituent operators, show up
+    here. The CLI's own JSON report line is captured so bench still
+    prints exactly one line."""
+    import contextlib
+    import io
+    import shutil
+    import tempfile
+
+    from photon_ml_spark.cli import curate
+
+    out = tempfile.mkdtemp(prefix="bench_curate_")
+    try:
+        with contextlib.redirect_stdout(io.StringIO()):
+            curate(
+                {
+                    "input": f"{sf_dir}/documents.parquet",
+                    "output_dir": out,
+                    "quality": {"min_tokens": 5, "min_quality": 0.2},
+                    "exact_dedup": True,
+                    "near_dedup": {"threshold": 0.5, "n": 2},
+                    "split": {"test_frac": 0.1},
+                    "chunk": {"max_tokens": 256, "overlap": 32},
+                    "report": True,
+                },
+                spark,
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 # Heavier / representative registry queries for the headline set.
 BENCH_QUERIES = [
     "s3_feature_dictionary",
@@ -113,6 +147,10 @@ def main() -> None:
     t0 = time.perf_counter()
     run_flagship(spark, sf_dir)
     timings["flagship_game_pipeline"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    run_curate(spark, sf_dir)
+    timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
 
     for name in BENCH_QUERIES:
         spec = registry.get(name)

@@ -182,6 +182,33 @@ def logistic_data_loglik_and_aic(
     return df.agg(ll.alias("loglik"), aic.alias("aic"), aicc.alias("aicc"))
 
 
+def poisson_data_loglik_and_aic(
+    df: DataFrame, k: int, margin="score", label="label", weight=None
+) -> DataFrame:
+    """Data log-likelihood (Poisson) + small-sample-corrected AIC
+    (Evaluation.scala:131-145 poissonRegressionLogLikelihood, AIC
+    :105-125): per-sample ll = y·m − exp(m) − lnΓ(1+y) with m the
+    linear margin (wᵀx + offset); AICc = 2k − 2lnL + 2k(k+1)/(n−k−1)
+    with k the effective (nonzero) parameter count. lnΓ(1+y) = ln(y!)
+    is computed exactly as Σ_{i=1..y} ln i over the integer count label
+    — a JVM higher-order ``aggregate`` over ``sequence``, since Spark
+    has no lgamma builtin (and ``factorial`` nulls out above 20)."""
+    w = _w(weight)
+    m, y = F.col(margin), F.col(label)
+    lgam = F.when(y < 1, F.lit(0.0)).otherwise(
+        F.aggregate(
+            F.sequence(F.lit(1), y.cast("int")),
+            F.lit(0.0),
+            lambda acc, i: acc + F.log(i.cast("double")),
+        )
+    )
+    ll = F.sum(w * (y * m - F.exp(m) - lgam))
+    n = F.count(F.lit(1))
+    aic = F.lit(2.0 * k) - 2.0 * ll
+    aicc = aic + F.lit(2.0 * k * (k + 1)) / (n - F.lit(k + 1))
+    return df.agg(ll.alias("loglik"), aic.alias("aic"), aicc.alias("aicc"))
+
+
 # ---------------------------------------------------- grouped (Multi) metrics
 
 def auroc_per_group(

@@ -409,3 +409,65 @@ def gp_search(
     pickf = max if maximize else min
     bestp = pickf(history, key=lambda h: h[1])
     return {"best_params": bestp[0], "best_value": bestp[1], "history": history}
+
+
+def gp_ridge_search_1d(
+    df,
+    x_col: str,
+    y_col: str,
+    fold_col: str,
+    log10_bounds: tuple[float, float] = (-2.0, 4.0),
+    n_init: int = 5,
+    n_iter: int = 15,
+    kernel_sampling: str = "slice",
+) -> dict:
+    """GP-EI search over the 1-feature ridge λ surface — the model-based
+    M11 mode wired to a REAL distributed objective: the train/validation
+    moment sums are aggregated in ONE Spark pass (they are sufficient
+    statistics for the closed-form ridge fit + validation MSE), then
+    every GP evaluation is driver-local arithmetic on them — 20+
+    evaluations cost one scan total, not one job each. Deterministic:
+    Halton init/candidates, per-iteration-seeded slice sampler.
+
+    Returns gp_search's result dict with λ (not log λ) in params."""
+    from pyspark.sql import functions as F
+
+    x, y = F.col(x_col), F.col(y_col)
+    tr = F.col(fold_col) == 0
+
+    def s(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0.0)))
+
+    m = df.agg(
+        F.sum(F.when(tr, 1).otherwise(0)).cast("double").alias("tn"),
+        s(tr, x).alias("tsx"), s(tr, y).alias("tsy"),
+        s(tr, x * x).alias("tsxx"), s(tr, x * y).alias("tsxy"),
+        F.sum(F.when(~tr, 1).otherwise(0)).cast("double").alias("vn"),
+        s(~tr, x).alias("vsx"), s(~tr, y).alias("vsy"),
+        s(~tr, x * x).alias("vsxx"), s(~tr, y * y).alias("vsyy"),
+        s(~tr, x * y).alias("vsxy"),
+    ).first()
+
+    def val_mse(lam: float) -> float:
+        det = (m.tsxx + lam) * m.tn - m.tsx * m.tsx
+        beta = (m.tn * m.tsxy - m.tsx * m.tsy) / det
+        alpha = ((m.tsxx + lam) * m.tsy - m.tsx * m.tsxy) / det
+        return (
+            m.vsyy
+            - 2 * beta * m.vsxy
+            - 2 * alpha * m.vsy
+            + beta * beta * m.vsxx
+            + 2 * alpha * beta * m.vsx
+            + alpha * alpha * m.vn
+        ) / m.vn
+
+    res = gp_search(
+        lambda p: val_mse(10.0 ** p["log_lam"]),
+        {"log_lam": (log10_bounds[0], log10_bounds[1], "linear")},
+        n_init=n_init,
+        n_iter=n_iter,
+        kernel_sampling=kernel_sampling,
+    )
+    res["best_params"] = {"lam": 10.0 ** res["best_params"]["log_lam"]}
+    res["val_mse"] = val_mse
+    return res

@@ -38,16 +38,26 @@ def standard_training_checks(
     weight_col: str = "weight",
     offset_col: str = "offset",
     task: str = "logistic",
+    features_col: str | None = "features_values",
 ) -> dict[str, Column]:
     """The reference's per-task validation suite
     (DataValidators.scala:88-195): finite label/offset, weight > 0,
-    binary label for logistic, non-negative label for Poisson."""
+    binary label for logistic, non-negative label for Poisson, and a
+    finite FEATURE VECTOR (``validateFeatures``, DataValidators.scala:
+    88-99) — a row is invalid if ANY element of ``features_col`` is
+    NaN/±Inf/NULL (higher-order ``exists`` over the values array, one
+    JVM expression, no explode). Pass ``features_col=None`` for
+    feature-less relations."""
     label = F.col(label_col)
     checks = {
         "n_nonfinite_label": ~is_finite(label),
         "n_nonfinite_offset": ~is_finite(F.col(offset_col)),
         "n_nonpositive_weight": ~(F.col(weight_col) > 0),
     }
+    if features_col is not None:
+        checks["n_nonfinite_features"] = F.exists(
+            F.col(features_col), lambda v: ~is_finite(v)
+        )
     if task in ("logistic", "binomial", "smoothed_hinge"):
         checks["n_nonbinary_label"] = ~label.isin(0.0, 1.0)
     elif task == "poisson":

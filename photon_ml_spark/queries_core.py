@@ -324,27 +324,62 @@ def f4_daily_paths(spark, sf_dir):
     "p4_data_validation",
     oracle="""
 SELECT
+  CAST(SUM(CASE WHEN o_orderkey % 139 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_label,
+  CAST(SUM(CASE WHEN o_orderkey % 113 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_offset,
+  CAST(SUM(CASE WHEN o_orderkey % 131 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonpositive_weight,
+  CAST(SUM(CASE WHEN o_orderkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_features,
+  CAST(SUM(CASE WHEN o_orderkey % 139 = 0 OR o_orderkey % 127 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonbinary_label,
   CAST(SUM(CASE WHEN NOT (isfinite(o_totalprice)) THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_price,
   CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_price,
   CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
   CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM orders
 """,
-    note="P4/F7: validator aggregate (DataValidators.scala:320-417 row-AND pattern)",
+    note="P4/F7: validator aggregate (DataValidators.scala:320-417 row-AND "
+    "pattern) through the FULL standard_training_checks suite — finite "
+    "label/offset, positive weight, binary label, and finite feature "
+    "VECTOR (validateFeatures, DataValidators.scala:88-195; higher-order "
+    "exists over the values array) — with NaN/Inf/zero/nonbinary "
+    "violations injected at deterministic orderkey residues so every "
+    "counter is exercised nonzero; the oracle mirrors the injection "
+    "conditions",
 )
 def p4_data_validation(spark, sf_dir):
-    from photon_ml_spark.operators.validation import validation_report
+    from photon_ml_spark.operators.validation import (
+        standard_training_checks,
+        validation_report,
+    )
 
     o = _t(spark, sf_dir, "orders")
-    return validation_report(
-        o,
+    k = F.col("o_orderkey")
+    staged = o.select(
+        "o_totalprice",
+        "o_orderstatus",
+        F.when(k % 139 == 0, F.lit(float("nan")))
+        .when(k % 127 == 0, F.lit(2.0))
+        .otherwise((k % 2).cast("double"))
+        .alias("response"),
+        F.when(k % 113 == 0, F.lit(float("inf")))
+        .otherwise(F.lit(0.0))
+        .alias("offset"),
+        F.when(k % 131 == 0, F.lit(0.0)).otherwise(F.lit(1.0)).alias("weight"),
+        F.array(
+            F.col("o_totalprice") / 1000.0,
+            F.when(k % 97 == 0, F.lit(float("nan"))).otherwise(
+                F.col("o_custkey").cast("double")
+            ),
+        ).alias("features_values"),
+    )
+    checks = standard_training_checks()
+    checks.update(
         {
             "n_bad_price": ~(F.col("o_totalprice") == F.col("o_totalprice"))
             | F.col("o_totalprice").isin(float("inf"), float("-inf")),
             "n_neg_price": F.col("o_totalprice") < 0,
             "n_bad_status": ~F.col("o_orderstatus").isin("O", "F", "P"),
-        },
+        }
     )
+    return validation_report(staged, checks)
 
 
 @register(

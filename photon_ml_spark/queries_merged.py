@@ -24,11 +24,12 @@ the registry to ≤ 50 gate slots for every family:
                             (audio), melted to (variant, doc_id, k, v)
 
 Every constituent's run function keeps living (and is importable) in
-its home module; the originals whose union semantics would be muddy
-(m2b stationarity vs m2 coefficients, x5 signatures, e4 scoring, x13/
-x15/x11 text stats) stay registered standalone and are ordered AFTER
-the gate window by ``queries.GATE_ORDER`` — still replayed by the
-local oracle suite.
+its home module. Since round 4 the registry is EXACTLY the 50-name
+gate window: the six variants that previously sat outside it (m2b
+poisson stationarity, x5 signatures, e4 stream scoring, x11/x13/x15
+text stats) are absorbed into their family suites (m2, x6, e1, x1)
+at the bottom of this module — nothing is verified only locally
+anymore (tests/test_registry.py pins this).
 
 Exactness: cross joins of 1-row frames and UNION ALL of already-
 hash-matching constituents introduce no new float arithmetic; integer
@@ -59,7 +60,10 @@ _FOLDED = {
     "a10b_aupr": ("a10b", ["aupr"]),
     "a11_grouped_precision_at_k": ("a11", ["mean_precision_at_k", "n_groups"]),
     "a11b_grouped_auc": ("a11b", ["mean_group_auc", "n_groups"]),
-    "a12_peak_f1_aic": ("a12", ["peak_f1", "loglik", "aic", "aicc"]),
+    "a12_peak_f1_aic": (
+        "a12",
+        ["peak_f1", "loglik", "aic", "aicc", "p_loglik", "p_aic", "p_aicc"],
+    ),
     "a13_eval_suite": (
         "a13",
         ["rmse", "mae", "logistic_loss", "squared_loss", "weight_sum", "n"],
@@ -163,9 +167,30 @@ _FOLDED = {
         "epochs",
         ["doc_id", "source", "copy_idx", "rate"],
     ),
+    # round-4 folds: the six variants that sat outside the 50-row gate
+    # window, each absorbed into its family suite
+    "m2b_per_entity_poisson": (
+        "poisson",
+        ["entity", "g_x", "g_int", "n_samples"],
+    ),
+    "x5_minhash_signatures": (
+        "signatures",
+        ["doc_id"] + [f"mh{i}" for i in range(8)],
+    ),
+    "e4_stream_scoring": ("scoring", ["event_id", "score"]),
+    "x11_fingerprint": ("fingerprint", ["doc_id", "fp"]),
+    "x13_token_histogram": ("histogram", ["bucket", "n_docs", "n_tokens"]),
+    "x15_repetition_stats": (
+        "repetition",
+        ["doc_id", "dup_token_frac", "dup_bigram_frac"],
+    ),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
+# family anchors absorbed-and-re-registered by this module (their run
+# functions are reused wholesale, so they live in _SPEC, not _FOLDED)
+for _anchor in ("m2_per_entity_ridge", "x1_text_quality"):
+    _SPEC[_anchor] = QUERY_REGISTRY.pop(_anchor)
 
 
 def _widen(spark, sf_dir, names):
@@ -249,6 +274,14 @@ def m1_custom_solvers(spark, sf_dir):
     return _widen(spark, sf_dir, _SOLVER_PARTS)
 
 
+_X5_MELT_SQL = " UNION ALL ".join(
+    f"SELECT 'signatures' AS variant, doc_id AS id_a, "
+    f"CAST({i} AS BIGINT) AS id_b, CAST(mh{i} AS DOUBLE) AS stat "
+    f"FROM ({_SPEC['x5_minhash_signatures'].oracle.strip()}) x5_{i}"
+    for i in range(8)
+)
+
+
 @register(
     "x6_neardup_pairs",
     oracle=f"""
@@ -260,11 +293,15 @@ FROM ({_SPEC["x7_simhash_neardup"].oracle.strip()}) t1
 UNION ALL
 SELECT 'embedding' AS variant, id_a, id_b, cosine AS stat
 FROM ({_SPEC["x8_embedding_neardup"].oracle.strip()}) t2
+UNION ALL
+{_X5_MELT_SQL}
 """,
     note="pipeline/dedup near-dup pair suite in ONE gate row: MinHash+LSH "
     "(stat=verified jaccard), SimHash bands (stat=hamming), embedding "
-    "cosine blocks (stat=cosine) — variant-tagged union; constituent "
-    "notes in queries_pipeline.py",
+    "cosine blocks (stat=cosine), and the portable minhash SIGNATURE "
+    "rows themselves (x5, melted to id_a=doc, id_b=hash index, "
+    "stat=minhash value — exact integers) — variant-tagged union; "
+    "constituent notes in queries_pipeline.py",
 )
 def x6_neardup_pairs(spark, sf_dir):
     from photon_ml_spark.operators.dedup import (
@@ -294,7 +331,25 @@ def x6_neardup_pairs(spark, sf_dir):
             "id_a", "id_b", F.col("cosine").alias("stat"),
         )
     )
-    return lsh.unionByName(sim).unionByName(emb)
+    # the signatures block (x5) shares the suite's cached shingle-id
+    # relation — same dense full-corpus vocabulary as its oracle, one
+    # vocabulary sort for all three shingle-based constituents
+    from photon_ml_spark.operators.dedup import minhash_signatures
+
+    sig_pairs = ", ".join(
+        f"CAST({i} AS BIGINT), CAST(mh{i} AS DOUBLE)" for i in range(8)
+    )
+    sigs = (
+        minhash_signatures(
+            sids.filter(F.col("doc_id") % 10 == 0), num_hashes=8
+        )
+        .selectExpr("doc_id", f"stack(8, {sig_pairs}) AS (id_b, stat)")
+        .select(
+            F.lit("signatures").alias("variant"),
+            F.col("doc_id").alias("id_a"), "id_b", "stat",
+        )
+    )
+    return lsh.unionByName(sim).unionByName(emb).unionByName(sigs)
 
 
 _ANN_PARTS = ["x9_ann_brute_topk", "x9b_ann_blas_topk", "x10_ann_ivf_topk"]
@@ -334,10 +389,16 @@ UNION ALL
 SELECT 'session' AS variant, CAST(user_id AS VARCHAR) AS key,
        session_start AS ts, n_events, value_sum
 FROM ({_SPEC["e3_event_sessions"].oracle.strip()}) t1
+UNION ALL
+SELECT 'scoring' AS variant, CAST(event_id AS VARCHAR) AS key,
+       CAST(NULL AS VARCHAR) AS ts, CAST(NULL AS BIGINT) AS n_events,
+       score AS value_sum
+FROM ({_SPEC["e4_stream_scoring"].oracle.strip()}) t2
 """,
-    note="streaming event-time windowing suite in ONE gate row: tumbling "
-    "15-min windows (key=event_type) and 5-min-gap session windows "
-    "(key=user_id) — variant-tagged union of the batch sides of the "
+    note="streaming event suite in ONE gate row: tumbling 15-min windows "
+    "(key=event_type), 5-min-gap session windows (key=user_id), and "
+    "stateless literal-model stream scoring (e4, key=event_id, "
+    "value_sum=score) — variant-tagged union of the batch sides of the "
     "dual-use operators; constituent notes in queries_streaming.py",
 )
 def e1_event_windows(spark, sf_dir):
@@ -359,7 +420,17 @@ def e1_event_windows(spark, sf_dir):
             "n_events", "value_sum",
         )
     )
-    return tumb.unionByName(sess)
+    scoring = (
+        _SPEC["e4_stream_scoring"].run(spark, sf_dir)
+        .select(
+            F.lit("scoring").alias("variant"),
+            F.col("event_id").cast("string").alias("key"),
+            F.lit(None).cast("string").alias("ts"),
+            F.lit(None).cast("long").alias("n_events"),
+            F.col("score").alias("value_sum"),
+        )
+    )
+    return tumb.unionByName(sess).unionByName(scoring)
 
 
 @register(
@@ -798,3 +869,112 @@ def x18_corpus_mix(spark, sf_dir):
         F.col("gumbel_key").alias("val"),
     )
     return mix.unionByName(epochs).unionByName(dsir)
+
+
+# --------------------------------------------------------- round-4 suites
+# Round 3 left six registered queries outside the 50-row gate window
+# (verified only by the local oracle replica). Round 4 absorbs each into
+# its family suite so EVERY registered query is inside the driver gate.
+
+
+@register(
+    "m2_per_entity_ridge",
+    oracle=f"""{_SPEC["m2_per_entity_ridge"].oracle.strip()}
+UNION ALL
+SELECT 'poisson' AS variant, entity, g_x AS coef, g_int AS intercept,
+       n_samples
+FROM ({_SPEC["m2b_per_entity_poisson"].oracle.strip()}) m2b
+""",
+    note="M2 per-entity solver suite, now four blocks: the round-3 "
+    "ridge/subspace/exempt closed-form blocks (notes in queries_ml.py) "
+    "plus the POISSON family through the same applyInPandas Newton "
+    "solver, verified by its distributed stationarity oracle (m2b: "
+    "coef/intercept carry the recomputed penalized gradient, which "
+    "must round to 0) — variant-tagged union",
+)
+def m2_per_entity_ridge(spark, sf_dir):
+    base = _SPEC["m2_per_entity_ridge"].run(spark, sf_dir)
+    poisson = _SPEC["m2b_per_entity_poisson"].run(spark, sf_dir).select(
+        F.lit("poisson").alias("variant"),
+        "entity",
+        F.col("g_x").alias("coef"),
+        F.col("g_int").alias("intercept"),
+        "n_samples",
+    )
+    return base.unionByName(poisson)
+
+
+# x1 text-analysis suite: the x1 quality columns melt to (variant, id,
+# k, v[, sv]); x11's md5 fingerprint is a STRING, so the suite carries
+# a nullable string-value column sv alongside the double v — exact on
+# both sides, no float formatting through strings.
+_X1_COLS = ["n_tokens", "n_bpe_tokens", "stopword_ratio", "punct_ratio", "quality"]
+
+
+def _x1_suite_sql() -> str:
+    quality = " UNION ALL ".join(
+        f"SELECT 'quality' AS variant, doc_id AS id, '{c}' AS k, "
+        f"CAST({c} AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS sv "
+        f"FROM ({_SPEC['x1_text_quality'].oracle.strip()}) q_{c}"
+        for c in _X1_COLS
+    )
+    fp = (
+        "SELECT 'fingerprint' AS variant, doc_id AS id, 'fp' AS k, "
+        "CAST(NULL AS DOUBLE) AS v, fp AS sv "
+        f"FROM ({_SPEC['x11_fingerprint'].oracle.strip()}) t_fp"
+    )
+    hist = " UNION ALL ".join(
+        f"SELECT 'histogram' AS variant, bucket AS id, '{c}' AS k, "
+        f"CAST({c} AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS sv "
+        f"FROM ({_SPEC['x13_token_histogram'].oracle.strip()}) h_{c}"
+        for c in ("n_docs", "n_tokens")
+    )
+    rep = " UNION ALL ".join(
+        f"SELECT 'repetition' AS variant, doc_id AS id, '{c}' AS k, "
+        f"CAST({c} AS DOUBLE) AS v, CAST(NULL AS VARCHAR) AS sv "
+        f"FROM ({_SPEC['x15_repetition_stats'].oracle.strip()}) r_{c}"
+        for c in ("dup_token_frac", "dup_bigram_frac")
+    )
+    return " UNION ALL ".join([quality, fp, hist, rep])
+
+
+@register(
+    "x1_text_quality",
+    oracle=_x1_suite_sql(),
+    note="pipeline/text analysis suite in ONE gate row: token counts + "
+    "stopword/punct ratios + composite quality (x1), md5 content "
+    "fingerprint (x11, string value in sv), token-length histogram "
+    "(x13, id=decade bucket), and Gopher-style repetition fractions "
+    "(x15) — melted to (variant, id, k, v, sv); constituent notes in "
+    "queries_pipeline.py",
+)
+def x1_text_quality(spark, sf_dir):
+    def melt_num(df, variant, key, cols):
+        pairs = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+        return df.selectExpr(
+            f"{key} AS id", f"stack({len(cols)}, {pairs}) AS (k, v)"
+        ).select(
+            F.lit(variant).alias("variant"), "id", "k", "v",
+            F.lit(None).cast("string").alias("sv"),
+        )
+
+    quality = melt_num(
+        _SPEC["x1_text_quality"].run(spark, sf_dir),
+        "quality", "doc_id", _X1_COLS,
+    )
+    fp = _SPEC["x11_fingerprint"].run(spark, sf_dir).select(
+        F.lit("fingerprint").alias("variant"),
+        F.col("doc_id").alias("id"),
+        F.lit("fp").alias("k"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("fp").alias("sv"),
+    )
+    hist = melt_num(
+        _SPEC["x13_token_histogram"].run(spark, sf_dir),
+        "histogram", "bucket", ["n_docs", "n_tokens"],
+    )
+    rep = melt_num(
+        _SPEC["x15_repetition_stats"].run(spark, sf_dir),
+        "repetition", "doc_id", ["dup_token_frac", "dup_bigram_frac"],
+    )
+    return quality.unionByName(fp).unionByName(hist).unionByName(rep)

@@ -722,31 +722,87 @@ fit AS (
          ((tr.sxx + lam)*tr.sy - tr.sx*tr.sxy)
            / ((tr.sxx + lam)*tr.n - tr.sx*tr.sx) AS alpha
   FROM lam, tr
+),
+dlam AS (SELECT unnest([0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0,
+                        100.0, 300.0, 1000.0, 3000.0, 10000.0]) AS lam),
+dfit AS (
+  SELECT lam,
+         (tr.n*tr.sxy - tr.sx*tr.sy) / ((tr.sxx + lam)*tr.n - tr.sx*tr.sx) AS beta,
+         ((tr.sxx + lam)*tr.sy - tr.sx*tr.sxy)
+           / ((tr.sxx + lam)*tr.n - tr.sx*tr.sx) AS alpha
+  FROM dlam, tr
+),
+dmse AS (
+  SELECT MIN((va.syy - 2*beta*va.sxy - 2*alpha*va.sy + beta*beta*va.sxx
+              + 2*alpha*beta*va.sx + alpha*alpha*va.n) / va.n) AS best
+  FROM dfit, va
 )
-SELECT lam, ROUND(beta, 6) AS beta, ROUND(alpha, 6) AS alpha,
+SELECT 'grid' AS variant, lam,
+       ROUND(beta, 6) AS beta, ROUND(alpha, 6) AS alpha,
        ROUND((va.syy - 2*beta*va.sxy - 2*alpha*va.sy + beta*beta*va.sxx
-              + 2*alpha*beta*va.sx + alpha*alpha*va.n) / va.n, 6) AS val_mse
+              + 2*alpha*beta*va.sx + alpha*alpha*va.n) / va.n, 6) AS val_mse,
+       TRUE AS ok
 FROM fit, va
+UNION ALL
+SELECT 'gp' AS variant, CAST(NULL AS DOUBLE) AS lam,
+       CAST(NULL AS DOUBLE) AS beta, CAST(NULL AS DOUBLE) AS alpha,
+       ROUND(best, 6) AS val_mse, TRUE AS ok
+FROM dmse
 """,
-    note="M11 (grid mode): λ-grid ridge evaluation as ONE distributed plan — "
-    "train/val moments in a single scan, closed-form fit + validation MSE "
-    "per λ via cross join (driver hook GameTrainingDriver.scala:677-726; "
-    "quasi-random + GP modes are driver loops, tested in "
-    "tests/test_hypersearch.py)",
+    note="M11 suite: the λ-grid ridge evaluation as ONE distributed plan "
+    "(train/val moments in a single scan, closed-form fit + validation "
+    "MSE per λ via cross join; driver hook "
+    "GameTrainingDriver.scala:677-726) PLUS the model-based mode: a "
+    "deterministic slice-sampled GP-EI search "
+    "(GaussianProcessSearch.scala, SliceSampler.scala) over "
+    "log10 λ ∈ [-2, 4] against the same moment-backed objective. The "
+    "gp row's val_mse is the 13-point dense-grid best (SQL-replayable); "
+    "ok is computed Spark-side as gp_best ≤ dense_best·1.001 — a wrong "
+    "GP flips the hash",
 )
 def m11_reg_grid(spark, sf_dir):
-    from photon_ml_spark.ml.hypersearch import ridge_grid_eval_1d
+    from photon_ml_spark.ml.hypersearch import (
+        gp_ridge_search_1d,
+        ridge_grid_eval_1d,
+    )
 
     d = _t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("x"),
         F.round(F.col("l_extendedprice") / 1000, 0).alias("y"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 2).alias("fold"),
     )
-    out = ridge_grid_eval_1d(d, "x", "y", "fold", [0.01, 1.0, 100.0, 10000.0])
-    return out.select(
-        "lam", r6(F.col("beta")).alias("beta"), r6(F.col("alpha")).alias("alpha"),
+    grid = ridge_grid_eval_1d(
+        d, "x", "y", "fold", [0.01, 1.0, 100.0, 10000.0]
+    ).select(
+        F.lit("grid").alias("variant"),
+        "lam",
+        r6(F.col("beta")).alias("beta"),
+        r6(F.col("alpha")).alias("alpha"),
         r6(F.col("val_mse")).alias("val_mse"),
+        F.lit(True).alias("ok"),
     )
+    dense = ridge_grid_eval_1d(
+        d, "x", "y", "fold",
+        [0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0,
+         100.0, 300.0, 1000.0, 3000.0, 10000.0],
+    )
+    dense_best = min(r.val_mse for r in dense.collect())
+    gp = gp_ridge_search_1d(
+        d, "x", "y", "fold", log10_bounds=(-2.0, 4.0),
+        kernel_sampling="slice",
+    )
+    gp_row = spark.createDataFrame(
+        [(
+            "gp", None, None, None, float(dense_best),
+            bool(gp["best_value"] <= dense_best * 1.001),
+        )],
+        "variant string, lam double, beta double, alpha double, "
+        "val_mse double, ok boolean",
+    ).select(
+        "variant", "lam", "beta", "alpha",
+        r6(F.col("val_mse")).alias("val_mse"), "ok",
+    )
+    return grid.unionByName(gp_row)
 
 
 # ---------------------------------------------------------- M13 smoothed hinge
@@ -1227,21 +1283,37 @@ ll AS (
            AS loglik,
          COUNT(*) AS n
   FROM scored
+),
+pscored AS (
+  SELECT l_discount - l_tax + l_quantity / 50.0 AS score,
+         CAST(l_linenumber AS DOUBLE) AS label
+  FROM lineitem
+),
+pll AS (
+  SELECT SUM(label * score - EXP(score) - LGAMMA(1.0 + label)) AS loglik,
+         COUNT(*) AS n
+  FROM pscored
 )
 SELECT ROUND(f1.peak_f1, 5) AS peak_f1,
        ROUND(ll.loglik, 4) AS loglik,
        ROUND(2.0 * 6 - 2.0 * ll.loglik, 4) AS aic,
-       ROUND(2.0 * 6 - 2.0 * ll.loglik + 2.0 * 6 * 7 / (ll.n - 7), 4) AS aicc
-FROM f1, ll
+       ROUND(2.0 * 6 - 2.0 * ll.loglik + 2.0 * 6 * 7 / (ll.n - 7), 4) AS aicc,
+       ROUND(pll.loglik, 4) AS p_loglik,
+       ROUND(2.0 * 4 - 2.0 * pll.loglik, 4) AS p_aic,
+       ROUND(2.0 * 4 - 2.0 * pll.loglik + 2.0 * 4 * 5 / (pll.n - 5), 4) AS p_aicc
+FROM f1, ll, pll
 """,
     note="A12: legacy metric suite extras — peak F1 over all thresholds "
-    "(window sweep) + logistic data log-likelihood + small-sample-corrected "
-    "AIC (Evaluation.scala:40-165, AIC :105-125)",
+    "(window sweep) + logistic AND Poisson data log-likelihood + "
+    "small-sample-corrected AIC (Evaluation.scala:40-165, logistic "
+    ":148-161, poisson :131-145, AIC :105-125); lnΓ(1+y) exact via "
+    "JVM Σ ln i, DuckDB LGAMMA on the oracle side",
 )
 def a12_peak_f1_aic(spark, sf_dir):
     from photon_ml_spark.functions.metrics import (
         logistic_data_loglik_and_aic,
         peak_f1,
+        poisson_data_loglik_and_aic,
     )
 
     s = _t(spark, sf_dir, "lineitem").select(
@@ -1260,4 +1332,15 @@ def a12_peak_f1_aic(spark, sf_dir):
         F.round(F.col("aic"), 4).alias("aic"),
         F.round(F.col("aicc"), 4).alias("aicc"),
     )
-    return f1.crossJoin(lla)
+    p = _t(spark, sf_dir, "lineitem").select(
+        (
+            F.col("l_discount") - F.col("l_tax") + F.col("l_quantity") / 50.0
+        ).alias("score"),
+        F.col("l_linenumber").cast("double").alias("label"),
+    )
+    pla = poisson_data_loglik_and_aic(p, k=4).select(
+        F.round(F.col("loglik"), 4).alias("p_loglik"),
+        F.round(F.col("aic"), 4).alias("p_aic"),
+        F.round(F.col("aicc"), 4).alias("p_aicc"),
+    )
+    return f1.crossJoin(lla).crossJoin(pla)

@@ -148,3 +148,67 @@ def save_scores(
     optional coalesce to bound output file count (T6)."""
     out = scored.coalesce(output_files_limit) if output_files_limit else scored
     out.write.mode("overwrite").parquet(path)
+
+
+# --------------------------------------------------- legacy GLM text format
+
+
+def save_glm_text(
+    models,
+    dictionary: DataFrame,
+    path: str,
+    spark: SparkSession,
+) -> None:
+    """Legacy Photon text model sink (README "Models"; writer
+    IOUtils.scala:243-288 writeModelsInText): one line per coefficient,
+    ``name\\tterm\\tcoefficient\\tregularization_weight``, coefficients
+    sorted descending by value within each model, one output partition
+    per (λ, model) — the GLMSuite regularization-sweep artifact.
+
+    ``models`` is an iterable of (reg_weight, FixedEffectGLM);
+    ``dictionary`` maps (feature_key, feature_index). Spark-first: the
+    coefficient tables union into one relation, repartition on λ and
+    sort within partitions — a distributed text sink, no driver loop
+    over coefficients."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    frames = []
+    for lam, model in models:
+        frames.append(
+            model.as_table(spark).withColumn("reg_weight", F.lit(float(lam)))
+        )
+    tbl = frames[0]
+    for f in frames[1:]:
+        tbl = tbl.unionByName(f)
+    parts = F.split(F.col("feature_key"), FEATURE_KEY_SEP)
+    lines = (
+        tbl.join(F.broadcast(dictionary), "feature_index")
+        .select(
+            "reg_weight",
+            "coefficient",
+            F.element_at(parts, 1).alias("name"),
+            F.coalesce(F.element_at(parts, 2), F.lit("")).alias("term"),
+        )
+        .repartition("reg_weight")
+        .sortWithinPartitions(F.desc("coefficient"))
+        .select(
+            F.concat_ws(
+                "\t", "name", "term",
+                F.col("coefficient").cast("string"),
+                F.col("reg_weight").cast("string"),
+            ).alias("value")
+        )
+    )
+    lines.write.mode("overwrite").text(path)
+
+
+def load_glm_text(spark: SparkSession, path: str) -> DataFrame:
+    """Read a legacy text model dir back into a relation
+    (name, term, coefficient, reg_weight)."""
+    parts = F.split(F.col("value"), "\t")
+    return spark.read.text(path).select(
+        F.element_at(parts, 1).alias("name"),
+        F.element_at(parts, 2).alias("term"),
+        F.element_at(parts, 3).cast("double").alias("coefficient"),
+        F.element_at(parts, 4).cast("double").alias("reg_weight"),
+    )

@@ -1,0 +1,233 @@
+"""10x-scale + skewed-entity stress harness (round-4 scale evidence).
+
+The per-round bench proves correctness+perf at sf0.1; every 100 TB
+claim beyond that was plan-shape reasoning. This harness manufactures
+the missing evidence locally:
+
+- ``build``: derive two datasets from sf0.1 under ``.stress/``:
+  * ``x10/`` — every stressed table replicated 10x with SALTED keys
+    (orderkeys/doc_ids/vec_ids shifted per replica so joins stay
+    consistent and nothing collides). Entities scale too (suppkey
+    salted -> 10x entities at constant per-entity size — the GAME
+    scaling direction). Document text is vowel-rotated per replica and
+    embeddings dim-jittered so the dedup/ANN pair structure scales
+    ~linearly instead of manufacturing 10x cross-replica duplicates.
+  * ``skew/`` — the same 10x lineitem but replicas 0-2 forced into
+    entity '1': ONE entity owns ~30% of 6M rows. This is the
+    RandomEffectDataset 2 GB hazard (reference rails:
+    RandomEffectDataset.scala:38-45,
+    RandomEffectDatasetPartitioner.scala:110-136).
+- ``run``: time the five verdict-named paths (flagship, m2, x6, x9,
+  x14) at sf0.1 and at x10 and print the ratios; then the skew case:
+  the T2 per-entity cap + per-entity fit over the skewed table (the
+  reference's own rail), plus the UNCAPPED fit to show the engine
+  survives a 1.8M-row pandas group at all. One JSON line to stdout.
+
+Expected shapes (written down BEFORE running, judged in BASELINE.md):
+near-linear (<=~12x) for flagship/m2/x6/x14; x9's registry row is
+O(queries x corpus) with BOTH sides scaling 10x, so the brute/BLAS
+blocks are quadratic BY SPEC (~100x) — the extra ``x9_fixed_queries``
+measurement pins the linear direction (fixed 80-query set, 10x
+corpus, BLAS + IVF paths).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stress")
+X10 = os.path.join(ROOT, "x10")
+SKEW = os.path.join(ROOT, "skew")
+FACTOR = 10
+SALT = 10_000_000  # key shift per replica; > any sf0.1 key
+VOWS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
+
+
+def _t(spark, name: str) -> DataFrame:
+    return spark.read.parquet(f"{SRC}/{name}.parquet")
+
+
+def _reps(df: DataFrame, build_rep) -> DataFrame:
+    out = None
+    for r in range(FACTOR):
+        part = build_rep(df, r)
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def build(spark) -> None:
+    shutil.rmtree(ROOT, ignore_errors=True)
+    os.makedirs(X10)
+    os.makedirs(SKEW)
+
+    def lineitem_rep(df, r, skew=False):
+        supp = F.col("l_suppkey") + r * 10_000
+        if skew and r < 3:
+            supp = F.lit(1).cast("long")  # ~30% of all rows -> entity 1
+        return df.select(
+            (F.col("l_orderkey") + r * SALT).alias("l_orderkey"),
+            "l_partkey",
+            supp.alias("l_suppkey"),
+            "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+            "l_shipdate",
+        )
+
+    def orders_rep(df, r):
+        return df.withColumn("o_orderkey", F.col("o_orderkey") + r * SALT)
+
+    def documents_rep(df, r):
+        return df.select(
+            (F.col("doc_id") + r * SALT).alias("doc_id"),
+            F.concat(
+                F.lit(f"r{r} "), F.translate("text", "aeiou", VOWS[r % 5])
+            ).alias("text"),
+            "lang", "source", "n_chars",
+        )
+
+    def embeddings_rep(df, r):
+        # per-replica deterministic jitter decorrelates replicas so the
+        # cosine near-dup structure doesn't gain 10x cross-replica pairs
+        return df.select(
+            (F.col("vec_id") + r * SALT).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda v, i: (
+                    v + 0.05 * F.cos((i + 1).cast("double") * float(r))
+                ).cast("float"),
+            ).alias("embedding"),
+            "label",
+        )
+
+    def events_rep(df, r):
+        return df.withColumn("event_id", F.col("event_id") + r * SALT)
+
+    _reps(_t(spark, "lineitem"), lineitem_rep).write.parquet(f"{X10}/lineitem.parquet")
+    _reps(
+        _t(spark, "lineitem"), lambda d, r: lineitem_rep(d, r, skew=True)
+    ).write.parquet(f"{SKEW}/lineitem.parquet")
+    _reps(_t(spark, "orders"), orders_rep).write.parquet(f"{X10}/orders.parquet")
+    _reps(_t(spark, "documents"), documents_rep).write.parquet(f"{X10}/documents.parquet")
+    _reps(_t(spark, "embeddings"), embeddings_rep).write.parquet(f"{X10}/embeddings.parquet")
+    _reps(_t(spark, "events"), events_rep).write.parquet(f"{X10}/events.parquet")
+    # dimension tables pass through unscaled (they are broadcast-side)
+    for small in ("region", "nation", "supplier", "customer", "part"):
+        _t(spark, small).write.parquet(f"{X10}/{small}.parquet")
+        _t(spark, small).write.parquet(f"{SKEW}/{small}.parquet")
+    _t(spark, "orders").write.parquet(f"{SKEW}/orders.parquet")
+    print("built", X10, "and", SKEW, file=sys.stderr)
+
+
+QUERIES = [
+    "m2_per_entity_ridge",
+    "x6_neardup_pairs",
+    "x9_ann_topk",
+    "x14_pack_shuffle",
+]
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+def _noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run(spark) -> dict:
+    from bench import run_flagship
+    from photon_ml_spark.queries import all_queries
+
+    registry = all_queries()
+    out: dict = {"sf01": {}, "x10": {}, "ratio": {}}
+    for sf_dir, key in ((SRC, "sf01"), (X10, "x10")):
+        out[key]["flagship_game_pipeline"] = _time(
+            lambda: run_flagship(spark, sf_dir)
+        )
+        for name in QUERIES:
+            out[key][name] = _time(
+                lambda: _noop(registry[name].run(spark, sf_dir))
+            )
+        # linear-direction ANN datapoint: FIXED query set (the sf0.1
+        # 1-in-25 queries, 80 vectors), corpus scaling 10x -> expect
+        # ~10x for the BLAS scan and less for partition-pruned IVF
+        from photon_ml_spark.operators.similarity import cosine_topk_blas
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").alias("qe")
+        )
+        queries = emb.filter(
+            (F.col("vec_id") % 25 == 0) & (F.col("vec_id") < SALT)
+        )
+        out[key]["x9_fixed_queries_blas"] = _time(
+            lambda: _noop(cosine_topk_blas(emb, queries, k=5, vec_col="qe"))
+        )
+    for name, v in out["x10"].items():
+        base = out["sf01"].get(name) or 1e-9
+        out["ratio"][name] = round(v / base, 1)
+
+    # ---- skew case: one entity holds ~30% of 6M rows ----
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+    from photon_ml_spark.operators.sampling import per_entity_cap
+
+    li = spark.read.parquet(f"{SKEW}/lineitem.parquet").select(
+        F.col("l_suppkey").cast("string").alias("entity"),
+        F.col("l_orderkey").alias("uid"),
+        F.lit(1.0).alias("weight"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+    )
+
+    def fit(capped: DataFrame) -> int:
+        models = fit_random_effects(
+            capped, entity_col="entity", dim=1, family="gaussian",
+            weight_col="weight", offset_col=None, reg_param=10.0, tol=1e-8,
+        )
+        return models.count()
+
+    skew: dict = {}
+    t0 = time.perf_counter()
+    capped = per_entity_cap(li, "entity", cap=10_000, weight_col="weight")
+    skew["capped_entities"] = fit(capped)
+    skew["capped_fit_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    skew["uncapped_entities"] = fit(li)
+    skew["uncapped_fit_sec"] = round(time.perf_counter() - t0, 2)
+    biggest = (
+        li.groupBy("entity").count().orderBy(F.desc("count")).first()
+    )
+    skew["biggest_entity_rows"] = biggest["count"]
+    out["skew"] = skew
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from photon_ml_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="photon-ml-spark-stress", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("WARN")
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode in ("build", "all"):
+        build(spark)
+    if mode in ("run", "all"):
+        result = run(spark)
+        print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

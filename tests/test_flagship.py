@@ -115,3 +115,49 @@ def test_score_by_join_matches_literal(spark, assembled):
         .d
     )
     assert diff < 1e-9
+
+
+def test_score_by_join_above_literal_cap(spark):
+    """Round-3 verdict item: the literal path must REFUSE a model wider
+    than MAX_LITERAL_COEFFICIENTS while score_by_join handles the same
+    width exactly — the two physical strategies meet at the cap
+    boundary. Model: coef[i] = (i % 7) - 3 over dim = cap + 1; rows
+    activate scattered indices incl. the last one, so a truncated or
+    mis-joined model changes the exact integer sums."""
+    import numpy as np
+
+    from photon_ml_spark.functions.vectors import (
+        MAX_LITERAL_COEFFICIENTS,
+        sparse_dot_literal,
+    )
+
+    dim = MAX_LITERAL_COEFFICIENTS + 1
+    coefs = [(i % 7) - 3.0 for i in range(dim)]
+    with pytest.raises(ValueError, match="score_by_join"):
+        sparse_dot_literal(F.col("i"), F.col("v"), coefs)
+
+    model_tbl = spark.range(dim).select(
+        F.col("id").alias("feature_index"),
+        ((F.col("id") % 7) - 3).cast("double").alias("coefficient"),
+    )
+    rows = spark.range(200).select(
+        F.col("id").alias("uid"),
+        F.array(
+            F.col("id") % dim,
+            (F.col("id") * 97 + 13) % dim,
+            F.lit(dim - 1).cast("long"),
+        ).alias("features_indices"),
+        F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("features_values"),
+    )
+    got = {
+        r.uid: r.score
+        for r in scoring.score_by_join(
+            rows, model_tbl, intercept=0.5
+        ).select("uid", "score").collect()
+    }
+    for uid in range(200):
+        idx = [uid % dim, (uid * 97 + 13) % dim, dim - 1]
+        want = 0.5 + float(
+            np.dot([1.0, 2.0, 3.0], [(i % 7) - 3.0 for i in idx])
+        )
+        assert got[uid] == want, uid

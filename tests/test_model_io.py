@@ -72,3 +72,40 @@ def test_save_scores_file_limit(spark, trained, tmp_path_factory):
     parts = glob.glob(f"{path}/part-*")
     assert len(parts) == 1
     assert spark.read.parquet(path).count() == assembled.count()
+
+
+def test_legacy_glm_text_round_trip(spark, trained, tmp_path):
+    """Legacy text model format (README "Models",
+    IOUtils.scala writeModelsInText): name\tterm\tcoef\tlambda lines,
+    coefficients sorted desc within each model's partition."""
+    model, _, dictionary = trained
+    fixed = model.coordinates["global"]
+    path = str(tmp_path / "glm_text")
+    model_io.save_glm_text(
+        [(10.0, fixed), (1.0, fixed)], dictionary, path, spark
+    )
+    back = model_io.load_glm_text(spark, path)
+    rows = back.collect()
+    dim = len(fixed.coefficients)
+    assert len(rows) == 2 * dim
+    assert {r.reg_weight for r in rows} == {10.0, 1.0}
+    by_lam = {}
+    for r in rows:
+        by_lam.setdefault(r.reg_weight, []).append(r.coefficient)
+    for lam, coefs in by_lam.items():
+        assert sorted(coefs, reverse=True) == sorted(
+            (float(c) for c in fixed.coefficients), reverse=True
+        )
+    # per-model desc sort survives in the raw text lines
+    for part in glob.glob(f"{path}/part-*"):
+        with open(part) as fh:
+            vals = [
+                float(line.split("\t")[2]) for line in fh if line.strip()
+            ]
+        assert vals == sorted(vals, reverse=True)
+    # name/term split round-trips the dictionary's feature keys
+    keys = {
+        (r.name, r.term)
+        for r in back.filter(F.col("reg_weight") == 10.0).collect()
+    }
+    assert len(keys) == dim
