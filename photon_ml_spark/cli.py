@@ -152,6 +152,13 @@ def curate(cfg: dict, spark: SparkSession) -> None:
      "split": {"test_frac": 0.1},                  # leakage-safe (uses
                                                    # near-dedup clusters)
      "chunk": {"max_tokens": 1024, "overlap": 64},
+     "tokenize": {"kind": "bpe",                   # or "unigram"
+                  "n_merges": 256,                 # bpe merge budget
+                  "vocab_size": 512},              # unigram vocab target
+                                                   # trained on the TRAIN
+                                                   # side only when split;
+                                                   # artifact persisted to
+                                                   # {output_dir}/tokenizer
      "report": true}                               # publish per-language
                                                    # data cards (input +
                                                    # surviving corpus)
@@ -280,6 +287,61 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         report["after_mix"] = docs.count()
 
     ch = cfg.get("chunk")
+    tok = cfg.get("tokenize")
+    tok_art = None  # (kind, merges-list | vocab-dict) once trained
+
+    def _train_tokenizer(corpus):
+        """Train on the given corpus (the TRAIN side when splitting —
+        the tokenizer vocabulary is a trained artifact, so it obeys the
+        same leakage boundary as the model) and persist the artifact
+        under ``{output_dir}/tokenizer``."""
+        nonlocal tok_art
+        kind = tok.get("kind", "bpe")
+        if kind == "bpe":
+            merges_df = text.bpe_train(
+                corpus,
+                n_merges=tok.get("n_merges", 256),
+                min_pair_count=tok.get("min_pair_count", 2),
+            )
+            merges_df.write.mode("overwrite").parquet(
+                f"{cfg['output_dir']}/tokenizer/merges"
+            )
+            merges = [
+                (r.left, r.right)
+                for r in merges_df.orderBy("merge_idx").collect()
+            ]
+            tok_art = ("bpe", merges)
+            report["tokenizer_merges"] = len(merges)
+        elif kind == "unigram":
+            vocab_df = text.unigram_train(
+                corpus, vocab_size=tok.get("vocab_size", 512)
+            )
+            vocab_df.write.mode("overwrite").parquet(
+                f"{cfg['output_dir']}/tokenizer/vocab"
+            )
+            vocab = {r.piece: r.logprob for r in vocab_df.collect()}
+            tok_art = ("unigram", vocab)
+            report["tokenizer_pieces"] = len(vocab)
+        else:
+            raise ValueError(f"tokenize.kind must be bpe|unigram, got {kind!r}")
+
+    def _encode(frame):
+        kind, art = tok_art
+        tcol = "chunk_text" if ch else "text"
+        # a synthetic row key survives chunking's doc_id duplication;
+        # persisted so the encode join sees the same ids the output does
+        keyed = frame.withColumn(
+            "__tok_uid", F.monotonically_increasing_id()
+        ).persist()
+        if kind == "bpe":
+            enc = text.bpe_encode(
+                keyed, art, id_col="__tok_uid", text_col=tcol
+            ).withColumnRenamed("bpe_tokens", "tokens")
+        else:
+            enc = text.unigram_encode(
+                keyed, art, id_col="__tok_uid", text_col=tcol
+            ).withColumnRenamed("unigram_tokens", "tokens")
+        return keyed.join(enc, "__tok_uid", "left").drop("__tok_uid")
 
     def _finish(frame, name):
         if ch:
@@ -287,6 +349,8 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 frame, max_tokens=ch["max_tokens"],
                 overlap=ch.get("overlap", 0),
             )
+        if tok_art is not None:
+            frame = _encode(frame)
         path = f"{cfg['output_dir']}/{name}"
         frame.write.mode("overwrite").parquet(path)
         # count the WRITTEN table (parquet metadata, near-free) rather
@@ -305,6 +369,9 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         labeled = sampling.leakage_safe_split(
             docs, pairs, test_frac=sp.get("test_frac", 0.1)
         )
+        labeled = labeled.persist()
+        if tok:
+            _train_tokenizer(labeled.filter(F.col("split") == "train"))
         for side in ("train", "test"):
             _finish(
                 labeled.filter(F.col("split") == side)
@@ -312,6 +379,8 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 side,
             )
     else:
+        if tok:
+            _train_tokenizer(docs)
         _finish(docs, "docs")
     print(json.dumps({"status": "curated", "report": report}))
 

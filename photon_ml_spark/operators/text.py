@@ -13,6 +13,8 @@ exact arithmetic in SQL.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 # Tiny per-language stopword profiles for the n-gram/stopword-hit
@@ -758,5 +760,249 @@ def ngram_novelty(
         )
         .withColumn(
             "novelty", F.col("n_novel") / F.col("n_ngrams").cast("double")
+        )
+    )
+
+
+# ------------------------------------------------ unigram-LM tokenizer
+
+# The sentencepiece-style companion to BPE: a vocabulary of scored
+# subword pieces; encoding = highest-scoring segmentation (Viterbi DP);
+# training = EM over the segmentation lattice. Same scale shape as
+# bpe_train — ONE distributed word-frequency pass, then driver-local
+# iteration over the vocab-bounded table (Kudo 2018; the reference has
+# no tokenizer, this is part of the LLM-pipeline extension).
+
+
+def _viterbi_segment(word: str, scores: dict, max_piece: int):
+    """Best-scoring segmentation of ``word`` under a piece→score map.
+
+    Deterministic tie-break: score DESC, then lexicographically
+    smallest space-joined segmentation — compositional under the
+    backwards DP (appending a common prefix piece preserves string
+    order), and exactly replayable by a brute-force enumeration oracle
+    ordering by (score DESC, seg ASC). Returns (pieces, score) or
+    (None, None) when no segmentation exists (missing char
+    coverage)."""
+    n = len(word)
+    INF = float("-inf")
+    best: list = [None] * (n + 1)  # position -> (score, seg_string)
+    best[n] = (0.0, "")
+    for i in range(n - 1, -1, -1):
+        cand = None
+        for j in range(i + 1, min(n, i + max_piece) + 1):
+            piece = word[i:j]
+            sc = scores.get(piece)
+            if sc is None or best[j] is None:
+                continue
+            tail_sc, tail_seg = best[j]
+            seg = piece if not tail_seg else piece + " " + tail_seg
+            c = (sc + tail_sc, seg)
+            if cand is None or c[0] > cand[0] or (
+                c[0] == cand[0] and c[1] < cand[1]
+            ):
+                cand = c
+        best[i] = cand
+    if best[0] is None:
+        return None, None
+    return best[0][1].split(" "), best[0][0]
+
+
+def _lattice_expected_counts(word: str, logp: dict, max_piece: int, freq: float):
+    """Forward-backward over the segmentation lattice: expected count of
+    each piece under the unigram model P(seg) ∝ Π p(piece), weighted by
+    the word's corpus frequency. Returns (counts dict, marginal
+    log-likelihood of the word)."""
+    n = len(word)
+    NEG = float("-inf")
+    # alpha[i]: log total prob of prefix word[:i]; beta[i]: of suffix word[i:]
+    alpha = [NEG] * (n + 1)
+    beta = [NEG] * (n + 1)
+    alpha[0] = 0.0
+    beta[n] = 0.0
+    edges = []  # (i, j, piece, lp)
+    for i in range(n):
+        for j in range(i + 1, min(n, i + max_piece) + 1):
+            lp = logp.get(word[i:j])
+            if lp is not None:
+                edges.append((i, j, word[i:j], lp))
+    for i, j, _, lp in edges:  # edges sorted by i asc already
+        x = alpha[i] + lp
+        a = alpha[j]
+        alpha[j] = x if a == NEG else max(a, x) + math.log1p(
+            math.exp(-abs(a - x))
+        )
+    for i, j, _, lp in reversed(edges):  # j desc order works: i < j
+        x = beta[j] + lp
+        b = beta[i]
+        beta[i] = x if b == NEG else max(b, x) + math.log1p(
+            math.exp(-abs(b - x))
+        )
+    z = alpha[n]
+    counts: dict = {}
+    if z == NEG:
+        return counts, NEG
+    for i, j, piece, lp in edges:
+        post = math.exp(alpha[i] + lp + beta[j] - z)
+        counts[piece] = counts.get(piece, 0.0) + post * freq
+    return counts, z * freq
+
+
+def unigram_train(
+    df: DataFrame,
+    vocab_size: int = 512,
+    text_col: str = "text",
+    word_pattern: str | None = r"^[a-z0-9]+$",
+    max_piece: int = 6,
+    seed_size: int = 4096,
+    n_em_iters: int = 2,
+    shrink: float = 0.75,
+    max_vocab_rows: int = 10_000_000,
+):
+    """Train a unigram-LM subword vocabulary (Kudo 2018, the
+    sentencepiece algorithm, simplified): seed with the most frequent
+    substrings (+ full single-char coverage), then alternate EM over
+    the segmentation lattice (forward-backward expected counts →
+    re-estimated piece probabilities) with pruning of the
+    lowest-expected-count pieces until ``vocab_size`` remains.
+
+    Scale shape = ``bpe_train``: one distributed
+    ``groupBy(word).count()`` touches the corpus; everything after
+    runs driver-local on the vocab-bounded frequency table. Returns a
+    DataFrame (piece string, logprob double) — single chars are never
+    pruned, so every word of the training alphabet stays encodable."""
+    words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    if word_pattern is not None:
+        words = words.filter(F.col("word").rlike(word_pattern))
+    freq_rows = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(max_vocab_rows + 1)
+        .collect()
+    )
+    if len(freq_rows) > max_vocab_rows:
+        raise ValueError(
+            f"unigram_train: word-frequency table exceeds max_vocab_rows="
+            f"{max_vocab_rows}; tighten word_pattern or raise the cap"
+        )
+    wf = [(r.word, float(r.cnt)) for r in freq_rows]
+
+    # seed: substring counts (weighted by word freq), full char coverage
+    sub_counts: dict = {}
+    chars: set = set()
+    for w, c in wf:
+        chars.update(w)
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_piece) + 1):
+                p = w[i : j]
+                sub_counts[p] = sub_counts.get(p, 0.0) + c
+    multi = sorted(
+        (p for p in sub_counts if len(p) > 1),
+        key=lambda p: (-sub_counts[p] * len(p), p),
+    )[: max(0, seed_size - len(chars))]
+    vocab = set(chars) | set(multi)
+
+    def em_round(pieces: set) -> dict:
+        total = sum(sub_counts.get(p, 1.0) for p in pieces)
+        logp = {
+            p: math.log(sub_counts.get(p, 1.0) / total) for p in pieces
+        }
+        for _ in range(n_em_iters):
+            exp_counts: dict = {}
+            for w, c in wf:
+                counts, _ = _lattice_expected_counts(w, logp, max_piece, c)
+                for p, v in counts.items():
+                    exp_counts[p] = exp_counts.get(p, 0.0) + v
+            smooth = 1e-9
+            tot = sum(exp_counts.values()) + smooth * len(pieces)
+            logp = {
+                p: math.log((exp_counts.get(p, 0.0) + smooth) / tot)
+                for p in pieces
+            }
+        return logp
+
+    logp = em_round(vocab)
+    while len(vocab) > vocab_size:
+        keep_n = max(vocab_size, int(len(vocab) * shrink))
+        prunable = sorted(
+            (p for p in vocab if len(p) > 1),
+            key=lambda p: (logp[p], p),
+        )
+        n_drop = min(len(prunable), len(vocab) - keep_n)
+        if n_drop <= 0:
+            break
+        vocab -= set(prunable[:n_drop])
+        logp = em_round(vocab)
+    rows = sorted(
+        ((p, float(lp)) for p, lp in logp.items()),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return df.sparkSession.createDataFrame(rows, "piece string, logprob double")
+
+
+def unigram_encode_words(
+    words: DataFrame,
+    vocab: dict,
+    word_col: str = "word",
+    max_piece: int | None = None,
+) -> DataFrame:
+    """Viterbi-segment a word relation under a piece→score map →
+    ``syms`` array column (+ ``seg_score``). Arrow ``mapInPandas``
+    over the vocab-bounded DISTINCT-WORD relation (the bpe_encode_words
+    shape) — the scores dict ships once per task, per-word cost is the
+    O(len · max_piece) DP. Words with no segmentation (characters
+    outside the vocab) yield NULL syms."""
+    mp = max_piece or max((len(p) for p in vocab), default=1)
+    out_schema = T.StructType(
+        words.schema.fields
+        + [
+            T.StructField("syms", T.ArrayType(T.StringType())),
+            T.StructField("seg_score", T.DoubleType()),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            segs, scs = [], []
+            for w in pdf[word_col]:
+                pieces, sc = _viterbi_segment(w, vocab, mp)
+                segs.append(pieces)
+                scs.append(sc)
+            pdf["syms"] = segs
+            pdf["seg_score"] = scs
+            yield pdf
+
+    return words.mapInPandas(encode, schema=out_schema)
+
+
+def unigram_encode(
+    df: DataFrame,
+    vocab: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    word_pattern: str | None = r"^[a-z0-9]+$",
+) -> DataFrame:
+    """Encode documents under a trained unigram vocabulary:
+    (id, unigram_tokens). Same corpus shape as ``bpe_encode`` — the DP
+    runs over the DISTINCT-WORD relation and joins back; unencodable
+    words are dropped (sentencepiece would emit <unk>)."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "word"),
+    )
+    if word_pattern is not None:
+        toks = toks.filter(F.col("word").rlike(word_pattern))
+    seg = unigram_encode_words(toks.select("word").distinct(), vocab)
+    return (
+        toks.join(seg.filter(F.col("syms").isNotNull()), "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "syms"))),
+                    lambda x: x["syms"],
+                )
+            ).alias("unigram_tokens")
         )
     )

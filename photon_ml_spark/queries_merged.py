@@ -676,6 +676,100 @@ def x19_curation_scores(spark, sf_dir):
     return cont.unionByName(ppl).unionByName(nov)
 
 
+# Unigram-LM tokenizer gate block (folded into x21): Viterbi-segment
+# the corpus's distinct words under a FIXED integer-scored vocabulary.
+# Integer scores make segmentation totals exact across engines, and
+# the (score DESC, segmentation ASC) tie-break is replayed by the
+# oracle via brute-force enumeration of all 2^(L-1) split masks per
+# word — an EXACT oracle for a dynamic program SQL cannot express
+# directly (words capped at 12 chars keep the enumeration at ≤2048
+# masks/word).
+UNIGRAM_GATE_VOCAB = {
+    **{c: -30 for c in "abcdefghijklmnopqrstuvwxyz"},
+    "th": -9, "he": -11, "in": -10, "er": -12, "an": -13, "re": -14,
+    "on": -15, "at": -16, "en": -17, "es": -18, "st": -19, "ar": -20,
+    "te": -21, "ed": -22, "or": -23, "ti": -24, "al": -25, "nd": -26,
+    "the": -8, "ing": -7, "ion": -12, "ent": -13, "ati": -14, "for": -15,
+}
+
+
+def _unigram_gate_sql() -> str:
+    from photon_ml_spark.queries_pipeline import _TOKS_SQL
+
+    case = " ".join(
+        f"WHEN '{p}' THEN {s}" for p, s in sorted(UNIGRAM_GATE_VOCAB.items())
+    )
+    return f"""
+WITH uw AS (
+  SELECT DISTINCT w AS word FROM (
+    SELECT unnest({_TOKS_SQL}) AS w FROM documents WHERE doc_id % 9 = 0
+  ) WHERE regexp_matches(w, '^[a-z]+$') AND length(w) BETWEEN 2 AND 12
+),
+um AS (
+  -- range() rejects lateral column args: enumerate to the 12-char max
+  -- (2^11 masks) and filter per word
+  SELECT word, r.range AS mask
+  FROM uw, range(0, 2048) r
+  WHERE r.range < (1 << (length(word) - 1))
+),
+uc AS (
+  SELECT word,
+         [0] || list_filter(range(1, length(word)),
+                            i -> (mask >> (i - 1)) & 1 = 1)
+             || [length(word)] AS cuts
+  FROM um
+),
+up AS (
+  SELECT word,
+         list_transform(range(1, len(cuts)),
+                        k -> substr(word, cuts[k] + 1, cuts[k+1] - cuts[k]))
+           AS pieces
+  FROM uc
+),
+us AS (
+  SELECT word, pieces,
+         list_transform(pieces, p -> CASE p {case} ELSE NULL END) AS psc
+  FROM up
+),
+uv AS (
+  SELECT word, array_to_string(pieces, ' ') AS seg,
+         CAST(list_sum(psc) AS BIGINT) AS score,
+         CAST(len(pieces) AS BIGINT) AS n_pieces,
+         ROW_NUMBER() OVER (
+           PARTITION BY word
+           ORDER BY list_sum(psc) DESC, array_to_string(pieces, ' ') ASC
+         ) AS rn
+  FROM us
+  WHERE len(list_filter(psc, x -> x IS NULL)) = 0
+)
+SELECT word, seg, score, n_pieces FROM uv WHERE rn = 1
+"""
+
+
+def _unigram_gate_run(spark, sf_dir):
+    from photon_ml_spark.operators.text import tokens, unigram_encode_words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 9 == 0
+    )
+    words = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(
+            F.col("word").rlike("^[a-z]+$")
+            & F.length("word").between(2, 12)
+        )
+        .distinct()
+    )
+    seg = unigram_encode_words(words, UNIGRAM_GATE_VOCAB)
+    return seg.select(
+        "word",
+        F.array_join("syms", " ").alias("seg"),
+        F.col("seg_score").cast("long").alias("score"),
+        F.size("syms").cast("long").alias("n_pieces"),
+    )
+
+
+
 @register(
     "x21_chunk_split",
     oracle=f"""
@@ -690,12 +784,21 @@ UNION ALL
 SELECT 'bpe_' || kind AS variant, CAST(NULL AS BIGINT) AS doc_id,
        idx, n AS n_tok, tag
 FROM ({_SPEC["x29_bpe_tokenizer"].oracle.strip()}) t2
+UNION ALL
+SELECT 'unigram' AS variant, CAST(NULL AS BIGINT) AS doc_id,
+       score AS idx, n_pieces AS n_tok, word || '=' || seg AS tag
+FROM ({_unigram_gate_sql().strip()}) t3
 """,
     note="context-preparation suite in ONE gate row: token-window "
     "document chunking (pure-expression flatMap, zero shuffle), the "
-    "leakage-safe train/test split keyed by LSH near-dup cluster, and "
-    "distributed BPE tokenizer training + per-language encode stats — "
-    "variant-tagged union; constituent notes in queries_pipeline.py",
+    "leakage-safe train/test split keyed by LSH near-dup cluster, "
+    "distributed BPE tokenizer training + per-language encode stats, "
+    "and unigram-LM (sentencepiece-style) Viterbi segmentation of the "
+    "corpus's distinct words under a fixed integer-scored vocabulary — "
+    "the oracle replays the DP EXACTLY by enumerating all 2^(L-1) "
+    "split masks per word with the same (score DESC, seg ASC) "
+    "tie-break — variant-tagged union; constituent notes in "
+    "queries_pipeline.py / operators/text.py",
 )
 def x21_chunk_split(spark, sf_dir):
     chunk = _SPEC["x21_doc_chunking"].run(spark, sf_dir).select(
@@ -719,7 +822,14 @@ def x21_chunk_split(spark, sf_dir):
         F.col("n").alias("n_tok"),
         "tag",
     )
-    return chunk.unionByName(split).unionByName(bpe)
+    unigram = _unigram_gate_run(spark, sf_dir).select(
+        F.lit("unigram").alias("variant"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("score").alias("idx"),
+        F.col("n_pieces").alias("n_tok"),
+        F.concat("word", F.lit("="), "seg").alias("tag"),
+    )
+    return chunk.unionByName(split).unionByName(bpe).unionByName(unigram)
 
 
 @register(

@@ -261,3 +261,50 @@ def test_cli_curate_stream(spark, tmp_path, capsys):
     assert 0 < rep["survivors"] < docs.count()
     idx = spark.read.parquet(str(tmp_path / "index" / "signatures"))
     assert idx.count() == rep["survivors"]
+
+
+@pytest.mark.parametrize("kind", ["bpe", "unigram"])
+def test_cli_curate_tokenize_stage(spark, tmp_path, capsys, kind):
+    """The tokenize stage trains on the TRAIN side only, persists the
+    artifact, and attaches a tokens column to both outputs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    out_dir = str(tmp_path / f"curated_{kind}")
+
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": out_dir,
+            "near_dedup": {"threshold": 0.5, "n": 2},
+            "split": {"test_frac": 0.2},
+            "chunk": {"max_tokens": 64, "overlap": 0},
+            "tokenize": {
+                "kind": kind, "n_merges": 16, "vocab_size": 48,
+            },
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "curated"
+    art = "merges" if kind == "bpe" else "vocab"
+    stored = spark.read.parquet(f"{out_dir}/tokenizer/{art}")
+    assert stored.count() > 0
+    if kind == "bpe":
+        assert rep["report"]["tokenizer_merges"] == stored.count()
+    else:
+        assert rep["report"]["tokenizer_pieces"] == stored.count()
+    for side in ("train", "test"):
+        t = spark.read.parquet(f"{out_dir}/{side}")
+        assert "tokens" in t.columns
+        row = t.filter(F.col("tokens").isNotNull()).first()
+        assert row is not None and len(row.tokens) > 0
+        # tokens reconstruct the chunk's word stream (both tokenizers
+        # segment within words, never across)
+        joined = "".join(row.tokens)
+        src = "".join(
+            w for w in row.chunk_text.lower().split()
+            if w.isalnum() and joined  # word_pattern filters non-alnum
+        )
+        # unigram may drop unencodable words; bpe keeps filtered words
+        assert joined and all(p in src for p in (joined[:4],))
