@@ -395,9 +395,19 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
      "index_path": "<dedup state dir (shared with batch increments)>",
      "output_dir": "<survivor parquet dir>",
      "checkpoint_dir": "<streaming checkpoint>",
+     "quality": {"min_tokens": 5, "min_quality": 0.2,
+                 "languages": ["en"]},             # stateless pre-filter
+                                                   # (same exprs as the
+                                                   # batch driver; runs
+                                                   # BEFORE dedup so
+                                                   # replayed batches see
+                                                   # identical content)
      "threshold": 0.5, "n": 2,                     # jaccard / shingle n
      "max_files_per_trigger": 1}                   # micro-batch bound
     """
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators import text
     from photon_ml_spark.streaming.curation import stream_neardup
 
     reader = spark.readStream.schema(cfg["schema"])
@@ -405,8 +415,20 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
         reader = reader.option(
             "maxFilesPerTrigger", cfg["max_files_per_trigger"]
         )
+    stream = reader.parquet(cfg["input_dir"])
+    qc = cfg.get("quality")
+    if qc:
+        scored = text.quality_score(stream)
+        if "languages" in qc:
+            scored = text.identify_language(scored)
+            scored = scored.filter(F.col("lang_pred").isin(*qc["languages"]))
+        if "min_tokens" in qc:
+            scored = scored.filter(F.col("n_tokens") >= qc["min_tokens"])
+        if "min_quality" in qc:
+            scored = scored.filter(F.col("quality") >= qc["min_quality"])
+        stream = scored.select(*stream.columns)
     q = stream_neardup(
-        reader.parquet(cfg["input_dir"]),
+        stream,
         cfg["index_path"],
         cfg["output_dir"],
         cfg["checkpoint_dir"],

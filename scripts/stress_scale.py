@@ -209,6 +209,66 @@ def run(spark) -> dict:
         li.groupBy("entity").count().orderBy(F.desc("count")).first()
     )
     skew["biggest_entity_rows"] = biggest["count"]
+
+    # skewed scoring JOIN (J5 shape): the per-entity model table joins
+    # a fact side where one entity owns 30% of rows.
+    # (a) broadcast (the default plan — the model table is tiny): skew
+    #     is irrelevant, the hot key never shuffles.
+    # (b) broadcast disabled: sort-merge join shuffles on the hot key.
+    #     The hot partition (~6 MB compressed here) is far below the
+    #     production skew threshold (256 MB), so AQE correctly leaves
+    #     it alone at this scale.
+    # (c) thresholds scaled down to the local data size: AQE's
+    #     skew-join DOES split the hot partition (the executed plan
+    #     shows "AQEShuffleRead … skewed") — the mechanism that absorbs
+    #     the same 30% key at 100 TB, demonstrated rather than assumed.
+    # Note: AQE only rewrites planner-inserted (ENSURE_REQUIREMENTS)
+    # shuffles — a model table derived via .distinct() of the fact side
+    # carries an aggregation exchange and is NOT eligible, so the
+    # measurement materializes the model table independently.
+    from photon_ml_spark.ml.scoring import score_random_effect
+
+    ents = [r.entity for r in li.select("entity").distinct().collect()]
+    models = spark.createDataFrame(
+        [(e, [0.5], 0.1) for e in ents],
+        "entity string, coefficients array<double>, intercept double",
+    )
+
+    def score_once():
+        scored = score_random_effect(li, models, "entity")
+        agg = scored.agg(F.sum("score").alias("s"))
+        agg.collect()
+        return agg
+
+    skew["score_join_broadcast_sec"] = _time(score_once)
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        skew["score_join_shuffle_sec"] = _time(score_once)
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "1MB",
+        )
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        t0 = time.perf_counter()
+        agg = score_once()
+        skew["score_join_skew_split_sec"] = round(time.perf_counter() - t0, 2)
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        skew["aqe_skew_split_engaged"] = "skewed" in plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
     out["skew"] = skew
     return out
 
