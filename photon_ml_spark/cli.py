@@ -125,6 +125,28 @@ def score(cfg: dict, spark: SparkSession) -> None:
     print(json.dumps({"status": "scored", "output_dir": cfg["output_dir"]}))
 
 
+
+def _quality_prefilter(docs, q):
+    """The STATELESS quality filters shared by the batch and stream
+    drivers (pure expressions — streaming-safe): heuristic quality
+    scoring, language allowlist, token floor, quality floor. Returns
+    the scored-and-filtered frame (quality columns retained for the
+    batch driver's further stages)."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators import text
+
+    scored = text.quality_score(docs)
+    if "languages" in q:
+        scored = text.identify_language(scored)
+        scored = scored.filter(F.col("lang_pred").isin(*q["languages"]))
+    if "min_tokens" in q:
+        scored = scored.filter(F.col("n_tokens") >= q["min_tokens"])
+    if "min_quality" in q:
+        scored = scored.filter(F.col("quality") >= q["min_quality"])
+    return scored
+
+
 def curate(cfg: dict, spark: SparkSession) -> None:
     """End-to-end training-corpus curation driver — the data-pipeline
     twin of ``train``/``score``. Every stage is optional and config-
@@ -193,14 +215,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     q = cfg.get("quality")
     if q:
-        scored = text.quality_score(docs)
-        if "languages" in q:
-            scored = text.identify_language(scored)
-            scored = scored.filter(F.col("lang_pred").isin(*q["languages"]))
-        if "min_tokens" in q:
-            scored = scored.filter(F.col("n_tokens") >= q["min_tokens"])
-        if "min_quality" in q:
-            scored = scored.filter(F.col("quality") >= q["min_quality"])
+        scored = _quality_prefilter(docs, q)
         if "max_ppl" in q:
             ppl = text.unigram_perplexity(docs).select(
                 "doc_id", F.col("ppl")
@@ -341,7 +356,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             enc = text.unigram_encode(
                 keyed, art, id_col="__tok_uid", text_col=tcol
             ).withColumnRenamed("unigram_tokens", "tokens")
-        return keyed.join(enc, "__tok_uid", "left").drop("__tok_uid")
+        return keyed.join(enc, "__tok_uid", "left").drop("__tok_uid"), keyed
 
     def _finish(frame, name):
         if ch:
@@ -349,10 +364,13 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 frame, max_tokens=ch["max_tokens"],
                 overlap=ch.get("overlap", 0),
             )
+        pinned = None
         if tok_art is not None:
-            frame = _encode(frame)
+            frame, pinned = _encode(frame)
         path = f"{cfg['output_dir']}/{name}"
         frame.write.mode("overwrite").parquet(path)
+        if pinned is not None:
+            pinned.unpersist()
         # count the WRITTEN table (parquet metadata, near-free) rather
         # than re-executing the split/chunk lineage a second time
         report[f"out_{name}"] = spark.read.parquet(path).count()
@@ -378,6 +396,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 .drop("cluster_id", "split"),
                 side,
             )
+        labeled.unpersist()
     else:
         if tok:
             _train_tokenizer(docs)
@@ -418,15 +437,7 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
     stream = reader.parquet(cfg["input_dir"])
     qc = cfg.get("quality")
     if qc:
-        scored = text.quality_score(stream)
-        if "languages" in qc:
-            scored = text.identify_language(scored)
-            scored = scored.filter(F.col("lang_pred").isin(*qc["languages"]))
-        if "min_tokens" in qc:
-            scored = scored.filter(F.col("n_tokens") >= qc["min_tokens"])
-        if "min_quality" in qc:
-            scored = scored.filter(F.col("quality") >= qc["min_quality"])
-        stream = scored.select(*stream.columns)
+        stream = _quality_prefilter(stream, qc).select(*stream.columns)
     q = stream_neardup(
         stream,
         cfg["index_path"],

@@ -411,25 +411,12 @@ def gp_search(
     return {"best_params": bestp[0], "best_value": bestp[1], "history": history}
 
 
-def gp_ridge_search_1d(
-    df,
-    x_col: str,
-    y_col: str,
-    fold_col: str,
-    log10_bounds: tuple[float, float] = (-2.0, 4.0),
-    n_init: int = 5,
-    n_iter: int = 15,
-    kernel_sampling: str = "slice",
-) -> dict:
-    """GP-EI search over the 1-feature ridge λ surface — the model-based
-    M11 mode wired to a REAL distributed objective: the train/validation
-    moment sums are aggregated in ONE Spark pass (they are sufficient
-    statistics for the closed-form ridge fit + validation MSE), then
-    every GP evaluation is driver-local arithmetic on them — 20+
-    evaluations cost one scan total, not one job each. Deterministic:
-    Halton init/candidates, per-iteration-seeded slice sampler.
-
-    Returns gp_search's result dict with λ (not log λ) in params."""
+def ridge_moments_1d(df, x_col: str, y_col: str, fold_col: str):
+    """ONE aggregation pass over (x, y, fold): the train/validation
+    moment sums that are sufficient statistics for every closed-form
+    1-feature ridge fit + validation MSE. With integer-valued x/y the
+    sums are exact, so everything derived from them is bit-stable
+    across engines and evaluation orders."""
     from pyspark.sql import functions as F
 
     x, y = F.col(x_col), F.col(y_col)
@@ -438,7 +425,7 @@ def gp_ridge_search_1d(
     def s(cond, expr):
         return F.sum(F.when(cond, expr).otherwise(F.lit(0.0)))
 
-    m = df.agg(
+    return df.agg(
         F.sum(F.when(tr, 1).otherwise(0)).cast("double").alias("tn"),
         s(tr, x).alias("tsx"), s(tr, y).alias("tsy"),
         s(tr, x * x).alias("tsxx"), s(tr, x * y).alias("tsxy"),
@@ -448,26 +435,55 @@ def gp_ridge_search_1d(
         s(~tr, x * y).alias("vsxy"),
     ).first()
 
-    def val_mse(lam: float) -> float:
-        det = (m.tsxx + lam) * m.tn - m.tsx * m.tsx
-        beta = (m.tn * m.tsxy - m.tsx * m.tsy) / det
-        alpha = ((m.tsxx + lam) * m.tsy - m.tsx * m.tsxy) / det
-        return (
-            m.vsyy
-            - 2 * beta * m.vsxy
-            - 2 * alpha * m.vsy
-            + beta * beta * m.vsxx
-            + 2 * alpha * beta * m.vsx
-            + alpha * alpha * m.vn
-        ) / m.vn
 
+def ridge_closed_form(m, lam: float) -> tuple[float, float, float]:
+    """(beta, alpha, val_mse) at λ from a moments row — the same
+    operation ORDER as the in-plan/SQL formulas, so IEEE doubles match
+    the distributed evaluation bit-for-bit."""
+    det = (m.tsxx + lam) * m.tn - m.tsx * m.tsx
+    beta = (m.tn * m.tsxy - m.tsx * m.tsy) / det
+    alpha = ((m.tsxx + lam) * m.tsy - m.tsx * m.tsxy) / det
+    val_mse = (
+        m.vsyy
+        - 2 * beta * m.vsxy
+        - 2 * alpha * m.vsy
+        + beta * beta * m.vsxx
+        + 2 * alpha * beta * m.vsx
+        + alpha * alpha * m.vn
+    ) / m.vn
+    return beta, alpha, val_mse
+
+
+def gp_ridge_search_1d(
+    df,
+    x_col: str,
+    y_col: str,
+    fold_col: str,
+    log10_bounds: tuple[float, float] = (-2.0, 4.0),
+    n_init: int = 5,
+    n_iter: int = 15,
+    kernel_sampling: str = "slice",
+    moments=None,
+) -> dict:
+    """GP-EI search over the 1-feature ridge λ surface — the model-based
+    M11 mode wired to a REAL distributed objective: the train/validation
+    moment sums are aggregated in ONE Spark pass (``ridge_moments_1d``,
+    or pass a precomputed ``moments`` row to share the scan with other
+    consumers), then every GP evaluation is driver-local arithmetic on
+    them — 20+ evaluations cost at most one scan total, not one job
+    each. Deterministic: Halton init/candidates, per-iteration-seeded
+    slice sampler.
+
+    Returns gp_search's result dict with λ (not log λ) in params."""
+    m = moments if moments is not None else ridge_moments_1d(
+        df, x_col, y_col, fold_col
+    )
     res = gp_search(
-        lambda p: val_mse(10.0 ** p["log_lam"]),
+        lambda p: ridge_closed_form(m, 10.0 ** p["log_lam"])[2],
         {"log_lam": (log10_bounds[0], log10_bounds[1], "linear")},
         n_init=n_init,
         n_iter=n_iter,
         kernel_sampling=kernel_sampling,
     )
     res["best_params"] = {"lam": 10.0 ** res["best_params"]["log_lam"]}
-    res["val_mse"] = val_mse
     return res

@@ -55,7 +55,9 @@ def standard_training_checks(
         "n_nonpositive_weight": ~(F.col(weight_col) > 0),
     }
     if features_col is not None:
-        checks["n_nonfinite_features"] = F.exists(
+        # a NULL array is as invalid as a NULL element (exists() over a
+        # NULL array yields NULL, which when() would count as valid)
+        checks["n_nonfinite_features"] = F.col(features_col).isNull() | F.exists(
             F.col(features_col), lambda v: ~is_finite(v)
         )
     if task in ("logistic", "binomial", "smoothed_hinge"):

@@ -749,21 +749,30 @@ SELECT 'gp' AS variant, CAST(NULL AS DOUBLE) AS lam,
        ROUND(best, 6) AS val_mse, TRUE AS ok
 FROM dmse
 """,
-    note="M11 suite: the λ-grid ridge evaluation as ONE distributed plan "
-    "(train/val moments in a single scan, closed-form fit + validation "
-    "MSE per λ via cross join; driver hook "
-    "GameTrainingDriver.scala:677-726) PLUS the model-based mode: a "
-    "deterministic slice-sampled GP-EI search "
+    note="M11 suite in ONE distributed scan: the train/val moment sums "
+    "(sufficient statistics for 1-feature ridge) are aggregated once; "
+    "the 4-λ grid rows, the 13-λ dense-grid best, and the model-based "
+    "mode — a deterministic slice-sampled GP-EI search "
     "(GaussianProcessSearch.scala, SliceSampler.scala) over "
-    "log10 λ ∈ [-2, 4] against the same moment-backed objective. The "
-    "gp row's val_mse is the 13-point dense-grid best (SQL-replayable); "
-    "ok is computed Spark-side as gp_best ≤ dense_best·1.001 — a wrong "
-    "GP flips the hash",
+    "log10 λ ∈ [-2, 4] — all derive from that row driver-side (driver "
+    "hook GameTrainingDriver.scala:677-726; exact integer sums keep "
+    "Python/SQL IEEE arithmetic bit-equal; the in-plan cross-join "
+    "strategy survives as ridge_grid_eval_1d, parity-tested). The gp "
+    "row's val_mse is the dense-grid best (SQL-replayable); ok is "
+    "computed Spark-side as gp_best ≤ dense_best·1.001 — a wrong GP "
+    "flips the hash",
 )
 def m11_reg_grid(spark, sf_dir):
+    # ONE distributed pass: the train/val moment sums are sufficient
+    # statistics for the closed-form ridge fit, so the 4-λ grid rows,
+    # the 13-λ dense-grid best, AND the GP's 20 evaluations all derive
+    # from the same collected moments row (exact integer-valued sums →
+    # Python/SQL IEEE arithmetic matches the in-plan formulas bit-for-
+    # bit, same as the oracle convention).
     from photon_ml_spark.ml.hypersearch import (
         gp_ridge_search_1d,
-        ridge_grid_eval_1d,
+        ridge_closed_form,
+        ridge_moments_1d,
     )
 
     d = _t(spark, sf_dir, "lineitem").select(
@@ -771,25 +780,33 @@ def m11_reg_grid(spark, sf_dir):
         F.round(F.col("l_extendedprice") / 1000, 0).alias("y"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 2).alias("fold"),
     )
-    grid = ridge_grid_eval_1d(
-        d, "x", "y", "fold", [0.01, 1.0, 100.0, 10000.0]
+    m = ridge_moments_1d(d, "x", "y", "fold")
+    grid_rows = [
+        (lam, *ridge_closed_form(m, lam))
+        for lam in (0.01, 1.0, 100.0, 10000.0)
+    ]
+    dense_best = min(
+        ridge_closed_form(m, lam)[2]
+        for lam in (0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0,
+                    100.0, 300.0, 1000.0, 3000.0, 10000.0)
+    )
+    gp = gp_ridge_search_1d(
+        d, "x", "y", "fold", log10_bounds=(-2.0, 4.0),
+        kernel_sampling="slice", moments=m,
+    )
+    grid = spark.createDataFrame(
+        [
+            ("grid", lam, beta, alpha, mse, True)
+            for lam, beta, alpha, mse in grid_rows
+        ],
+        "variant string, lam double, beta double, alpha double, "
+        "val_mse double, ok boolean",
     ).select(
-        F.lit("grid").alias("variant"),
-        "lam",
+        "variant", "lam",
         r6(F.col("beta")).alias("beta"),
         r6(F.col("alpha")).alias("alpha"),
         r6(F.col("val_mse")).alias("val_mse"),
-        F.lit(True).alias("ok"),
-    )
-    dense = ridge_grid_eval_1d(
-        d, "x", "y", "fold",
-        [0.01, 0.03, 0.1, 0.3, 1.0, 3.0, 10.0, 30.0,
-         100.0, 300.0, 1000.0, 3000.0, 10000.0],
-    )
-    dense_best = min(r.val_mse for r in dense.collect())
-    gp = gp_ridge_search_1d(
-        d, "x", "y", "fold", log10_bounds=(-2.0, 4.0),
-        kernel_sampling="slice",
+        "ok",
     )
     gp_row = spark.createDataFrame(
         [(

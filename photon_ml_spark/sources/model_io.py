@@ -162,8 +162,11 @@ def save_glm_text(
     """Legacy Photon text model sink (README "Models"; writer
     IOUtils.scala:243-288 writeModelsInText): one line per coefficient,
     ``name\\tterm\\tcoefficient\\tregularization_weight``, coefficients
-    sorted descending by value within each model, one output partition
-    per (λ, model) — the GLMSuite regularization-sweep artifact.
+    sorted descending by value within each model, each model's lines
+    CONTIGUOUS in its output file (partitioned on λ; when two λs hash
+    into one shuffle partition the within-partition sort keys on
+    (λ, coefficient desc), so models never interleave) — the GLMSuite
+    regularization-sweep artifact.
 
     ``models`` is an iterable of (reg_weight, FixedEffectGLM);
     ``dictionary`` maps (feature_key, feature_index). Spark-first: the
@@ -190,7 +193,7 @@ def save_glm_text(
             F.coalesce(F.element_at(parts, 2), F.lit("")).alias("term"),
         )
         .repartition("reg_weight")
-        .sortWithinPartitions(F.desc("coefficient"))
+        .sortWithinPartitions("reg_weight", F.desc("coefficient"))
         .select(
             F.concat_ws(
                 "\t", "name", "term",

@@ -57,13 +57,20 @@ from photon_ml_spark.sources.model_io import (
 
 def _batch_fingerprint(batch: DataFrame, id_col: str, text_col: str) -> dict:
     """Deterministic, order-independent identity of a batch's input:
-    row count + xor of the (id, text) row hashes. Two different inputs
-    colliding on both is vanishingly unlikely; a replay of the same
-    input always matches (foreachBatch replays deliver the same
-    rows)."""
+    row count + SUM of the modded (id, text) row hashes. Sum, not xor —
+    xor cancels duplicate rows (two copies of row A hash to 0), so
+    different multisets could collide; a sum is multiset-safe. The
+    pmod bound keeps the sum overflow-free to ~9e9 rows. A replay of
+    the same input always matches (foreachBatch replays deliver the
+    same rows)."""
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("idhash"),
+        F.sum(
+            F.pmod(
+                F.xxhash64(F.col(id_col), F.col(text_col)),
+                F.lit(1_000_000_007),
+            )
+        ).alias("idhash"),
     ).collect()[0]
     return {"n": row["n"], "idhash": int(row["idhash"] or 0)}
 
@@ -112,14 +119,16 @@ def neardup_process_batch(
             "neardup_process_batch: batch_id must be >= 0 "
             "(batch=-1 is the reserved save_minhash_index bootstrap id)"
         )
-    if batch.isEmpty():
+    # one aggregation serves both the empty-batch check and the
+    # batch-identity fingerprint (no separate isEmpty scan per trigger)
+    marker = _marker_path(index_path, batch_id)
+    fp = _batch_fingerprint(batch, id_col, text_col)
+    if fp["n"] == 0:
         return
 
     # batch-identity guard: refuse an id collision across writers
     # (fresh-checkpoint restart against a populated index); skip a
     # completed replay of the same input
-    marker = _marker_path(index_path, batch_id)
-    fp = _batch_fingerprint(batch, id_col, text_col)
     if _hadoop_exists(spark, marker):
         stored = json.loads(_hadoop_read_text(spark, marker))
         if stored == fp:

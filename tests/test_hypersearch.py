@@ -171,3 +171,59 @@ def test_smoothed_hinge_weights_shift_boundary():
     res_w = fit_local_glm(X, y, weight=w_pos, family="smoothed_hinge", l2=0.1)
     # up-weighting positives pushes the intercept up (more area classified +)
     assert res_w["intercept"] > res_u["intercept"]
+
+
+def test_ridge_grid_inplan_matches_driver_closed_form(spark):
+    """The two physical strategies for the M11 grid — the all-in-plan
+    cross-join evaluation (`ridge_grid_eval_1d`, for when collecting
+    moments is undesirable) and the collected-moments driver arithmetic
+    (`ridge_moments_1d` + `ridge_closed_form`, what the m11 gate row
+    uses) — must agree bit-for-bit on integer-valued data."""
+    from photon_ml_spark.ml.hypersearch import (
+        ridge_closed_form,
+        ridge_grid_eval_1d,
+        ridge_moments_1d,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 37 AS DOUBLE) AS x",
+        "CAST((id * 7) % 23 AS DOUBLE) AS y",
+        "CAST(id % 2 AS INT) AS fold",
+    )
+    lams = [0.01, 1.0, 50.0, 1000.0]
+    inplan = {
+        r.lam: (r.beta, r.alpha, r.val_mse)
+        for r in ridge_grid_eval_1d(df, "x", "y", "fold", lams).collect()
+    }
+    m = ridge_moments_1d(df, "x", "y", "fold")
+    for lam in lams:
+        assert inplan[lam] == ridge_closed_form(m, lam)
+
+
+def test_gp_ridge_search_shares_moments_and_finds_grid_best(spark):
+    from photon_ml_spark.ml.hypersearch import (
+        gp_ridge_search_1d,
+        ridge_closed_form,
+        ridge_moments_1d,
+    )
+
+    df = spark.range(4000).selectExpr(
+        "CAST(id % 37 AS DOUBLE) AS x",
+        "CAST((id * 7) % 23 + CAST(id % 37 AS DOUBLE) AS DOUBLE) AS y",
+        "CAST(id % 2 AS INT) AS fold",
+    )
+    m = ridge_moments_1d(df, "x", "y", "fold")
+    res = gp_ridge_search_1d(
+        df, "x", "y", "fold", moments=m, kernel_sampling="slice"
+    )
+    dense_best = min(
+        ridge_closed_form(m, 10.0 ** e)[2]
+        for e in [x / 2.0 for x in range(-4, 9)]
+    )
+    assert res["best_value"] <= dense_best * 1.001
+    assert res["best_params"]["lam"] > 0
+    # deterministic: a second run reproduces the same history exactly
+    res2 = gp_ridge_search_1d(
+        df, "x", "y", "fold", moments=m, kernel_sampling="slice"
+    )
+    assert res["history"] == res2["history"]

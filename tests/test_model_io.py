@@ -96,13 +96,21 @@ def test_legacy_glm_text_round_trip(spark, trained, tmp_path):
         assert sorted(coefs, reverse=True) == sorted(
             (float(c) for c in fixed.coefficients), reverse=True
         )
-    # per-model desc sort survives in the raw text lines
+    # per-model contiguity + desc sort survive in the raw text lines:
+    # each λ's lines form one contiguous run, coefficient-desc within it
     for part in glob.glob(f"{path}/part-*"):
         with open(part) as fh:
-            vals = [
-                float(line.split("\t")[2]) for line in fh if line.strip()
+            lam_coef = [
+                (line.split("\t")[3], float(line.split("\t")[2]))
+                for line in fh
+                if line.strip()
             ]
-        assert vals == sorted(vals, reverse=True)
+        lams = [l for l, _ in lam_coef]
+        runs = [l for i, l in enumerate(lams) if i == 0 or lams[i - 1] != l]
+        assert len(runs) == len(set(runs))  # contiguous per λ
+        for lam in set(lams):
+            vals = [c for l, c in lam_coef if l == lam]
+            assert vals == sorted(vals, reverse=True)
     # name/term split round-trips the dictionary's feature keys
     keys = {
         (r.name, r.term)

@@ -28,6 +28,7 @@ def frame(spark):
         (2.0, 0.0, 1.0, [1.0, 1.0]),                       # nonbinary label
         (1.0, 0.0, 0.0, [1.0, 1.0]),                       # nonpositive weight
         (0.0, 0.0, -1.0, [1.0, 1.0]),                      # nonpositive weight
+        (1.0, 0.0, 1.0, None),                             # whole-NULL vector
     ]
     return spark.createDataFrame(
         rows,
@@ -38,12 +39,13 @@ def frame(spark):
 
 def test_standard_checks_counts(frame):
     row = validation_report(frame, standard_training_checks()).first()
-    assert row.n_rows == 9
+    assert row.n_rows == 10
     assert row.n_nonfinite_label == 1
     assert row.n_nonfinite_offset == 1
     assert row.n_nonpositive_weight == 2
     assert row.n_nonbinary_label == 2  # NaN label counts as nonbinary too
-    assert row.n_nonfinite_features == 3  # NaN, Inf, NULL element
+    # NaN element, Inf element, NULL element, whole-NULL array
+    assert row.n_nonfinite_features == 4
 
 
 def test_poisson_task_and_featureless_variant(spark):
