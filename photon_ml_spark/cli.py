@@ -191,12 +191,27 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     ``corpus_report`` data cards (doc/token counts, duplicate mass, PII
     incidence per language) for the corpus before and after curation.
     """
+    import time
+
     from pyspark.sql import functions as F
 
     from photon_ml_spark.operators import dedup, sampling, text
 
+    timings: dict[str, float] = {}
+    _t_last = time.perf_counter()
+
+    def _stamp(stage: str) -> None:
+        # wall-clock per stage, measured at its materialization point
+        # (the count/write that executes its lineage) — regressions in
+        # one stage's plan show up in ITS number, not a blended total
+        nonlocal _t_last
+        now = time.perf_counter()
+        timings[stage] = round(now - _t_last, 2)
+        _t_last = now
+
     docs = spark.read.parquet(cfg["input"])
     report: dict[str, int] = {"input": docs.count()}
+    _stamp("input")
 
     def _card(frame, name):
         # group by whichever descriptor column the corpus carries
@@ -235,6 +250,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             )
         docs = scored.select(*docs.columns).cache()
         report["after_quality"] = docs.count()
+        _stamp("quality")
 
     if cfg.get("exact_dedup"):
         dups = dedup.bow_exact_dedup(docs)
@@ -243,6 +259,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
         docs = docs.join(losers, "doc_id", "left_anti").cache()
         report["after_exact_dedup"] = docs.count()
+        _stamp("exact_dedup")
 
     pairs = None
     nd = cfg.get("near_dedup")
@@ -258,6 +275,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 .filter("is_keep").drop("cluster_id", "is_keep").cache()
             )
             report["after_near_dedup"] = docs.count()
+        _stamp("near_dedup")
 
     cont = cfg.get("contamination")
     if cont:
@@ -267,6 +285,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         ).filter(F.col("n_shared_ngrams") >= cont.get("min_shared", 1))
         docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
         report["after_contamination"] = docs.count()
+        _stamp("contamination")
 
     sel = cfg.get("select")
     if sel:
@@ -278,6 +297,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         ).select("doc_id")
         docs = docs.join(chosen, "doc_id", "left_semi").cache()
         report["after_select"] = docs.count()
+        _stamp("select")
 
     mix = cfg.get("mix")
     if mix:
@@ -300,6 +320,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 uid_col="doc_id",
             ).cache()
         report["after_mix"] = docs.count()
+        _stamp("mix")
 
     ch = cfg.get("chunk")
     tok = cfg.get("tokenize")
@@ -374,6 +395,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         # count the WRITTEN table (parquet metadata, near-free) rather
         # than re-executing the split/chunk lineage a second time
         report[f"out_{name}"] = spark.read.parquet(path).count()
+        _stamp(f"out_{name}")
 
     if cfg.get("report"):
         # the card describes the surviving DOCUMENTS (pre-chunking —
@@ -401,7 +423,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         if tok:
             _train_tokenizer(docs)
         _finish(docs, "docs")
-    print(json.dumps({"status": "curated", "report": report}))
+    print(
+        json.dumps(
+            {"status": "curated", "report": report, "timings": timings}
+        )
+    )
 
 
 def curate_stream(cfg: dict, spark: SparkSession) -> None:

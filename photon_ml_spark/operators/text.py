@@ -1006,3 +1006,48 @@ def unigram_encode(
             ).alias("unigram_tokens")
         )
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k characteristic terms per document by tf-idf — the keyword-
+    extraction stage of a curation/retrieval pipeline (document
+    descriptors for data cards, cluster labeling, filter audits).
+
+    tf = term count within the document, idf = ln(N / df) with df the
+    number of documents containing the term. Pure DataFrame shapes that
+    scale: one explode → (doc, term) count, a term-keyed document-
+    frequency aggregate joined back (broadcast while the vocabulary
+    fits, shuffle-on-term beyond), the corpus size as a broadcast 1-row
+    frame, and a per-document rank window. Ranking keys on the ROUNDED
+    score then the term (ties broken lexicographically) so the order is
+    reproducible across engines — the oracle convention.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tfidf", "rank")
+    )

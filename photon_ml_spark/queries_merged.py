@@ -50,6 +50,7 @@ from photon_ml_spark import (  # noqa: F401
     queries_streaming,
 )
 from photon_ml_spark.queries import QUERY_REGISTRY, register
+from photon_ml_spark.queries_pipeline import _TOKS_SQL
 
 # name -> (prefix/variant tag, output columns) for each folded query
 _FOLDED = {
@@ -653,12 +654,40 @@ def e6_temporal_joins(spark, sf_dir):
     "x19_curation_scores",
     oracle=f"{_melt_sql('x19_contamination')} UNION ALL "
     f"{_melt_sql('x23_unigram_perplexity')} UNION ALL "
-    f"{_melt_sql('x30_ngram_novelty')}",
+    f"{_melt_sql('x30_ngram_novelty')} UNION ALL "
+    f"""
+SELECT 'tfidf' AS variant, doc_id, term AS k, v FROM (
+  WITH tk AS (
+    SELECT doc_id, unnest({{toks}}) AS term
+    FROM documents WHERE doc_id % 3 = 0
+  ),
+  tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+  dfq AS (SELECT term, COUNT(*) AS dfn FROM tf GROUP BY 1),
+  nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tk),
+  sc AS (
+    SELECT doc_id, tf.term,
+           ROUND(tf * LN(CAST(n_docs AS DOUBLE) / dfn), 6) AS v
+    FROM tf JOIN dfq ON tf.term = dfq.term, nd
+  ),
+  rk AS (
+    SELECT doc_id, term, v,
+           ROW_NUMBER() OVER (
+             PARTITION BY doc_id ORDER BY v DESC, term ASC
+           ) AS rn
+    FROM sc
+  )
+  SELECT doc_id, term, v FROM rk WHERE rn <= 3
+) tfidf_block
+""".replace("{toks}", _TOKS_SQL),
     note="curation-scoring suite in ONE gate row: benchmark-contamination "
     "detection (train/eval trigram collisions, shingle equi-join), "
-    "CCNet-style add-one unigram-LM perplexity, and per-doc trigram "
-    "novelty (document-frequency join) — melted to (variant, doc_id, "
-    "k, v); constituent notes in queries_pipeline.py",
+    "CCNet-style add-one unigram-LM perplexity, per-doc trigram "
+    "novelty (document-frequency join), and tf-idf keyword extraction "
+    "(top-3 characteristic terms/doc: doc-term counts, term-keyed df "
+    "join, broadcast 1-row corpus size, per-doc rank window with "
+    "rounded-score + lexicographic tie-break) — melted to (variant, "
+    "doc_id, k, v); constituent notes in queries_pipeline.py / "
+    "operators/text.py",
 )
 def x19_curation_scores(spark, sf_dir):
     cont = _melt_df(
@@ -673,7 +702,18 @@ def x19_curation_scores(spark, sf_dir):
         _SPEC["x30_ngram_novelty"].run(spark, sf_dir),
         "novelty", _FOLDED["x30_ngram_novelty"][1], "doc_id", "doc_id",
     )
-    return cont.unionByName(ppl).unionByName(nov)
+    from photon_ml_spark.operators.text import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    tfidf = tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("variant"),
+        "doc_id",
+        F.col("term").alias("k"),
+        F.col("tfidf").alias("v"),
+    )
+    return cont.unionByName(ppl).unionByName(nov).unionByName(tfidf)
 
 
 # Unigram-LM tokenizer gate block (folded into x21): Viterbi-segment

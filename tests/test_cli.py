@@ -346,3 +346,22 @@ def test_cli_curate_stream_quality_prefilter(spark, tmp_path, capsys):
     # guaranteed (dedup also drops), but the filter must have bitten:
     n_short = docs.filter(token_count(F.col("text")) < 12).count()
     assert n_short > 0  # the corpus genuinely contains short docs
+
+
+def test_cli_curate_reports_stage_timings(spark, tmp_path, capsys):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    inp = str(tmp_path / "docs.parquet")
+    docs.write.parquet(inp)
+    cli.curate(
+        {
+            "input": inp,
+            "output_dir": str(tmp_path / "out"),
+            "quality": {"min_tokens": 3},
+            "exact_dedup": True,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = rep["timings"]
+    assert set(t) == {"input", "quality", "exact_dedup", "out_docs"}
+    assert all(v >= 0 for v in t.values())

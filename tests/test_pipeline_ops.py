@@ -1293,3 +1293,34 @@ def test_unigram_encode_words_distributed_matches_local(spark, docs):
         assert sc == score
         if syms:
             assert "".join(syms) == w
+
+
+def test_tfidf_top_terms_semantics(spark):
+    """Terms appearing in every document have idf = ln(1) = 0 and can
+    never outrank a distinctive term; per-doc rank respects the
+    (score desc, term asc) tie-break; tf weights repeated terms."""
+    from photon_ml_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "common apple apple zebra"),
+            (2, "common banana"),
+            (3, "common cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.rank): (r.term, r.tfidf)
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    import math
+
+    ln3 = round(1 * math.log(3.0 / 1.0), 6)
+    assert out[(1, 1)][0] in ("apple",)  # tf=2 beats zebra tf=1
+    assert out[(1, 1)][1] == round(2 * math.log(3.0), 6)
+    assert out[(1, 2)] == ("zebra", ln3)
+    assert out[(3, 1)] == ("cherry", round(3 * math.log(3.0), 6))
+    # 'common' (df=3 -> idf=0) ranks below any distinctive term and
+    # ties at 0.0 break lexicographically
+    assert out[(2, 1)][0] == "banana"
+    assert out[(2, 2)] == ("common", 0.0)
