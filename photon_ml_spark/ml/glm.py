@@ -69,6 +69,11 @@ class FixedEffectGLM:
         return spark.createDataFrame(rows, "feature_index long, coefficient double")
 
 
+#: spark.ml GeneralizedLinearRegression raises past this feature
+#: count (IRLS materializes dim x dim normal equations)
+GLR_MAX_FEATURES = 4096
+
+
 def fit_fixed_effect(
     df: DataFrame,
     dim: int,
@@ -102,6 +107,9 @@ def fit_fixed_effect(
     ``solver='tron'`` forces the trust-region truncated-Newton path
     (A2: distributed Hessian·vector CG, TRON.scala) — smooth
     objectives only (no L1, no bounds); ``'auto'`` picks as above.
+    Fits wider than GLR's 4096-feature IRLS ceiling also route to the
+    custom solver automatically (O(dim) LBFGS iterations instead of
+    O(dim²) normal equations).
     """
     from pyspark.ml.regression import GeneralizedLinearRegression
 
@@ -149,6 +157,11 @@ def fit_fixed_effect(
         or lower_bounds is not None
         or upper_bounds is not None
         or family == "smoothed_hinge"
+        # spark.ml GLR solves IRLS normal equations and hard-caps at
+        # 4096 features (SparkException beyond); wide models — e.g.
+        # hashing-trick spaces — go through the distributed LBFGS
+        # solver, whose per-iteration cost is O(dim) not O(dim²)
+        or dim > GLR_MAX_FEATURES
     )
     if needs_custom:
         res = solve_penalized(

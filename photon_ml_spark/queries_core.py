@@ -31,15 +31,35 @@ WITH keys AS (
   UNION SELECT DISTINCT 'type' || CHR(1) || p_type FROM part
   UNION SELECT DISTINCT 'size' || CHR(1) || CAST(p_size AS VARCHAR) FROM part
 )
-SELECT feature_key, CAST(ROW_NUMBER() OVER (ORDER BY feature_key) - 1 AS BIGINT) AS feature_index
+SELECT 'dict' AS variant, feature_key,
+       CAST(ROW_NUMBER() OVER (ORDER BY feature_key) - 1 AS BIGINT) AS feature_index
 FROM keys
 UNION ALL
-SELECT '(INTERCEPT)' AS feature_key, (SELECT COUNT(*) FROM keys) AS feature_index
+SELECT 'dict', '(INTERCEPT)', (SELECT COUNT(*) FROM keys)
+UNION ALL
+SELECT 'hashed', feature_key,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(range(1, length(feature_key) + 1),
+                          i -> CAST(ascii(substr(feature_key, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007
+       ) % 1024
+FROM keys
 """,
-    note="S3/S4/U1/U2/F1: distinct feature keys -> deterministic dense index + intercept slot",
+    note="S3/S4/U1/U2/F1 feature-index suite in ONE gate row. 'dict': "
+    "distinct feature keys -> deterministic dense index + intercept "
+    "slot (the reference's in-memory/PalDB dictionary). 'hashed': the "
+    "hashing-trick mapping hash(key) mod 1024 for the SAME keys — the "
+    "dictionary-FREE scale path (assemble_shard_hashed) for 100M+ "
+    "feature spaces where even building a dictionary is prohibitive; "
+    "the polynomial codepoint hash is deliberately portable, replayed "
+    "exactly by a DuckDB list_reduce",
 )
 def s3_feature_dictionary(spark, sf_dir):
-    from photon_ml_spark.sources.featurize import build_feature_dictionary
+    from photon_ml_spark.sources.featurize import (
+        build_feature_dictionary,
+        hashed_feature_index,
+    )
 
     part = _t(spark, sf_dir, "part").select(
         F.array(
@@ -52,7 +72,22 @@ def s3_feature_dictionary(spark, sf_dir):
                      F.lit(1.0).alias("value")),
         ).alias("bag")
     )
-    return build_feature_dictionary(part, ["bag"], has_intercept=True)
+    dict_rows = build_feature_dictionary(part, ["bag"], has_intercept=True)
+    hashed = (
+        dict_rows.filter(F.col("feature_key") != "(INTERCEPT)")
+        .select(
+            F.lit("hashed").alias("variant"),
+            "feature_key",
+            hashed_feature_index(F.col("feature_key"), 1024).alias(
+                "feature_index"
+            ),
+        )
+    )
+    return (
+        dict_rows.select(
+            F.lit("dict").alias("variant"), "feature_key", "feature_index"
+        ).unionByName(hashed)
+    )
 
 
 @register(

@@ -18,7 +18,7 @@ range-partitions the sort: no single-partition row_number bottleneck at
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from photon_ml_spark.datamodel import (
@@ -182,6 +182,82 @@ def assemble_shard(
     mapped = ex.join(dim, "feature_key", "inner")
     pairs = (
         mapped.groupBy(uid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("feature_index", "feature_value"))
+            ).alias("__pairs")
+        )
+        .select(
+            uid_col,
+            F.col("__pairs.feature_index").alias(f"{shard.shard_name}_indices"),
+            F.col("__pairs.feature_value").alias(f"{shard.shard_name}_values"),
+        )
+    )
+    return df.join(pairs, uid_col, "left")
+
+
+# ------------------------------------------------- hashing-trick path
+
+# Polynomial rolling hash over the key's codepoints — NOT xxhash64,
+# deliberately: this hash is exactly expressible in ANSI SQL (a
+# list_reduce in DuckDB), so hashed featurization stays inside the
+# cross-engine oracle contract. Collision quality is adequate for the
+# hashing trick (Weinberger et al. 2009): what matters is uniformity
+# over `dim`, not cryptographic strength.
+HASH_TRICK_BASE = 31
+HASH_TRICK_MOD = 1_000_000_007
+
+
+def portable_feature_hash(key: Column) -> Column:
+    """h = fold(h·31 + codepoint) mod p over the key string — one JVM
+    higher-order aggregate, no UDF; identical arithmetic is a
+    ``list_reduce`` on the SQL side."""
+    return F.aggregate(
+        F.split(key, ""),
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * HASH_TRICK_BASE + F.ascii(ch))
+        % HASH_TRICK_MOD,
+    )
+
+
+def hashed_feature_index(key: Column, dim: int) -> Column:
+    return F.pmod(portable_feature_hash(key), F.lit(dim)).cast("long")
+
+
+def assemble_shard_hashed(
+    df: DataFrame,
+    shard: FeatureShardConfig,
+    dim: int,
+    uid_col: str = "uid",
+) -> DataFrame:
+    """Hashing-trick shard assembly: ``index = hash(key) mod dim``,
+    colliding features SUM their values — NO feature dictionary at all.
+
+    This is the scale path past the dictionary strategies in
+    ``assemble_shard``: the reference's answer to >200k features is an
+    offline PalDB index (FeatureIndexingDriver.scala:41-42), ours is a
+    dictionary DataFrame join — but at 100M+ sparse features even
+    building the dictionary is a corpus-wide distinct, and serving it
+    is a join against billions of rows. The hashing trick removes the
+    state entirely: featurization becomes a pure function of the row,
+    the only shuffles are the (uid, index) collision-sum and the
+    re-join on uid, and train/score can never disagree on the mapping
+    (there is no mapping to version). The trade is bounded, quantified
+    collision noise — pick ``dim`` a few × the live feature count.
+    """
+    key = F.col("feature_key")
+    ex = exploded_features(df.select(uid_col, *shard.feature_bags), shard.feature_bags)
+    summed = (
+        ex.select(
+            uid_col,
+            hashed_feature_index(key, dim).alias("feature_index"),
+            F.col("feature_value"),
+        )
+        .groupBy(uid_col, "feature_index")
+        .agg(F.sum("feature_value").alias("feature_value"))
+    )
+    pairs = (
+        summed.groupBy(uid_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct("feature_index", "feature_value"))

@@ -37,3 +37,109 @@ def test_daily_paths_single_day_and_span(spark):
         "daily/1999/12/30", "daily/1999/12/31",
         "daily/2000/01/01", "daily/2000/01/02",
     ]
+
+
+# ------------------------------------------------- hashing-trick path
+
+
+def test_assemble_shard_hashed_collision_sum_and_fit(spark):
+    """The hashing trick must (a) map features to hash(key) mod dim,
+    (b) SUM colliding features' values, and (c) feed the fixed-effect
+    fit without a dictionary. dim=1 forces EVERY feature into index 0,
+    so the assembled value must be the row's total feature mass."""
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.ml import glm
+    from photon_ml_spark.sources.featurize import (
+        assemble_shard_hashed,
+        hashed_feature_index,
+        portable_feature_hash,
+    )
+
+    rows = [
+        (1, 1.0, [("a", "x", 1.0), ("b", "y", 2.0), ("c", "z", 4.0)]),
+        (2, 0.0, [("a", "x", 8.0)]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (uid, resp, [{"name": n, "term": t, "value": v} for n, t, v in bag])
+            for uid, resp, bag in rows
+        ],
+        "uid long, response double, "
+        "features array<struct<name string, term string, value double>>",
+    )
+    shard = FeatureShardConfig("features", ["features"])
+    out = assemble_shard_hashed(df, shard, dim=1)
+    got = {r.uid: (list(r.features_indices), list(r.features_values))
+           for r in out.collect()}
+    assert got[1] == ([0], [7.0])  # 1+2+4 summed into the single bucket
+    assert got[2] == ([0], [8.0])
+
+    # wide dim: distinct keys land on distinct buckets here, and the
+    # indices match the portable hash mod dim
+    wide = assemble_shard_hashed(df, shard, dim=1 << 20)
+    keys = ["a\x01x", "b\x01y", "c\x01z"]
+    hexp = {
+        r.feature_key: r.idx
+        for r in spark.createDataFrame([(k,) for k in keys], "feature_key string")
+        .select("feature_key",
+                hashed_feature_index(F.col("feature_key"), 1 << 20).alias("idx"))
+        .collect()
+    }
+    r1 = {r.uid: r for r in wide.collect()}[1]
+    assert sorted(r1.features_indices) == sorted(hexp[k] for k in keys)
+
+    # end-to-end: a hashed frame fits a GLM with no dictionary state
+    # (dim 4096 = spark.ml GLR's feature ceiling; wider hashed spaces
+    # go through the custom distributed solvers, same as any wide fit)
+    hashed4k = assemble_shard_hashed(df, shard, dim=4096)
+    m = glm.fit_fixed_effect(
+        hashed4k.withColumn("offset", F.lit(0.0)).withColumn(
+            "weight", F.lit(1.0)
+        ),
+        dim=4096, family="gaussian", reg_param=1.0,
+    )
+    assert m.dim == 4096
+
+
+def test_portable_feature_hash_reference_values(spark):
+    """Pin the hash function itself: h('ab') = (0*31+97)*31+98 mod p."""
+    from photon_ml_spark.sources.featurize import portable_feature_hash
+
+    got = {
+        r.k: r.h
+        for r in spark.createDataFrame(
+            [("ab",), ("a\x01b",)], "k string"
+        ).select("k", portable_feature_hash(F.col("k")).alias("h")).collect()
+    }
+    assert got["ab"] == (97 * 31 + 98) % 1_000_000_007
+    assert got["a\x01b"] == ((97 * 31 + 1) * 31 + 98) % 1_000_000_007
+
+
+def test_wide_fit_routes_past_glr_ceiling(spark):
+    """dim > 4096 with a pure-L2 objective must route to the custom
+    distributed solver instead of crashing on GLR's feature cap."""
+    from photon_ml_spark.ml import glm
+
+    dim = 5000
+    df = spark.range(400).selectExpr(
+        "id AS uid",
+        f"array(CAST(id % {dim} AS LONG)) AS features_indices",
+        "array(CAST(1.0 + id % 7 AS DOUBLE)) AS features_values",
+        "CAST(2.0 * (1.0 + id % 7) AS DOUBLE) AS response",
+        "CAST(0.0 AS DOUBLE) AS offset",
+        "CAST(1.0 AS DOUBLE) AS weight",
+    )
+    m = glm.fit_fixed_effect(
+        df, dim=dim, family="gaussian", reg_param=0.0, tol=1e-9
+    )
+    assert m.meta["optimizer"] == "lbfgs"
+    assert m.dim == dim
+    # each active index saw one (x, 2x) pair: coef ~2 (with intercept
+    # soaking up nothing since data is exactly linear through origin
+    # ... up to the unpenalized intercept's freedom; check prediction)
+    import numpy as np
+
+    active = df.limit(5).collect()
+    for r in active:
+        pred = m.coefficients[r.features_indices[0]] * r.features_values[0] + m.intercept
+        assert abs(pred - r.response) < 1e-3
