@@ -227,6 +227,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     if cfg.get("report"):
         _card(docs, "input")
+        _stamp("report_input")
 
     q = cfg.get("quality")
     if q:
@@ -401,6 +402,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         # the card describes the surviving DOCUMENTS (pre-chunking —
         # chunk rows are training artifacts, not corpus members)
         _card(docs, "output")
+        _stamp("report_output")
 
     sp = cfg.get("split")
     if sp:
