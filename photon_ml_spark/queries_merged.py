@@ -31,6 +31,14 @@ text stats) are absorbed into their family suites (m2, x6, e1, x1)
 at the bottom of this module — nothing is verified only locally
 anymore (tests/test_registry.py pins this).
 
+Round-4 block additions inside existing gate rows (no new slots):
+x6 += minhash signatures (x5); e1 += stream scoring (e4); m2 +=
+poisson stationarity (m2b); x1 = quality∪fingerprint∪histogram∪
+repetition melt (x11/x13/x15); x21 += unigram-LM Viterbi segmentation
+(enumeration oracle); x19 += tf-idf keywords + interpolated bigram
+perplexity; s3 += hashing-trick indices; m11 += slice-sampled GP-EI;
+a12 += Poisson log-likelihood/AIC; p4 = full validator suite.
+
 Exactness: cross joins of 1-row frames and UNION ALL of already-
 hash-matching constituents introduce no new float arithmetic; integer
 casts to double are exact below 2^53.
