@@ -268,6 +268,13 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         pairs = dedup.minhash_lsh_dedup(
             docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2)
         ).select("id_a", "id_b").cache()
+        if cfg.get("split"):
+            # split consumes the full clusters later; materialize the
+            # cached pair relation NOW so the LSH cost lands on THIS
+            # stamp instead of silently inflating out_train (the cache
+            # is reused, so this count is not extra work)
+            pairs.count()
+            _stamp("near_dedup")
         # keep one doc per near-dup cluster unless a split stage wants
         # the full clusters (split drops nothing; it separates them)
         if not cfg.get("split"):
@@ -414,6 +421,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         labeled = labeled.persist()
         if tok:
             _train_tokenizer(labeled.filter(F.col("split") == "train"))
+            _stamp("tokenizer_train")
         for side in ("train", "test"):
             _finish(
                 labeled.filter(F.col("split") == side)
@@ -424,6 +432,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     else:
         if tok:
             _train_tokenizer(docs)
+            _stamp("tokenizer_train")
         _finish(docs, "docs")
     print(
         json.dumps(

@@ -81,6 +81,18 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return q.withColumn(out_col, (len_score + stop_score + punct_pen) / 3.0)
 
 
+def adjacent_pairs(toks: Column) -> Column:
+    """Adjacent-token pair structs [(u=tok_i, w=tok_{i+1}), ...] — the
+    shared bigram construction (empty for <2 tokens; the
+    greatest(size-1, 0) guard keeps slice() legal on short docs)."""
+    n = F.size(toks)
+    prev = F.slice(toks, 1, F.greatest(n - 1, F.lit(0)))
+    cur = F.slice(toks, 2, F.greatest(n - 1, F.lit(0)))
+    return F.zip_with(
+        prev, cur, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
+    )
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document repetition signals (the Gopher-style repetition
     filters): duplicate-token fraction (1 − distinct/total) and
@@ -90,10 +102,8 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_dist = F.size(F.array_distinct(toks))
-    bigrams = F.zip_with(
-        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
-        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    bigrams = F.transform(
+        adjacent_pairs(toks), lambda p: F.concat(p["u"], F.lit(" "), p["w"])
     )
     nb = F.size(bigrams)
     nb_dist = F.size(F.array_distinct(bigrams))
@@ -1032,7 +1042,9 @@ def tfidf_top_terms(
     toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = toks.agg(F.countDistinct(id_col).alias("n_docs"))
+    # count docs from the already-grouped tf relation (exactly the
+    # docs with >= 1 token), not the full token explode
+    n = tf.agg(F.countDistinct(id_col).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
         .crossJoin(F.broadcast(n))
@@ -1075,15 +1087,12 @@ def bigram_perplexity(
     on token keys only, no driver state, exactly the unigram operator's
     profile with one extra join.
     """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
     lm_src = lm_df if lm_df is not None else df
 
     def transitions(frame, with_id):
-        toks = tokens(F.col(text_col))
-        prev = F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-        cur = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
-        pairs = F.zip_with(
-            prev, cur, lambda a, b: F.struct(a.alias("u"), b.alias("w"))
-        )
+        pairs = adjacent_pairs(tokens(F.col(text_col)))
         cols = [F.col(id_col)] if with_id else []
         return frame.select(*cols, F.explode(pairs).alias("__p")).select(
             *([id_col] if with_id else []),
@@ -1111,6 +1120,11 @@ def bigram_perplexity(
         (F.coalesce(F.col("__uni_cnt"), F.lit(0)) + 1).cast("double")
         / (F.col("__total") + F.col("__vocab")).cast("double")
     )
+    # p = 0 is REACHABLE at lam = 1 (pure MLE, unseen transition):
+    # ln(0) is NULL in Spark, and a NULL silently vanishing from SUM
+    # would hand out-of-distribution docs a PERFECT score — map it to
+    # -inf so their ppl is +inf
+    p = F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni
     scored = (
         transitions(df, True)
         .join(bi, ["__u", "__w"], "left")
@@ -1119,7 +1133,9 @@ def bigram_perplexity(
         .crossJoin(F.broadcast(totals))
         .select(
             id_col,
-            F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni).alias("__lp"),
+            F.when(p > 0, F.log(p))
+            .otherwise(F.lit(float("-inf")))
+            .alias("__lp"),
         )
     )
     return scored.groupBy(id_col).agg(

@@ -750,20 +750,20 @@ def x19_curation_scores(spark, sf_dir):
         _SPEC["x30_ngram_novelty"].run(spark, sf_dir),
         "novelty", _FOLDED["x30_ngram_novelty"][1], "doc_id", "doc_id",
     )
-    from photon_ml_spark.operators.text import tfidf_top_terms
-
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") % 3 == 0
+    from photon_ml_spark.operators.text import (
+        bigram_perplexity,
+        tfidf_top_terms,
     )
-    tfidf = tfidf_top_terms(docs, k=3).select(
+
+    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tfidf = tfidf_top_terms(
+        all_docs.filter(F.col("doc_id") % 3 == 0), k=3
+    ).select(
         F.lit("tfidf").alias("variant"),
         "doc_id",
         F.col("term").alias("k"),
         F.col("tfidf").alias("v"),
     )
-    from photon_ml_spark.operators.text import bigram_perplexity
-
-    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p2 = bigram_perplexity(all_docs, lam=0.7)
     ppl2 = _melt_df(
         p2.select("doc_id", "n_bigrams", F.round("ppl", 6).alias("ppl2")),

@@ -106,6 +106,26 @@ def check_duplicate_features(
     )
 
 
+def _collect_pairs(mapped: DataFrame, shard: FeatureShardConfig, uid_col: str) -> DataFrame:
+    """(uid, feature_index, feature_value) rows → per-uid sorted
+    sparse-pair arrays — the assembly invariant (index-sorted arrays,
+    <shard>_indices/_values naming) shared by the dictionary-join and
+    hashing-trick paths."""
+    return (
+        mapped.groupBy(uid_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("feature_index", "feature_value"))
+            ).alias("__pairs")
+        )
+        .select(
+            uid_col,
+            F.col("__pairs.feature_index").alias(f"{shard.shard_name}_indices"),
+            F.col("__pairs.feature_value").alias(f"{shard.shard_name}_values"),
+        )
+    )
+
+
 MAP_STRATEGY_MAX_KEYS = 100_000
 
 
@@ -180,20 +200,7 @@ def assemble_shard(
     ex = exploded_features(df.select(uid_col, *shard.feature_bags), shard.feature_bags)
     dim = F.broadcast(dictionary) if broadcast_dict else dictionary
     mapped = ex.join(dim, "feature_key", "inner")
-    pairs = (
-        mapped.groupBy(uid_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("feature_index", "feature_value"))
-            ).alias("__pairs")
-        )
-        .select(
-            uid_col,
-            F.col("__pairs.feature_index").alias(f"{shard.shard_name}_indices"),
-            F.col("__pairs.feature_value").alias(f"{shard.shard_name}_values"),
-        )
-    )
-    return df.join(pairs, uid_col, "left")
+    return df.join(_collect_pairs(mapped, shard, uid_col), uid_col, "left")
 
 
 # ------------------------------------------------- hashing-trick path
@@ -256,17 +263,4 @@ def assemble_shard_hashed(
         .groupBy(uid_col, "feature_index")
         .agg(F.sum("feature_value").alias("feature_value"))
     )
-    pairs = (
-        summed.groupBy(uid_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("feature_index", "feature_value"))
-            ).alias("__pairs")
-        )
-        .select(
-            uid_col,
-            F.col("__pairs.feature_index").alias(f"{shard.shard_name}_indices"),
-            F.col("__pairs.feature_value").alias(f"{shard.shard_name}_values"),
-        )
-    )
-    return df.join(pairs, uid_col, "left")
+    return df.join(_collect_pairs(summed, shard, uid_col), uid_col, "left")

@@ -1344,13 +1344,22 @@ def test_bigram_perplexity_semantics(spark):
     out = {r.doc_id: r for r in bigram_perplexity(probe, lam=0.7, lm_df=lm).collect()}
     assert out[100].n_bigrams == 4 and out[101].n_bigrams == 2
     assert out[100].ppl < out[101].ppl
-    # pure-MLE degenerate case: deterministic chain -> ppl == 1
-    chain = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
-    # 'c a' and others: in lm, contexts: a->b always, b->c always, c->a (2/3 of c
-    # transitions within docs... compute expectation loosely: just assert finite
-    r = bigram_perplexity(chain, lam=1.0, lm_df=lm).first()
+    # pure-MLE lam=1: a doc with transitions the LM has NEVER seen must
+    # score ppl = +inf, NOT silently drop the ln(0) terms and win a
+    # perfect score (the review-found NULL-sum bug)
     import math
-    assert r.ppl >= 1.0 and math.isfinite(r.ppl)
-    # short docs (<2 tokens) are excluded
+
+    oov = spark.createDataFrame(
+        [(0, "a b z q a b")], "doc_id long, text string"
+    )
+    r = bigram_perplexity(oov, lam=1.0, lm_df=lm).first()
+    assert r.n_bigrams == 5 and math.isinf(r.ppl) and r.ppl > 0
+    # while an in-distribution chain stays finite
+    chain = spark.createDataFrame([(0, "a b c a b c")], "doc_id long, text string")
+    r2 = bigram_perplexity(chain, lam=1.0, lm_df=lm).first()
+    assert r2.ppl >= 1.0 and math.isfinite(r2.ppl)
+    # short docs (<2 tokens) are excluded; lam is validated
     short = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
     assert bigram_perplexity(short, lm_df=lm).count() == 0
+    with pytest.raises(ValueError, match="lam"):
+        bigram_perplexity(short, lam=1.5, lm_df=lm)
