@@ -683,16 +683,20 @@ def corpus_report(
     df: DataFrame,
     group_col: str = "lang",
     text_col: str = "text",
+    exact: bool = True,
 ) -> DataFrame:
     """Per-group corpus data card — the summary a curation pipeline
     publishes alongside its output shards (doc/token counts,
     exact-duplicate mass, PII incidence). One pass over the corpus:
     every signal is a scan-speed expression feeding a single grouped
-    aggregate; the only non-trivial aggregate is the exact
-    count-distinct of normalized-content fingerprints (Catalyst
-    partial-aggregates it map-side; swap in approx_count_distinct when
-    a ±2% duplicate-mass estimate is acceptable at extreme group
-    cardinalities).
+    aggregate; the only non-trivial aggregate is the count-distinct of
+    normalized-content fingerprints. ``exact=True`` (default, and the
+    oracle-compared path) computes it exactly — Catalyst partial-
+    aggregates map-side, but the distinct set is still materialized
+    per group; ``exact=False`` switches to the mergeable
+    ``approx_count_distinct`` HLL sketch (~2% relative error, O(1)
+    state per group) — the right setting at extreme group
+    cardinalities (billions of docs per language).
 
     Returns one row per group: (group, n_docs, n_tokens,
     n_unique_docs, n_pii_docs, dup_doc_frac).
@@ -716,7 +720,11 @@ def corpus_report(
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__nt").cast("long").alias("n_tokens"),
-            F.countDistinct("__fp").alias("n_unique_docs"),
+            (
+                F.countDistinct("__fp")
+                if exact
+                else F.approx_count_distinct("__fp", rsd=0.02)
+            ).alias("n_unique_docs"),
             F.sum(F.when(F.col("__pii"), 1).otherwise(0))
             .cast("long")
             .alias("n_pii_docs"),

@@ -1363,3 +1363,22 @@ def test_bigram_perplexity_semantics(spark):
     assert bigram_perplexity(short, lm_df=lm).count() == 0
     with pytest.raises(ValueError, match="lam"):
         bigram_perplexity(short, lam=1.5, lm_df=lm)
+
+
+def test_corpus_report_approx_mode(spark, docs):
+    """exact=False swaps the fingerprint count-distinct for the HLL
+    sketch: same schema, estimates within a few percent of exact."""
+    from photon_ml_spark.operators.text import corpus_report
+
+    exact = {r[0]: r for r in corpus_report(docs, group_col="lang").collect()}
+    approx = {
+        r[0]: r
+        for r in corpus_report(docs, group_col="lang", exact=False).collect()
+    }
+    assert set(exact) == set(approx)
+    for g, e in exact.items():
+        a = approx[g]
+        assert a.n_docs == e.n_docs and a.n_tokens == e.n_tokens
+        assert abs(a.n_unique_docs - e.n_unique_docs) <= max(
+            5, 0.10 * e.n_unique_docs
+        )
