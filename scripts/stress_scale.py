@@ -18,10 +18,15 @@ the missing evidence locally:
     RandomEffectDataset.scala:38-45,
     RandomEffectDatasetPartitioner.scala:110-136).
 - ``run``: time the five verdict-named paths (flagship, m2, x6, x9,
-  x14) at sf0.1 and at x10 and print the ratios; then the skew case:
+  x14) at sf0.1 and at x{F} and print the ratios; then the skew case:
   the T2 per-entity cap + per-entity fit over the skewed table (the
   reference's own rail), plus the UNCAPPED fit to show the engine
-  survives a 1.8M-row pandas group at all. One JSON line to stdout.
+  survives a multi-million-row pandas group at all, and the skewed
+  J5 scoring join through broadcast / SMJ / forced-AQE-skew-split
+  plans. One JSON line to stdout.
+
+``STRESS_FACTOR`` (default 10) picks the replication factor — the
+same harness produced the 10x and 30x evidence rows in BASELINE.md.
 
 Expected shapes (written down BEFORE running, judged in BASELINE.md):
 near-linear (<=~12x) for flagship/m2/x6/x14; x9's registry row is
@@ -45,9 +50,11 @@ from pyspark.sql import DataFrame, functions as F
 
 SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stress")
-X10 = os.path.join(ROOT, "x10")
-SKEW = os.path.join(ROOT, "skew")
-FACTOR = 10
+# replication factor (STRESS_FACTOR env; default 10). Datasets land in
+# .stress/x{F} and .stress/skew{F} so factors coexist on disk.
+FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
+X10 = os.path.join(ROOT, f"x{FACTOR}" if FACTOR != 10 else "x10")
+SKEW = os.path.join(ROOT, "skew" if FACTOR == 10 else f"skew{FACTOR}")
 SALT = 10_000_000  # key shift per replica; > any sf0.1 key
 VOWS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]
 
@@ -65,13 +72,14 @@ def _reps(df: DataFrame, build_rep) -> DataFrame:
 
 
 def build(spark) -> None:
-    shutil.rmtree(ROOT, ignore_errors=True)
+    shutil.rmtree(X10, ignore_errors=True)
+    shutil.rmtree(SKEW, ignore_errors=True)
     os.makedirs(X10)
     os.makedirs(SKEW)
 
     def lineitem_rep(df, r, skew=False):
         supp = F.col("l_suppkey") + r * 10_000
-        if skew and r < 3:
+        if skew and r < max(1, round(0.3 * FACTOR)):
             supp = F.lit(1).cast("long")  # ~30% of all rows -> entity 1
         return df.select(
             (F.col("l_orderkey") + r * SALT).alias("l_orderkey"),
@@ -86,10 +94,21 @@ def build(spark) -> None:
         return df.withColumn("o_orderkey", F.col("o_orderkey") + r * SALT)
 
     def documents_rep(df, r):
+        # two independent rotation axes (vowels by r mod 5, consonants
+        # by r//5 mod 5) -> 25 distinct text transforms: replicas stay
+        # mutually NON-near-duplicate up to factor 25, so near-dup pair
+        # counts scale with the corpus instead of being manufactured by
+        # the generator (at factor 10 the single vowel axis sufficed;
+        # factor 30 exposed r vs r+5 as ~identical texts)
+        cons = "bcdfg"
+        crot = cons[(r // 5) % 5:] + cons[: (r // 5) % 5]
         return df.select(
             (F.col("doc_id") + r * SALT).alias("doc_id"),
             F.concat(
-                F.lit(f"r{r} "), F.translate("text", "aeiou", VOWS[r % 5])
+                F.lit(f"r{r} "),
+                F.translate(
+                    F.translate("text", "aeiou", VOWS[r % 5]), cons, crot
+                ),
             ).alias("text"),
             "lang", "source", "n_chars",
         )
