@@ -283,7 +283,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 .filter("is_keep").drop("cluster_id", "is_keep").cache()
             )
             report["after_near_dedup"] = docs.count()
-        _stamp("near_dedup")
+            _stamp("near_dedup")
 
     cont = cfg.get("contamination")
     if cont:

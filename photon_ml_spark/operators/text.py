@@ -886,7 +886,12 @@ def unigram_train(
 
     Scale shape = ``bpe_train``: one distributed
     ``groupBy(word).count()`` touches the corpus; everything after
-    runs driver-local on the vocab-bounded frequency table. Returns a
+    runs driver-local on the vocab-bounded frequency table — so
+    training cost is decoupled from corpus size. The EM loop itself is
+    pure Python over the word lattice: O(words × len × max_piece) per
+    iteration, seconds at a 100k-word vocabulary, minutes toward the
+    ``max_vocab_rows`` cap — acceptable for a train-once tokenizer
+    artifact (sentencepiece pays the same loop in C++). Returns a
     DataFrame (piece string, logprob double) — single chars are never
     pruned, so every word of the training alphabet stays encodable."""
     words = df.select(F.explode(tokens(F.col(text_col))).alias("word"))
