@@ -78,21 +78,37 @@ def train(cfg: dict, spark: SparkSession) -> None:
 
     assembled, dictionary, dim = _assembled(spark, cfg)
     shard = cfg.get("shard", "features")
-    coords = [
-        CoordinateConfig(
-            name=c["name"],
-            kind=c["kind"],
-            dim=dim,
-            indices_col=f"{shard}_indices",
-            values_col=f"{shard}_values",
-            entity_col=c.get("entity_col"),
-            reg_param=c.get("reg_param", 0.0),
-            min_samples=c.get("min_samples", 1),
-            elastic_net_param=c.get("elastic_net_param", 0.0),
-            solver=c.get("solver", "auto"),
+
+    def _bounds(c):
+        # reference parity (GLMSuite.createConstraintFeatureMap): a
+        # JSON constraint list on a fixed coordinate resolves against
+        # the feature dictionary into per-index box bounds
+        if "constraints" not in c:
+            return None, None
+        from photon_ml_spark.ml.constraints import parse_constraint_map
+
+        parsed = parse_constraint_map(c["constraints"], dictionary, dim)
+        return (None, None) if parsed is None else parsed
+
+    coords = []
+    for c in cfg["coordinates"]:
+        lo, hi = _bounds(c)
+        coords.append(
+            CoordinateConfig(
+                name=c["name"],
+                kind=c["kind"],
+                dim=dim,
+                indices_col=f"{shard}_indices",
+                values_col=f"{shard}_values",
+                entity_col=c.get("entity_col"),
+                reg_param=c.get("reg_param", 0.0),
+                min_samples=c.get("min_samples", 1),
+                elastic_net_param=c.get("elastic_net_param", 0.0),
+                solver=c.get("solver", "auto"),
+                lower_bounds=lo,
+                upper_bounds=hi,
+            )
         )
-        for c in cfg["coordinates"]
-    ]
     est = GameEstimator(
         coordinates=coords,
         family=cfg.get("family", "binomial"),

@@ -53,6 +53,7 @@ def build_feature_dictionary(
     df: DataFrame,
     feature_bags: list[str],
     has_intercept: bool = True,
+    selected_features: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct feature keys → dense contiguous index (S3/S4).
 
@@ -61,6 +62,14 @@ def build_feature_dictionary(
     the reference instead froze arbitrary hash order into PalDB).
     Intercept occupies the final slot, matching AvroDataReader.scala:
     336-341 (intercept appended after all real features).
+
+    ``selected_features`` (optional): a (feature_key) relation — only
+    keys present in it enter the dictionary, so downstream assembly
+    silently drops everything else. This is the reference's
+    selected-features-file flow (GLMSuite.scala:
+    getSelectedFeatureSetFromFile — an allowlist the reference reads
+    from an Avro NameAndTerm file and applies while building the index
+    map); Spark-first it is a semi-join, never a driver set.
     """
     keys = None
     for bag in feature_bags:
@@ -69,6 +78,12 @@ def build_feature_dictionary(
         ).select(feature_key_col("__f.name", "__f.term").alias("feature_key"))
         keys = k if keys is None else keys.unionByName(k)
     keys = keys.distinct()
+    if selected_features is not None:
+        keys = keys.join(
+            selected_features.select("feature_key").distinct(),
+            "feature_key",
+            "left_semi",
+        )
 
     # Scalable deterministic zipWithIndex: range-partitioned sort, then
     # per-partition sequential ids — equivalent to ROW_NUMBER() OVER

@@ -143,3 +143,37 @@ def test_wide_fit_routes_past_glr_ceiling(spark):
     for r in active:
         pred = m.coefficients[r.features_indices[0]] * r.features_values[0] + m.intercept
         assert abs(pred - r.response) < 1e-3
+
+
+def test_build_feature_dictionary_selected_features(spark):
+    """GLMSuite selected-features allowlist parity: only allowlisted
+    keys enter the dictionary; assembly then drops the rest."""
+    from photon_ml_spark.datamodel import (
+        FEATURE_KEY_SEP as S,
+        FeatureShardConfig,
+        INTERCEPT_KEY,
+    )
+    from photon_ml_spark.sources.featurize import (
+        assemble_shard,
+        build_feature_dictionary,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [{"name": "a", "term": "x", "value": 1.0},
+                 {"name": "b", "term": "y", "value": 2.0},
+                 {"name": "c", "term": "z", "value": 3.0}]),
+        ],
+        "uid long, features array<struct<name string, term string, value double>>",
+    )
+    allow = spark.createDataFrame(
+        [(f"a{S}x",), (f"c{S}z",)], "feature_key string"
+    )
+    d = build_feature_dictionary(df, ["features"], selected_features=allow)
+    keys = {r.feature_key for r in d.collect()}
+    assert keys == {f"a{S}x", f"c{S}z", INTERCEPT_KEY}
+    out = assemble_shard(
+        df, d, FeatureShardConfig("features", ["features"]), strategy="map"
+    ).first()
+    assert len(out.features_indices) == 2  # b:y dropped
+    assert sorted(out.features_values) == [1.0, 3.0]
