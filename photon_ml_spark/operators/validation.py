@@ -67,9 +67,30 @@ def standard_training_checks(
     return checks
 
 
-def validate_or_raise(df: DataFrame, checks: dict[str, Column]) -> None:
+def validate_or_raise(
+    df: DataFrame,
+    checks: dict[str, Column],
+    mode: str = "full",
+    sample_fraction: float = 0.10,
+    seed: int = 42,
+) -> None:
     """Fail-fast equivalent of sanityCheckDataFrameForTraining
-    (DataValidators.scala:320-417)."""
+    (DataValidators.scala:320-417) with the reference's three
+    validation modes (DataValidationType, applied at
+    DataValidators.scala:250-259):
+
+    - ``'full'``: one aggregation pass over every row.
+    - ``'sample'``: the same checks over a seeded 10% sample — the
+      cheap smoke mode for petabyte inputs (the reference samples
+      unseeded; we seed so retries validate the same rows).
+    - ``'disabled'``: no scan at all.
+    """
+    if mode == "disabled":
+        return
+    if mode == "sample":
+        df = df.sample(withReplacement=False, fraction=sample_fraction, seed=seed)
+    elif mode != "full":
+        raise ValueError(f"mode must be full|sample|disabled, got {mode!r}")
     row = validation_report(df, checks).first()
     bad = {k: v for k, v in row.asDict().items() if k != "n_rows" and v}
     if bad:

@@ -69,3 +69,20 @@ def test_validate_or_raise_names_the_failed_check(frame):
         & ~F.exists("features_values", lambda v: v.isNull() | F.isnan(v) | (F.abs(v) == INF))
     )
     validate_or_raise(clean, standard_training_checks())  # no raise
+
+
+def test_validation_modes(frame):
+    """DataValidationType parity: disabled never scans, sample checks
+    a seeded 10% subset (may or may not hit violations — here the
+    violation density is high enough that it reliably does at 50%),
+    full always raises on this frame."""
+    checks = standard_training_checks()
+    validate_or_raise(frame, checks, mode="disabled")  # no raise, no scan
+    with pytest.raises(ValueError, match="data validation failed"):
+        validate_or_raise(frame, checks, mode="full")
+    with pytest.raises(ValueError, match="data validation failed"):
+        # 6 of 10 rows are invalid; fraction=0.99 makes a miss
+        # practically impossible while still exercising the sample path
+        validate_or_raise(frame, checks, mode="sample", sample_fraction=0.99)
+    with pytest.raises(ValueError, match="mode"):
+        validate_or_raise(frame, checks, mode="half")
