@@ -16,7 +16,14 @@ Train config:
                       "entity_col": "userId", "reg_param": 1.0,
                       "elastic_net_param": 0.0, "solver": "auto"}],
      "family": "binomial", "n_iterations": 2,
-     "output_dir": "<model dir>", "sparsity_threshold": 0.0}
+     "output_dir": "<model dir>", "sparsity_threshold": 0.0,
+     "validation_input": "<path>",          # optional held-out frame
+     "reg_param_sweep": [                   # explicit λ sweep (legacy
+        {"global": 0.1}, {"global": 10.0}], # Driver regularization list
+                                            # + T8 model selection by the
+                                            # family's primary metric
+     "output_mode": "best"}                 # best|all|none
+                                            # (ModelOutputMode parity)
 
 Score config:
     {"input": "...", "model_dir": "...", "output_dir": "...",
@@ -109,21 +116,83 @@ def train(cfg: dict, spark: SparkSession) -> None:
                 upper_bounds=hi,
             )
         )
-    est = GameEstimator(
-        coordinates=coords,
-        family=cfg.get("family", "binomial"),
-        n_iterations=cfg.get("n_iterations", 2),
-    )
-    fitted = est.fit(assembled.cache())
+    from dataclasses import replace
+
+    family = cfg.get("family", "binomial")
+    assembled = assembled.cache()
+
+    def fit_with(overrides: dict):
+        cs = [
+            replace(c, reg_param=float(overrides.get(c.name, c.reg_param)))
+            for c in coords
+        ]
+        est = GameEstimator(
+            coordinates=cs, family=family,
+            n_iterations=cfg.get("n_iterations", 2),
+        )
+        return est.fit(assembled)
+
+    def validation_metric(fitted):
+        """Primary validation metric, by family direction (T8,
+        EvaluatorType.scala:59-65 betterThan): AUROC (higher better)
+        for binomial, negated RMSE otherwise."""
+        from photon_ml_spark.functions import metrics
+
+        va_path = cfg.get("validation_input")
+        frame = assembled
+        if va_path:
+            frame, _, _ = _assembled(
+                spark, {**cfg, "input": va_path}, dictionary=dictionary
+            )
+        scored = fitted.transform(frame)
+        if family in ("binomial", "logistic"):
+            return float(
+                metrics.auroc(scored, score="score", label="response")
+                .first().auroc
+            )
+        return -float(
+            metrics.weighted_rmse(
+                scored, score="prediction", label="response"
+            ).first().rmse
+        )
+
     out = cfg["output_dir"]
-    save_game_model(
-        fitted.model, out, spark,
-        sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
-        dictionary=dictionary,
-    )
-    dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
-    print(json.dumps({"status": "trained", "model_dir": out, "dim": dim,
-                      "updates": len(fitted.history)}))
+    sweep = cfg.get("reg_param_sweep")
+    output_mode = cfg.get("output_mode", "best").lower()
+    if output_mode not in ("best", "all", "none"):
+        raise ValueError("output_mode must be best|all|none")
+    report = {"status": "trained", "model_dir": out, "dim": dim}
+    if sweep:
+        # reference: explicit regularization-weight sweep + model
+        # selection (GameTrainingDriver.scala selectModels / T8;
+        # ModelOutputMode NONE|BEST|ALL)
+        results = []
+        for i, overrides in enumerate(sweep):
+            fitted = fit_with(overrides)
+            results.append((i, overrides, fitted, validation_metric(fitted)))
+            if output_mode == "all":
+                save_game_model(
+                    fitted.model, f"{out}/models/{i}", spark,
+                    sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
+                    dictionary=dictionary,
+                )
+        best_i, best_cfg, best_fit, best_m = max(results, key=lambda r: r[3])
+        report["sweep"] = [
+            {"config": ov, "metric": m} for _, ov, _, m in results
+        ]
+        report["best"] = {"index": best_i, "config": best_cfg, "metric": best_m}
+        fitted = best_fit
+    else:
+        fitted = fit_with({})
+        report["updates"] = len(fitted.history)
+    if output_mode != "none":
+        save_game_model(
+            fitted.model, out, spark,
+            sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
+            dictionary=dictionary,
+        )
+        dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+    print(json.dumps(report))
 
 
 def score(cfg: dict, spark: SparkSession) -> None:

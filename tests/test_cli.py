@@ -365,3 +365,56 @@ def test_cli_curate_reports_stage_timings(spark, tmp_path, capsys):
     t = rep["timings"]
     assert set(t) == {"input", "quality", "exact_dedup", "out_docs"}
     assert all(v >= 0 for v in t.values())
+
+
+def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
+    """Explicit reg-weight sweep + T8 selection + ModelOutputMode
+    parity: 'all' writes every swept model plus the best; the best is
+    the sweep entry with the better primary metric."""
+    docs = None  # noqa: F841 (fixture-free test)
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "train_in.parquet")
+    training.write.parquet(inp)
+    out = str(tmp_path / "swept_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "reg_param_sweep": [{"global": 0.01}, {"global": 1000.0}],
+            "output_mode": "all",
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["sweep"]) == 2
+    metrics = [e["metric"] for e in rep["sweep"]]
+    assert rep["best"]["metric"] == max(metrics)
+    # weak regularization should beat λ=1000 on AUC here
+    assert rep["best"]["config"] == {"global": 0.01}
+    for i in range(2):
+        assert os.path.exists(f"{out}/models/{i}/metadata.json")
+    assert os.path.exists(f"{out}/metadata.json")  # the best model
+
+    # output_mode=none writes nothing
+    out2 = str(tmp_path / "none_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out2,
+            "output_mode": "none",
+        },
+        spark,
+    )
+    assert not os.path.exists(f"{out2}/metadata.json")
