@@ -22,8 +22,12 @@ Train config:
         {"global": 0.1}, {"global": 10.0}], # Driver regularization list
                                             # + T8 model selection by the
                                             # family's primary metric
-     "output_mode": "best"}                 # best|all|none
+     "output_mode": "best",                 # best|all|none
                                             # (ModelOutputMode parity)
+     "per_group_evaluation": {              # savePerGroupEvaluation-
+        "group_col": "userId",              # Result parity: per-group
+        "metric": "auc"}}                   # auc|precision_at_k beside
+                                            # the saved model
 
 Score config:
     {"input": "...", "model_dir": "...", "output_dir": "...",
@@ -192,6 +196,41 @@ def train(cfg: dict, spark: SparkSession) -> None:
             dictionary=dictionary,
         )
         dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+        pge = cfg.get("per_group_evaluation")
+        if pge:
+            # savePerGroupEvaluationResult parity (GameTrainingDriver
+            # .scala:878-901 + A11 MultiEvaluator): per-group metric of
+            # the selected model over the validation (or training)
+            # frame, written beside the model
+            from photon_ml_spark.functions import metrics
+
+            frame = assembled
+            if cfg.get("validation_input"):
+                frame, _, _ = _assembled(
+                    spark,
+                    {**cfg, "input": cfg["validation_input"]},
+                    dictionary=dictionary,
+                )
+            scored = fitted.transform(frame)
+            group = pge["group_col"]
+            kind = pge.get("metric", "auc")
+            if kind == "auc":
+                per_group = metrics.auroc_per_group(
+                    scored, group, score="score", label="response"
+                )
+            elif kind == "precision_at_k":
+                per_group = metrics.precision_at_k_per_group(
+                    scored, pge.get("k", 5), group,
+                    score="score", label="response",
+                )
+            else:
+                raise ValueError(
+                    "per_group_evaluation.metric must be auc|precision_at_k"
+                )
+            per_group.write.mode("overwrite").parquet(
+                f"{out}/group-evaluation"
+            )
+            report["group_evaluation"] = f"{out}/group-evaluation"
     print(json.dumps(report))
 
 

@@ -418,3 +418,33 @@ def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
         spark,
     )
     assert not os.path.exists(f"{out2}/metadata.json")
+
+
+def test_cli_train_per_group_evaluation(spark, tmp_path, capsys):
+    """savePerGroupEvaluationResult parity: per-group AUC of the saved
+    model lands beside it."""
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "pge_in.parquet")
+    training.write.parquet(inp)
+    out = str(tmp_path / "pge_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "per_group_evaluation": {"group_col": "suppkey"},
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    pg = spark.read.parquet(rep["group_evaluation"])
+    rows = pg.collect()
+    assert len(rows) > 1
+    assert all(0.0 <= r.auc <= 1.0 for r in rows)
