@@ -136,27 +136,53 @@ def train(cfg: dict, spark: SparkSession) -> None:
         )
         return est.fit(assembled)
 
+    from pyspark.sql import functions as F
+
+    validation_frame = None
+    if cfg.get("validation_input"):
+        # assembled ONCE with the training dictionary and cached —
+        # reused by every sweep evaluation and the per-group sink
+        validation_frame, _, _ = _assembled(
+            spark,
+            {**cfg, "input": cfg["validation_input"]},
+            dictionary=dictionary,
+        )
+        validation_frame = validation_frame.cache()
+
+    def _eval_scored(fitted, frame):
+        """Score + the EVALUATION margin: the transformer's score is
+        the raw model margin WITHOUT offset; evaluation adds the
+        offset explicitly (GameScoringDriver.scala:234, the estimator
+        module's documented contract)."""
+        scored = fitted.transform(frame)
+        off = (
+            F.coalesce(F.col("offset"), F.lit(0.0))
+            if "offset" in scored.columns
+            else F.lit(0.0)
+        )
+        return scored.withColumn("__eval_margin", F.col("score") + off)
+
     def validation_metric(fitted):
-        """Primary validation metric, by family direction (T8,
-        EvaluatorType.scala:59-65 betterThan): AUROC (higher better)
-        for binomial, negated RMSE otherwise."""
+        """Primary validation metric on the held-out frame, by family
+        direction (T8, EvaluatorType.scala:59-65 betterThan): AUROC
+        (higher better) for binomial, negated RMSE otherwise — both on
+        the offset-inclusive margin."""
         from photon_ml_spark.functions import metrics
 
-        va_path = cfg.get("validation_input")
-        frame = assembled
-        if va_path:
-            frame, _, _ = _assembled(
-                spark, {**cfg, "input": va_path}, dictionary=dictionary
-            )
-        scored = fitted.transform(frame)
+        scored = _eval_scored(fitted, validation_frame)
         if family in ("binomial", "logistic"):
-            return float(
-                metrics.auroc(scored, score="score", label="response")
-                .first().auroc
-            )
+            auc = metrics.auroc(
+                scored, score="__eval_margin", label="response"
+            ).first().auroc
+            if auc is None:
+                raise ValueError(
+                    "validation frame has a single response class (or "
+                    "no rows) — AUROC is undefined; fix validation_input"
+                )
+            return float(auc)
         return -float(
             metrics.weighted_rmse(
-                scored, score="prediction", label="response"
+                scored, score="__eval_margin", label="response"
             ).first().rmse
         )
 
@@ -169,23 +195,35 @@ def train(cfg: dict, spark: SparkSession) -> None:
     if sweep:
         # reference: explicit regularization-weight sweep + model
         # selection (GameTrainingDriver.scala selectModels / T8;
-        # ModelOutputMode NONE|BEST|ALL)
-        results = []
+        # ModelOutputMode NONE|BEST|ALL). Selection REQUIRES held-out
+        # data — a training-set metric would always pick the weakest
+        # regularization (the overfit direction), so its absence is an
+        # error, same as the reference's validation-data requirement.
+        if validation_frame is None:
+            raise ValueError(
+                "reg_param_sweep requires validation_input: selecting "
+                "on the training metric would always favor the least-"
+                "regularized model"
+            )
+        results = []  # (index, overrides, metric) — models not retained
+        best = None  # (metric, index, overrides, fitted)
         for i, overrides in enumerate(sweep):
             fitted = fit_with(overrides)
-            results.append((i, overrides, fitted, validation_metric(fitted)))
+            m = validation_metric(fitted)
+            results.append((i, overrides, m))
+            if best is None or m > best[0]:
+                best = (m, i, overrides, fitted)
             if output_mode == "all":
                 save_game_model(
                     fitted.model, f"{out}/models/{i}", spark,
                     sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
                     dictionary=dictionary,
                 )
-        best_i, best_cfg, best_fit, best_m = max(results, key=lambda r: r[3])
         report["sweep"] = [
-            {"config": ov, "metric": m} for _, ov, _, m in results
+            {"config": ov, "metric": m} for _, ov, m in results
         ]
-        report["best"] = {"index": best_i, "config": best_cfg, "metric": best_m}
-        fitted = best_fit
+        report["best"] = {"index": best[1], "config": best[2], "metric": best[0]}
+        fitted = best[3]
     else:
         fitted = fit_with({})
         report["updates"] = len(fitted.history)
@@ -204,24 +242,20 @@ def train(cfg: dict, spark: SparkSession) -> None:
             # frame, written beside the model
             from photon_ml_spark.functions import metrics
 
-            frame = assembled
-            if cfg.get("validation_input"):
-                frame, _, _ = _assembled(
-                    spark,
-                    {**cfg, "input": cfg["validation_input"]},
-                    dictionary=dictionary,
-                )
-            scored = fitted.transform(frame)
+            frame = (
+                validation_frame if validation_frame is not None else assembled
+            )
+            scored = _eval_scored(fitted, frame)
             group = pge["group_col"]
             kind = pge.get("metric", "auc")
             if kind == "auc":
                 per_group = metrics.auroc_per_group(
-                    scored, group, score="score", label="response"
+                    scored, group, score="__eval_margin", label="response"
                 )
             elif kind == "precision_at_k":
                 per_group = metrics.precision_at_k_per_group(
                     scored, pge.get("k", 5), group,
-                    score="score", label="response",
+                    score="__eval_margin", label="response",
                 )
             else:
                 raise ValueError(

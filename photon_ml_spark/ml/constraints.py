@@ -71,6 +71,7 @@ def parse_constraint_map(
     lo = np.full(dim, -math.inf)
     hi = np.full(dim, math.inf)
     bound: set[int] = set()
+    saw_all_wildcard = False
 
     def put(idx: int, lb: float, ub: float, what: str) -> None:
         if idx in bound:
@@ -82,6 +83,14 @@ def parse_constraint_map(
         lo[idx], hi[idx] = lb, ub
 
     for entry in entries:
+        if saw_all_wildcard:
+            # GLMSuite.scala:240-243: the all-feature wildcard must be
+            # the ONLY constraint — even a later entry that resolves to
+            # nothing is a spec error, not a silent no-op
+            raise ValueError(
+                "conflicting constraints: no further constraints may "
+                "follow the all-feature wildcard"
+            )
         if "name" not in entry or "term" not in entry:
             raise ValueError(
                 f"each constraint map must specify name and term: {entry}"
@@ -113,6 +122,7 @@ def parse_constraint_map(
             for key, idx in key_to_idx.items():
                 if key != INTERCEPT_KEY:
                     put(idx, lb, ub, key)
+            saw_all_wildcard = True
         elif term == WILDCARD:
             prefix = name + FEATURE_KEY_SEP
             for key, idx in key_to_idx.items():

@@ -730,11 +730,17 @@ def corpus_report(
             .alias("n_pii_docs"),
         )
         .withColumn(
+            # clamped at 0: the HLL estimate in exact=False mode can
+            # overshoot n_docs slightly, and a negative duplicate
+            # fraction must never reach a published data card
             "dup_doc_frac",
-            F.round(
-                (F.col("n_docs") - F.col("n_unique_docs"))
-                / F.col("n_docs").cast("double"),
-                6,
+            F.greatest(
+                F.lit(0.0),
+                F.round(
+                    (F.col("n_docs") - F.col("n_unique_docs"))
+                    / F.col("n_docs").cast("double"),
+                    6,
+                ),
             ),
         )
     )

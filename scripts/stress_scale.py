@@ -53,7 +53,7 @@ ROOT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 # replication factor (STRESS_FACTOR env; default 10). Datasets land in
 # .stress/x{F} and .stress/skew{F} so factors coexist on disk.
 FACTOR = int(os.environ.get("STRESS_FACTOR", "10"))
-X10 = os.path.join(ROOT, f"x{FACTOR}" if FACTOR != 10 else "x10")
+X10 = os.path.join(ROOT, f"x{FACTOR}")
 SKEW = os.path.join(ROOT, "skew" if FACTOR == 10 else f"skew{FACTOR}")
 SALT = 10_000_000  # key shift per replica; > any sf0.1 key
 VOWS = ["aeiou", "eioua", "iouae", "ouaei", "uaeio"]

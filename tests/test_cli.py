@@ -378,27 +378,30 @@ def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
         spark, "/root/testdata/sf0.001"
     )
     inp = str(tmp_path / "train_in.parquet")
-    training.write.parquet(inp)
+    va = str(tmp_path / "train_va.parquet")
+    training.filter(F.col("uid") % 3 != 0).write.parquet(inp)
+    training.filter(F.col("uid") % 3 == 0).write.parquet(va)
     out = str(tmp_path / "swept_model")
-    cli.train(
-        {
-            "input": inp,
-            "feature_bags": ["features"],
-            "coordinates": [{"name": "global", "kind": "fixed"}],
-            "family": "binomial",
-            "n_iterations": 1,
-            "output_dir": out,
-            "reg_param_sweep": [{"global": 0.01}, {"global": 1000.0}],
-            "output_mode": "all",
-        },
-        spark,
-    )
+    base_cfg = {
+        "input": inp,
+        "feature_bags": ["features"],
+        "coordinates": [{"name": "global", "kind": "fixed"}],
+        "family": "binomial",
+        "n_iterations": 1,
+        "output_dir": out,
+        "reg_param_sweep": [{"global": 0.01}, {"global": 1000.0}],
+        "output_mode": "all",
+    }
+    # selection without held-out data would always pick the weakest
+    # regularization — refused
+    with pytest.raises(ValueError, match="validation_input"):
+        cli.train(dict(base_cfg), spark)
+    capsys.readouterr()
+    cli.train({**base_cfg, "validation_input": va}, spark)
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["sweep"]) == 2
     metrics = [e["metric"] for e in rep["sweep"]]
     assert rep["best"]["metric"] == max(metrics)
-    # weak regularization should beat λ=1000 on AUC here
-    assert rep["best"]["config"] == {"global": 0.01}
     for i in range(2):
         assert os.path.exists(f"{out}/models/{i}/metadata.json")
     assert os.path.exists(f"{out}/metadata.json")  # the best model
