@@ -931,11 +931,21 @@ def save_minhash_index(
     text_col: str = "text",
     n: int = 1,
     num_hashes: int = 16,
+    sid_fn=None,
 ) -> None:
     """Materialize the incremental-dedup state for a corpus:
     ``{path}/doc_sids`` (hashed shingle sets, for exact-Jaccard
     verification of future cross pairs) and ``{path}/signatures``
     (minhash rows, for LSH banding).
+
+    ``sid_fn`` (optional): shingle-id relation builder with the
+    ``token_ids_hashed`` signature ``(docs, id_col, text_col, n) ->
+    (id_col, sid)``; default ``token_ids_hashed`` (corpus-independent
+    hashed ids — the production incremental flow). The correctness
+    gate injects dense SQL-portable ids here so the whole
+    index→increment→resolution flow replays exactly in the DuckDB
+    oracle; every writer and reader of ONE index must use the same
+    ``sid_fn`` (``params.json`` guards the numeric knobs, not this).
 
     Canonical layout: every writer of an index — this batch bootstrap
     AND the streaming increments (``streaming.curation``) — stages its
@@ -948,7 +958,7 @@ def save_minhash_index(
     doubles as the bootstrap-complete commit marker (a crash before it
     leaves a rebuildable directory, never a half-index that passes an
     existence check)."""
-    sids = token_ids_hashed(docs, id_col, text_col, n)
+    sids = (sid_fn or token_ids_hashed)(docs, id_col, text_col, n)
     sids.write.mode("overwrite").parquet(
         f"{path}/doc_sids/batch={BOOTSTRAP_BATCH_ID}"
     )

@@ -98,6 +98,10 @@ _FOLDED = {
     "x9_ann_brute_topk": ("brute", ["query_id", "vec_id", "cosine", "rank"]),
     "x9b_ann_blas_topk": ("blas", ["query_id", "vec_id", "cosine", "rank"]),
     "x10_ann_ivf_topk": ("ivf", ["query_id", "vec_id", "cosine", "rank"]),
+    "x10b_ann_ivf_index_topk": (
+        "ivf_index",
+        ["query_id", "vec_id", "cosine", "rank"],
+    ),
     # event-time windows (unioned)
     "e1_event_window_agg": (
         "tumbling",
@@ -193,6 +197,10 @@ _FOLDED = {
         "repetition",
         ["doc_id", "dup_token_frac", "dup_bigram_frac"],
     ),
+    # round-5 folds: persisted-index incremental + streaming near-dedup
+    # (already variant-tagged (variant, id_a, id_b, stat) — x6's shape)
+    "x32_incremental_neardup": ("inc", ["variant", "id_a", "id_b", "stat"]),
+    "x33_stream_neardup": ("stream", ["variant", "id_a", "id_b", "stat"]),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
@@ -304,13 +312,23 @@ SELECT 'embedding' AS variant, id_a, id_b, cosine AS stat
 FROM ({_SPEC["x8_embedding_neardup"].oracle.strip()}) t2
 UNION ALL
 {_X5_MELT_SQL}
+UNION ALL
+SELECT variant, id_a, id_b, stat
+FROM ({_SPEC["x32_incremental_neardup"].oracle.strip()}) t32
+UNION ALL
+SELECT variant, id_a, id_b, stat
+FROM ({_SPEC["x33_stream_neardup"].oracle.strip()}) t33
 """,
     note="pipeline/dedup near-dup pair suite in ONE gate row: MinHash+LSH "
     "(stat=verified jaccard), SimHash bands (stat=hamming), embedding "
-    "cosine blocks (stat=cosine), and the portable minhash SIGNATURE "
+    "cosine blocks (stat=cosine), the portable minhash SIGNATURE "
     "rows themselves (x5, melted to id_a=doc, id_b=hash index, "
-    "stat=minhash value — exact integers) — variant-tagged union; "
-    "constituent notes in queries_pipeline.py",
+    "stat=minhash value — exact integers), plus the round-5 "
+    "PERSISTED-INDEX flows: incremental near-dedup against an on-disk "
+    "minhash index (inc_pairs/inc_survivors) and the 2-micro-batch "
+    "streaming replay with staged batch=<id> publishes (stream, "
+    "id_b=publish batch) — variant-tagged union; constituent notes in "
+    "queries_pipeline.py",
 )
 def x6_neardup_pairs(spark, sf_dir):
     from photon_ml_spark.operators.dedup import (
@@ -358,10 +376,23 @@ def x6_neardup_pairs(spark, sf_dir):
             F.col("doc_id").alias("id_a"), "id_b", "stat",
         )
     )
-    return lsh.unionByName(sim).unionByName(emb).unionByName(sigs)
+    # round-5 blocks: the persisted-index flows reuse the suite's cached
+    # full-corpus shingle-id relation (their sid_fn semi-joins it per
+    # batch), so the vocabulary sort still runs exactly once
+    inc = _SPEC["x32_incremental_neardup"].run(spark, sf_dir, doc_sids=sids)
+    stream = _SPEC["x33_stream_neardup"].run(spark, sf_dir, doc_sids=sids)
+    return (
+        lsh.unionByName(sim).unionByName(emb).unionByName(sigs)
+        .unionByName(inc).unionByName(stream)
+    )
 
 
-_ANN_PARTS = ["x9_ann_brute_topk", "x9b_ann_blas_topk", "x10_ann_ivf_topk"]
+_ANN_PARTS = [
+    "x9_ann_brute_topk",
+    "x9b_ann_blas_topk",
+    "x10_ann_ivf_topk",
+    "x10b_ann_ivf_index_topk",
+]
 
 
 @register(
@@ -373,9 +404,11 @@ _ANN_PARTS = ["x9_ann_brute_topk", "x9b_ann_blas_topk", "x10_ann_ivf_topk"]
     ),
     note="pipeline/similarity ANN suite in ONE gate row: exact brute-force "
     "cosine top-5, the Arrow/BLAS batch-matmul physical variant (same "
-    "oracle rows — value-equal by construction), and IVF cell-bucketed "
-    "top-5 — variant-tagged union; constituent notes in "
-    "queries_pipeline.py",
+    "oracle rows — value-equal by construction), IVF cell-bucketed "
+    "top-5, and (round 5) the PERSISTED-IVF index path — KMeans "
+    "quantizer + cell-partitioned corpus saved to disk, full-probe "
+    "query == brute force so the brute oracle pins it exactly — "
+    "variant-tagged union; constituent notes in queries_pipeline.py",
 )
 def x9_ann_topk(spark, sf_dir):
     parts = [

@@ -300,6 +300,14 @@ lsh_pairs AS (
 )"""
 
 
+# Standalone (subquery-safe) rendering of the LSH pipeline, for oracles
+# that need the pair relation as ONE materialized CTE (the two-batch
+# dedup replays reference it many times; see _CC_KEEP_SQL's note).
+_LSH_ALL_PAIRS_SQL = (
+    f"WITH {_LSH_PAIRS_CTES} SELECT id_a, id_b, jaccard FROM lsh_pairs"
+)
+
+
 @register(
     "x6_minhash_lsh_pairs",
     oracle=f"""
@@ -348,6 +356,200 @@ def x17_dedup_clusters(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs, threshold=0.5, n=2).select("id_a", "id_b")
     return cluster_and_keep(docs, pairs).select("doc_id", "cluster_id", "is_keep")
+
+
+# ---------------------------------------------- incremental / streaming dedup
+#
+# Both queries replay the persisted-index dedup flows end-to-end —
+# index bootstrap on disk, LSH increment against the stored relations,
+# first-seen resolution, published-survivor layout — with the dense
+# SQL-portable shingle ids injected via ``sid_fn`` so the DuckDB oracle
+# reproduces the LSH candidate sets exactly (production default is
+# ``token_ids_hashed``; the two differ only in shingle-id assignment,
+# every join/banding/verify/publish step below is the production code).
+# Batch split: indexed/first batch = doc_id % 3 != 0, increment/second
+# batch = doc_id % 3 == 0 (disjoint ids, both sides non-trivial).
+
+
+def _corpus_sid_fn(full_sids):
+    """``sid_fn`` closure: per-batch shingle ids = the shared dense
+    full-corpus ``token_ids`` relation semi-joined to the batch, so
+    ids are stable across batches (the property ``token_ids_hashed``
+    provides by construction) AND SQL-portable."""
+
+    def sid_fn(batch, id_col, _text_col, _n):
+        return full_sids.join(batch.select(id_col), id_col, "left_semi")
+
+    return sid_fn
+
+
+# Connected-components closure + min-id-keeper over an edge CTE: the
+# recursive shape shared with x17's oracle, parameterized so the
+# two-batch replays below reuse it. {tag}: unique CTE prefix, {pairs}:
+# (id_a, id_b) CTE name, {members}: (doc_id) CTE of docs present.
+# Non-recursive stages are MATERIALIZED: DuckDB inlines a CTE per
+# reference, and the two-batch replays reference these chains several
+# times each — inlining expands the whole upstream LSH pipeline
+# combinatorially (observed: x33's oracle went from unbounded to
+# seconds with the hints).
+_CC_KEEP_SQL = """
+{tag}_e AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM {pairs}
+  UNION ALL SELECT id_b AS u, id_a AS v FROM {pairs}
+),
+{tag}_r AS (
+  SELECT DISTINCT u, u AS label FROM {tag}_e
+  UNION
+  SELECT e.u, r.label FROM {tag}_e e JOIN {tag}_r r ON r.u = e.v
+),
+{tag}_c AS MATERIALIZED (
+  SELECT u AS doc_id, MIN(label) AS cid FROM {tag}_r GROUP BY u
+),
+{tag}_l AS MATERIALIZED (
+  SELECT m.doc_id, COALESCE(c.cid, m.doc_id) AS cid
+  FROM {members} m LEFT JOIN {tag}_c c ON c.doc_id = m.doc_id
+),
+{tag}_k AS MATERIALIZED (
+  SELECT cid, MIN(doc_id) AS keep_id FROM {tag}_l GROUP BY cid
+),
+{tag}_s AS MATERIALIZED (
+  SELECT l.doc_id FROM {tag}_l l
+  JOIN {tag}_k k ON l.cid = k.cid AND l.doc_id = k.keep_id
+)"""
+
+
+@register(
+    "x32_incremental_neardup",
+    oracle=f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+ip AS MATERIALIZED (
+  SELECT id_a, id_b, jaccard FROM lsh_pairs
+  WHERE id_a % 3 = 0 OR id_b % 3 = 0
+),
+hit AS (
+  SELECT id_b AS doc_id FROM ip WHERE id_a % 3 <> 0
+  UNION
+  SELECT id_a AS doc_id FROM ip WHERE id_b % 3 <> 0
+),
+sv AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+),
+nn AS (SELECT id_a, id_b FROM ip WHERE id_a % 3 = 0 AND id_b % 3 = 0),
+{_CC_KEEP_SQL.format(tag="i", pairs="nn", members="sv")}
+SELECT 'inc_pairs' AS variant, id_a, id_b, jaccard AS stat FROM ip
+UNION ALL
+SELECT 'inc_survivors' AS variant, doc_id AS id_a,
+       CAST(-1 AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS stat
+FROM i_s
+""",
+    note="pipeline/dedup: PERSISTED-INDEX incremental near-dedup — "
+    "save_minhash_index bootstraps batch=-1 state on disk for the "
+    "indexed 2/3 of the corpus, incremental_neardup LSH-joins the new "
+    "1/3 against the STORED relations (never a corpus rescan), "
+    "drop_new_duplicates resolves first-seen survivors; oracle replays "
+    "index-side ∪ batch-side banding + exact-Jaccard verify + the "
+    "new-new component closure",
+)
+def x32_incremental_neardup(spark, sf_dir, doc_sids=None):
+    import tempfile
+
+    from photon_ml_spark.operators.dedup import (
+        drop_new_duplicates,
+        incremental_neardup,
+        save_minhash_index,
+        token_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sids = doc_sids if doc_sids is not None else token_ids(docs, n=2).cache()
+    old = docs.filter(F.col("doc_id") % 3 != 0)
+    new = docs.filter(F.col("doc_id") % 3 == 0)
+    sid_fn = _corpus_sid_fn(sids)
+    idx = tempfile.mkdtemp(prefix="photon_inc_idx_")
+    save_minhash_index(old, idx, n=2, num_hashes=16, sid_fn=sid_fn)
+    pairs = incremental_neardup(
+        new, idx, threshold=0.5, n=2, num_hashes=16, bands=4,
+        new_sids=sid_fn(new, "doc_id", "text", 2),
+    )
+    surv = drop_new_duplicates(new, pairs, old.select("doc_id"))
+    return pairs.select(
+        F.lit("inc_pairs").alias("variant"),
+        "id_a", "id_b", F.col("jaccard").alias("stat"),
+    ).unionByName(
+        surv.select(
+            F.lit("inc_survivors").alias("variant"),
+            F.col("doc_id").alias("id_a"),
+            F.lit(-1).cast("long").alias("id_b"),
+            F.lit(None).cast("double").alias("stat"),
+        )
+    )
+
+
+@register(
+    "x33_stream_neardup",
+    oracle=f"""
+WITH RECURSIVE lshp AS MATERIALIZED ({_LSH_ALL_PAIRS_SQL}),
+p0 AS MATERIALIZED (
+  SELECT id_a, id_b FROM lshp WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
+),
+b0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+{_CC_KEEP_SQL.format(tag="s0", pairs="p0", members="b0")},
+p1 AS MATERIALIZED (
+  SELECT id_a, id_b FROM lshp
+  WHERE (id_a % 3 = 0 OR id_b % 3 = 0)
+    AND (id_a % 3 = 0 OR id_a IN (SELECT doc_id FROM s0_s))
+    AND (id_b % 3 = 0 OR id_b IN (SELECT doc_id FROM s0_s))
+),
+hit1 AS MATERIALIZED (
+  SELECT id_b AS doc_id FROM p1 WHERE id_a % 3 <> 0
+  UNION
+  SELECT id_a AS doc_id FROM p1 WHERE id_b % 3 <> 0
+),
+sv1 AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM hit1)
+),
+nn1 AS (SELECT id_a, id_b FROM p1 WHERE id_a % 3 = 0 AND id_b % 3 = 0),
+{_CC_KEEP_SQL.format(tag="s1", pairs="nn1", members="sv1")}
+SELECT 'stream' AS variant, doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS stat
+FROM s0_s
+UNION ALL
+SELECT 'stream' AS variant, doc_id AS id_a, CAST(1 AS BIGINT) AS id_b,
+       CAST(NULL AS DOUBLE) AS stat
+FROM s1_s
+""",
+    note="streaming/dedup: 2-micro-batch STREAMING near-dedup replay — "
+    "neardup_process_batch (the foreachBatch body) bootstraps the "
+    "shared index from batch 0 (batch-internal LSH dedup + staged "
+    "batch=0 publish + _published marker), then batch 1 increments "
+    "against ONLY batch 0's surviving state; output = published "
+    "survivors with their publish-partition id, so the staged "
+    "batch=<id> layout itself is under the value hash; oracle replays "
+    "both batches (stream/batch parity of the wrapper is pytest-pinned)",
+)
+def x33_stream_neardup(spark, sf_dir, doc_sids=None):
+    import tempfile
+
+    from photon_ml_spark.operators.dedup import token_ids
+    from photon_ml_spark.streaming.curation import neardup_process_batch
+
+    docs = _t(spark, sf_dir, "documents")
+    sids = doc_sids if doc_sids is not None else token_ids(docs, n=2).cache()
+    root = tempfile.mkdtemp(prefix="photon_stream_dedup_")
+    for bid, keep in ((0, F.col("doc_id") % 3 != 0), (1, F.col("doc_id") % 3 == 0)):
+        neardup_process_batch(
+            docs.filter(keep), f"{root}/index", f"{root}/docs",
+            batch_id=bid, threshold=0.5, n=2, num_hashes=16, bands=4,
+            sid_fn=_corpus_sid_fn(sids),
+        )
+    return spark.read.parquet(f"{root}/docs").select(
+        F.lit("stream").alias("variant"),
+        F.col("doc_id").alias("id_a"),
+        F.col("batch").cast("long").alias("id_b"),
+        F.lit(None).cast("double").alias("stat"),
+    )
 
 
 # Non-uniform target mix over the 20 synthetic sources (shares sum to 1).
@@ -669,6 +871,35 @@ def x10_ann_ivf_topk(spark, sf_dir):
     )
     queries = emb.filter(F.col("vec_id") % 25 == 0)
     return ivf_topk(emb, queries, k=5, cell_col="cell", vec_col="qe")
+
+
+@register(
+    "x10b_ann_ivf_index_topk",
+    oracle=_ANN_ORACLE_BASE.format(join_cond="TRUE"),
+    note="pipeline/similarity: PERSISTED-IVF search — save_ivf_index "
+    "materializes a KMeans coarse quantizer + the corpus parquet "
+    "PARTITIONED BY cell on disk, ivf_topk_from_index routes each "
+    "query to its n_probe nearest stored centroids and joins only "
+    "those cells' files (partition-pruned scan). Gated at n_probe = "
+    "n_cells (full probe), which is EXACT brute force by the IVF "
+    "identity — so the brute oracle verifies the whole save→route→"
+    "prune→score path value-equal regardless of quantizer assignment",
+)
+def x10b_ann_ivf_index_topk(spark, sf_dir):
+    import tempfile
+
+    from photon_ml_spark.operators.similarity import (
+        ivf_topk_from_index,
+        save_ivf_index,
+    )
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    idx = tempfile.mkdtemp(prefix="photon_ivf_idx_")
+    save_ivf_index(emb, idx, k=4, vec_col="qe", seed=42, max_iter=5)
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe"
+    )
 
 
 @register(

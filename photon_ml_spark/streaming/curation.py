@@ -57,10 +57,14 @@ from photon_ml_spark.sources.model_io import (
 
 def _batch_fingerprint(batch: DataFrame, id_col: str, text_col: str) -> dict:
     """Deterministic, order-independent identity of a batch's input:
-    row count + SUM of the modded (id, text) row hashes. Sum, not xor —
-    xor cancels duplicate rows (two copies of row A hash to 0), so
-    different multisets could collide; a sum is multiset-safe. The
-    pmod bound keeps the sum overflow-free to ~9e9 rows. A replay of
+    row count + SUMs of the modded (id, text) row hashes under TWO
+    independent moduli with independently-seeded hashes — a collision
+    needs the same count and two simultaneous ~1e9-space coincidences
+    (~1e-18 jointly), vs a single-sum scheme where one accidental
+    match silently skips a batch as a 'completed replay'. Sum, not
+    xor — xor cancels duplicate rows (two copies of row A hash to 0),
+    so different multisets could collide; a sum is multiset-safe. The
+    pmod bounds keep each sum overflow-free to ~9e9 rows. A replay of
     the same input always matches (foreachBatch replays deliver the
     same rows)."""
     row = batch.agg(
@@ -71,8 +75,18 @@ def _batch_fingerprint(batch: DataFrame, id_col: str, text_col: str) -> dict:
                 F.lit(1_000_000_007),
             )
         ).alias("idhash"),
+        F.sum(
+            F.pmod(
+                F.xxhash64(F.lit("fp2"), F.col(id_col), F.col(text_col)),
+                F.lit(999_999_937),
+            )
+        ).alias("idhash2"),
     ).collect()[0]
-    return {"n": row["n"], "idhash": int(row["idhash"] or 0)}
+    return {
+        "n": row["n"],
+        "idhash": int(row["idhash"] or 0),
+        "idhash2": int(row["idhash2"] or 0),
+    }
 
 
 def _marker_path(index_path: str, batch_id: int) -> str:
@@ -90,6 +104,7 @@ def neardup_process_batch(
     n: int = 1,
     num_hashes: int = 16,
     bands: int = 4,
+    sid_fn=None,
 ) -> None:
     """Process ONE micro-batch (or one daily batch — same function):
     drop near-dups against the index, publish survivors under
@@ -102,7 +117,13 @@ def neardup_process_batch(
     be >= 0 (``batch=-1`` is reserved for batch-built bootstraps).
     Every write is an OVERWRITE of the batch's own ``batch=<id>``
     staging subdirectory — see the module docstring for the replay /
-    identity contract."""
+    identity contract.
+
+    ``sid_fn`` (optional): shingle-id relation builder with the
+    ``token_ids_hashed`` signature (see ``save_minhash_index``) —
+    every batch written to ONE index must use the same ``sid_fn``;
+    the correctness gate injects dense SQL-portable ids so the 2-batch
+    flow replays exactly in the DuckDB oracle."""
     from photon_ml_spark.operators.dedup import (
         cluster_and_keep,
         drop_new_duplicates,
@@ -162,9 +183,10 @@ def neardup_process_batch(
     # unreadable half-index)
     from photon_ml_spark.operators.dedup import INDEX_PARAMS_FILE
 
+    sid_fn = sid_fn or token_ids_hashed
     if not _hadoop_exists(spark, f"{index_path}/{INDEX_PARAMS_FILE}"):
         # bootstrap: batch-internal LSH dedup, survivors found the index
-        sids = token_ids_hashed(batch, id_col, text_col, n).persist()
+        sids = sid_fn(batch, id_col, text_col, n).persist()
         try:
             pairs = minhash_lsh_dedup(
                 batch, threshold=threshold, n=n, id_col=id_col,
@@ -209,7 +231,7 @@ def neardup_process_batch(
     # one shingle-id relation serves detection AND the index append;
     # explicitly unpersisted so a long-running stream doesn't leak one
     # cached frame per trigger
-    sids = token_ids_hashed(batch, id_col, text_col, n).persist()
+    sids = sid_fn(batch, id_col, text_col, n).persist()
     try:
         pairs = incremental_neardup(
             batch, index_path, threshold=threshold, id_col=id_col,
