@@ -82,10 +82,31 @@ def _assembled(spark, cfg, dictionary=None):
     )
 
 
-def train(cfg: dict, spark: SparkSession) -> None:
+def train(
+    cfg: dict, spark: SparkSession, listeners=None, tuner=None
+) -> None:
+    """GAME training driver (GameTrainingDriver.scala:363-516).
+
+    ``listeners`` (optional): ``events.EventListener`` instances — the
+    reference driver's EventEmitter surface; they receive setup /
+    training start / coordinate-update / optimization-log / selection /
+    finish events in order.
+
+    ``tuner`` (optional): a ``hypersearch.HyperparameterTuner`` driving
+    model selection over per-coordinate regularization weights — the
+    reference's pluggable-tuner seam (HyperparameterTunerFactory). A
+    JSON config can request one via ``cfg["tuner"]`` (``make_tuner``
+    spec); a programmatic instance wins over the config. Mutually
+    exclusive with the explicit ``reg_param_sweep`` list."""
+    from photon_ml_spark import events
     from photon_ml_spark.estimator import GameEstimator
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
     from photon_ml_spark.sources.model_io import save_game_model
+
+    emitter = events.EventEmitter()
+    for li in listeners or ():
+        emitter.register_listener(li)
+    emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
     assembled, dictionary, dim = _assembled(spark, cfg)
     shard = cfg.get("shard", "features")
@@ -134,6 +155,8 @@ def train(cfg: dict, spark: SparkSession) -> None:
             coordinates=cs, family=family,
             n_iterations=cfg.get("n_iterations", 2),
         )
+        for li in listeners or ():
+            est.register_listener(li)
         return est.fit(assembled)
 
     from pyspark.sql import functions as F
@@ -192,7 +215,67 @@ def train(cfg: dict, spark: SparkSession) -> None:
     if output_mode not in ("best", "all", "none"):
         raise ValueError("output_mode must be best|all|none")
     report = {"status": "trained", "model_dir": out, "dim": dim}
-    if sweep:
+    if tuner is None and cfg.get("tuner"):
+        from photon_ml_spark.ml.hypersearch import make_tuner
+
+        tuner = make_tuner(cfg["tuner"])
+    if tuner is not None and sweep:
+        raise ValueError(
+            "configure either reg_param_sweep (explicit list) or a "
+            "tuner (searched selection), not both"
+        )
+    if tuner is not None:
+        # pluggable-tuner model selection (HyperparameterTuner seam):
+        # the tuner searches per-coordinate reg weights against the
+        # validation metric; the winning point is refit once for the
+        # output model. Same held-out-data requirement as the sweep.
+        if validation_frame is None:
+            raise ValueError(
+                "tuner-driven selection requires validation_input: "
+                "selecting on the training metric would always favor "
+                "the least-regularized model"
+            )
+        coord_names = {c.name for c in coords}
+
+        def evaluate(params: dict) -> float:
+            unknown = sorted(set(params) - coord_names)
+            if unknown:
+                raise ValueError(
+                    f"tuner point names unknown coordinate(s) {unknown}"
+                )
+            m = validation_metric(fit_with(params))
+            emitter.send_event(
+                events.OptimizationLogEvent(
+                    index=len(tuner_history), reg_weights=dict(params),
+                    metric=m,
+                )
+            )
+            tuner_history.append((dict(params), m))
+            return m
+
+        tuner_history = []
+        found = tuner.search(
+            evaluate, n=int(cfg.get("tuner_iterations", 10)), maximize=True
+        )
+        best_params, best_value = found["best_params"], found["best_value"]
+        emitter.send_event(
+            events.ModelSelectionEvent(
+                index=next(
+                    i for i, (p, v) in enumerate(tuner_history)
+                    if p == best_params and v == best_value
+                ),
+                reg_weights=dict(best_params),
+                metric=best_value,
+            )
+        )
+        report["tuner"] = {
+            "evaluations": [
+                {"config": p, "metric": v} for p, v in tuner_history
+            ],
+            "best": {"config": best_params, "metric": best_value},
+        }
+        fitted = fit_with(best_params)
+    elif sweep:
         # reference: explicit regularization-weight sweep + model
         # selection (GameTrainingDriver.scala selectModels / T8;
         # ModelOutputMode NONE|BEST|ALL). Selection REQUIRES held-out
@@ -205,6 +288,18 @@ def train(cfg: dict, spark: SparkSession) -> None:
                 "on the training metric would always favor the least-"
                 "regularized model"
             )
+        # fail fast on sweep typos: an override key matching no
+        # coordinate would silently train N identical models and
+        # "select" among them with no signal
+        coord_names = {c.name for c in coords}
+        for i, overrides in enumerate(sweep):
+            unknown = sorted(set(overrides) - coord_names)
+            if unknown:
+                raise ValueError(
+                    f"reg_param_sweep[{i}] names unknown coordinate(s) "
+                    f"{unknown}; configured coordinates: "
+                    f"{sorted(coord_names)}"
+                )
         results = []  # (index, overrides, metric) — models not retained
         best = None  # (metric, index, overrides, fitted)
         for i, overrides in enumerate(sweep):
@@ -234,37 +329,40 @@ def train(cfg: dict, spark: SparkSession) -> None:
             dictionary=dictionary,
         )
         dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
-        pge = cfg.get("per_group_evaluation")
-        if pge:
-            # savePerGroupEvaluationResult parity (GameTrainingDriver
-            # .scala:878-901 + A11 MultiEvaluator): per-group metric of
-            # the selected model over the validation (or training)
-            # frame, written beside the model
-            from photon_ml_spark.functions import metrics
+    pge = cfg.get("per_group_evaluation")
+    if pge:
+        # savePerGroupEvaluationResult parity (GameTrainingDriver
+        # .scala:878-901 + A11 MultiEvaluator): per-group metric of
+        # the selected model over the validation (or training)
+        # frame, written beside the model. Independent of output_mode:
+        # the evaluation needs only output_dir (always configured), and
+        # output_mode=none + per_group_evaluation is exactly the
+        # "evaluate without persisting models" run.
+        from photon_ml_spark.functions import metrics
 
-            frame = (
-                validation_frame if validation_frame is not None else assembled
+        frame = (
+            validation_frame if validation_frame is not None else assembled
+        )
+        scored = _eval_scored(fitted, frame)
+        group = pge["group_col"]
+        kind = pge.get("metric", "auc")
+        if kind == "auc":
+            per_group = metrics.auroc_per_group(
+                scored, group, score="__eval_margin", label="response"
             )
-            scored = _eval_scored(fitted, frame)
-            group = pge["group_col"]
-            kind = pge.get("metric", "auc")
-            if kind == "auc":
-                per_group = metrics.auroc_per_group(
-                    scored, group, score="__eval_margin", label="response"
-                )
-            elif kind == "precision_at_k":
-                per_group = metrics.precision_at_k_per_group(
-                    scored, pge.get("k", 5), group,
-                    score="__eval_margin", label="response",
-                )
-            else:
-                raise ValueError(
-                    "per_group_evaluation.metric must be auc|precision_at_k"
-                )
-            per_group.write.mode("overwrite").parquet(
-                f"{out}/group-evaluation"
+        elif kind == "precision_at_k":
+            per_group = metrics.precision_at_k_per_group(
+                scored, pge.get("k", 5), group,
+                score="__eval_margin", label="response",
             )
-            report["group_evaluation"] = f"{out}/group-evaluation"
+        else:
+            raise ValueError(
+                "per_group_evaluation.metric must be auc|precision_at_k"
+            )
+        per_group.write.mode("overwrite").parquet(
+            f"{out}/group-evaluation"
+        )
+        report["group_evaluation"] = f"{out}/group-evaluation"
     print(json.dumps(report))
 
 

@@ -15,6 +15,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
+from photon_ml_spark import events
+from photon_ml_spark.events import EventEmitter
 from photon_ml_spark.ml.coordinate_descent import (
     CoordinateConfig,
     GameModel,
@@ -47,10 +49,17 @@ class GameTransformer:
 
 
 @dataclass
-class GameEstimator:
+class GameEstimator(EventEmitter):
     """Configure coordinates once, ``fit`` per dataset
     (GameEstimator.scala:397-491 lifecycle, minus the Avro plumbing —
-    input is any DataFrame with the conventional columns)."""
+    input is any DataFrame with the conventional columns).
+
+    Also an ``EventEmitter`` (reference GameTrainingDriver's event
+    surface, photon-client event/EventEmitter.scala): ``fit`` emits
+    ``TrainingStartEvent`` → one ``CoordinateUpdateEvent`` per
+    coordinate update (in loop order, while training runs) →
+    ``TrainingFinishEvent`` to listeners registered via
+    ``register_listener``."""
 
     coordinates: list[CoordinateConfig]
     family: str = "binomial"
@@ -64,6 +73,7 @@ class GameEstimator:
         validation_df: DataFrame | None = None,
         evaluator=None,
     ) -> GameTransformer:
+        self.send_event(events.TrainingStartEvent(time=events.now()))
         model, history = train_game(
             df,
             coordinates=self.coordinates,
@@ -73,5 +83,13 @@ class GameEstimator:
             offset_col=self.offset_col,
             validation_df=validation_df,
             evaluator=evaluator,
+            on_update=lambda e: self.send_event(
+                events.CoordinateUpdateEvent(
+                    iteration=e["iteration"],
+                    coordinate=e["coordinate"],
+                    metrics=e.get("metrics"),
+                )
+            ),
         )
+        self.send_event(events.TrainingFinishEvent(time=events.now()))
         return GameTransformer(model=model, history=history)

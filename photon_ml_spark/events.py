@@ -1,0 +1,170 @@
+"""Training lifecycle events — parity with the reference's
+photon-client event package (EventEmitter.scala:20-90 listener
+registry + Try-isolated dispatch, Event.scala:15-75 event case
+classes, EventListener.scala:18-35 handle/close contract):
+``GameTrainingDriver`` emits setup / training-start / per-model
+optimization-log / model-selection / training-finish events to
+registered listeners, and clearing the registry closes every listener.
+
+Python rendering: frozen-dataclass events, an ``EventListener`` base,
+and an ``EventEmitter`` mixin. ``send_event`` isolates listener
+failures exactly like the reference's ``Try(eventListener.handle(...))``
+— a broken monitoring hook must never kill a multi-hour training job —
+and ``clear_listeners`` likewise swallows ``close()`` errors.
+
+Wiring: ``GameEstimator`` mixes this in (training start/finish +
+per-coordinate-update events); ``cli.train`` forwards its optional
+``listeners`` to the estimator and additionally emits setup,
+per-sweep-entry optimization logs, and the selection event.
+"""
+
+from __future__ import annotations
+
+import threading
+import time as _time
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class Event:
+    """Base class for all consumable events (Event.scala:28)."""
+
+
+@dataclass(frozen=True)
+class SetupEvent(Event):
+    """Job-setup event (PhotonSetupEvent, Event.scala:37): carries the
+    user-facing configuration of the run."""
+
+    params: dict = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class TrainingStartEvent(Event):
+    """Training began (TrainingStartEvent, Event.scala:44)."""
+
+    time: float
+
+
+@dataclass(frozen=True)
+class TrainingFinishEvent(Event):
+    """Training concluded (TrainingFinishEvent, Event.scala:51)."""
+
+    time: float
+
+
+@dataclass(frozen=True)
+class CoordinateUpdateEvent(Event):
+    """One coordinate-descent update completed — the per-model
+    granularity of PhotonOptimizationLogEvent (Event.scala:58-66)
+    mapped onto the GAME loop: (iteration, coordinate) plus the
+    update's validation metrics when an evaluator ran."""
+
+    iteration: int
+    coordinate: str
+    metrics: dict | None = None
+
+
+@dataclass(frozen=True)
+class OptimizationLogEvent(Event):
+    """Full optimization of ONE swept model (PhotonOptimizationLogEvent,
+    Event.scala:58-66): the regularization-weight overrides it was
+    trained with and its validation metric."""
+
+    index: int
+    reg_weights: dict = field(default_factory=dict)
+    metric: float | None = None
+
+
+@dataclass(frozen=True)
+class ModelSelectionEvent(Event):
+    """T8 selection outcome: which sweep entry won and with what
+    metric."""
+
+    index: int
+    reg_weights: dict = field(default_factory=dict)
+    metric: float | None = None
+
+
+class EventListener:
+    """Base class for all event consumers (EventListener.scala:18-35)."""
+
+    def handle(self, event: Event) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:
+        """Clean-up hook, invoked by ``EventEmitter.clear_listeners``."""
+
+
+class EventEmitter:
+    """Mixin for event producers (EventEmitter.scala:24-90). Listener
+    registration, dispatch, and clearing are lock-protected; dispatch
+    and close errors are swallowed per listener (the reference's
+    ``Try``) so observers cannot break the training job."""
+
+    def _emitter_state(self) -> tuple[threading.Lock, list[EventListener]]:
+        # lazily initialized so dataclass subclasses need no __init__
+        # cooperation
+        if not hasattr(self, "_ev_lock"):
+            self._ev_lock = threading.Lock()
+            self._ev_listeners: list[EventListener] = []
+        return self._ev_lock, self._ev_listeners
+
+    def register_listener(self, listener: EventListener) -> None:
+        lock, listeners = self._emitter_state()
+        with lock:
+            listeners.append(listener)
+
+    def clear_listeners(self) -> None:
+        """Close and remove all registered listeners."""
+        lock, listeners = self._emitter_state()
+        with lock:
+            for li in listeners:
+                try:
+                    li.close()
+                except Exception:
+                    pass
+            listeners.clear()
+
+    def send_event(self, event: Event) -> None:
+        lock, listeners = self._emitter_state()
+        with lock:
+            for li in listeners:
+                try:
+                    li.handle(event)
+                except Exception:
+                    pass
+
+
+def now() -> float:
+    """Event timestamp source (Unix seconds)."""
+    return _time.time()
+
+
+class CollectingListener(EventListener):
+    """Test/debug listener that records events in order and whether it
+    was closed — the shape of the reference's TestEventListener."""
+
+    def __init__(self) -> None:
+        self.events: list[Event] = []
+        self.closed = False
+
+    def handle(self, event: Event) -> None:
+        self.events.append(event)
+
+    def close(self) -> None:
+        self.closed = True
+
+
+def params_summary(cfg: dict) -> dict:
+    """JSON-safe shallow summary of a train config for SetupEvent
+    (drop values that may not serialize cleanly)."""
+    out: dict[str, Any] = {}
+    for k, v in cfg.items():
+        if isinstance(v, (str, int, float, bool, type(None))):
+            out[k] = v
+        elif isinstance(v, (list, dict)):
+            out[k] = f"<{type(v).__name__}:{len(v)}>"
+        else:
+            out[k] = f"<{type(v).__name__}>"
+    return out

@@ -189,17 +189,32 @@ def poisson_data_loglik_and_aic(
     (Evaluation.scala:131-145 poissonRegressionLogLikelihood, AIC
     :105-125): per-sample ll = y·m − exp(m) − lnΓ(1+y) with m the
     linear margin (wᵀx + offset); AICc = 2k − 2lnL + 2k(k+1)/(n−k−1)
-    with k the effective (nonzero) parameter count. lnΓ(1+y) = ln(y!)
-    is computed exactly as Σ_{i=1..y} ln i over the integer count label
-    — a JVM higher-order ``aggregate`` over ``sequence``, since Spark
-    has no lgamma builtin (and ``factorial`` nulls out above 20)."""
+    with k the effective (nonzero) parameter count. lnΓ(1+y) = ln(y!):
+    for y ≤ 64 exactly as Σ_{i=1..y} ln i (a JVM higher-order
+    ``aggregate`` over ``sequence`` — Spark has no lgamma builtin and
+    ``factorial`` nulls out above 20); for y > 64 via the Stirling
+    series ln Γ(1+y) = y·ln y − y + ½·ln(2πy) + 1/(12y) − 1/(360y³),
+    whose truncation error at y > 64 is below 1e-12 relative — large
+    count labels would otherwise allocate an O(y)-element array per
+    row and hit Spark's sequence element cap."""
+    import math
+
     w = _w(weight)
     m, y = F.col(margin), F.col(label)
-    lgam = F.when(y < 1, F.lit(0.0)).otherwise(
-        F.aggregate(
-            F.sequence(F.lit(1), y.cast("int")),
-            F.lit(0.0),
-            lambda acc, i: acc + F.log(i.cast("double")),
+    yd = y.cast("double")
+    stirling = (
+        yd * F.log(yd) - yd + 0.5 * F.log(2.0 * math.pi * yd)
+        + 1.0 / (12.0 * yd) - 1.0 / (360.0 * yd * yd * yd)
+    )
+    lgam = (
+        F.when(y < 1, F.lit(0.0))
+        .when(y > 64, stirling)
+        .otherwise(
+            F.aggregate(
+                F.sequence(F.lit(1), y.cast("int")),
+                F.lit(0.0),
+                lambda acc, i: acc + F.log(i.cast("double")),
+            )
         )
     )
     ll = F.sum(w * (y * m - F.exp(m) - lgam))

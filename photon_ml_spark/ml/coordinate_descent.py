@@ -150,13 +150,18 @@ def train_game(
     offset_col: str = "offset",
     validation_df: DataFrame | None = None,
     evaluator=None,
+    on_update=None,
 ) -> tuple[GameModel, list[dict]]:
     """Run coordinate descent; returns (model, per-update history).
 
     ``evaluator(scored_validation_df) -> dict`` is called after every
     coordinate update when ``validation_df`` is given
     (CoordinateDescent.scala:312-333 per-coordinate validation).
-    """
+
+    ``on_update(entry)`` (optional) fires after every coordinate update
+    with the history entry just appended — the estimator uses it to
+    emit ``CoordinateUpdateEvent``s to registered listeners while the
+    loop is still running (events.py)."""
     df = df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()
 
@@ -227,6 +232,8 @@ def train_game(
                 scored_val = model.score(validation_df)
                 entry["metrics"] = evaluator(scored_val)
             history.append(entry)
+            if on_update is not None:
+                on_update(entry)
 
     df.unpersist()
     return model, history

@@ -487,3 +487,102 @@ def gp_ridge_search_1d(
     )
     res["best_params"] = {"lam": 10.0 ** res["best_params"]["log_lam"]}
     return res
+
+
+# ------------------------------------------------------- pluggable tuner seam
+
+
+class HyperparameterTuner:
+    """Pluggable-tuner indirection — reference photon-api
+    hyperparameter/tuner/HyperparameterTuner.scala:26-47 (one-method
+    trait), HyperparameterTunerFactory.scala (name → tuner dispatch),
+    DummyTuner.scala (the no-op default). The training driver talks to
+    THIS interface only; grid, quasi-random, and GP-EI searchers plug
+    in behind it, and a user can inject a custom tuner into
+    ``cli.train`` (the ``tuner`` argument) to drive model selection.
+
+    Contract: ``search(evaluate, n, maximize)`` explores the tuner's
+    space, calling ``evaluate(params: dict) -> float`` (one distributed
+    fit + validation per call), and returns ``{'best_params',
+    'best_value', 'history': [(params, value), ...]}`` — the shared
+    result shape of every concrete searcher above."""
+
+    def search(
+        self, evaluate: Callable[[dict], float], n: int,
+        maximize: bool = False,
+    ) -> dict:
+        raise NotImplementedError
+
+
+class GridTuner(HyperparameterTuner):
+    """Exhaustive grid behind the tuner seam (``n`` is ignored — the
+    grid defines the budget)."""
+
+    def __init__(self, grid: dict[str, Sequence]):
+        self.grid = grid
+
+    def search(self, evaluate, n: int = 0, maximize: bool = False) -> dict:
+        return grid_search(evaluate, self.grid, maximize=maximize)
+
+
+class QuasiRandomTuner(HyperparameterTuner):
+    """Sobol/Halton low-discrepancy search behind the tuner seam
+    (RandomSearch.scala parity)."""
+
+    def __init__(
+        self, bounds: dict[str, tuple[float, float, str]],
+        sequence: str = "sobol",
+    ):
+        self.bounds = bounds
+        self.sequence = sequence
+
+    def search(self, evaluate, n: int, maximize: bool = False) -> dict:
+        return quasi_random_search(
+            evaluate, self.bounds, n, maximize=maximize,
+            sequence=self.sequence,
+        )
+
+
+class GPTuner(HyperparameterTuner):
+    """GP-EI Bayesian search behind the tuner seam
+    (GaussianProcessSearch.scala parity); ``n`` is the EI-iteration
+    budget on top of ``n_init`` space-filling seeds."""
+
+    def __init__(
+        self, bounds: dict[str, tuple[float, float, str]],
+        n_init: int = 5, kernel_sampling: str = "fixed",
+    ):
+        self.bounds = bounds
+        self.n_init = n_init
+        self.kernel_sampling = kernel_sampling
+
+    def search(self, evaluate, n: int, maximize: bool = False) -> dict:
+        return gp_search(
+            evaluate, self.bounds, n_init=self.n_init, n_iter=n,
+            maximize=maximize, kernel_sampling=self.kernel_sampling,
+        )
+
+
+def make_tuner(spec: dict) -> HyperparameterTuner:
+    """HyperparameterTunerFactory parity: build a tuner from a JSON-able
+    spec — ``{"kind": "grid", "grid": {...}}``, ``{"kind": "sobol"|
+    "halton", "bounds": {name: [lo, hi, "linear"|"log"]}}``, or
+    ``{"kind": "gp", "bounds": ..., "n_init": 5, "kernel_sampling":
+    "fixed"|"slice"}``. Unknown kinds raise (the factory's TUNER_NAME
+    match)."""
+    kind = spec.get("kind", "grid").lower()
+    if kind == "grid":
+        return GridTuner(spec["grid"])
+    if kind in ("sobol", "halton", "random"):
+        bounds = {k: tuple(v) for k, v in spec["bounds"].items()}
+        return QuasiRandomTuner(
+            bounds, sequence="halton" if kind == "halton" else "sobol"
+        )
+    if kind == "gp":
+        bounds = {k: tuple(v) for k, v in spec["bounds"].items()}
+        return GPTuner(
+            bounds,
+            n_init=int(spec.get("n_init", 5)),
+            kernel_sampling=spec.get("kernel_sampling", "fixed"),
+        )
+    raise ValueError(f"unknown tuner kind {kind!r} (grid|sobol|halton|gp)")

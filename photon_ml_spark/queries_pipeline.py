@@ -369,6 +369,11 @@ def x17_dedup_clusters(spark, sf_dir):
 # every join/banding/verify/publish step below is the production code).
 # Batch split: indexed/first batch = doc_id % 3 != 0, increment/second
 # batch = doc_id % 3 == 0 (disjoint ids, both sides non-trivial).
+# Corpus split: x32 runs on the EVEN doc ids, x33 on the ODD ones —
+# disjoint halves that jointly cover the corpus, so the two replays
+# exercise different duplicate structures at half the per-block cost
+# (the flows are per-batch-linear; correctness is independent of the
+# subset, scale evidence lives in scripts/stress_scale.py).
 
 
 def _corpus_sid_fn(full_sids):
@@ -424,7 +429,8 @@ _CC_KEEP_SQL = """
 WITH RECURSIVE {_LSH_PAIRS_CTES},
 ip AS MATERIALIZED (
   SELECT id_a, id_b, jaccard FROM lsh_pairs
-  WHERE id_a % 3 = 0 OR id_b % 3 = 0
+  WHERE id_a % 2 = 0 AND id_b % 2 = 0
+    AND (id_a % 3 = 0 OR id_b % 3 = 0)
 ),
 hit AS (
   SELECT id_b AS doc_id FROM ip WHERE id_a % 3 <> 0
@@ -433,7 +439,8 @@ hit AS (
 ),
 sv AS (
   SELECT doc_id FROM documents
-  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM hit)
+  WHERE doc_id % 2 = 0 AND doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT doc_id FROM hit)
 ),
 nn AS (SELECT id_a, id_b FROM ip WHERE id_a % 3 = 0 AND id_b % 3 = 0),
 {_CC_KEEP_SQL.format(tag="i", pairs="nn", members="sv")}
@@ -443,10 +450,11 @@ SELECT 'inc_survivors' AS variant, doc_id AS id_a,
        CAST(-1 AS BIGINT) AS id_b, CAST(NULL AS DOUBLE) AS stat
 FROM i_s
 """,
-    note="pipeline/dedup: PERSISTED-INDEX incremental near-dedup — "
-    "save_minhash_index bootstraps batch=-1 state on disk for the "
-    "indexed 2/3 of the corpus, incremental_neardup LSH-joins the new "
-    "1/3 against the STORED relations (never a corpus rescan), "
+    note="pipeline/dedup: PERSISTED-INDEX incremental near-dedup over the "
+    "even-doc-id half of the corpus — save_minhash_index bootstraps "
+    "batch=-1 state on disk for the indexed 2/3, incremental_neardup "
+    "LSH-joins the new 1/3 against the STORED relations (never a "
+    "corpus rescan), "
     "drop_new_duplicates resolves first-seen survivors; oracle replays "
     "index-side ∪ batch-side banding + exact-Jaccard verify + the "
     "new-new component closure",
@@ -463,15 +471,18 @@ def x32_incremental_neardup(spark, sf_dir, doc_sids=None):
 
     docs = _t(spark, sf_dir, "documents")
     sids = doc_sids if doc_sids is not None else token_ids(docs, n=2).cache()
-    old = docs.filter(F.col("doc_id") % 3 != 0)
-    new = docs.filter(F.col("doc_id") % 3 == 0)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    old = half.filter(F.col("doc_id") % 3 != 0)
+    new = half.filter(F.col("doc_id") % 3 == 0)
     sid_fn = _corpus_sid_fn(sids)
     idx = tempfile.mkdtemp(prefix="photon_inc_idx_")
     save_minhash_index(old, idx, n=2, num_hashes=16, sid_fn=sid_fn)
+    # persisted: the pair relation feeds both the output block and the
+    # multi-consumer resolution (see neardup_process_batch's note)
     pairs = incremental_neardup(
         new, idx, threshold=0.5, n=2, num_hashes=16, bands=4,
         new_sids=sid_fn(new, "doc_id", "text", 2),
-    )
+    ).persist()
     surv = drop_new_duplicates(new, pairs, old.select("doc_id"))
     return pairs.select(
         F.lit("inc_pairs").alias("variant"),
@@ -489,11 +500,16 @@ def x32_incremental_neardup(spark, sf_dir, doc_sids=None):
 @register(
     "x33_stream_neardup",
     oracle=f"""
-WITH RECURSIVE lshp AS MATERIALIZED ({_LSH_ALL_PAIRS_SQL}),
+WITH RECURSIVE lshp AS MATERIALIZED (
+  SELECT * FROM ({_LSH_ALL_PAIRS_SQL}) lp0
+  WHERE id_a % 2 = 1 AND id_b % 2 = 1
+),
 p0 AS MATERIALIZED (
   SELECT id_a, id_b FROM lshp WHERE id_a % 3 <> 0 AND id_b % 3 <> 0
 ),
-b0 AS (SELECT doc_id FROM documents WHERE doc_id % 3 <> 0),
+b0 AS (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1 AND doc_id % 3 <> 0
+),
 {_CC_KEEP_SQL.format(tag="s0", pairs="p0", members="b0")},
 p1 AS MATERIALIZED (
   SELECT id_a, id_b FROM lshp
@@ -508,7 +524,8 @@ hit1 AS MATERIALIZED (
 ),
 sv1 AS MATERIALIZED (
   SELECT doc_id FROM documents
-  WHERE doc_id % 3 = 0 AND doc_id NOT IN (SELECT doc_id FROM hit1)
+  WHERE doc_id % 2 = 1 AND doc_id % 3 = 0
+    AND doc_id NOT IN (SELECT doc_id FROM hit1)
 ),
 nn1 AS (SELECT id_a, id_b FROM p1 WHERE id_a % 3 = 0 AND id_b % 3 = 0),
 {_CC_KEEP_SQL.format(tag="s1", pairs="nn1", members="sv1")}
@@ -520,7 +537,8 @@ SELECT 'stream' AS variant, doc_id AS id_a, CAST(1 AS BIGINT) AS id_b,
        CAST(NULL AS DOUBLE) AS stat
 FROM s1_s
 """,
-    note="streaming/dedup: 2-micro-batch STREAMING near-dedup replay — "
+    note="streaming/dedup: 2-micro-batch STREAMING near-dedup replay over "
+    "the odd-doc-id half of the corpus — "
     "neardup_process_batch (the foreachBatch body) bootstraps the "
     "shared index from batch 0 (batch-internal LSH dedup + staged "
     "batch=0 publish + _published marker), then batch 1 increments "
@@ -537,10 +555,11 @@ def x33_stream_neardup(spark, sf_dir, doc_sids=None):
 
     docs = _t(spark, sf_dir, "documents")
     sids = doc_sids if doc_sids is not None else token_ids(docs, n=2).cache()
+    half = docs.filter(F.col("doc_id") % 2 == 1)
     root = tempfile.mkdtemp(prefix="photon_stream_dedup_")
     for bid, keep in ((0, F.col("doc_id") % 3 != 0), (1, F.col("doc_id") % 3 == 0)):
         neardup_process_batch(
-            docs.filter(keep), f"{root}/index", f"{root}/docs",
+            half.filter(keep), f"{root}/index", f"{root}/docs",
             batch_id=bid, threshold=0.5, n=2, num_hashes=16, bands=4,
             sid_fn=_corpus_sid_fn(sids),
         )

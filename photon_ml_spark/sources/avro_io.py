@@ -773,53 +773,98 @@ def fixed_effect_to_avro_frame(
     """S9: FixedEffectGLM → one BayesianLinearModelAvro record, means
     keyed by (name, term) through the feature dictionary with the
     intercept as ("(INTERCEPT)", "") — ModelProcessingUtils.scala:
-    77-166 layout."""
+    77-166 layout.
+
+    Distributed shape: the dictionary (the reference's own >200k-key
+    regime) NEVER hits the driver — only the model's NONZERO
+    coefficients ship out as a small broadcast frame, the (key → name,
+    term) resolution runs as a join, and the single Avro record is
+    aggregated executor-side (collect_list ordered by feature index).
+    The record itself is O(nnz) — inherently one row, same as the
+    reference's Broadcast model."""
     from photon_ml_spark.datamodel import FEATURE_KEY_SEP
 
-    key_to_idx = {
-        r[0]: int(r[1]) for r in dictionary.collect()
-    }
-    means = []
-    for key, idx in sorted(key_to_idx.items(), key=lambda kv: kv[1]):
-        if idx < len(model.coefficients) and model.coefficients[idx] != 0.0:
-            name, _, term = key.partition(FEATURE_KEY_SEP)
-            means.append({"name": name, "term": term,
-                          "value": float(model.coefficients[idx])})
-    means.append({"name": INTERCEPT_NAME, "term": INTERCEPT_TERM,
-                  "value": float(model.intercept)})
-    rec = {
-        "modelId": model_id,
-        "modelClass": None,
-        "means": means,
-        "variances": None,
-        "lossFunction": model.family,
-    }
-    return spark.createDataFrame(
-        [rec], schema=avro_spark_type(parse_schema(BAYESIAN_LINEAR_MODEL_SCHEMA))
+    nz = [
+        (int(i), float(v))
+        for i, v in enumerate(model.coefficients)
+        if v != 0.0
+    ]
+    coef = spark.createDataFrame(nz, "feature_index bigint, value double")
+    entries = dictionary.join(F.broadcast(coef), "feature_index").select(
+        F.col("feature_index").alias("__i"),
+        F.split_part(
+            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(1)
+        ).alias("name"),
+        F.split_part(
+            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(2)
+        ).alias("term"),
+        "value",
     )
+    mean_struct = lambda n, t, v: F.struct(  # noqa: E731
+        n.alias("name"), t.alias("term"), v.alias("value")
+    )
+    rec = entries.agg(
+        F.array_sort(
+            F.collect_list(F.struct("__i", "name", "term", "value"))
+        ).alias("__ms")
+    ).select(
+        F.lit(model_id).cast("string").alias("modelId"),
+        F.lit(None).cast("string").alias("modelClass"),
+        F.concat(
+            F.transform(
+                "__ms",
+                lambda s: mean_struct(s["name"], s["term"], s["value"]),
+            ),
+            F.array(
+                mean_struct(
+                    F.lit(INTERCEPT_NAME),
+                    F.lit(INTERCEPT_TERM),
+                    F.lit(float(model.intercept)),
+                )
+            ),
+        ).alias("means"),
+        F.lit(None).cast(
+            "array<struct<name:string,term:string,value:double>>"
+        ).alias("variances"),
+        F.lit(model.family).cast("string").alias("lossFunction"),
+    )
+    return rec
 
 
 def avro_frame_to_fixed_effect(
     rows: list[Row], dictionary: DataFrame, dim: int, family: str = "gaussian"
 ):
-    """Inverse of fixed_effect_to_avro_frame (single-record frame)."""
+    """Inverse of fixed_effect_to_avro_frame (single-record frame).
+
+    The key→index resolution is a join against the distributed
+    dictionary (never a full-dictionary collect); the only collect is
+    the join RESULT, which is ≤ the record's own nonzero-mean count —
+    data the driver already holds in ``rows``. The dense coefficient
+    vector is driver-resident by design (the reference's Broadcast
+    fixed-effect model)."""
     import numpy as np
 
     from photon_ml_spark.datamodel import FEATURE_KEY_SEP
     from photon_ml_spark.ml.glm import FixedEffectGLM
 
-    key_to_idx = {r[0]: int(r[1]) for r in dictionary.collect()}
     coef = np.zeros(dim)
     intercept = 0.0
     (row,) = rows
+    means = []
     for m in row.means:
         if m.name == INTERCEPT_NAME and m.term == INTERCEPT_TERM:
             intercept = float(m.value)
             continue
-        key = f"{m.name}{FEATURE_KEY_SEP}{m.term}"
-        idx = key_to_idx.get(key)
-        if idx is not None and idx < dim:
-            coef[idx] = float(m.value)
+        means.append((f"{m.name}{FEATURE_KEY_SEP}{m.term}", float(m.value)))
+    if means:
+        spark = dictionary.sparkSession
+        mdf = spark.createDataFrame(means, "feature_key string, value double")
+        resolved = dictionary.join(F.broadcast(mdf), "feature_key").select(
+            "feature_index", "value"
+        )
+        for r in resolved.collect():
+            if int(r.feature_index) < dim:
+                coef[int(r.feature_index)] = float(r.value)
     return FixedEffectGLM(
         family=family, coefficients=coef, intercept=intercept, dim=dim,
         reg_param=0.0,

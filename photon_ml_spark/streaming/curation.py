@@ -232,12 +232,18 @@ def neardup_process_batch(
     # explicitly unpersisted so a long-running stream doesn't leak one
     # cached frame per trigger
     sids = sid_fn(batch, id_col, text_col, n).persist()
+    pairs = None
     try:
+        # pairs are persisted because resolution consumes them several
+        # times (old-hit semi-joins from both sides + the new-new edge
+        # list feeding connected components) — unpersisted, every
+        # consumer would replay the full LSH candidate + exact-verify
+        # chain
         pairs = incremental_neardup(
             batch, index_path, threshold=threshold, id_col=id_col,
             text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
             new_sids=sids, old_sids=old_sids, old_sigs=old_sigs,
-        )
+        ).persist()
         survivors = drop_new_duplicates(
             batch, pairs, old_sigs.select(id_col), id_col=id_col
         ).persist()
@@ -246,6 +252,8 @@ def neardup_process_batch(
         survivors.unpersist()
     finally:
         sids.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
 
 
 def stream_neardup(

@@ -261,10 +261,14 @@ def run(spark) -> dict:
 
     skew["score_join_broadcast_sec"] = _time(score_once)
     conf = spark.conf
+    # every key SET inside the try must be in the saved/restored set —
+    # a missing one leaves the session silently reconfigured for
+    # whatever runs after this block
     saved = {
-        k: conf.get(k)
+        k: conf.get(k, None)  # None = unset (no default), restored by unset
         for k in (
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
@@ -287,7 +291,10 @@ def run(spark) -> dict:
         skew["aqe_skew_split_engaged"] = "skewed" in plan
     finally:
         for k, v in saved.items():
-            conf.set(k, v)
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
     out["skew"] = skew
     return out
 

@@ -259,3 +259,57 @@ def test_latent_factor_round_trip(spark, tmp_path):
     got = {r.effectId: list(r.latentFactor) for r in back.collect()}
     assert len(got) == 20
     assert got["e4"] == [4.0, -1.0]
+
+
+def test_fixed_effect_wire_is_distributed_and_index_ordered(spark, tmp_path):
+    """The fixed-effect wire writer must resolve feature keys through a
+    JOIN against the distributed dictionary (the reference's own
+    >200k-key regime makes a full-dictionary collect a multi-GB driver
+    fetch), list nonzero means in feature-index order with the
+    intercept last, and round-trip exactly through a dictionary far
+    wider than any driver-side map guard."""
+    import numpy as np
+
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.ml.glm import FixedEffectGLM
+
+    dim = 5000
+    dictionary = spark.range(dim).select(
+        F.concat(
+            F.lit("f"),
+            F.format_string("%05d", F.col("id").cast("int")),
+            F.lit(FEATURE_KEY_SEP),
+            F.lit("t"),
+        ).alias("feature_key"),
+        F.col("id").alias("feature_index"),
+    )
+    coef = np.zeros(dim)
+    nz = {7: 1.5, 123: 0.5, 4321: -2.25}
+    for i, v in nz.items():
+        coef[i] = v
+    model = FixedEffectGLM(
+        family="binomial", coefficients=coef, intercept=0.75, dim=dim,
+        reg_param=0.0,
+    )
+    frame = avro_io.fixed_effect_to_avro_frame(
+        spark, model, dictionary, model_id="wide"
+    )
+    (rec,) = frame.collect()
+    assert rec.modelId == "wide"
+    assert rec.lossFunction == "binomial"
+    assert [(m.name, m.term, m.value) for m in rec.means] == [
+        ("f00007", "t", 1.5),
+        ("f00123", "t", 0.5),
+        ("f04321", "t", -2.25),
+        (avro_io.INTERCEPT_NAME, avro_io.INTERCEPT_TERM, 0.75),
+    ]
+    path = str(tmp_path / "wide_fixed_avro")
+    avro_io.write_avro(frame, path, avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA)
+    rows = avro_io.read_avro(
+        spark, path, avro_schema=avro_io.BAYESIAN_LINEAR_MODEL_SCHEMA
+    ).collect()
+    back = avro_io.avro_frame_to_fixed_effect(
+        rows, dictionary, dim=dim, family="binomial"
+    )
+    assert back.intercept == 0.75
+    assert np.array_equal(back.coefficients, coef)

@@ -406,7 +406,21 @@ def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
         assert os.path.exists(f"{out}/models/{i}/metadata.json")
     assert os.path.exists(f"{out}/metadata.json")  # the best model
 
-    # output_mode=none writes nothing
+    # a sweep entry naming an unknown coordinate is a typo that would
+    # otherwise train N identical models — refused up front
+    with pytest.raises(ValueError, match="unknown coordinate"):
+        cli.train(
+            {
+                **base_cfg,
+                "validation_input": va,
+                "reg_param_sweep": [{"global": 0.01}, {"globl": 1000.0}],
+            },
+            spark,
+        )
+    capsys.readouterr()
+
+    # output_mode=none writes no model, but per_group_evaluation still
+    # runs (evaluate-without-persisting) and lands under output_dir
     out2 = str(tmp_path / "none_model")
     cli.train(
         {
@@ -417,10 +431,13 @@ def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
             "n_iterations": 1,
             "output_dir": out2,
             "output_mode": "none",
+            "per_group_evaluation": {"group_col": "suppkey"},
         },
         spark,
     )
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert not os.path.exists(f"{out2}/metadata.json")
+    assert spark.read.parquet(rep2["group_evaluation"]).count() > 1
 
 
 def test_cli_train_per_group_evaluation(spark, tmp_path, capsys):

@@ -1,0 +1,169 @@
+"""Training lifecycle events + pluggable tuner seam (reference
+photon-client event/ package and photon-api hyperparameter/tuner/
+HyperparameterTuner.scala): listener ordering, failure isolation,
+close-on-clear, estimator emission, and tuner-driven selection in
+cli.train."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark import cli, events
+from photon_ml_spark.events import CollectingListener
+
+
+def test_emitter_dispatch_isolation_and_close():
+    class Boom(events.EventListener):
+        def __init__(self):
+            self.closed = False
+
+        def handle(self, event):
+            raise RuntimeError("observer bug")
+
+        def close(self):
+            self.closed = True
+            raise RuntimeError("close bug")
+
+    em = events.EventEmitter()
+    good, bad = CollectingListener(), Boom()
+    em.register_listener(bad)
+    em.register_listener(good)
+    ev = events.TrainingStartEvent(time=1.0)
+    em.send_event(ev)  # bad listener's exception must not block good
+    assert good.events == [ev]
+    em.clear_listeners()  # close errors swallowed, both closed/cleared
+    assert bad.closed and good.closed
+    em.send_event(events.TrainingFinishEvent(time=2.0))
+    assert good.events == [ev]  # cleared — no further delivery
+
+
+def test_estimator_emits_ordered_training_events(spark):
+    from photon_ml_spark.estimator import GameEstimator
+    from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
+    from photon_ml_spark.sources import datasets, featurize
+    from photon_ml_spark.datamodel import FeatureShardConfig
+
+    frame = datasets.lineitem_training_frame(spark, "/root/testdata/sf0.001")
+    dictionary = featurize.build_feature_dictionary(frame, ["features"])
+    assembled = featurize.assemble_shard(
+        frame, dictionary, FeatureShardConfig("features", ["features"]),
+        strategy="map",
+    )
+    dim = dictionary.count()
+    est = GameEstimator(
+        coordinates=[
+            CoordinateConfig(
+                name="global", kind="fixed", dim=dim,
+                indices_col="features_indices", values_col="features_values",
+            )
+        ],
+        family="binomial", n_iterations=2,
+    )
+    li = CollectingListener()
+    est.register_listener(li)
+    est.fit(assembled)
+    kinds = [type(e).__name__ for e in li.events]
+    assert kinds[0] == "TrainingStartEvent"
+    assert kinds[-1] == "TrainingFinishEvent"
+    updates = [
+        e for e in li.events if isinstance(e, events.CoordinateUpdateEvent)
+    ]
+    assert [(u.iteration, u.coordinate) for u in updates] == [
+        (1, "global"), (2, "global"),
+    ]
+
+
+def test_cli_train_with_injected_tuner(spark, tmp_path, capsys):
+    """A custom HyperparameterTuner injected into cli.train drives
+    model selection (the factory-built config path uses the same
+    seam)."""
+    from photon_ml_spark.ml.hypersearch import HyperparameterTuner
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(spark, "/root/testdata/sf0.001")
+    inp = str(tmp_path / "tuner_in.parquet")
+    va = str(tmp_path / "tuner_va.parquet")
+    training.filter(F.col("uid") % 3 != 0).write.parquet(inp)
+    training.filter(F.col("uid") % 3 == 0).write.parquet(va)
+
+    class TwoPointTuner(HyperparameterTuner):
+        def search(self, evaluate, n, maximize=False):
+            history = [
+                (p, evaluate(p))
+                for p in ({"global": 0.01}, {"global": 1000.0})
+            ]
+            pick = max if maximize else min
+            best = pick(history, key=lambda h: h[1])
+            return {
+                "best_params": best[0], "best_value": best[1],
+                "history": history,
+            }
+
+    out = str(tmp_path / "tuned_model")
+    li = CollectingListener()
+    cli.train(
+        {
+            "input": inp,
+            "validation_input": va,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+        },
+        spark,
+        listeners=[li],
+        tuner=TwoPointTuner(),
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    evals = rep["tuner"]["evaluations"]
+    assert [e["config"] for e in evals] == [
+        {"global": 0.01}, {"global": 1000.0},
+    ]
+    assert rep["tuner"]["best"]["metric"] == max(e["metric"] for e in evals)
+    # the event stream saw setup, two optimization logs, the selection
+    kinds = [type(e).__name__ for e in li.events]
+    assert kinds[0] == "SetupEvent"
+    logs = [e for e in li.events if isinstance(e, events.OptimizationLogEvent)]
+    assert [l.reg_weights for l in logs] == [
+        {"global": 0.01}, {"global": 1000.0},
+    ]
+    sel = [e for e in li.events if isinstance(e, events.ModelSelectionEvent)]
+    assert len(sel) == 1 and sel[0].metric == rep["tuner"]["best"]["metric"]
+
+    # sweep + tuner together is ambiguous — refused
+    with pytest.raises(ValueError, match="not both"):
+        cli.train(
+            {
+                "input": inp,
+                "validation_input": va,
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "output_dir": out,
+                "reg_param_sweep": [{"global": 0.1}],
+            },
+            spark,
+            tuner=TwoPointTuner(),
+        )
+
+
+def test_make_tuner_factory():
+    from photon_ml_spark.ml import hypersearch as hs
+
+    assert isinstance(
+        hs.make_tuner({"kind": "grid", "grid": {"a": [1, 2]}}), hs.GridTuner
+    )
+    assert isinstance(
+        hs.make_tuner({"kind": "sobol", "bounds": {"a": [0.1, 10, "log"]}}),
+        hs.QuasiRandomTuner,
+    )
+    gp = hs.make_tuner({"kind": "gp", "bounds": {"a": [0.1, 10, "log"]}})
+    assert isinstance(gp, hs.GPTuner)
+    # the grid tuner really searches through the seam
+    got = hs.make_tuner(
+        {"kind": "grid", "grid": {"a": [1.0, 2.0, 3.0]}}
+    ).search(lambda p: (p["a"] - 2.0) ** 2, n=0, maximize=False)
+    assert got["best_params"] == {"a": 2.0}
+    with pytest.raises(ValueError, match="unknown tuner kind"):
+        hs.make_tuner({"kind": "nope"})

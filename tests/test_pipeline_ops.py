@@ -1382,3 +1382,23 @@ def test_corpus_report_approx_mode(spark, docs):
         assert abs(a.n_unique_docs - e.n_unique_docs) <= max(
             5, 0.10 * e.n_unique_docs
         )
+
+
+def test_poisson_loglik_large_count_labels(spark):
+    """lnΓ(1+y) switches to the Stirling series above y=64 — big count
+    labels must neither allocate an O(y) array per row nor lose
+    precision vs the exact driver-side lgamma."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.functions.metrics import poisson_data_loglik_and_aic
+
+    rows = [(0.0, 0.2), (5.0, 0.1), (64.0, 0.4), (65.0, 0.3),
+            (500.0, 0.25), (100000.0, 0.05)]
+    df = spark.createDataFrame(rows, "label double, score double")
+    got = poisson_data_loglik_and_aic(df, k=2).first().loglik
+    want = sum(
+        y * m - math.exp(m) - math.lgamma(1.0 + y) for y, m in rows
+    )
+    assert got == pytest.approx(want, rel=1e-12)
