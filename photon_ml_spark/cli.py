@@ -135,6 +135,7 @@ def train(
                 entity_col=c.get("entity_col"),
                 reg_param=c.get("reg_param", 0.0),
                 min_samples=c.get("min_samples", 1),
+                active_cap=c.get("active_cap"),
                 elastic_net_param=c.get("elastic_net_param", 0.0),
                 solver=c.get("solver", "auto"),
                 lower_bounds=lo,

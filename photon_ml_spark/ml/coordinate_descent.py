@@ -56,6 +56,14 @@ class CoordinateConfig:
     entity_col: str | None = None  # required for kind='random'
     reg_param: float = 0.0
     min_samples: int = 1
+    # T2 active-data cap INSIDE the loop (RandomEffectDataset.scala:
+    # 454-527 active/passive split): a random coordinate trains on at
+    # most this many rows per entity (deterministic reservoir, weights
+    # rescaled to preserve entity mass) while SCORING still covers
+    # every row — the passive rows get scores through the model join.
+    # This is the rail that keeps a skewed entity (one key owning 30%
+    # of the fact table) inside the per-group memory budget.
+    active_cap: int | None = None
     locked: bool = False  # M8: score but never (re)train
     pretrained: object = None  # FixedEffectGLM | model DataFrame when locked/warm
     # per-coordinate optimizer config (GLMOptimizationConfiguration
@@ -122,7 +130,8 @@ def _score_coordinate(df: DataFrame, cfg: CoordinateConfig, model, out_col: str)
 
 
 def _fit_coordinate(
-    data: DataFrame, cfg: CoordinateConfig, family: str, prior, offset_col: str
+    data: DataFrame, cfg: CoordinateConfig, family: str, prior, offset_col: str,
+    uid_col: str = "uid",
 ):
     if cfg.kind == "fixed":
         return glm_mod.fit_fixed_effect(
@@ -131,6 +140,14 @@ def _fit_coordinate(
             offset_col=offset_col, reg_param=cfg.reg_param,
             elastic_net_param=cfg.elastic_net_param, solver=cfg.solver,
             lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
+        )
+    if cfg.active_cap is not None:
+        from photon_ml_spark.operators.sampling import per_entity_cap
+
+        data = per_entity_cap(
+            data, cfg.entity_col, cap=cfg.active_cap,
+            weight_col="weight" if "weight" in data.columns else None,
+            uid_col=uid_col,
         )
     return re_mod.fit_random_effects(
         data, entity_col=cfg.entity_col, dim=cfg.dim, family=family,
@@ -201,7 +218,9 @@ def train_game(
                     if cfg.kind == "random"
                     else None
                 )
-                coord_model = _fit_coordinate(data, cfg, family, prior, offset_col)
+                coord_model = _fit_coordinate(
+                    data, cfg, family, prior, offset_col, uid_col=uid_col
+                )
                 if cfg.kind == "random":
                     coord_model = _persist(coord_model)
             model.coordinates[cfg.name] = coord_model

@@ -106,3 +106,41 @@ def test_locked_coordinate(assembled):
     model, _ = train_game(assembled, coords, family="binomial", n_iterations=1)
     # locked coordinate's model is the exact object passed in (M8)
     assert model.coordinates["global"] is pre
+
+
+def test_active_cap_inside_loop_equals_precapped_fit(assembled):
+    """T2 active-data cap INSIDE the loop (RandomEffectDataset.scala:
+    454-527 active/passive split): a random coordinate with
+    ``active_cap`` trains on the deterministic per-entity reservoir
+    while scoring covers every row — coefficient-identical to capping
+    the data by hand before a standalone per-entity fit."""
+    from photon_ml_spark.ml.random_effects import fit_random_effects
+    from photon_ml_spark.operators.sampling import per_entity_cap
+
+    cap = 7
+    coords = [
+        CoordinateConfig(
+            name="per-supplier", kind="random", dim=5, entity_col="suppkey",
+            reg_param=10.0, min_samples=1, active_cap=cap,
+        ),
+    ]
+    model, _ = train_game(assembled, coords, family="binomial", n_iterations=1)
+    inloop = {
+        r["entity"]: (list(r["coefficients"]), r["intercept"])
+        for r in model.coordinates["per-supplier"].collect()
+    }
+    by_hand = fit_random_effects(
+        per_entity_cap(assembled, "suppkey", cap=cap),
+        entity_col="suppkey", dim=5, family="binomial", reg_param=10.0,
+    )
+    want = {
+        r["entity"]: (list(r["coefficients"]), r["intercept"])
+        for r in by_hand.collect()
+    }
+    assert set(inloop) == set(want)
+    for k, (c, i) in want.items():
+        got_c, got_i = inloop[k]
+        assert got_i == pytest.approx(i, rel=1e-9, abs=1e-12)
+        assert got_c == pytest.approx(c, rel=1e-9, abs=1e-12)
+    # scoring still covers EVERY row (passive rows score via the join)
+    assert model.score(assembled).count() == assembled.count()
