@@ -99,13 +99,25 @@ def train(
     spec); a programmatic instance wins over the config. Mutually
     exclusive with the explicit ``reg_param_sweep`` list."""
     from photon_ml_spark import events
-    from photon_ml_spark.estimator import GameEstimator
-    from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
-    from photon_ml_spark.sources.model_io import save_game_model
 
     emitter = events.EventEmitter()
     for li in listeners or ():
         emitter.register_listener(li)
+    try:
+        _train_impl(cfg, spark, emitter, tuner)
+    finally:
+        # Driver.scala:549 parity: listeners are always cleared (and
+        # hence close()d) at job end, success or failure, so buffered/
+        # file-backed listeners flush their data
+        emitter.clear_listeners()
+
+
+def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
+    from photon_ml_spark import events
+    from photon_ml_spark.estimator import GameEstimator
+    from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
+    from photon_ml_spark.sources.model_io import save_game_model
+
     emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
     assembled, dictionary, dim = _assembled(spark, cfg)
@@ -156,7 +168,7 @@ def train(
             coordinates=cs, family=family,
             n_iterations=cfg.get("n_iterations", 2),
         )
-        for li in listeners or ():
+        for li in emitter.listeners():
             est.register_listener(li)
         return est.fit(assembled)
 
@@ -259,11 +271,18 @@ def train(
             evaluate, n=int(cfg.get("tuner_iterations", 10)), maximize=True
         )
         best_params, best_value = found["best_params"], found["best_value"]
+        # a custom tuner may return a reconstructed/rounded point not
+        # value-identical to any history entry — fall back to -1
+        # (unknown index) instead of raising after all the expensive
+        # evaluations but before the refit
         emitter.send_event(
             events.ModelSelectionEvent(
                 index=next(
-                    i for i, (p, v) in enumerate(tuner_history)
-                    if p == best_params and v == best_value
+                    (
+                        i for i, (p, v) in enumerate(tuner_history)
+                        if p == best_params and v == best_value
+                    ),
+                    -1,
                 ),
                 reg_weights=dict(best_params),
                 metric=best_value,
@@ -306,6 +325,13 @@ def train(
         for i, overrides in enumerate(sweep):
             fitted = fit_with(overrides)
             m = validation_metric(fitted)
+            # Driver.scala:179,409 parity: one optimization-log event
+            # per regularization weight, same as the tuner branch
+            emitter.send_event(
+                events.OptimizationLogEvent(
+                    index=i, reg_weights=dict(overrides), metric=m,
+                )
+            )
             results.append((i, overrides, m))
             if best is None or m > best[0]:
                 best = (m, i, overrides, fitted)
@@ -319,6 +345,11 @@ def train(
             {"config": ov, "metric": m} for _, ov, m in results
         ]
         report["best"] = {"index": best[1], "config": best[2], "metric": best[0]}
+        emitter.send_event(
+            events.ModelSelectionEvent(
+                index=best[1], reg_weights=dict(best[2]), metric=best[0],
+            )
+        )
         fitted = best[3]
     else:
         fitted = fit_with({})

@@ -100,7 +100,13 @@ class EventEmitter:
     """Mixin for event producers (EventEmitter.scala:24-90). Listener
     registration, dispatch, and clearing are lock-protected; dispatch
     and close errors are swallowed per listener (the reference's
-    ``Try``) so observers cannot break the training job."""
+    ``Try``) so observers cannot break the training job.
+
+    The reference's ``Lock.synchronized`` is a reentrant JVM monitor,
+    so a listener may call back into the emitter from ``handle``;
+    Python's ``threading.Lock`` is not reentrant, so dispatch/close
+    here SNAPSHOT the listener list under the lock and invoke the
+    callbacks outside it — same observable semantics, no deadlock."""
 
     def _emitter_state(self) -> tuple[threading.Lock, list[EventListener]]:
         # lazily initialized so dataclass subclasses need no __init__
@@ -115,25 +121,34 @@ class EventEmitter:
         with lock:
             listeners.append(listener)
 
+    def listeners(self) -> list[EventListener]:
+        """Snapshot of the registered listeners (for forwarding to a
+        nested emitter, e.g. driver → estimator)."""
+        lock, listeners = self._emitter_state()
+        with lock:
+            return list(listeners)
+
     def clear_listeners(self) -> None:
         """Close and remove all registered listeners."""
         lock, listeners = self._emitter_state()
         with lock:
-            for li in listeners:
-                try:
-                    li.close()
-                except Exception:
-                    pass
+            snapshot = list(listeners)
             listeners.clear()
+        for li in snapshot:
+            try:
+                li.close()
+            except Exception:
+                pass
 
     def send_event(self, event: Event) -> None:
         lock, listeners = self._emitter_state()
         with lock:
-            for li in listeners:
-                try:
-                    li.handle(event)
-                except Exception:
-                    pass
+            snapshot = list(listeners)
+        for li in snapshot:
+            try:
+                li.handle(event)
+            except Exception:
+                pass
 
 
 def now() -> float:

@@ -60,29 +60,14 @@ def parse_constraint_map(
     )
     if not entries:
         return None
-    if hasattr(dictionary, "collect"):
-        key_to_idx = {
-            r[0]: int(r[1])
-            for r in dictionary.select("feature_key", "feature_index").collect()
-        }
-    else:
-        key_to_idx = {k: int(i) for k, i in dictionary}
 
-    lo = np.full(dim, -math.inf)
-    hi = np.full(dim, math.inf)
-    bound: set[int] = set()
+    # ---- phase 1: pure driver-side validation + selector extraction
+    # (no dictionary access) -------------------------------------------
+    # selectors: (order, kind, value, lb, ub) with kind in
+    # {"all", "prefix", "exact"}
+    selectors: list[tuple[int, str, str | None, float, float]] = []
     saw_all_wildcard = False
-
-    def put(idx: int, lb: float, ub: float, what: str) -> None:
-        if idx in bound:
-            raise ValueError(
-                f"conflicting constraints: feature {what} was already "
-                "bound and was specified again"
-            )
-        bound.add(idx)
-        lo[idx], hi[idx] = lb, ub
-
-    for entry in entries:
+    for order, entry in enumerate(entries):
         if saw_all_wildcard:
             # GLMSuite.scala:240-243: the all-feature wildcard must be
             # the ONLY constraint — even a later entry that resolves to
@@ -114,25 +99,110 @@ def parse_constraint_map(
                     "wildcard in feature name alone is not supported; a "
                     "wildcard name requires a wildcard term"
                 )
-            if bound:
+            if selectors:
                 raise ValueError(
                     "conflicting constraints: the all-feature wildcard "
                     "must be the only constraint"
                 )
-            for key, idx in key_to_idx.items():
-                if key != INTERCEPT_KEY:
-                    put(idx, lb, ub, key)
+            selectors.append((order, "all", None, lb, ub))
             saw_all_wildcard = True
         elif term == WILDCARD:
-            prefix = name + FEATURE_KEY_SEP
-            for key, idx in key_to_idx.items():
-                if key.startswith(prefix):
-                    put(idx, lb, ub, key)
+            selectors.append(
+                (order, "prefix", name + FEATURE_KEY_SEP, lb, ub)
+            )
         else:
-            key = name + FEATURE_KEY_SEP + term
-            idx = key_to_idx.get(key)
-            if idx is not None:
-                put(idx, lb, ub, key)
+            selectors.append(
+                (order, "exact", name + FEATURE_KEY_SEP + term, lb, ub)
+            )
+
+    # ---- phase 2: resolve selectors against the dictionary -----------
+    # matches: (order, what, idx) in entry order, then dictionary order
+    if hasattr(dictionary, "collect"):
+        matches = _resolve_selectors_spark(selectors, dictionary)
+    else:
+        matches = _resolve_selectors_iterable(selectors, dictionary)
+
+    lo = np.full(dim, -math.inf)
+    hi = np.full(dim, math.inf)
+    bound: set[int] = set()
+    by_order = {order: (lb, ub) for order, _, _, lb, ub in selectors}
+    for order, what, idx in matches:
+        if idx in bound:
+            # flagged on first collision, without checking whether the
+            # bounds agree — GLMSuite parity
+            raise ValueError(
+                f"conflicting constraints: feature {what} was already "
+                "bound and was specified again"
+            )
+        bound.add(idx)
+        lo[idx], hi[idx] = by_order[order]
     if not bound:
         return None
     return lo, hi
+
+
+def _resolve_selectors_iterable(selectors, dictionary):
+    """Selector resolution against an in-memory (key, index) iterable."""
+    key_to_idx = {k: int(i) for k, i in dictionary}
+    matches: list[tuple[int, str, int]] = []
+    for order, kind, value, _, _ in selectors:
+        if kind == "all":
+            for key, idx in key_to_idx.items():
+                if key != INTERCEPT_KEY:
+                    matches.append((order, key, idx))
+        elif kind == "prefix":
+            for key, idx in key_to_idx.items():
+                if key.startswith(value):
+                    matches.append((order, key, idx))
+        else:
+            idx = key_to_idx.get(value)
+            if idx is not None:
+                matches.append((order, value, idx))
+    return matches
+
+
+def _resolve_selectors_spark(selectors, dictionary):
+    """Selector resolution against a dictionary DataFrame WITHOUT
+    collecting the full key→index map: the constraint keys/prefixes are
+    broadcast-joined against the dictionary (the avro_io.py model-write
+    pattern), so driver traffic is O(matched features) — at the
+    reference's own >200k-feature regime a handful of constraints no
+    longer pulls every feature-key string to the driver. The one
+    exception is the all-feature wildcard, which by definition binds
+    every index; there only the integer indices come back, never the
+    key strings."""
+    from pyspark.sql import functions as F
+
+    spark = dictionary.sparkSession
+    dict_kv = dictionary.select("feature_key", "feature_index")
+    matches: list[tuple[int, str, int]] = []
+    all_sel = [s for s in selectors if s[1] == "all"]
+    if all_sel:
+        # validated upstream: the all-wildcard is the only selector
+        order = all_sel[0][0]
+        rows = (
+            dict_kv.filter(F.col("feature_key") != INTERCEPT_KEY)
+            .select("feature_index")
+            .collect()
+        )
+        return [(order, str(int(r[0])), int(r[0])) for r in rows]
+    exact = [(o, v) for o, kind, v, _, _ in selectors if kind == "exact"]
+    prefix = [(o, v) for o, kind, v, _, _ in selectors if kind == "prefix"]
+    if exact:
+        sel = spark.createDataFrame(exact, "__ord int, feature_key string")
+        for r in dict_kv.join(F.broadcast(sel), "feature_key").collect():
+            matches.append(
+                (int(r["__ord"]), r["feature_key"], int(r["feature_index"]))
+            )
+    if prefix:
+        sel = spark.createDataFrame(prefix, "__ord int, __prefix string")
+        joined = dict_kv.join(
+            F.broadcast(sel),
+            F.col("feature_key").startswith(F.col("__prefix")),
+        )
+        for r in joined.collect():
+            matches.append(
+                (int(r["__ord"]), r["feature_key"], int(r["feature_index"]))
+            )
+    matches.sort(key=lambda m: (m[0], m[2]))
+    return matches

@@ -399,10 +399,19 @@ def ivf_topk_from_index(
     data operation is the partition-pruned corpus scan + per-query
     top-k window.
     """
-    centroids = spark.read.parquet(f"{index_path}/centroids")
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     )
+    # the routed query set is broadcast into the candidate join below —
+    # same "queries are small" regime (and the same 1e6 cap) as the
+    # BLAS path; limit() bounds the probe so the check itself is cheap,
+    # and it runs before the index is even opened (fail fast)
+    if q.limit(1_000_001).count() > 1_000_000:
+        raise ValueError(
+            "ivf_topk_from_index broadcasts the routed query set; "
+            "batch >1e6 queries into multiple calls instead"
+        )
+    centroids = spark.read.parquet(f"{index_path}/centroids")
     routed = q.crossJoin(F.broadcast(centroids)).withColumn(
         "__sim", cosine_similarity(F.col("__qv"), F.col("centroid"))
     )

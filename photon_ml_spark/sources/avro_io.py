@@ -790,14 +790,19 @@ def fixed_effect_to_avro_frame(
         if v != 0.0
     ]
     coef = spark.createDataFrame(nz, "feature_index bigint, value double")
+    # name/term split must be on the FIRST separator only (the shape of
+    # str.partition): a term that itself contains the  delimiter
+    # must survive the round trip to the same coefficient slot, so the
+    # term is everything AFTER the first separator — not split_part's
+    # second segment, which would silently truncate it
+    key = F.col("feature_key")
+    sep_pos = F.instr(key, FEATURE_KEY_SEP)
     entries = dictionary.join(F.broadcast(coef), "feature_index").select(
         F.col("feature_index").alias("__i"),
-        F.split_part(
-            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(1)
-        ).alias("name"),
-        F.split_part(
-            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(2)
-        ).alias("term"),
+        F.substring_index(key, FEATURE_KEY_SEP, 1).alias("name"),
+        F.when(
+            sep_pos > 0, key.substr(sep_pos + F.lit(1), F.length(key))
+        ).otherwise(F.lit("")).alias("term"),
         "value",
     )
     mean_struct = lambda n, t, v: F.struct(  # noqa: E731
@@ -880,14 +885,17 @@ def random_effects_to_avro_frame(
     small post-P7). ModelProcessingUtils.scala:167-265."""
     from photon_ml_spark.datamodel import FEATURE_KEY_SEP
 
+    # first-separator split (str.partition shape) — see the comment in
+    # fixed_effect_to_avro_record: terms containing the separator must
+    # round-trip intact
+    key = F.col("feature_key")
+    sep_pos = F.instr(key, FEATURE_KEY_SEP)
     idx_name_term = dictionary.select(
         F.col("feature_index").cast("int").alias("__i"),
-        F.split_part(
-            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(1)
-        ).alias("__name"),
-        F.split_part(
-            F.col("feature_key"), F.lit(FEATURE_KEY_SEP), F.lit(2)
-        ).alias("__term"),
+        F.substring_index(key, FEATURE_KEY_SEP, 1).alias("__name"),
+        F.when(
+            sep_pos > 0, key.substr(sep_pos + F.lit(1), F.length(key))
+        ).otherwise(F.lit("")).alias("__term"),
     )
     names = F.array_sort(
         F.collect_list(F.struct("__i", "__name", "__term"))

@@ -313,3 +313,45 @@ def test_fixed_effect_wire_is_distributed_and_index_ordered(spark, tmp_path):
     )
     assert back.intercept == 0.75
     assert np.array_equal(back.coefficients, coef)
+
+
+def test_separator_in_term_round_trips(spark):
+    """A feature term CONTAINING the name/term delimiter must land in
+    the same coefficient slot after an Avro write+read: the split on
+    write is on the FIRST separator only (str.partition shape), not
+    split_part's second segment."""
+    import numpy as np
+
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP as SEP
+    from photon_ml_spark.ml.glm import FixedEffectGLM
+
+    keys = [
+        (f"plain{SEP}term", 0),
+        (f"nm{SEP}a{SEP}b", 1),       # term "a<SEP>b" keeps its separator
+        (f"noterm{SEP}", 2),          # empty term
+    ]
+    dictionary = spark.createDataFrame(
+        keys, "feature_key string, feature_index long"
+    )
+    model = FixedEffectGLM(
+        family="gaussian", coefficients=np.array([1.5, -2.5, 3.25]),
+        intercept=0.5, dim=3, reg_param=0.0,
+    )
+    rows = avro_io.fixed_effect_to_avro_frame(spark, model, dictionary).collect()
+    terms = {(m["name"], m["term"]) for m in rows[0]["means"]}
+    assert ("nm", f"a{SEP}b") in terms
+    back = avro_io.avro_frame_to_fixed_effect(
+        rows, dictionary, dim=3, family="gaussian"
+    )
+    for i in range(3):
+        assert back.coefficients[i] == pytest.approx(model.coefficients[i])
+    # random-effect layout: same first-separator contract
+    models = spark.createDataFrame(
+        [("e1", [1.0, 2.0, 0.0], 0.25)],
+        "entity string, coefficients array<double>, intercept double",
+    )
+    re_rows = avro_io.random_effects_to_avro_frame(
+        models, dictionary, dim=3
+    ).collect()
+    re_terms = {(m["name"], m["term"]) for m in re_rows[0]["means"]}
+    assert ("nm", f"a{SEP}b") in re_terms

@@ -397,11 +397,23 @@ def test_cli_train_sweep_and_output_modes(spark, tmp_path, capsys):
     with pytest.raises(ValueError, match="validation_input"):
         cli.train(dict(base_cfg), spark)
     capsys.readouterr()
-    cli.train({**base_cfg, "validation_input": va}, spark)
+    from photon_ml_spark import events as _ev
+
+    listener = _ev.CollectingListener()
+    cli.train({**base_cfg, "validation_input": va}, spark, listeners=[listener])
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert len(rep["sweep"]) == 2
     metrics = [e["metric"] for e in rep["sweep"]]
     assert rep["best"]["metric"] == max(metrics)
+    # Driver.scala parity: one OptimizationLogEvent per sweep entry, a
+    # ModelSelectionEvent for the winner, and the listener is close()d
+    # at job end (clear_listeners in the train finally block)
+    logs = [e for e in listener.events if isinstance(e, _ev.OptimizationLogEvent)]
+    sels = [e for e in listener.events if isinstance(e, _ev.ModelSelectionEvent)]
+    assert [e.index for e in logs] == [0, 1]
+    assert [e.metric for e in logs] == metrics
+    assert len(sels) == 1 and sels[0].index == rep["best"]["index"]
+    assert listener.closed
     for i in range(2):
         assert os.path.exists(f"{out}/models/{i}/metadata.json")
     assert os.path.exists(f"{out}/metadata.json")  # the best model

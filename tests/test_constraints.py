@@ -120,3 +120,61 @@ def test_constrained_fit_end_to_end(spark):
     )
     assert m.meta["optimizer"] == "lbfgsb"
     assert abs(m.coefficients[0] - 0.25) < 1e-6
+
+
+def test_spark_dictionary_resolution_without_full_collect(spark, monkeypatch):
+    """The DataFrame path must broadcast-join the constraint keys
+    against the dictionary, NEVER collect the full key->index map: with
+    a dictionary far larger than the constraint set, total rows pulled
+    to the driver stay O(matched), and bounds equal the iterable path's."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    big = [(f"age{S}{i}", i) for i in range(5000)]
+    big += [(f"geo{S}us", 5000), (f"geo{S}de", 5001), (INTERCEPT_KEY, 5002)]
+    dim = len(big)
+    ddf = spark.createDataFrame(big, "feature_key string, feature_index long")
+
+    collected = []
+    orig = DataFrame.collect
+
+    def probe(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", probe)
+    cons = [
+        {"name": "geo", "term": "*", "lowerBound": -2.0, "upperBound": 2.0},
+        {"name": "age", "term": "7", "upperBound": 0.5},
+    ]
+    lo, hi = parse_constraint_map(cons, ddf, dim)
+    monkeypatch.undo()
+    assert sum(collected) <= 10, f"driver pulled {sum(collected)} rows"
+    lo2, hi2 = parse_constraint_map(cons, big, dim)
+    assert np.array_equal(lo, lo2) and np.array_equal(hi, hi2)
+    # overlap detection still fires through the join path
+    import pytest as _pt
+    with _pt.raises(ValueError, match="conflicting"):
+        parse_constraint_map(
+            [
+                {"name": "geo", "term": "*", "lowerBound": 0.0},
+                {"name": "geo", "term": "us", "upperBound": 1.0},
+            ],
+            ddf, dim,
+        )
+
+
+def test_spark_all_wildcard_collects_indices_only(spark):
+    """All-feature wildcard on a DataFrame dictionary binds every
+    non-intercept index (indices-only driver traffic)."""
+    import math as _m
+
+    ddf = spark.createDataFrame(
+        DICT, "feature_key string, feature_index long"
+    )
+    lo, hi = parse_constraint_map(
+        [{"name": "*", "term": "*", "lowerBound": 0.0}], ddf, DIM
+    )
+    assert all(lo[i] == 0.0 for i in range(4))
+    assert lo[4] == -_m.inf  # INTERCEPT_KEY skipped

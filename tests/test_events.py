@@ -167,3 +167,44 @@ def test_make_tuner_factory():
     assert got["best_params"] == {"a": 2.0}
     with pytest.raises(ValueError, match="unknown tuner kind"):
         hs.make_tuner({"kind": "nope"})
+
+
+def test_emitter_reentrant_listener_does_not_deadlock():
+    """A listener that calls back into the SAME emitter from handle()
+    must not deadlock: the reference's Lock.synchronized is a reentrant
+    JVM monitor, so our dispatch snapshots the listener list and runs
+    callbacks outside the (non-reentrant) lock."""
+    import threading
+
+    from photon_ml_spark import events
+
+    emitter = events.EventEmitter()
+    seen = []
+
+    class Reentrant(events.EventListener):
+        def handle(self, event):
+            seen.append(event)
+            if len(seen) == 1:
+                # both re-entrant paths: register AND nested dispatch
+                emitter.register_listener(events.CollectingListener())
+                emitter.send_event(
+                    events.SetupEvent(params={"nested": True})
+                )
+
+        def close(self):
+            # close() that re-enters clear_listeners must not deadlock
+            emitter.clear_listeners()
+
+    emitter.register_listener(Reentrant())
+    done = []
+
+    def run():
+        emitter.send_event(events.SetupEvent(params={}))
+        emitter.clear_listeners()
+        done.append(True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=20)
+    assert done, "emitter deadlocked on re-entrant listener"
+    assert len(seen) >= 1

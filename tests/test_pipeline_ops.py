@@ -1189,6 +1189,24 @@ def test_ivf_index_full_probe_equals_brute_and_pruned_probe_recall(
     assert _glob.glob(f"{idx}/vectors/cell=*")
 
 
+def test_ivf_index_guards_huge_query_broadcast(spark):
+    """>1e6 queries would be an unbounded broadcast into the candidate
+    join — refused up front (mirror of the BLAS path's cap), before the
+    index is even opened."""
+    import pytest as _pt
+
+    from photon_ml_spark.operators.similarity import ivf_topk_from_index
+
+    huge = spark.range(1_000_001).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with _pt.raises(ValueError, match="batch .*queries"):
+        ivf_topk_from_index(
+            spark, "/nonexistent/ivf_index", huge, k=5, n_probe=1
+        )
+
+
 # ------------------------------------------------ unigram-LM tokenizer
 
 
