@@ -414,7 +414,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
 
 
 
-def _quality_prefilter(docs, q):
+def _quality_prefilter(docs, q, tokens_col=None):
     """The STATELESS quality filters shared by the batch and stream
     drivers (pure expressions — streaming-safe): heuristic quality
     scoring, language allowlist, token floor, quality floor. Returns
@@ -424,7 +424,7 @@ def _quality_prefilter(docs, q):
 
     from photon_ml_spark.operators import text
 
-    scored = text.quality_score(docs)
+    scored = text.quality_score(docs, tokens_col=tokens_col)
     if "languages" in q:
         scored = text.identify_language(scored)
         scored = scored.filter(F.col("lang_pred").isin(*q["languages"]))
@@ -497,7 +497,16 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         timings[stage] = round(now - _t_last, 2)
         _t_last = now
 
-    docs = spark.read.parquet(cfg["input"])
+    # shared tokenization (tokens_expr seam): the token array is
+    # materialized ONCE into the cached frame and every tokenizing
+    # stage (quality, exact dedup, near-dedup, contamination, DSIR
+    # selection) reads it instead of re-splitting the text — at 100 TB
+    # a per-stage re-tokenize is the single largest redundant scan in
+    # the pipeline. The column is internal; _finish/_card drop it.
+    TOK = "__toks"
+    docs = spark.read.parquet(cfg["input"]).withColumn(
+        TOK, text.tokens(F.col("text"))
+    )
     report: dict[str, int] = {"input": docs.count()}
     _stamp("input")
 
@@ -508,7 +517,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         )
         frame = (
             frame if g else frame.withColumn("corpus", F.lit("all"))
-        )
+        ).drop(TOK)
         text.corpus_report(frame, group_col=g or "corpus").write.mode(
             "overwrite"
         ).parquet(f"{cfg['output_dir']}/report/{name}")
@@ -519,30 +528,32 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     q = cfg.get("quality")
     if q:
-        scored = _quality_prefilter(docs, q)
+        scored = _quality_prefilter(docs, q, tokens_col=TOK)
         if "max_ppl" in q:
-            ppl = text.unigram_perplexity(docs).select(
+            ppl = text.unigram_perplexity(docs, tokens_col=TOK).select(
                 "doc_id", F.col("ppl")
             )
             scored = scored.join(ppl, "doc_id").filter(
                 F.col("ppl") <= q["max_ppl"]
             )
         if "min_novelty" in q:
-            nov = text.ngram_novelty(docs).select("doc_id", "novelty")
+            nov = text.ngram_novelty(docs, tokens_col=TOK).select(
+                "doc_id", "novelty"
+            )
             scored = scored.join(nov, "doc_id").filter(
                 F.col("novelty") >= q["min_novelty"]
             )
         if q.get("blocked_terms"):
             blocked = F.array(*[F.lit(t) for t in q["blocked_terms"]])
             scored = scored.filter(
-                ~F.arrays_overlap(text.tokens(F.col("text")), blocked)
+                ~F.arrays_overlap(F.col(TOK), blocked)
             )
         docs = scored.select(*docs.columns).cache()
         report["after_quality"] = docs.count()
         _stamp("quality")
 
     if cfg.get("exact_dedup"):
-        dups = dedup.bow_exact_dedup(docs)
+        dups = dedup.bow_exact_dedup(docs, tokens_col=TOK)
         losers = dups.select(
             F.explode("doc_ids").alias("doc_id"), F.col("keep_id")
         ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
@@ -554,7 +565,8 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     nd = cfg.get("near_dedup")
     if nd:
         pairs = dedup.minhash_lsh_dedup(
-            docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2)
+            docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2),
+            tokens_col=TOK,
         ).select("id_a", "id_b").cache()
         if cfg.get("split"):
             # split consumes the full clusters later; materialize the
@@ -577,7 +589,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     if cont:
         ev = spark.read.parquet(cont["eval_input"])
         bad = dedup.contaminated_docs(
-            docs, ev, n=cont.get("ngram", 3)
+            docs, ev, n=cont.get("ngram", 3), tokens_col=TOK
         ).filter(F.col("n_shared_ngrams") >= cont.get("min_shared", 1))
         docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
         report["after_contamination"] = docs.count()
@@ -590,6 +602,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             F.col(sel.get("lang_col", "lang")) == sel["target_lang"],
             k=sel["k"],
             temperature=sel.get("temperature", 1.0),
+            tokens_col=TOK,
         ).select("doc_id")
         docs = docs.join(chosen, "doc_id", "left_semi").cache()
         report["after_select"] = docs.count()
@@ -676,6 +689,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         return keyed.join(enc, "__tok_uid", "left").drop("__tok_uid"), keyed
 
     def _finish(frame, name):
+        frame = frame.drop(TOK)  # internal shared-tokenization column
         if ch:
             frame = text.chunk_documents(
                 frame, max_tokens=ch["max_tokens"],

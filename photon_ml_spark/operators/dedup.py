@@ -26,7 +26,12 @@ import json
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from photon_ml_spark.operators.text import bow_signature, tokens, word_shingles
+from photon_ml_spark.operators.text import (
+    bow_signature_of,
+    shingles_of,
+    tokens,
+    tokens_expr,
+)
 
 # 16 fixed (a, b) linear-permutation parameters over the Mersenne
 # prime p = 2^31 - 1 (deterministic, engine-portable minhash family).
@@ -58,12 +63,15 @@ def exact_duplicates(
 
 
 def doc_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(id, shingle) distinct pairs — the base relation for Jaccard,
-    minhash, and LSH."""
+    minhash, and LSH. ``tokens_col``: pre-built token array (the
+    shared-tokenization seam — see ``text.tokens_expr``)."""
+    sh = shingles_of(tokens_expr(text_col, tokens_col), n)
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
         .distinct()
     )
 
@@ -311,7 +319,7 @@ def _jaccard_ppjoin(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
 
 
 def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-              n: int = 1) -> DataFrame:
+              n: int = 1, tokens_col: str | None = None) -> DataFrame:
     """(doc, shingle_id) with a dense deterministic shingle dictionary —
     the portable base for minhash/simhash.
 
@@ -323,7 +331,7 @@ def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     window. At scale replace with xxhash64(shingle) — same pipeline
     shape, one less join — at the cost of SQL-portable ids.
     """
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n, tokens_col=tokens_col)
     distinct = sh.select("shingle").distinct()
     indexed = (
         distinct.orderBy("shingle")
@@ -439,6 +447,7 @@ def minhash_lsh_dedup(
     num_hashes: int = 16,
     bands: int = 4,
     doc_sids: DataFrame | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → minhash → banded
     buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
@@ -447,11 +456,13 @@ def minhash_lsh_dedup(
     ``doc_sids`` (optional): a pre-built ``token_ids`` frame, so one
     cached shingle-id relation can feed several dedup pipelines
     (minhash + simhash share it in the gate suite) instead of each
-    re-running the vocabulary sort."""
+    re-running the vocabulary sort. ``tokens_col``: pre-built token
+    array for the internal ``token_ids`` (see ``text.tokens_expr``);
+    ignored when ``doc_sids`` is given."""
     sids = (
         doc_sids
         if doc_sids is not None
-        else token_ids(df, id_col, text_col, n).cache()
+        else token_ids(df, id_col, text_col, n, tokens_col=tokens_col).cache()
     )
     sigs = minhash_signatures(sids, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
@@ -532,9 +543,13 @@ def simhash_neardup_pairs(
 
 
 def bow_exact_dedup(df: DataFrame, id_col: str = "doc_id",
-                    text_col: str = "text") -> DataFrame:
-    """Convenience: exact dedup on the bag-of-words signature."""
-    return exact_duplicates(df, bow_signature(F.col(text_col)), id_col)
+                    text_col: str = "text",
+                    tokens_col: str | None = None) -> DataFrame:
+    """Convenience: exact dedup on the bag-of-words signature.
+    ``tokens_col``: pre-built token array (see ``text.tokens_expr``)."""
+    return exact_duplicates(
+        df, bow_signature_of(tokens_expr(text_col, tokens_col)), id_col
+    )
 
 
 def contaminated_docs(
@@ -543,6 +558,7 @@ def contaminated_docs(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Benchmark-contamination detection: for every training document,
     count word n-gram collisions with an evaluation/benchmark corpus.
@@ -560,7 +576,7 @@ def contaminated_docs(
     (AQE decides from measured size — no hint needed); the train side
     is never shuffled except by the final doc-key aggregation.
     """
-    tr = doc_shingles(train, id_col, text_col, n)
+    tr = doc_shingles(train, id_col, text_col, n, tokens_col=tokens_col)
     ev = doc_shingles(eval_df, id_col, text_col, n).select(
         F.col(id_col).alias("__eval_id"), "shingle"
     )
@@ -907,7 +923,8 @@ def strip_duplicated_spans(
 
 
 def token_ids_hashed(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 1,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """(doc, sid) with ``sid = pmod(xxhash64(shingle), MINHASH_PRIME)``
     — the scale/incremental twin of ``token_ids``: no vocabulary sort,
@@ -918,7 +935,7 @@ def token_ids_hashed(
     and a ~n²/2p birthday collision rate in the prime field —
     negligible overcount of intersections below ~10M distinct shingles
     per verification pair's union."""
-    sh = doc_shingles(df, id_col, text_col, n)
+    sh = doc_shingles(df, id_col, text_col, n, tokens_col=tokens_col)
     return sh.select(
         id_col, F.pmod(F.xxhash64("shingle"), F.lit(MINHASH_PRIME)).alias("sid")
     ).distinct()

@@ -278,6 +278,7 @@ def dsir_select(
     uniform: Column | None = None,
     smoothing: float = 1.0,
     n_buckets: int | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al., "Data Selection for
     Language Models via Importance Resampling", NeurIPS 2023): score
@@ -299,13 +300,13 @@ def dsir_select(
     no driver-side scoring. The final ``rank`` window orders k rows on
     one partition, k being driver-bounded by construction.
     """
-    from photon_ml_spark.operators.text import tokens
+    from photon_ml_spark.operators.text import tokens_expr
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not temperature > 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
-    tok = F.explode(tokens(F.col(text_col))).alias("__tok")
+    tok = F.explode(tokens_expr(text_col, tokens_col)).alias("__tok")
     toks = df.select(F.col(id_col), is_target.alias("__tgt"), tok)
     if n_buckets is not None:
         toks = toks.withColumn(

@@ -34,6 +34,18 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != "")
 
 
+def tokens_expr(text_col: str, tokens_col: str | None) -> Column:
+    """The shared-tokenization seam: a pre-materialized token-array
+    column when the caller has one (``tokens_col``), else tokenize the
+    text column in place. A multi-stage pipeline (quality → dedup →
+    contamination → selection) computes ``tokens(text)`` once into a
+    cached column and passes its name through every stage's
+    ``tokens_col`` parameter, so the corpus is tokenized ONCE per run
+    instead of once per stage — at 100 TB the re-split of every
+    document per stage is pure waste."""
+    return F.col(tokens_col) if tokens_col else tokens(F.col(text_col))
+
+
 def token_count(text: Column) -> Column:
     """Whitespace token count."""
     return F.size(tokens(text))
@@ -46,14 +58,16 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(df: DataFrame, text_col: str = "text",
+                     tokens_col: str | None = None) -> DataFrame:
     """Per-document quality signals: char/token counts, mean token
     length, stopword ratio, punctuation ratio, all-caps ratio.
 
     Ratios are exact rationals (int/int) — identical across engines.
+    ``tokens_col``: see ``tokens_expr`` (shared-tokenization seam).
     """
     t = F.col(text_col)
-    toks = tokens(t)
+    toks = tokens_expr(text_col, tokens_col)
     n_tok = F.size(toks)
     stop_hits = F.size(F.filter(toks, lambda x: x.isin("a", "the", "and", "of", "to")))
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), 0))
@@ -70,11 +84,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def quality_score(df: DataFrame, text_col: str = "text",
-                  out_col: str = "quality") -> DataFrame:
+                  out_col: str = "quality",
+                  tokens_col: str | None = None) -> DataFrame:
     """Composite heuristic quality in [0,1]: rewards mid-length docs
     with some stopwords and low punctuation density (the classic
     Gopher/C4-style rule-of-thumb shape, arithmetic kept exact)."""
-    q = quality_features(df, text_col)
+    q = quality_features(df, text_col, tokens_col=tokens_col)
     len_score = F.least(F.col("n_tokens"), F.lit(100)) / 100.0
     stop_score = F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0))
     punct_pen = F.greatest(F.lit(1.0) - F.col("punct_ratio") * 10.0, F.lit(0.0))
@@ -193,12 +208,23 @@ def bow_signature(text: Column) -> Column:
     """Bag-of-words canonical signature: sorted distinct tokens joined.
     Collides for docs that are permutations/repetitions of the same
     vocabulary — the cheap first-stage near-dup key."""
-    return F.array_join(F.array_sort(F.array_distinct(tokens(text))), " ")
+    return bow_signature_of(tokens(text))
+
+
+def bow_signature_of(toks: Column) -> Column:
+    """``bow_signature`` over a pre-built token array (the shared-
+    tokenization seam — see ``tokens_expr``)."""
+    return F.array_join(F.array_sort(F.array_distinct(toks)), " ")
 
 
 def word_shingles(text: Column, n: int = 2) -> Column:
     """Word n-gram shingle array (may contain duplicates)."""
-    toks = tokens(text)
+    return shingles_of(tokens(text), n)
+
+
+def shingles_of(toks: Column, n: int) -> Column:
+    """Word n-gram shingles over a pre-built token array (the shared-
+    tokenization seam — see ``tokens_expr``)."""
     if n == 1:
         return toks
     k = F.size(toks) - (n - 1)
@@ -216,6 +242,7 @@ def unigram_perplexity(
     lm_df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document perplexity under an add-one-smoothed unigram
     language model — the CCNet-style quality filter shape (documents
@@ -236,15 +263,21 @@ def unigram_perplexity(
     token/doc keys, no driver state.
     """
     lm_src = lm_df if lm_df is not None else df
-    toks_rel = lm_src.select(
-        F.explode(tokens(F.col(text_col))).alias("__tok")
+    # tokens_col applies to ``df``; the LM source shares it only when it
+    # IS df (an external lm_df need not carry the pre-built column)
+    lm_toks = (
+        tokens_expr(text_col, tokens_col)
+        if lm_df is None
+        else tokens(F.col(text_col))
     )
+    toks_rel = lm_src.select(F.explode(lm_toks).alias("__tok"))
     counts = toks_rel.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
     totals = counts.agg(
         F.sum("__cnt").alias("__total"), F.count(F.lit(1)).alias("__vocab")
     )
     doc_toks = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__tok")
+        F.col(id_col),
+        F.explode(tokens_expr(text_col, tokens_col)).alias("__tok"),
     )
     scored = (
         doc_toks.join(counts, "__tok", "left")
@@ -751,6 +784,7 @@ def ngram_novelty(
     n: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document n-gram novelty: the fraction of the doc's DISTINCT
     word n-grams that occur in no other document — high novelty marks
@@ -768,9 +802,9 @@ def ngram_novelty(
     """
     sh = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
-            "shingle"
-        ),
+        F.explode(
+            F.array_distinct(shingles_of(tokens_expr(text_col, tokens_col), n))
+        ).alias("shingle"),
     )
     docfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).alias("__df")

@@ -1420,3 +1420,71 @@ def test_poisson_loglik_large_count_labels(spark):
         y * m - math.exp(m) - math.lgamma(1.0 + y) for y, m in rows
     )
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_shared_tokens_column_matches_text_path(spark):
+    """The shared-tokenization seam (tokens_expr): every stage that
+    accepts a pre-built token-array column must produce EXACTLY the
+    result of its tokenize-from-text path — the curate driver relies
+    on this to tokenize the corpus once per run instead of once per
+    stage."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators import dedup, sampling, text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en"),
+            (2, "the cat sat on the mat", "en"),
+            (3, "The Cat  sat ON the mat", "en"),
+            (4, "completely different words here now", "en"),
+            (5, "the dog sat on the mat", "de"),
+            (6, "one-token", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    toked = docs.withColumn("__toks", text.tokens(F.col("text")))
+
+    def same(a, b, cols):
+        left = sorted(a.select(*cols).collect())
+        right = sorted(b.select(*cols).collect())
+        assert left == right
+
+    same(
+        text.quality_score(docs),
+        text.quality_score(toked, tokens_col="__toks"),
+        ["doc_id", "n_tokens", "stopword_ratio", "quality"],
+    )
+    same(
+        text.unigram_perplexity(docs),
+        text.unigram_perplexity(toked, tokens_col="__toks"),
+        ["doc_id", "n_tokens", "ppl"],
+    )
+    same(
+        text.ngram_novelty(docs, n=2),
+        text.ngram_novelty(toked, n=2, tokens_col="__toks"),
+        ["doc_id", "n_ngrams", "n_novel"],
+    )
+    same(
+        dedup.bow_exact_dedup(docs),
+        dedup.bow_exact_dedup(toked, tokens_col="__toks"),
+        ["keep_id", "n_docs", "doc_ids"],
+    )
+    same(
+        dedup.minhash_lsh_dedup(docs, threshold=0.5, n=2),
+        dedup.minhash_lsh_dedup(toked, threshold=0.5, n=2, tokens_col="__toks"),
+        ["id_a", "id_b", "jaccard"],
+    )
+    ev = docs.filter("doc_id = 5").select("doc_id", "text")
+    same(
+        dedup.contaminated_docs(docs, ev, n=2),
+        dedup.contaminated_docs(toked, ev, n=2, tokens_col="__toks"),
+        ["doc_id", "n_shared_ngrams", "n_eval_docs"],
+    )
+    same(
+        sampling.dsir_select(docs, F.col("lang") == "de", k=2),
+        sampling.dsir_select(
+            toked, F.col("lang") == "de", k=2, tokens_col="__toks"
+        ),
+        ["doc_id", "logweight", "rank"],
+    )
