@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # optional classpath extension — the spark-avro datasource (and any
+    # other format jar) is a separate artifact from pyspark's bundled
+    # jars. SPARK_GRAFT_JARS: comma-separated local jar paths ->
+    # spark.jars; SPARK_GRAFT_PACKAGES: maven coordinates ->
+    # spark.jars.packages (resolved at session start; needs network).
+    # Recipe (README "Avro"): SPARK_GRAFT_JARS=/path/to/spark-avro_2.13-
+    # <spark-version>.jar flips read_avro/write_avro from the pure-
+    # Python OCF fallback to the JVM datasource.
+    if os.environ.get("SPARK_GRAFT_JARS"):
+        builder = builder.config("spark.jars", os.environ["SPARK_GRAFT_JARS"])
+    if os.environ.get("SPARK_GRAFT_PACKAGES"):
+        builder = builder.config(
+            "spark.jars.packages", os.environ["SPARK_GRAFT_PACKAGES"]
+        )
     if master is not None:
         builder = builder.master(master)
     elif "SPARK_MASTER" not in os.environ:

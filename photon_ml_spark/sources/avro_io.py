@@ -503,15 +503,42 @@ def _schema_from_header(data: bytes) -> str:
                 return v.decode()
 
 
+def has_spark_avro(spark: SparkSession) -> bool:
+    """True when the JVM spark-avro datasource is resolvable in this
+    session (the production path — enable locally via
+    ``SPARK_GRAFT_JARS=/path/to/spark-avro_2.13-<ver>.jar`` or
+    ``SPARK_GRAFT_PACKAGES=org.apache.spark:spark-avro_2.13:<ver>``,
+    see ``session.get_spark``). Uses Spark's own datasource lookup so
+    jars added through spark.jars/spark.jars.packages are honored;
+    probed once and cached on the session. With the probe explicit,
+    a REAL datasource error (bad schema option, corrupt container)
+    propagates instead of being silently retried through the Python
+    codec with different performance and error behavior."""
+    cached = getattr(spark, "_photon_has_spark_avro", None)
+    if cached is None:
+        try:
+            jvm = spark.sparkContext._jvm
+            jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf()
+            )
+            cached = True
+        except Exception:
+            cached = False
+        spark._photon_has_spark_avro = cached
+    return cached
+
+
 def read_avro(
     spark: SparkSession, path: str, avro_schema: str | None = None
 ) -> DataFrame:
-    """S1 Avro scan. spark-avro datasource when present, else the
-    distributed pure-Python fallback (one decode task per file)."""
-    try:
-        return spark.read.format("avro").load(path)
-    except Exception:
-        pass  # datasource absent — pure-Python path
+    """S1 Avro scan. spark-avro datasource when present (see
+    ``has_spark_avro`` for the enable recipe), else the distributed
+    pure-Python fallback (one decode task per file)."""
+    if has_spark_avro(spark):
+        reader = spark.read.format("avro")
+        if avro_schema is not None:
+            reader = reader.option("avroSchema", avro_schema)
+        return reader.load(path)
     if avro_schema is None:
         first = _list_avro_files(spark, path)[0]
         for limit in (1 << 20, 1 << 24):
@@ -537,13 +564,11 @@ def write_avro(
 ) -> None:
     """S11-style sink. spark-avro when present; else one part file per
     partition through the Python codec (POSIX-visible paths)."""
-    try:
+    if has_spark_avro(df.sparkSession):
         df.write.format("avro").option("avroSchema", avro_schema).mode(
             "overwrite"
         ).save(path)
         return
-    except Exception:
-        pass
     names = df.schema.fieldNames()
     os.makedirs(path, exist_ok=True)
     for old in os.listdir(path):

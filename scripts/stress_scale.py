@@ -299,6 +299,90 @@ def run(spark) -> dict:
     return out
 
 
+def _game_frame(spark, sf_dir: str) -> DataFrame:
+    """The m3 gate query's training frame shape over any dataset dir:
+    one fixed + one per-supplier coordinate, gaussian response."""
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
+        ).alias("uid"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+        F.lit(0.0).alias("offset"),
+        F.lit(1.0).alias("weight"),
+        F.col("l_suppkey").cast("string").alias("suppkey"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+    )
+
+
+def run_game(spark) -> dict:
+    """Scale evidence for the FULL coordinate-descent training loop —
+    the reference's flagship (GameTrainingDriver.scala:363-516,
+    CoordinateDescent.scala:132-166): multi-coordinate CD with J11
+    incremental summed-score maintenance and per-coordinate validation,
+    measured at sf0.1, at the x{F} replica set, and on the skewed set
+    (one entity owning ~30% of all rows) both WITHOUT the T2
+    ``active_cap`` rail and WITH it (cap=10k; scoring still covers
+    every row — only the per-entity fit sample is bounded).
+
+    Expected shapes (written before running): x{F} near-linear (the
+    loop is 2 fixed fits + 2 random-effect fit rounds + 4 score joins
+    + 4 validation scans, all shuffle-on-key); skew uncapped slower
+    but ALIVE (the multi-million-row Arrow group); skew capped within
+    ~2x of the uniform x{F} time."""
+    from photon_ml_spark.ml.coordinate_descent import (
+        CoordinateConfig,
+        train_game,
+    )
+
+    def coords(cap):
+        return [
+            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="per_supplier", kind="random", dim=1,
+                entity_col="suppkey", reg_param=10.0, active_cap=cap,
+            ),
+        ]
+
+    def evaluator(scored: DataFrame) -> dict:
+        row = scored.agg(
+            F.sqrt(F.avg((F.col("response") - F.col("score")) ** 2)).alias(
+                "rmse"
+            )
+        ).first()
+        return {"rmse": round(float(row.rmse), 6)}
+
+    out: dict = {}
+    cases = [
+        ("sf01_uncapped", SRC, None),
+        (f"x{FACTOR}_uncapped", X10, None),
+        (f"skew{FACTOR}_uncapped", SKEW, None),
+        (f"skew{FACTOR}_cap10k", SKEW, 10_000),
+    ]
+    for key, d, cap in cases:
+        li = _game_frame(spark, d)
+        # deterministic 90/10 train/validation split on the row key
+        is_val = F.pmod(F.xxhash64("uid"), F.lit(10)) == 0
+        train, val = li.filter(~is_val), li.filter(is_val)
+        t0 = time.perf_counter()
+        model, history = train_game(
+            train, coordinates=coords(cap), family="gaussian",
+            n_iterations=2, validation_df=val, evaluator=evaluator,
+        )
+        n_models = model.coordinates["per_supplier"].count()
+        out[key] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "entities": n_models,
+            "updates": len(history),
+            "final_rmse": history[-1]["metrics"]["rmse"],
+        }
+    base = out["sf01_uncapped"]["sec"] or 1e-9
+    out["ratios_vs_sf01"] = {
+        k: round(v["sec"] / base, 1) for k, v in out.items() if "sec" in v
+    }
+    return out
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from photon_ml_spark.session import get_spark
@@ -312,6 +396,8 @@ def main() -> None:
     if mode in ("run", "all"):
         result = run(spark)
         print(json.dumps(result))
+    if mode in ("game", "all"):
+        print(json.dumps({"game": run_game(spark)}))
     spark.stop()
 
 
