@@ -10,9 +10,12 @@ Codec capability gating: ``decode_image`` uses a REAL decoder
 (PIL/Pillow) when the library imports, falling back to the documented
 deterministic fake (payload hash → synthetic dimensions/pixel stats)
 with ``fake=True``, and raising when neither applies. This container
-ships no codec libraries, so the real path is exercised only where
-Pillow exists (skip-marked test); the Spark-side contract — schemas,
-Arrow batch iteration, partition sizing — is identical for both.
+ships no codec libraries, so the real image path is exercised only
+where Pillow exists (skip-marked test); the Spark-side contract —
+schemas, Arrow batch iteration, partition sizing — is identical for
+both. ``decode_audio``'s real path needs NO external codec: soundfile
+when installed (full format coverage), else the stdlib PCM-WAV
+decoder — real decode is tested unconditionally.
 """
 
 from __future__ import annotations
@@ -159,24 +162,55 @@ def _soundfile_decode(payload: bytes) -> tuple[int, int, float]:
     return int(rate), int(len(mono)), rms
 
 
+def _wav_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real PCM-WAV decoder with NO external codec — stdlib ``wave``
+    parses the container, numpy vectorizes the sample math. Covers
+    8/16/32-bit PCM mono/multichannel WAV (channel-averaged to mono for
+    the RMS, matching ``_soundfile_decode``); anything else raises and
+    becomes a ``decode_ok=False`` row upstream. This is the decoder
+    that makes ``decode_audio``'s REAL path live in codec-less
+    containers like this one."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        nch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(w.getnframes())
+    if width == 1:  # unsigned 8-bit
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 2:  # signed little-endian 16-bit
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:  # signed little-endian 32-bit
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise ValueError(f"unsupported PCM sample width: {width} bytes")
+    if nch > 1:
+        x = x[: (x.size // nch) * nch].reshape(-1, nch).mean(axis=1)
+    rms = float(np.sqrt((x * x).mean())) if x.size else 0.0
+    return int(rate), int(x.size), rms
+
+
 def decode_audio(
     df: DataFrame, payload_col: str = "payload", fake: bool = False
 ) -> DataFrame:
     """Audio twin of ``decode_image``: binary payloads → sample rate /
-    length / RMS level via the same Arrow ``mapInPandas`` shape, with
-    the same capability gating — the REAL decoder (soundfile) when the
-    library imports (capability-checked up front on the driver, so the
-    failure is immediate, not mid-job; undecodable payloads yield
-    ``decode_ok=False`` rows, never task failures), the deterministic
-    fake with ``fake=True``, and a fail-fast raise when neither
-    applies. This container ships no audio codec, so the real path is
-    exercised only where soundfile exists (skip-marked test); schema,
-    batching, and partitioning are identical either way."""
-    if not fake and not _soundfile_available():
-        raise NotImplementedError(
-            "real audio decode requires soundfile on driver and "
-            "executors; pass fake=True for the deterministic stub decoder"
-        )
+    length / RMS level via the same Arrow ``mapInPandas`` shape. The
+    REAL path is always available: soundfile when the library imports
+    (full codec coverage — flac/ogg/mp3/…), else the stdlib PCM-WAV
+    decoder ``_wav_decode`` (wave + numpy — no external dependency), so
+    ``fake=False`` genuinely decodes in codec-less containers like this
+    one; payloads the selected decoder cannot parse yield
+    ``decode_ok=False`` rows, never task failures. ``fake=True``
+    selects the deterministic stub (the portable-oracle path). Schema,
+    batching, and partitioning are identical across all three."""
+    # decoder selection happens ONCE on the driver and is captured by
+    # the closure, so every executor uses the same decoder even on a
+    # heterogeneous image where soundfile exists only on some nodes
+    use_soundfile = not fake and _soundfile_available()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,7 +222,11 @@ def decode_audio(
                     ok.append(True)
                 else:
                     try:
-                        meta.append(_soundfile_decode(bytes(p)))
+                        meta.append(
+                            _soundfile_decode(bytes(p))
+                            if use_soundfile
+                            else _wav_decode(bytes(p))
+                        )
                         ok.append(True)
                     except ImportError:
                         # the driver-side capability check passed but

@@ -276,9 +276,11 @@ def test_repetition_stats_flags_boilerplate(spark):
 
 def test_audio_decode_plumbing(docs):
     payloads = multimodal.attach_payload(docs)
-    if not multimodal._soundfile_available():
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_audio(payloads).count()
+    # the real path never raises: non-WAV payloads (these are text
+    # bytes) come back decode_ok=False through the stdlib WAV decoder
+    real = multimodal.decode_audio(payloads)
+    assert real.filter("decode_ok").count() == 0
+    assert real.count() == docs.count()
     decoded = multimodal.decode_audio(payloads, fake=True)
     planned = multimodal.resample_plan(decoded, target_rate=16000)
     row = planned.first()
@@ -289,13 +291,11 @@ def test_audio_decode_plumbing(docs):
     assert row.out_samples == math.ceil(row.n_samples * 16000.0 / row.sample_rate)
 
 
-@pytest.mark.skipif(
-    not multimodal._soundfile_available(), reason="soundfile not installed"
-)
 def test_audio_real_decode(spark):
-    """Real audio path (runs only where soundfile exists): a synthetic
-    WAV decodes to its true rate/length/RMS; junk bytes yield
-    decode_ok=False rows, not task failures."""
+    """Real audio path — no skip: soundfile where installed, else the
+    stdlib PCM-WAV decoder, so this runs in codec-less containers too.
+    A synthetic WAV decodes to its true rate/length/RMS; junk bytes
+    yield decode_ok=False rows, not task failures."""
     import io
     import struct
     import wave
@@ -1488,3 +1488,49 @@ def test_shared_tokens_column_matches_text_path(spark):
         ),
         ["doc_id", "logweight", "rank"],
     )
+
+
+def test_wav_decode_widths_and_channels(spark):
+    """The stdlib WAV decoder across PCM widths and channel counts:
+    8-bit unsigned, 16-bit, 32-bit, and stereo channel-averaging all
+    produce the documented normalized RMS; an unsupported 24-bit
+    payload degrades to decode_ok=False."""
+    import io
+    import struct
+    import wave
+
+    def wav(nch, width, rate, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(width)
+            w.setframerate(rate)
+            w.writeframes(frames)
+        return bytearray(buf.getvalue())
+
+    rows = [
+        # 16-bit mono constant half-scale -> rms 0.5
+        (1, wav(1, 2, 8000, struct.pack("<100h", *([16384] * 100)))),
+        # 8-bit mono constant at 192 -> (192-128)/128 = 0.5
+        (2, wav(1, 1, 16000, bytes([192] * 100))),
+        # 32-bit mono constant half-scale -> rms 0.5
+        (3, wav(1, 4, 44100, struct.pack("<50i", *([1 << 30] * 50)))),
+        # stereo: +half and -half average to 0 -> rms 0.0
+        (4, wav(2, 2, 8000, struct.pack("<100h", *([16384, -16384] * 50)))),
+        # 24-bit: unsupported width -> decode_ok False
+        (5, wav(1, 3, 8000, b"\x00\x00\x40" * 60)),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, "audio/wav") for i, p in rows],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_audio(df).collect()}
+    assert (out[1].sample_rate, out[1].n_samples) == (8000, 100)
+    assert out[1].rms == pytest.approx(0.5, abs=1e-6)
+    assert out[2].rms == pytest.approx(0.5, abs=1e-6)
+    assert out[3].rms == pytest.approx(0.5, abs=1e-6)
+    assert out[4].rms == pytest.approx(0.0, abs=1e-9)
+    # 100 packed int16s = 50 stereo FRAMES; n_samples counts frames
+    # after channel-averaging, matching the soundfile decoder
+    assert out[4].n_samples == 50
+    assert not out[5].decode_ok
