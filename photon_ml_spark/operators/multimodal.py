@@ -6,16 +6,17 @@ Arrow-batched ``mapInPandas`` stages so the heavy per-item work stays
 in vectorized Python workers and the rest of the pipeline stays
 Catalyst.
 
-Codec capability gating: ``decode_image`` uses a REAL decoder
-(PIL/Pillow) when the library imports, falling back to the documented
-deterministic fake (payload hash → synthetic dimensions/pixel stats)
-with ``fake=True``, and raising when neither applies. This container
-ships no codec libraries, so the real image path is exercised only
-where Pillow exists (skip-marked test); the Spark-side contract —
-schemas, Arrow batch iteration, partition sizing — is identical for
-both. ``decode_audio``'s real path needs NO external codec: soundfile
-when installed (full format coverage), else the stdlib PCM-WAV
-decoder — real decode is tested unconditionally.
+Codec capability layering: the REAL decode paths need NO external
+libraries — ``decode_image`` uses Pillow when it imports (full codec
+coverage) and otherwise a stdlib PNG/BMP decoder (struct + zlib +
+numpy), ``decode_audio`` uses soundfile when it imports and otherwise
+a stdlib PCM-WAV decoder — so both real paths run and are tested
+unconditionally in codec-less containers like this one. Payloads the
+selected decoder cannot parse become ``decode_ok=False`` rows, never
+task failures. ``fake=True`` selects deterministic stub decoders
+(payload hash → synthetic stats) — the engine-portable oracle path.
+The Spark-side contract — schemas, Arrow batch iteration, partition
+sizing — is identical across every decoder.
 """
 
 from __future__ import annotations
@@ -74,6 +75,134 @@ def _pil_decode(payload: bytes) -> tuple[int, int, float]:
         return width, height, float(luma.mean() / 255.0)
 
 
+def _luma_mean(px) -> float:
+    """Mean Rec.601 luma in [0,1] over an (h, w, channels) uint8 array
+    (1=gray, 2=gray+alpha, 3=RGB, 4=RGBA; alpha ignored)."""
+    import numpy as np
+
+    x = px.astype(np.float64)
+    c = x.shape[2]
+    if c in (1, 2):
+        luma = x[:, :, 0]
+    else:
+        luma = 0.299 * x[:, :, 0] + 0.587 * x[:, :, 1] + 0.114 * x[:, :, 2]
+    return float(luma.mean() / 255.0)
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real PNG decoder with NO external codec — stdlib ``struct`` +
+    ``zlib`` parse the container and inflate IDAT, numpy vectorizes the
+    per-row unfiltering (all five PNG filter types). Covers 8-bit-depth
+    gray / gray+alpha / RGB / RGBA non-interlaced PNGs — the shapes a
+    training pipeline's thumbnails actually use; palette, 16-bit, and
+    interlaced variants raise and become ``decode_ok=False`` rows
+    upstream. Returns (width, height, mean luma in [0,1])."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos, idat, dims = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        chunk = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, _, _, interlace = struct.unpack(
+                ">IIBBBBB", chunk
+            )
+            if depth != 8 or interlace != 0 or color == 3:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit non-interlaced "
+                    f"non-palette; got depth={depth} color={color} "
+                    f"interlace={interlace})"
+                )
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+            dims = (w, h)
+        elif ctype == b"IDAT":
+            idat.append(chunk)
+        elif ctype == b"IEND":
+            break
+    if dims is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h = dims
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        off = y * (stride + 1)
+        f = raw[off]
+        row = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1).copy()
+        if f == 0:
+            pass
+        elif f == 2:  # up — fully vectorized
+            row += prev
+        elif f in (1, 3, 4):
+            # sub/average/paeth recur along x; loop pixels, vectorize
+            # nothing — rows are short (w*channels) next to the corpus
+            p = prev.astype(np.int64)
+            r = row.astype(np.int64)
+            for x in range(stride):
+                a = r[x - channels] if x >= channels else 0
+                if f == 1:
+                    r[x] = (r[x] + a) & 0xFF
+                elif f == 3:
+                    r[x] = (r[x] + ((a + p[x]) >> 1)) & 0xFF
+                else:
+                    b = p[x]
+                    c = p[x - channels] if x >= channels else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    r[x] = (r[x] + pred) & 0xFF
+            row = r.astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        img[y] = row
+        prev = row
+    return w, h, _luma_mean(img.reshape(h, w, channels))
+
+
+def _bmp_decode(payload: bytes) -> tuple[int, int, float]:
+    """Real decoder for uncompressed 24/32-bit BI_RGB BMP (stdlib-only,
+    BGR(A) rows padded to 4 bytes, bottom-up or top-down)."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP signature")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    w, h_signed = struct.unpack("<ii", payload[18:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if compression != 0 or bpp not in (24, 32) or w <= 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
+    h = abs(h_signed)
+    nch = bpp // 8
+    row_bytes = (w * nch + 3) & ~3
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        src_y = (h - 1 - y) if h_signed > 0 else y  # bottom-up default
+        off = data_off + src_y * row_bytes
+        row = np.frombuffer(payload, np.uint8, count=w * nch, offset=off)
+        px[y] = row.reshape(w, nch)[:, 2::-1][:, :3]  # BGR(A) -> RGB
+    return w, h, _luma_mean(px)
+
+
+def _stdlib_image_decode(payload: bytes) -> tuple[int, int, float]:
+    """Codec-less real image decode: PNG or BMP by signature."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_decode(payload)
+    if payload[:2] == b"BM":
+        return _bmp_decode(payload)
+    raise ValueError("stdlib image decoder supports PNG and BMP payloads")
+
+
 def decode_image(
     df: DataFrame,
     payload_col: str = "payload",
@@ -83,17 +212,19 @@ def decode_image(
     """Decode binary payloads to image metadata + stats via mapInPandas.
 
     The Arrow batch loop is the production shape: one pandas batch in,
-    one out, no per-row Python dispatch overhead. ``fake=True`` selects
-    the deterministic stub decoder; otherwise Pillow must be importable
-    on the executors (capability-checked up front on the driver so the
-    failure is immediate, not mid-job). Undecodable payloads on the
-    real path yield ``decode_ok=False`` rows, never task failures.
+    one out, no per-row Python dispatch overhead. The REAL path is
+    always available: Pillow when the library imports (full codec
+    coverage), else the stdlib PNG/BMP decoder (struct + zlib + numpy
+    — no external dependency), so ``fake=False`` genuinely decodes in
+    codec-less containers like this one. Payloads the selected decoder
+    cannot parse yield ``decode_ok=False`` rows, never task failures.
+    ``fake=True`` selects the deterministic stub (the portable-oracle
+    path).
     """
-    if not fake and not _pil_available():
-        raise NotImplementedError(
-            "real image decode requires Pillow on driver and executors; "
-            "pass fake=True for the deterministic stub decoder"
-        )
+    # decoder selection happens ONCE on the driver and is captured by
+    # the closure, so every executor uses the same decoder even on a
+    # heterogeneous image where Pillow exists only on some nodes
+    use_pil = not fake and _pil_available()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -105,7 +236,11 @@ def decode_image(
                     ok.append(True)
                 else:
                     try:
-                        meta.append(_pil_decode(bytes(p)))
+                        meta.append(
+                            _pil_decode(bytes(p))
+                            if use_pil
+                            else _stdlib_image_decode(bytes(p))
+                        )
                         ok.append(True)
                     except ImportError:
                         # executor lacks PIL though the driver check

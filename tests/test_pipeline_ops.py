@@ -187,9 +187,11 @@ def test_blas_topk_bit_identical_to_expression_path(emb):
 
 def test_multimodal_decode_plumbing(docs):
     payloads = multimodal.attach_payload(docs)
-    if not multimodal._pil_available():
-        with pytest.raises(NotImplementedError):
-            multimodal.decode_image(payloads).count()
+    # the real path never raises: non-image payloads (these are text
+    # bytes) come back decode_ok=False through the stdlib decoder
+    real = multimodal.decode_image(payloads)
+    assert real.filter("decode_ok").count() == 0
+    assert real.count() == docs.count()
 
     decoded = multimodal.decode_image(payloads, fake=True).cache()
     assert decoded.count() == docs.count()
@@ -1533,4 +1535,116 @@ def test_wav_decode_widths_and_channels(spark):
     # 100 packed int16s = 50 stereo FRAMES; n_samples counts frames
     # after channel-averaging, matching the soundfile decoder
     assert out[4].n_samples == 50
+    assert not out[5].decode_ok
+
+
+def _make_png(pixels, color_type, filters=None):
+    """Hand-encode a PNG from an (h, w, channels) uint8 array, applying
+    the given per-row filter types (default all 0) — an independent
+    encoder so the decoder is tested against the spec, not itself."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, nch = pixels.shape
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * nch, dtype=np.int64)
+    for y, f in zip(range(h), filters):
+        row = pixels[y].reshape(-1).astype(np.int64)
+        out = row.copy()
+        for x in range(w * nch):
+            a = row[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 1:
+                out[x] = (row[x] - a) & 0xFF
+            elif f == 2:
+                out[x] = (row[x] - b) & 0xFF
+            elif f == 3:
+                out[x] = (row[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                out[x] = (row[x] - pred) & 0xFF
+        raw.append(f)
+        raw.extend(int(v) & 0xFF for v in out)
+        prev = row
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(pixels):
+    """Hand-encode an uncompressed 24-bit bottom-up BMP from an
+    (h, w, 3) RGB uint8 array."""
+    import struct
+
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(w):
+            r, g, b = pixels[y, x]
+            row += bytes((int(b), int(g), int(r)))
+        row += b"\x00" * (row_bytes - len(row))
+        body += row
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def test_stdlib_image_decode_png_bmp(spark):
+    """Real image path — no skip: the stdlib PNG/BMP decoder runs in
+    codec-less containers. Gradient RGB exercises all five PNG filter
+    types against an independent spec encoder; RGBA, grayscale, BMP,
+    and junk/unsupported payloads cover the branch matrix."""
+    import numpy as np
+
+    h, w = 7, 5
+    rgb = (
+        np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) * 37 % 256
+    ).astype(np.uint8)
+    want_luma = float(
+        (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2])
+        .astype(np.float64).mean() / 255.0
+    )
+    gray = rgb[:, :, :1]
+    rgba = np.concatenate([rgb, np.full((h, w, 1), 77, np.uint8)], axis=2)
+    rows = [
+        (1, bytearray(_make_png(rgb, 2, filters=[0, 1, 2, 3, 4, 2, 1]))),
+        (2, bytearray(_make_png(gray, 0))),
+        (3, bytearray(_make_png(rgba, 6, filters=[4, 4, 3, 1, 0, 2, 4]))),
+        (4, bytearray(_make_bmp(rgb))),
+        (5, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(
+        [(i, p, "image/mixed") for i, p in rows],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    for i in (1, 2, 3, 4):
+        assert (out[i].width, out[i].height) == (w, h), i
+        assert out[i].decode_ok, i
+    assert out[1].mean_luma == pytest.approx(want_luma, abs=1e-9)
+    assert out[3].mean_luma == pytest.approx(want_luma, abs=1e-9)  # alpha ignored
+    assert out[4].mean_luma == pytest.approx(want_luma, abs=1e-9)
+    assert out[2].mean_luma == pytest.approx(
+        float(gray.astype(np.float64).mean() / 255.0), abs=1e-9
+    )
     assert not out[5].decode_ok
