@@ -450,7 +450,16 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                  "blocked_terms": ["spam"]},       # drop docs containing
                                                    # any blocked token
      "exact_dedup": true,                          # bag-of-words keeper
-     "near_dedup": {"threshold": 0.5, "n": 2},     # MinHash+LSH clusters
+     "near_dedup": {"threshold": 0.5, "n": 2,      # MinHash+LSH clusters
+                    "index_path": "<state dir>",   # OPTIONAL: incremental
+                    "batch_id": 0},                # mode — dedup this run
+                                                   # as one daily batch
+                                                   # against the shared
+                                                   # persisted index (same
+                                                   # state as curate-stream;
+                                                   # first-seen-wins across
+                                                   # runs; incompatible
+                                                   # with "split")
      "contamination": {"eval_input": "<parquet>",  # drop docs overlapping
                        "ngram": 3, "min_shared": 5},
      "select": {"target_lang": "zh", "k": 100,     # DSIR importance
@@ -563,7 +572,49 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     pairs = None
     nd = cfg.get("near_dedup")
-    if nd:
+    if nd and nd.get("index_path"):
+        # INCREMENTAL near-dedup: this run is one daily batch against
+        # the shared persisted minhash index (the same state — and the
+        # same function — the streaming driver uses), so a near-dup of
+        # ANY previously indexed doc is dropped without rescanning the
+        # stored corpus, and this batch's survivors extend the index
+        # for the next run. first-seen-wins across runs.
+        if cfg.get("split"):
+            raise ValueError(
+                "near_dedup.index_path (incremental mode) cannot feed "
+                "'split': leakage-safe splitting needs the batch's "
+                "full near-dup cluster structure, which the "
+                "incremental flow deliberately does not rescan — run "
+                "split from a full (non-incremental) curate"
+            )
+        from photon_ml_spark.streaming.curation import (
+            neardup_process_batch,
+        )
+
+        bid = int(nd.get("batch_id", 0))
+        staged = f"{cfg['output_dir']}/neardup_survivors"
+        neardup_process_batch(
+            docs.drop(TOK),
+            nd["index_path"],
+            staged,
+            batch_id=bid,
+            threshold=nd.get("threshold", 0.5),
+            n=nd.get("n", 2),
+            num_hashes=nd.get("num_hashes", 16),
+            bands=nd.get("bands", 4),
+        )
+        # survivors come back from the staged batch=<id> partition;
+        # re-attach the shared token column for the later stages
+        docs = (
+            spark.read.parquet(staged)
+            .filter(F.col("batch") == bid)
+            .drop("batch")
+            .withColumn(TOK, text.tokens(F.col("text")))
+            .cache()
+        )
+        report["after_near_dedup"] = docs.count()
+        _stamp("near_dedup")
+    elif nd:
         pairs = dedup.minhash_lsh_dedup(
             docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2),
             tokens_col=TOK,

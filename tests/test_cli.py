@@ -480,3 +480,75 @@ def test_cli_train_per_group_evaluation(spark, tmp_path, capsys):
     rows = pg.collect()
     assert len(rows) > 1
     assert all(0.0 <= r.auc <= 1.0 for r in rows)
+
+
+def test_cli_curate_incremental_index_mode(spark, tmp_path, capsys):
+    """Batch curate with near_dedup.index_path: run 1 (batch 0)
+    bootstraps the shared persisted index; run 2 (batch 1) drops docs
+    near-duplicate to run 1's SURVIVORS without rescanning them
+    (first-seen-wins across daily runs), keeps its novel docs, and
+    extends the index; a replayed batch id with different input is
+    refused; split composition is rejected up front."""
+    import pytest as _pytest
+
+    idx = str(tmp_path / "index")
+
+    def run(rows, out_name, batch_id):
+        inp = str(tmp_path / f"in_{out_name}.parquet")
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(inp)
+        out = str(tmp_path / out_name)
+        cli.curate(
+            {
+                "input": inp,
+                "output_dir": out,
+                "near_dedup": {
+                    "threshold": 0.5, "n": 1,
+                    "index_path": idx, "batch_id": batch_id,
+                },
+            },
+            spark,
+        )
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        return rep, {
+            r.doc_id for r in spark.read.parquet(f"{out}/docs").collect()
+        }
+
+    day0 = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma delta zeta"),     # near-dup of 1 -> dropped
+        (3, "completely unrelated words here"),
+    ]
+    rep0, ids0 = run(day0, "day0", 0)
+    assert ids0 == {1, 3}
+    assert rep0["report"]["after_near_dedup"] == 2
+
+    day1 = [
+        (11, "alpha beta gamma delta epsilon eta"),  # near-dup of INDEXED 1
+        (12, "fresh novel content for day one"),
+        (13, "fresh novel content for day two"),     # near-dup of 12 (batch-internal)
+    ]
+    rep1, ids1 = run(day1, "day1", 1)
+    assert 11 not in ids1          # dropped against the STORED index
+    assert ids1 == {12}            # 13 lost the batch-internal cluster
+    # the index gained batch=1 state for the next run
+    sigs = spark.read.parquet(f"{idx}/signatures")
+    assert {r.batch for r in sigs.select("batch").distinct().collect()} \
+        == {0, 1}
+
+    # replaying batch 1 with DIFFERENT content is refused (id collision)
+    with _pytest.raises(Exception, match="already published"):
+        run([(21, "anything else")], "day1b", 1)
+
+    # incremental mode cannot feed split (needs full cluster structure)
+    with _pytest.raises(ValueError, match="incremental"):
+        cli.curate(
+            {
+                "input": str(tmp_path / "in_day0.parquet"),
+                "output_dir": str(tmp_path / "bad"),
+                "near_dedup": {"index_path": idx, "batch_id": 5},
+                "split": {"test_frac": 0.2},
+            },
+            spark,
+        )
