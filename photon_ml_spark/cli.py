@@ -740,12 +740,16 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         return keyed.join(enc, "__tok_uid", "left").drop("__tok_uid"), keyed
 
     def _finish(frame, name):
-        frame = frame.drop(TOK)  # internal shared-tokenization column
         if ch:
+            # chunking consumes the shared token column directly (its
+            # output schema never carries it)
             frame = text.chunk_documents(
                 frame, max_tokens=ch["max_tokens"],
                 overlap=ch.get("overlap", 0),
+                tokens_col=TOK if TOK in frame.columns else None,
             )
+        else:
+            frame = frame.drop(TOK)  # internal shared-tokenization column
         pinned = None
         if tok_art is not None:
             frame, pinned = _encode(frame)

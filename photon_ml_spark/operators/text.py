@@ -302,6 +302,7 @@ def chunk_documents(
     overlap: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Split each document into token-window chunks of at most
     ``max_tokens`` tokens, consecutive chunks sharing ``overlap``
@@ -323,7 +324,7 @@ def chunk_documents(
             f"overlap ({overlap}) must be < max_tokens ({max_tokens})"
         )
     stride = max_tokens - overlap
-    toks = tokens(F.col(text_col))
+    toks = tokens_expr(text_col, tokens_col)
     n = F.size(toks)
     # 1 chunk when n <= max_tokens, else 1 + ceil((n - max_tokens)/stride)
     n_chunks = F.when(n <= 0, F.lit(0)).otherwise(

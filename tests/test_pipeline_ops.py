@@ -1490,6 +1490,12 @@ def test_shared_tokens_column_matches_text_path(spark):
         ),
         ["doc_id", "logweight", "rank"],
     )
+    same(
+        text.chunk_documents(docs, max_tokens=3, overlap=1),
+        text.chunk_documents(toked, max_tokens=3, overlap=1,
+                             tokens_col="__toks"),
+        ["doc_id", "chunk_id", "chunk_tokens", "chunk_text"],
+    )
 
 
 def test_wav_decode_widths_and_channels(spark):
