@@ -90,7 +90,13 @@ def train(
     ``listeners`` (optional): ``events.EventListener`` instances — the
     reference driver's EventEmitter surface; they receive setup /
     training start / coordinate-update / optimization-log / selection /
-    finish events in order.
+    finish events in order. Listeners are PER-JOB: train() takes
+    ownership and ``close()``s every registered listener when the job
+    ends (success or failure — Driver.scala:549 clears listeners at job
+    end, which is what flushes buffered/file-backed listeners).
+    Register a FRESH instance per call; a reused closed listener would
+    have its post-close ``handle()`` failures swallowed by the
+    Try-isolated dispatch and silently record nothing.
 
     ``tuner`` (optional): a ``hypersearch.HyperparameterTuner`` driving
     model selection over per-coordinate regularization weights — the
@@ -603,15 +609,35 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             num_hashes=nd.get("num_hashes", 16),
             bands=nd.get("bands", 4),
         )
-        # survivors come back from the staged batch=<id> partition;
-        # re-attach the shared token column for the later stages
-        docs = (
-            spark.read.parquet(staged)
-            .filter(F.col("batch") == bid)
-            .drop("batch")
-            .withColumn(TOK, text.tokens(F.col("text")))
-            .cache()
-        )
+        # neardup_process_batch legitimately publishes NOTHING on two
+        # early returns: an empty batch (every doc already filtered
+        # out upstream — continue with the empty frame), and a
+        # completed replay of this batch_id whose survivors were
+        # staged under the ORIGINAL output_dir (only resumable from
+        # there — reading a missing path here would crash after every
+        # upstream stage already ran)
+        from photon_ml_spark.sources.model_io import _hadoop_exists
+
+        if _hadoop_exists(spark, f"{staged}/batch={bid}"):
+            # survivors come back from the staged batch=<id> partition;
+            # re-attach the shared token column for the later stages
+            docs = (
+                spark.read.parquet(staged)
+                .filter(F.col("batch") == bid)
+                .drop("batch")
+                .withColumn(TOK, text.tokens(F.col("text")))
+                .cache()
+            )
+        elif docs.limit(1).count() == 0:
+            pass  # empty batch: keep the (empty) docs frame as-is
+        else:
+            raise ValueError(
+                f"near_dedup.batch_id={bid} was already fully "
+                "published for this input under a DIFFERENT "
+                "output_dir — its survivors are not staged under "
+                f"{staged!r}; re-run with the original output_dir or "
+                "a fresh batch_id"
+            )
         report["after_near_dedup"] = docs.count()
         _stamp("near_dedup")
     elif nd:

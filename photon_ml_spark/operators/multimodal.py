@@ -114,6 +114,10 @@ def _png_decode(payload: bytes) -> tuple[int, int, float]:
             w, h, depth, color, _, _, interlace = struct.unpack(
                 ">IIBBBBB", chunk
             )
+            if w == 0 or h == 0:
+                # zero-dim images would yield NaN mean-luma with
+                # decode_ok=True, poisoning downstream aggregates
+                raise ValueError(f"degenerate PNG dimensions {w}x{h}")
             if depth != 8 or interlace != 0 or color == 3:
                 raise ValueError(
                     "unsupported PNG variant (need 8-bit non-interlaced "
@@ -180,8 +184,11 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, float]:
     (data_off,) = struct.unpack("<I", payload[10:14])
     w, h_signed = struct.unpack("<ii", payload[18:26])
     bpp, compression = struct.unpack("<HI", payload[28:34])
-    if compression != 0 or bpp not in (24, 32) or w <= 0:
-        raise ValueError(f"unsupported BMP (bpp={bpp} comp={compression})")
+    if compression != 0 or bpp not in (24, 32) or w <= 0 or h_signed == 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp} comp={compression} "
+            f"w={w} h={h_signed})"
+        )
     h = abs(h_signed)
     nch = bpp // 8
     row_bytes = (w * nch + 3) & ~3
@@ -194,12 +201,57 @@ def _bmp_decode(payload: bytes) -> tuple[int, int, float]:
     return w, h, _luma_mean(px)
 
 
+class MissingCodecError(RuntimeError):
+    """A payload is a RECOGNIZED format that the selected decoder cannot
+    handle because the optional codec library is absent. Deliberately
+    NOT caught by the decode loops: a corpus of JPEGs on a cluster
+    without Pillow is a misconfiguration (install the library), not bad
+    data — degrading every row to ``decode_ok=False`` would let the job
+    'succeed' while silently discarding the whole corpus downstream."""
+
+
+#: magic-byte signatures for formats Pillow handles but the stdlib
+#: decoder does not — sniffed to fail loudly (see MissingCodecError)
+_PIL_ONLY_IMAGE_MAGIC = (
+    (b"\xff\xd8\xff", "JPEG"),
+    (b"GIF87a", "GIF"),
+    (b"GIF89a", "GIF"),
+    (b"II*\x00", "TIFF"),
+    (b"MM\x00*", "TIFF"),
+)
+
+#: ditto for audio formats soundfile handles but the WAV decoder does not
+_SOUNDFILE_ONLY_AUDIO_MAGIC = (
+    (b"fLaC", "FLAC"),
+    (b"OggS", "OGG"),
+    (b"ID3", "MP3"),
+    (b"\xff\xfb", "MP3"),
+    (b"\xff\xf3", "MP3"),
+)
+
+
 def _stdlib_image_decode(payload: bytes) -> tuple[int, int, float]:
-    """Codec-less real image decode: PNG or BMP by signature."""
+    """Codec-less real image decode: PNG or BMP by signature. A payload
+    carrying a KNOWN non-PNG/BMP image signature (JPEG/GIF/TIFF/WebP)
+    raises ``MissingCodecError`` — install Pillow for those formats;
+    unrecognized bytes raise ``ValueError`` (bad data → decode_ok
+    False)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _png_decode(payload)
     if payload[:2] == b"BM":
         return _bmp_decode(payload)
+    for magic, name in _PIL_ONLY_IMAGE_MAGIC:
+        if payload[: len(magic)] == magic:
+            raise MissingCodecError(
+                f"payload is {name} but Pillow is not installed — the "
+                "stdlib decoder covers PNG/BMP only; install Pillow on "
+                "driver and executors to decode this corpus"
+            )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        raise MissingCodecError(
+            "payload is WebP but Pillow is not installed — install "
+            "Pillow on driver and executors to decode this corpus"
+        )
     raise ValueError("stdlib image decoder supports PNG and BMP payloads")
 
 
@@ -242,10 +294,13 @@ def decode_image(
                             else _stdlib_image_decode(bytes(p))
                         )
                         ok.append(True)
-                    except ImportError:
-                        # executor lacks PIL though the driver check
-                        # passed — misconfiguration, fail loudly (see
-                        # decode_audio)
+                    except (ImportError, MissingCodecError):
+                        # misconfiguration, not bad data: the executor
+                        # lacks PIL despite the driver check, or the
+                        # corpus is a known format the stdlib decoder
+                        # cannot parse — fail the job loudly instead of
+                        # silently discarding the whole corpus as
+                        # decode_ok=False
                         raise
                     except Exception:
                         meta.append((0, 0, 0.0))
@@ -304,12 +359,22 @@ def _wav_decode(payload: bytes) -> tuple[int, int, float]:
     the RMS, matching ``_soundfile_decode``); anything else raises and
     becomes a ``decode_ok=False`` row upstream. This is the decoder
     that makes ``decode_audio``'s REAL path live in codec-less
-    containers like this one."""
+    containers like this one. A payload carrying a KNOWN non-WAV audio
+    signature (FLAC/OGG/MP3) raises ``MissingCodecError`` — install
+    soundfile for those formats; unrecognized bytes raise the codec's
+    own error (bad data → decode_ok False)."""
     import io
     import wave
 
     import numpy as np
 
+    for magic, name in _SOUNDFILE_ONLY_AUDIO_MAGIC:
+        if payload[: len(magic)] == magic:
+            raise MissingCodecError(
+                f"payload is {name} but soundfile is not installed — "
+                "the stdlib decoder covers PCM WAV only; install "
+                "soundfile on driver and executors to decode this corpus"
+            )
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         nch = w.getnchannels()
@@ -363,11 +428,12 @@ def decode_audio(
                             else _wav_decode(bytes(p))
                         )
                         ok.append(True)
-                    except ImportError:
-                        # the driver-side capability check passed but
-                        # THIS executor lacks soundfile (heterogeneous
-                        # cluster image): misconfiguration, not bad
-                        # data — fail the task loudly instead of
+                    except (ImportError, MissingCodecError):
+                        # misconfiguration, not bad data: the executor
+                        # lacks soundfile despite the driver check
+                        # (heterogeneous cluster image), or the corpus
+                        # is a known format the WAV decoder cannot
+                        # parse — fail the task loudly instead of
                         # marking the whole corpus undecodable
                         raise
                     except Exception:

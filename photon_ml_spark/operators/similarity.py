@@ -401,12 +401,16 @@ def ivf_topk_from_index(
     """
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
-    )
+    ).persist()
     # the routed query set is broadcast into the candidate join below —
     # same "queries are small" regime (and the same 1e6 cap) as the
-    # BLAS path; limit() bounds the probe so the check itself is cheap,
-    # and it runs before the index is even opened (fail fast)
-    if q.limit(1_000_001).count() > 1_000_000:
+    # BLAS path. The guard count MATERIALIZES the persisted query set,
+    # so the cap check and the broadcast share one execution of the
+    # query lineage instead of recomputing it per consumer (the
+    # persisted frame is small by the very invariant being checked;
+    # left to LRU eviction after the call).
+    if q.count() > 1_000_000:
+        q.unpersist()
         raise ValueError(
             "ivf_topk_from_index broadcasts the routed query set; "
             "batch >1e6 queries into multiple calls instead"

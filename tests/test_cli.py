@@ -552,3 +552,43 @@ def test_cli_curate_incremental_index_mode(spark, tmp_path, capsys):
             },
             spark,
         )
+
+    # a replay of a PUBLISHED batch id with identical input but a NEW
+    # output_dir is refused with a clear error (its survivors were
+    # staged under the original output_dir), not an AnalysisException
+    inp1 = str(tmp_path / "in_day1.parquet")
+    with _pytest.raises(ValueError, match="DIFFERENT.*output_dir"):
+        cli.curate(
+            {
+                "input": inp1,
+                "output_dir": str(tmp_path / "elsewhere"),
+                "near_dedup": {
+                    "threshold": 0.5, "n": 1,
+                    "index_path": idx, "batch_id": 1,
+                },
+            },
+            spark,
+        )
+    capsys.readouterr()
+
+    # an upstream-emptied batch flows through as zero survivors
+    # instead of crashing on a missing staged path
+    empty_in = str(tmp_path / "in_empty.parquet")
+    spark.createDataFrame(
+        [(31, "a b")], "doc_id long, text string"
+    ).write.parquet(empty_in)
+    cli.curate(
+        {
+            "input": empty_in,
+            "output_dir": str(tmp_path / "day_empty"),
+            "quality": {"min_tokens": 50},  # drops the only doc
+            "near_dedup": {
+                "threshold": 0.5, "n": 1,
+                "index_path": idx, "batch_id": 3,
+            },
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["report"]["after_near_dedup"] == 0
+    assert rep["report"]["out_docs"] == 0

@@ -1654,3 +1654,71 @@ def test_stdlib_image_decode_png_bmp(spark):
         float(gray.astype(np.float64).mean() / 255.0), abs=1e-9
     )
     assert not out[5].decode_ok
+
+
+def test_missing_codec_fails_loudly_not_silently(spark):
+    """A corpus in a KNOWN format the stdlib decoders cannot parse
+    (JPEG without Pillow, MP3/FLAC without soundfile) must FAIL the
+    job, not 'succeed' with decode_ok=False on every row — that would
+    silently discard the whole corpus downstream. Unknown garbage still
+    degrades per-row."""
+    if multimodal._pil_available() or multimodal._soundfile_available():
+        pytest.skip("codec libraries present — stdlib branch not selected")
+    jpeg = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32), "image/jpeg")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="Pillow is not installed"):
+        multimodal.decode_image(jpeg).collect()
+    mp3 = spark.createDataFrame(
+        [(1, bytearray(b"ID3\x04" + b"\x00" * 32), "audio/mp3")],
+        "doc_id long, payload binary, media_type string",
+    )
+    with pytest.raises(Exception, match="soundfile is not installed"):
+        multimodal.decode_audio(mp3).collect()
+    # sanity: unknown bytes still degrade instead of failing
+    junk = spark.createDataFrame(
+        [(1, bytearray(b"random junk bytes"), "x")],
+        "doc_id long, payload binary, media_type string",
+    )
+    assert not multimodal.decode_image(junk).first().decode_ok
+    assert not multimodal.decode_audio(junk).first().decode_ok
+
+
+def test_degenerate_image_dimensions_are_not_ok(spark):
+    """Zero-dimension PNG/BMP headers must come back decode_ok=False,
+    never decode_ok=True with NaN luma (which would poison corpus-level
+    aggregates)."""
+    import math
+    import struct
+    import zlib
+
+    import numpy as np
+
+    # valid-looking PNG with h=0
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    png0 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 0, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    # valid-looking 24-bit BMP with biHeight=0
+    off = 54
+    bmp0 = (
+        struct.pack("<2sIHHI", b"BM", off, 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 0, 1, 24, 0, 0, 0, 0, 0, 0)
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(png0), "p"), (2, bytearray(bmp0), "b")],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_image(df).collect()}
+    for i in (1, 2):
+        assert not out[i].decode_ok, i
+        assert not math.isnan(out[i].mean_luma), i
