@@ -449,6 +449,211 @@ def decode_audio(
     return df.mapInPandas(decode_batches, schema=AUDIO_META_SCHEMA)
 
 
+VIDEO_META_SCHEMA = (
+    "doc_id long, payload binary, media_type string, "
+    "width int, height int, fps double, n_frames long, "
+    "duration_sec double, mean_luma double, decode_ok boolean"
+)
+
+#: compressed video containers PyAV handles but the stdlib decoder
+#: cannot — sniffed to fail loudly (see MissingCodecError)
+_AV_ONLY_VIDEO_MAGIC = (
+    (b"\x1aE\xdf\xa3", "Matroska/WebM"),
+)
+
+
+def _fake_video_decode(payload: bytes) -> tuple[int, int, float, int, float]:
+    """Deterministic fake video decoder: payload digest →
+    (width, height, fps, n_frames, mean_luma) — the engine-portable
+    oracle stub, same device as ``_fake_decode``/``_fake_audio_decode``."""
+    digest = hashlib.sha256(payload).digest()
+    width = 32 + digest[0] % 224
+    height = 32 + digest[1] % 224
+    fps = float((12, 24, 25, 30)[digest[2] % 4])
+    n_frames = 1 + (digest[3] * 256 + digest[4]) % 2000
+    mean_luma = digest[5] / 255.0
+    return width, height, fps, n_frames, mean_luma
+
+
+def _y4m_decode(
+    payload: bytes, max_frames: int = 16
+) -> tuple[int, int, float, int, float]:
+    """Real video decoder for YUV4MPEG2 (y4m) with NO external codec —
+    the uncompressed interchange format every ffmpeg toolchain can
+    emit. Parses the stream header (W/H/F and the C colorspace tag;
+    C420*/C422/C444/Cmono plane sizes), walks the FRAME markers, and
+    computes mean luma over an up-to-``max_frames`` uniform sample of
+    frames (the Y plane is always the first w·h bytes of a frame — the
+    whole point of planar YUV). Compressed containers (MP4/MKV/AVI)
+    raise ``MissingCodecError`` → install PyAV; other bytes raise
+    ``ValueError`` (bad data → decode_ok=False upstream)."""
+    import numpy as np
+
+    for magic, name in _AV_ONLY_VIDEO_MAGIC:
+        if payload[: len(magic)] == magic:
+            raise MissingCodecError(
+                f"payload is {name} but PyAV is not installed — the "
+                "stdlib decoder covers YUV4MPEG2 (y4m) only; install "
+                "av on driver and executors to decode this corpus"
+            )
+    if len(payload) > 11 and payload[4:8] == b"ftyp":
+        raise MissingCodecError(
+            "payload is an ISO-BMFF container (MP4/MOV) but PyAV is "
+            "not installed — install av on driver and executors"
+        )
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        raise MissingCodecError(
+            "payload is AVI but PyAV is not installed — install av "
+            "on driver and executors"
+        )
+    nl = payload.find(b"\n")
+    if not payload.startswith(b"YUV4MPEG2") or nl < 0:
+        raise ValueError("not a YUV4MPEG2 stream")
+    width = height = 0
+    fps = 0.0
+    csp = "420"
+    for param in payload[9:nl].split(b" "):
+        if not param:
+            continue
+        tag, val = param[:1], param[1:].decode("ascii", "replace")
+        if tag == b"W":
+            width = int(val)
+        elif tag == b"H":
+            height = int(val)
+        elif tag == b"F":
+            num, den = val.split(":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            csp = val
+    if width <= 0 or height <= 0 or fps <= 0:
+        raise ValueError(f"degenerate y4m header W{width} H{height} F{fps}")
+    y_size = width * height
+    if csp.startswith("420"):
+        frame_size = y_size * 3 // 2
+    elif csp.startswith("422"):
+        frame_size = y_size * 2
+    elif csp.startswith("444"):
+        frame_size = y_size * 3
+    elif csp.startswith("mono"):
+        frame_size = y_size
+    else:
+        raise ValueError(f"unsupported y4m colorspace C{csp}")
+    # first pass: locate every frame's Y-plane offset (FRAME marker
+    # lines may carry parameters, so the scan follows the newlines)
+    offsets = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos:pos + 5] != b"FRAME":
+            raise ValueError(f"missing FRAME marker at byte {pos}")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > n:
+            raise ValueError("truncated y4m frame")
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+    if not offsets:
+        raise ValueError("y4m stream has no frames")
+    n_frames = len(offsets)
+    # uniform sample of up to max_frames frames (frame_sample_plan's
+    # stride semantics), vectorized luma mean per sampled Y plane
+    step = max(1, -(-n_frames // max_frames))  # ceil division
+    sampled = offsets[::step][:max_frames]
+    total = 0.0
+    for off in sampled:
+        y = np.frombuffer(payload, np.uint8, count=y_size, offset=off)
+        total += float(y.mean())
+    return width, height, fps, n_frames, total / len(sampled) / 255.0
+
+
+def _av_available() -> bool:
+    try:
+        import av  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _av_video_decode(
+    payload: bytes, max_frames: int = 16
+) -> tuple[int, int, float, int, float]:
+    """Real decoder via PyAV (full codec coverage) — exercised only
+    where the library exists; same contract as ``_y4m_decode``."""
+    import io
+
+    import av
+    import numpy as np
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams.video[0]
+        fps = float(stream.average_rate or stream.base_rate or 0)
+        frames = [
+            np.asarray(f.to_ndarray(format="gray"), dtype=np.float64)
+            for f in container.decode(stream)
+        ]
+    if not frames:
+        raise ValueError("no decodable video frames")
+    n_frames = len(frames)
+    step = max(1, -(-n_frames // max_frames))
+    sampled = frames[::step][:max_frames]
+    h, w = sampled[0].shape
+    luma = sum(float(f.mean()) for f in sampled) / len(sampled) / 255.0
+    return w, h, fps, n_frames, luma
+
+
+def decode_video(
+    df: DataFrame,
+    payload_col: str = "payload",
+    fake: bool = False,
+    max_frames: int = 16,
+) -> DataFrame:
+    """Video sibling of ``decode_image``/``decode_audio``: binary
+    payloads → container metadata (dimensions, fps, frame count,
+    duration) + mean luma over a uniform ≤``max_frames`` frame sample,
+    via the same Arrow ``mapInPandas`` shape. The REAL path is always
+    available: PyAV when the library imports (full codec coverage),
+    else the stdlib YUV4MPEG2 decoder; known compressed containers
+    without PyAV raise ``MissingCodecError`` (misconfiguration must
+    fail the job — see that class), unparseable bytes degrade to
+    ``decode_ok=False`` rows. ``fake=True`` selects the deterministic
+    stub (the portable-oracle path)."""
+    use_av = not fake and _av_available()
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = []
+            ok = []
+            for p in pdf[payload_col]:
+                if fake:
+                    meta.append(_fake_video_decode(bytes(p)))
+                    ok.append(True)
+                else:
+                    try:
+                        meta.append(
+                            _av_video_decode(bytes(p), max_frames)
+                            if use_av
+                            else _y4m_decode(bytes(p), max_frames)
+                        )
+                        ok.append(True)
+                    except (ImportError, MissingCodecError):
+                        raise  # misconfiguration — fail loudly
+                    except Exception:
+                        meta.append((0, 0, 0.0, 0, 0.0))
+                        ok.append(False)
+            out = pdf.copy()
+            out["width"] = [m[0] for m in meta]
+            out["height"] = [m[1] for m in meta]
+            out["fps"] = [m[2] for m in meta]
+            out["n_frames"] = [m[3] for m in meta]
+            out["duration_sec"] = [
+                (m[3] / m[2]) if m[2] else 0.0 for m in meta
+            ]
+            out["mean_luma"] = [m[4] for m in meta]
+            out["decode_ok"] = ok
+            yield out
+
+    return df.mapInPandas(decode_batches, schema=VIDEO_META_SCHEMA)
+
+
 def resample_plan(
     df: DataFrame, target_rate: int = 16000
 ) -> DataFrame:

@@ -201,6 +201,11 @@ _FOLDED = {
     # (already variant-tagged (variant, id_a, id_b, stat) — x6's shape)
     "x32_incremental_neardup": ("inc", ["variant", "id_a", "id_b", "stat"]),
     "x33_stream_neardup": ("stream", ["variant", "id_a", "id_b", "stat"]),
+    # round-6 fold: video decode joins the multimodal suite
+    "xm4_video_decode": (
+        "video",
+        ["width", "height", "fps", "n_frames", "duration_sec", "mean_luma"],
+    ),
 }
 
 _SPEC = {name: QUERY_REGISTRY.pop(name) for name in _FOLDED}
@@ -512,6 +517,7 @@ _XM_PARTS = [
     "xm1_multimodal_decode_resize",
     "xm2_frame_sample_plan",
     "xm3_audio_decode_resample",
+    "xm4_video_decode",
 ]
 
 

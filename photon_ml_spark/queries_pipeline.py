@@ -1319,6 +1319,51 @@ def xm3_audio_decode_resample(spark, sf_dir):
 
 
 @register(
+    "xm4_video_decode",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, sha256(text) AS h FROM documents WHERE doc_id % 7 = 2
+),
+meta AS (
+  SELECT doc_id,
+         32 + {_SHA_BYTE.format(p1=1, p2=2)} % 224 AS width,
+         32 + {_SHA_BYTE.format(p1=3, p2=4)} % 224 AS height,
+         CAST(list_value(12, 24, 25, 30)[{_SHA_BYTE.format(p1=5, p2=6)}
+              % 4 + 1] AS DOUBLE) AS fps,
+         CAST(1 + ({_SHA_BYTE.format(p1=7, p2=8)} * 256
+              + {_SHA_BYTE.format(p1=9, p2=10)}) % 2000 AS BIGINT)
+           AS n_frames,
+         {_SHA_BYTE.format(p1=11, p2=12)} / 255.0 AS mean_luma
+  FROM hashed
+)
+SELECT doc_id, width, height, fps, n_frames,
+       ROUND(n_frames / fps, 6) AS duration_sec,
+       ROUND(mean_luma, 6) AS mean_luma
+FROM meta
+""",
+    note="pipeline/multimodal: video twin of xm1/xm3 — binary payload -> "
+    "mapInPandas fake video decode (dims / fps / frame count / sampled "
+    "luma from the sha256 digest — real codec slot: PyAV when present, "
+    "stdlib YUV4MPEG2 decoder otherwise, REAL path tested "
+    "unconditionally) + duration arithmetic; oracle reproduces the "
+    "digest arithmetic",
+)
+def xm4_video_decode(spark, sf_dir):
+    from photon_ml_spark.operators.multimodal import (
+        attach_payload,
+        decode_video,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 2)
+    decoded = decode_video(attach_payload(docs), fake=True)
+    return decoded.select(
+        "doc_id", "width", "height", "fps", "n_frames",
+        F.round(F.col("duration_sec"), 6).alias("duration_sec"),
+        F.round(F.col("mean_luma"), 6).alias("mean_luma"),
+    )
+
+
+@register(
     "xm2_frame_sample_plan",
     oracle="""
 WITH d AS (

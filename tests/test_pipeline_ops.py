@@ -1722,3 +1722,74 @@ def test_degenerate_image_dimensions_are_not_ok(spark):
     for i in (1, 2):
         assert not out[i].decode_ok, i
         assert not math.isnan(out[i].mean_luma), i
+
+
+def test_video_real_decode_y4m(spark):
+    """Real video path — no skip: the stdlib YUV4MPEG2 decoder runs in
+    codec-less containers. Hand-built streams across C420/C444/mono
+    colorspaces decode to their true dims/fps/frame-count and exact
+    sampled-luma means; compressed containers without PyAV raise
+    MissingCodecError; junk degrades per-row."""
+    import numpy as np
+
+    def y4m(w, h, fps, lumas, csp="420"):
+        """One gray frame per luma value; chroma planes neutral 128."""
+        plane = {"420": w * h // 2, "422": w * h, "444": w * h * 2,
+                 "mono": 0}[csp]
+        out = bytearray(
+            f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C{csp}\n".encode()
+        )
+        for l in lumas:
+            out += b"FRAME\n"
+            out += bytes([l] * (w * h)) + bytes([128] * plane)
+        return out
+
+    rows = [
+        (1, y4m(4, 2, 25, [0, 51, 102, 153, 204, 255])),   # C420, 6 frames
+        (2, y4m(3, 3, 30, [128], csp="444")),               # C444, 1 frame
+        (3, y4m(8, 2, 12, [64, 192], csp="mono")),          # mono, 2 frames
+        (4, bytearray(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)),  # MP4
+        (5, bytearray(b"random junk")),
+    ]
+    if not multimodal._av_available():
+        df_mp4 = spark.createDataFrame(
+            [(4, rows[3][1], "video/mp4")],
+            "doc_id long, payload binary, media_type string",
+        )
+        with pytest.raises(Exception, match="PyAV is not installed"):
+            multimodal.decode_video(df_mp4).collect()
+    df = spark.createDataFrame(
+        [(i, p, "video/x-y4m") for i, p in rows if i != 4],
+        "doc_id long, payload binary, media_type string",
+    )
+    out = {r.doc_id: r for r in multimodal.decode_video(df).collect()}
+    assert (out[1].width, out[1].height, out[1].fps, out[1].n_frames) \
+        == (4, 2, 25.0, 6)
+    assert out[1].mean_luma == pytest.approx(
+        np.mean([0, 51, 102, 153, 204, 255]) / 255.0, abs=1e-9
+    )
+    assert out[1].duration_sec == pytest.approx(6 / 25.0)
+    assert (out[2].width, out[2].height, out[2].n_frames) == (3, 3, 1)
+    assert out[2].mean_luma == pytest.approx(128 / 255.0, abs=1e-9)
+    assert (out[3].width, out[3].fps, out[3].n_frames) == (8, 12.0, 2)
+    assert out[3].mean_luma == pytest.approx((64 + 192) / 2 / 255.0, abs=1e-9)
+    assert not out[5].decode_ok
+
+    # frame SAMPLING: 40 frames, max_frames=4 -> stride 10, exact mean
+    # over frames 0, 10, 20, 30
+    lumas = [(i * 6) % 256 for i in range(40)]
+    df40 = spark.createDataFrame(
+        [(9, y4m(2, 2, 24, lumas), "video/x-y4m")],
+        "doc_id long, payload binary, media_type string",
+    )
+    r = multimodal.decode_video(df40, max_frames=4).first()
+    assert r.n_frames == 40
+    want = np.mean([lumas[0], lumas[10], lumas[20], lumas[30]]) / 255.0
+    assert r.mean_luma == pytest.approx(want, abs=1e-9)
+
+    # fake path: deterministic + independent of max_frames
+    fk1 = multimodal.decode_video(df40, fake=True).first()
+    fk2 = multimodal.decode_video(df40, fake=True, max_frames=2).first()
+    assert (fk1.width, fk1.height, fk1.fps, fk1.n_frames, fk1.mean_luma) \
+        == (fk2.width, fk2.height, fk2.fps, fk2.n_frames, fk2.mean_luma)
+    assert 32 <= fk1.width < 256 and fk1.fps in (12.0, 24.0, 25.0, 30.0)
