@@ -101,3 +101,89 @@ def test_prior_pins_to_mean_as_precision_grows(prob):
     )
     got = np.concatenate([res["coefficients"], [res["intercept"]]])
     assert np.allclose(got, mu, atol=1e-4)
+
+
+# ---------------------------------------------------------------- codecs
+# The stdlib media decoders (multimodal._png_decode/_wav_decode) are
+# driver-side pure functions — property-test them against independent
+# spec encoders, no Spark in the loop.
+
+
+@st.composite
+def png_case(draw):
+    h = draw(st.integers(1, 12))
+    w = draw(st.integers(1, 12))
+    color_type, nch = draw(
+        st.sampled_from([(0, 1), (4, 2), (2, 3), (6, 4)])
+    )
+    pixels = draw(
+        st.lists(
+            st.integers(0, 255), min_size=h * w * nch, max_size=h * w * nch
+        )
+    )
+    filters = draw(st.lists(st.sampled_from([0, 1, 2, 3, 4]),
+                            min_size=h, max_size=h))
+    return h, w, color_type, nch, pixels, filters
+
+
+@given(png_case())
+@settings(max_examples=60, deadline=None)
+def test_png_decode_matches_spec_encoder(case):
+    """Any 8-bit gray/ga/RGB/RGBA image under any per-row filter mix
+    must round-trip through the independent spec encoder to exact
+    dimensions and Rec.601 mean luma."""
+    from photon_ml_spark.operators.multimodal import _luma_mean, _png_decode
+    from tests.test_pipeline_ops import _make_png
+
+    h, w, color_type, nch, flat, filters = case
+    pixels = np.array(flat, dtype=np.uint8).reshape(h, w, nch)
+    payload = _make_png(pixels, color_type, filters=filters)
+    gw, gh, luma = _png_decode(payload)
+    assert (gw, gh) == (w, h)
+    assert luma == _luma_mean(pixels)
+
+
+@given(
+    st.integers(1, 3),
+    st.sampled_from([1, 2, 4]),
+    st.sampled_from([8000, 16000, 44100]),
+    st.lists(st.integers(-(2 ** 15), 2 ** 15 - 1), min_size=1, max_size=200),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_decode_matches_numpy_rms(nch, width, rate, samples16):
+    """Any PCM WAV (8/16/32-bit, 1-3 channels) decodes to the exact
+    channel-averaged normalized RMS numpy computes independently."""
+    import io
+    import struct
+    import wave
+
+    from photon_ml_spark.operators.multimodal import _wav_decode
+
+    frames = (len(samples16) // nch) * nch
+    samples16 = samples16[:frames]
+    if not samples16:
+        samples16 = [0] * nch
+        frames = nch
+    if width == 1:
+        raw = bytes((s >> 8) + 128 for s in samples16)
+        norm = np.array(
+            [(((s >> 8) + 128) - 128.0) / 128.0 for s in samples16]
+        )
+    elif width == 2:
+        raw = struct.pack(f"<{frames}h", *samples16)
+        norm = np.array(samples16, dtype=np.float64) / 32768.0
+    else:
+        scaled = [s << 16 for s in samples16]
+        raw = struct.pack(f"<{frames}i", *scaled)
+        norm = np.array(scaled, dtype=np.float64) / 2147483648.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(width)
+        wv.setframerate(rate)
+        wv.writeframes(raw)
+    got_rate, got_n, got_rms = _wav_decode(buf.getvalue())
+    mono = norm.reshape(-1, nch).mean(axis=1)
+    assert got_rate == rate
+    assert got_n == frames // nch
+    assert abs(got_rms - float(np.sqrt((mono * mono).mean()))) < 1e-12
