@@ -24,7 +24,6 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from photon_ml_spark.operators.text import (
     bow_signature_of,
@@ -323,29 +322,55 @@ def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     """(doc, shingle_id) with a dense deterministic shingle dictionary —
     the portable base for minhash/simhash.
 
-    Ids are 1-based in lexicographic shingle order, assigned via a
-    range-partitioned sort + ``zipWithIndex`` (per-partition sequential
-    ids after a distributed sort) — equivalent to ``ROW_NUMBER() OVER
-    (ORDER BY shingle)`` without ever moving the full vocabulary, the
-    largest relation in the dedup pipelines, through a single-partition
-    window. At scale replace with xxhash64(shingle) — same pipeline
-    shape, one less join — at the cost of SQL-portable ids.
+    Ids are 1-based in lexicographic shingle order — ``ROW_NUMBER()
+    OVER (ORDER BY shingle)`` — computed WITHOUT a single-partition
+    window and without leaving the JVM: range-partition the distinct
+    vocabulary on the shingle key, ``row_number`` within each (ordered)
+    partition, and add each partition's start offset (a driver-side
+    prefix sum over the per-partition counts — one tiny collect of
+    n_partitions rows, never vocabulary rows). This is the zipWithIndex
+    two-job trick kept entirely in Tungsten; the previous Python-RDD
+    rendering serialized every vocabulary string through the Python
+    workers twice. The ranged frame is ``localCheckpoint``-ed so the
+    count job and the id job read the SAME partitioning (range
+    boundaries come from sampling; re-execution could legally resample).
+    At scale replace with xxhash64(shingle) (``token_ids_hashed``) —
+    same pipeline shape, one less join — at the cost of SQL-portable
+    ids.
     """
+    from pyspark.sql import Window
+
     sh = doc_shingles(df, id_col, text_col, n, tokens_col=tokens_col)
     distinct = sh.select("shingle").distinct()
-    indexed = (
-        distinct.orderBy("shingle")
-        .rdd.map(lambda r: r[0])
-        .zipWithIndex()
-        .map(lambda kv: (kv[0], kv[1] + 1))
+    ranged = (
+        distinct.repartitionByRange(
+            df.sparkSession.sparkContext.defaultParallelism, "shingle"
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint()
     )
-    schema = StructType(
-        [
-            StructField("shingle", StringType(), False),
-            StructField("sid", LongType(), False),
-        ]
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in ranged.groupBy("__pid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pid in sorted(offsets)
+              for x in (pid, offsets[pid])]
+        ),
+        F.col("__pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("__pid").orderBy("shingle")
+    vocab = ranged.select(
+        "shingle",
+        (F.row_number().over(w) + off_expr).cast("long").alias("sid"),
     )
-    vocab = sh.sparkSession.createDataFrame(indexed, schema)
     return sh.join(vocab, "shingle").select(id_col, "sid")
 
 
