@@ -98,6 +98,10 @@ def train(
     have its post-close ``handle()`` failures swallowed by the
     Try-isolated dispatch and silently record nothing.
 
+    ``cfg["event_log"] = <path>`` captures the same event stream to a
+    JSONL file without any code (``events.JsonLinesFileListener``,
+    created and owned by this job, flushed on exit).
+
     ``tuner`` (optional): a ``hypersearch.HyperparameterTuner`` driving
     model selection over per-coordinate regularization weights — the
     reference's pluggable-tuner seam (HyperparameterTunerFactory). A
@@ -109,6 +113,14 @@ def train(
     emitter = events.EventEmitter()
     for li in listeners or ():
         emitter.register_listener(li)
+    if cfg.get("event_log"):
+        # config-driven event capture: every lifecycle event of this
+        # job lands in one JSONL file, flushed by the finally-block
+        # close below (the listener is created — and therefore owned —
+        # by this job)
+        emitter.register_listener(
+            events.JsonLinesFileListener(cfg["event_log"])
+        )
     try:
         _train_impl(cfg, spark, emitter, tuner)
     finally:

@@ -156,6 +156,48 @@ def now() -> float:
     return _time.time()
 
 
+class JsonLinesFileListener(EventListener):
+    """File-backed listener: one JSON object per event, buffered in
+    memory and flushed by ``close()`` — the listener shape that makes
+    the per-job ownership contract matter (``cli.train`` closes its
+    listeners in a finally block precisely so this flush always runs,
+    success or failure; register a fresh instance per job).
+
+    Events are rendered as ``{"event": <class name>, "ts": <unix sec>,
+    **dataclass fields}``; non-JSON-serializable field values fall back
+    to ``repr`` so one exotic config value cannot void the whole log
+    (dispatch would swallow the error silently). The CLI exposes this
+    via ``cfg["event_log"] = <path>``."""
+
+    def __init__(self, path: str) -> None:
+        self.path = path
+        self._rows: list[str] = []
+        self._closed = False
+
+    def handle(self, event: Event) -> None:
+        import dataclasses
+        import json as _json
+
+        if self._closed:
+            raise RuntimeError(
+                f"JsonLinesFileListener({self.path!r}) already closed — "
+                "listeners are per-job; register a fresh instance"
+            )
+        row = {"event": type(event).__name__, "ts": now()}
+        for f in dataclasses.fields(event):
+            row[f.name] = getattr(event, f.name)
+        self._rows.append(
+            _json.dumps(row, sort_keys=True, default=repr)
+        )
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        with open(self.path, "w") as fh:
+            fh.write("\n".join(self._rows) + ("\n" if self._rows else ""))
+
+
 class CollectingListener(EventListener):
     """Test/debug listener that records events in order and whether it
     was closed — the shape of the reference's TestEventListener."""

@@ -208,3 +208,63 @@ def test_emitter_reentrant_listener_does_not_deadlock():
     t.join(timeout=20)
     assert done, "emitter deadlocked on re-entrant listener"
     assert len(seen) >= 1
+
+
+def test_jsonlines_file_listener_flushes_on_close(tmp_path):
+    """The buffered file listener writes nothing until close() (the
+    per-job flush contract), renders dataclass fields as JSON with a
+    repr fallback, and refuses post-close handling loudly."""
+    import json
+
+    from photon_ml_spark import events
+
+    path = str(tmp_path / "events.jsonl")
+    li = events.JsonLinesFileListener(path)
+    li.handle(events.SetupEvent(params={"x": 1, "weird": {1, 2}}))
+    li.handle(events.OptimizationLogEvent(index=0, reg_weights={"g": 0.5},
+                                          metric=0.9))
+    import os
+    assert not os.path.exists(path)  # buffered until close
+    li.close()
+    rows = [json.loads(l) for l in open(path).read().splitlines()]
+    assert [r["event"] for r in rows] == ["SetupEvent", "OptimizationLogEvent"]
+    assert rows[1]["reg_weights"] == {"g": 0.5} and rows[1]["metric"] == 0.9
+    assert "weird" in rows[0]["params"]  # set rendered via repr fallback
+    with pytest.raises(RuntimeError, match="already closed"):
+        li.handle(events.TrainingStartEvent(time=0.0))
+    li.close()  # idempotent
+
+
+def test_cli_event_log_config(spark, tmp_path):
+    """cfg['event_log'] wires a JsonLinesFileListener through train();
+    the finally-block close flushes it even though the caller never
+    touches the listener."""
+    import json
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    inp = str(tmp_path / "train_in.parquet")
+    datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    ).write.parquet(inp)
+    log_path = str(tmp_path / "events.jsonl")
+    import contextlib
+    import io
+    with contextlib.redirect_stdout(io.StringIO()):
+        cli.train(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "family": "binomial",
+                "n_iterations": 1,
+                "output_dir": str(tmp_path / "model"),
+                "event_log": log_path,
+            },
+            spark,
+        )
+    names = [json.loads(l)["event"] for l in open(log_path).read().splitlines()]
+    assert names[0] == "SetupEvent"
+    assert "TrainingStartEvent" in names and "TrainingFinishEvent" in names
+    assert "CoordinateUpdateEvent" in names
