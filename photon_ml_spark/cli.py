@@ -866,10 +866,19 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
         reader = reader.option(
             "maxFilesPerTrigger", cfg["max_files_per_trigger"]
         )
-    stream = reader.parquet(cfg["input_dir"])
+    # shared tokenization, stream edition: one token-array column feeds
+    # both the stateless quality prefilter and the per-batch shingle-id
+    # hashing (pure expression — streaming-safe); neardup_process_batch
+    # drops it before publishing survivors
+    TOK = "__toks"
+    stream = reader.parquet(cfg["input_dir"]).withColumn(
+        TOK, text.tokens(F.col("text"))
+    )
     qc = cfg.get("quality")
     if qc:
-        stream = _quality_prefilter(stream, qc).select(*stream.columns)
+        stream = _quality_prefilter(
+            stream, qc, tokens_col=TOK
+        ).select(*stream.columns)
     q = stream_neardup(
         stream,
         cfg["index_path"],
@@ -879,6 +888,7 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
         n=cfg.get("n", 1),
         num_hashes=cfg.get("num_hashes", 16),
         bands=cfg.get("bands", 4),
+        tokens_col=TOK,
     )
     q.awaitTermination()
     n_out = spark.read.parquet(cfg["output_dir"]).count()

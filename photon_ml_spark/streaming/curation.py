@@ -105,6 +105,7 @@ def neardup_process_batch(
     num_hashes: int = 16,
     bands: int = 4,
     sid_fn=None,
+    tokens_col: str | None = None,
 ) -> None:
     """Process ONE micro-batch (or one daily batch — same function):
     drop near-dups against the index, publish survivors under
@@ -123,7 +124,15 @@ def neardup_process_batch(
     ``token_ids_hashed`` signature (see ``save_minhash_index``) —
     every batch written to ONE index must use the same ``sid_fn``;
     the correctness gate injects dense SQL-portable ids so the 2-batch
-    flow replays exactly in the DuckDB oracle."""
+    flow replays exactly in the DuckDB oracle.
+
+    ``tokens_col`` (optional): a pre-built token-array column on the
+    batch (the shared-tokenization seam, ``text.tokens_expr``) — the
+    default ``token_ids_hashed`` reads it instead of re-splitting the
+    text (identical sids by construction: the hash is over the
+    shingle STRINGS), and it is dropped before survivors are
+    published, so the staged output schema never carries it. Ignored
+    when an explicit ``sid_fn`` is given."""
     from photon_ml_spark.operators.dedup import (
         cluster_and_keep,
         drop_new_duplicates,
@@ -166,6 +175,8 @@ def neardup_process_batch(
         keep_sids = sids.join(
             survivors.select(id_col), id_col, "left_semi"
         )
+        if tokens_col:
+            survivors = survivors.drop(tokens_col)
         survivors.write.mode("overwrite").parquet(
             f"{out_path}/batch={int(batch_id)}"
         )
@@ -183,7 +194,9 @@ def neardup_process_batch(
     # unreadable half-index)
     from photon_ml_spark.operators.dedup import INDEX_PARAMS_FILE
 
-    sid_fn = sid_fn or token_ids_hashed
+    if sid_fn is None:
+        def sid_fn(d, i, t, nn):
+            return token_ids_hashed(d, i, t, nn, tokens_col=tokens_col)
     if not _hadoop_exists(spark, f"{index_path}/{INDEX_PARAMS_FILE}"):
         # bootstrap: batch-internal LSH dedup, survivors found the index
         sids = sid_fn(batch, id_col, text_col, n).persist()
@@ -267,17 +280,21 @@ def stream_neardup(
     n: int = 1,
     num_hashes: int = 16,
     bands: int = 4,
+    tokens_col: str | None = None,
 ):
     """Attach the near-dedup sink to a streaming document source and
     start it (availableNow trigger — drain the backlog, then stop; use
     the returned query's ``awaitTermination``). Each micro-batch runs
-    ``neardup_process_batch`` against the shared index state."""
+    ``neardup_process_batch`` against the shared index state.
+    ``tokens_col``: pre-built token-array column on the stream (see
+    ``neardup_process_batch``); never published."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
         neardup_process_batch(
             batch, index_path, out_path, batch_id=batch_id,
             threshold=threshold, id_col=id_col, text_col=text_col,
             n=n, num_hashes=num_hashes, bands=bands,
+            tokens_col=tokens_col,
         )
 
     return (
