@@ -611,8 +611,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
         bid = int(nd.get("batch_id", 0))
         staged = f"{cfg['output_dir']}/neardup_survivors"
+        # the shared token column rides along (tokens_col) so the
+        # shingle-id hashing reads it instead of re-splitting the
+        # text; neardup_process_batch drops it before publishing
         neardup_process_batch(
-            docs.drop(TOK),
+            docs,
             nd["index_path"],
             staged,
             batch_id=bid,
@@ -620,6 +623,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             n=nd.get("n", 2),
             num_hashes=nd.get("num_hashes", 16),
             bands=nd.get("bands", 4),
+            tokens_col=TOK,
         )
         # neardup_process_batch legitimately publishes NOTHING on two
         # early returns: an empty batch (every doc already filtered

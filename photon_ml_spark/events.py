@@ -171,6 +171,12 @@ class JsonLinesFileListener(EventListener):
 
     def __init__(self, path: str) -> None:
         self.path = path
+        # fail FAST on an unwritable/mistyped path: close() runs inside
+        # clear_listeners' error-swallowing dispatch, so a path error
+        # discovered only at flush time would silently void the whole
+        # log of a multi-hour job
+        with open(path, "w"):
+            pass
         self._rows: list[str] = []
         self._closed = False
 

@@ -367,9 +367,12 @@ def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.col("__pid"),
     ) if offsets else F.lit(0)
     w = Window.partitionBy("__pid").orderBy("shingle")
+    # row_number is IntegerType: cast to long BEFORE the addition so a
+    # vocabulary crossing 2^31 ids cannot wrap int32 mid-expression
     vocab = ranged.select(
         "shingle",
-        (F.row_number().over(w) + off_expr).cast("long").alias("sid"),
+        (F.row_number().over(w).cast("long") + off_expr.cast("long"))
+        .alias("sid"),
     )
     return sh.join(vocab, "shingle").select(id_col, "sid")
 

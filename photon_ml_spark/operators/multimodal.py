@@ -220,14 +220,24 @@ _PIL_ONLY_IMAGE_MAGIC = (
     (b"MM\x00*", "TIFF"),
 )
 
-#: ditto for audio formats soundfile handles but the WAV decoder does not
-_SOUNDFILE_ONLY_AUDIO_MAGIC = (
-    (b"fLaC", "FLAC"),
-    (b"OggS", "OGG"),
-    (b"ID3", "MP3"),
-    (b"\xff\xfb", "MP3"),
-    (b"\xff\xf3", "MP3"),
-)
+def _sniff_codec_audio(payload: bytes) -> str | None:
+    """Name of a KNOWN audio format the stdlib WAV decoder cannot parse
+    (→ ``MissingCodecError``), or None. Only strong signatures qualify:
+    a job-fatal classification must not fire on random corrupt bytes —
+    a 2-byte MPEG sync word (0xFFFB/0xFFF3) would hit ~1/32k of random
+    garbage and kill the job with a misleading 'install soundfile', so
+    raw ID3-less MP3 frames deliberately degrade per-row instead."""
+    if payload[:4] == b"fLaC":
+        return "FLAC"
+    if payload[:4] == b"OggS":
+        return "OGG"
+    if payload[:3] == b"ID3":
+        return "MP3"
+    if len(payload) > 11 and payload[4:8] == b"ftyp":
+        return "M4A/AAC (ISO-BMFF)"
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        return "AIFF"
+    return None
 
 
 def _stdlib_image_decode(payload: bytes) -> tuple[int, int, float]:
@@ -268,10 +278,12 @@ def decode_image(
     always available: Pillow when the library imports (full codec
     coverage), else the stdlib PNG/BMP decoder (struct + zlib + numpy
     — no external dependency), so ``fake=False`` genuinely decodes in
-    codec-less containers like this one. Payloads the selected decoder
-    cannot parse yield ``decode_ok=False`` rows, never task failures.
-    ``fake=True`` selects the deterministic stub (the portable-oracle
-    path).
+    codec-less containers like this one. Unrecognized/corrupt payloads
+    yield ``decode_ok=False`` rows; a payload in a RECOGNIZED format
+    the selected decoder cannot handle (JPEG/GIF/TIFF/WebP without
+    Pillow) raises ``MissingCodecError`` and fails the job — a missing
+    library is a misconfiguration, not bad data. ``fake=True`` selects
+    the deterministic stub (the portable-oracle path).
     """
     # decoder selection happens ONCE on the driver and is captured by
     # the closure, so every executor uses the same decoder even on a
@@ -368,13 +380,13 @@ def _wav_decode(payload: bytes) -> tuple[int, int, float]:
 
     import numpy as np
 
-    for magic, name in _SOUNDFILE_ONLY_AUDIO_MAGIC:
-        if payload[: len(magic)] == magic:
-            raise MissingCodecError(
-                f"payload is {name} but soundfile is not installed — "
-                "the stdlib decoder covers PCM WAV only; install "
-                "soundfile on driver and executors to decode this corpus"
-            )
+    known = _sniff_codec_audio(payload)
+    if known:
+        raise MissingCodecError(
+            f"payload is {known} but soundfile is not installed — "
+            "the stdlib decoder covers PCM WAV only; install "
+            "soundfile on driver and executors to decode this corpus"
+        )
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         nch = w.getnchannels()
@@ -403,10 +415,13 @@ def decode_audio(
     (full codec coverage — flac/ogg/mp3/…), else the stdlib PCM-WAV
     decoder ``_wav_decode`` (wave + numpy — no external dependency), so
     ``fake=False`` genuinely decodes in codec-less containers like this
-    one; payloads the selected decoder cannot parse yield
-    ``decode_ok=False`` rows, never task failures. ``fake=True``
-    selects the deterministic stub (the portable-oracle path). Schema,
-    batching, and partitioning are identical across all three."""
+    one. Unrecognized/corrupt payloads yield ``decode_ok=False`` rows;
+    a payload in a RECOGNIZED format the selected decoder cannot handle
+    (FLAC/OGG/ID3-MP3/M4A/AIFF without soundfile) raises
+    ``MissingCodecError`` and fails the job — a missing library is a
+    misconfiguration, not bad data. ``fake=True`` selects the
+    deterministic stub (the portable-oracle path). Schema, batching,
+    and partitioning are identical across all three."""
     # decoder selection happens ONCE on the driver and is captured by
     # the closure, so every executor uses the same decoder even on a
     # heterogeneous image where soundfile exists only on some nodes
@@ -455,11 +470,33 @@ VIDEO_META_SCHEMA = (
     "duration_sec double, mean_luma double, decode_ok boolean"
 )
 
-#: compressed video containers PyAV handles but the stdlib decoder
-#: cannot — sniffed to fail loudly (see MissingCodecError)
-_AV_ONLY_VIDEO_MAGIC = (
-    (b"\x1aE\xdf\xa3", "Matroska/WebM"),
-)
+def _sniff_codec_video(payload: bytes) -> str | None:
+    """Name of a KNOWN video container the stdlib y4m decoder cannot
+    parse (→ ``MissingCodecError``), or None. Same strong-signature
+    rule as ``_sniff_codec_audio`` — MPEG-TS's 1-byte 0x47 sync only
+    qualifies because it must repeat at the 188-byte packet stride."""
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        return "Matroska/WebM"
+    if len(payload) > 11 and payload[4:8] == b"ftyp":
+        return "ISO-BMFF (MP4/MOV)"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "AVI"
+    if payload[:4] == b"OggS":
+        return "Ogg (Theora/…)"
+    if payload[:4] == b"FLV\x01":
+        return "FLV"
+    if payload[:4] == b"\x00\x00\x01\xba":
+        return "MPEG-PS"
+    if (
+        len(payload) > 188 * 2
+        and payload[0] == 0x47
+        and payload[188] == 0x47
+        and payload[376] == 0x47
+    ):
+        return "MPEG-TS"
+    if payload[:16] == bytes.fromhex("3026b2758e66cf11a6d900aa0062ce6c"):
+        return "ASF/WMV"
+    return None
 
 
 def _fake_video_decode(payload: bytes) -> tuple[int, int, float, int, float]:
@@ -489,22 +526,12 @@ def _y4m_decode(
     ``ValueError`` (bad data → decode_ok=False upstream)."""
     import numpy as np
 
-    for magic, name in _AV_ONLY_VIDEO_MAGIC:
-        if payload[: len(magic)] == magic:
-            raise MissingCodecError(
-                f"payload is {name} but PyAV is not installed — the "
-                "stdlib decoder covers YUV4MPEG2 (y4m) only; install "
-                "av on driver and executors to decode this corpus"
-            )
-    if len(payload) > 11 and payload[4:8] == b"ftyp":
+    known = _sniff_codec_video(payload)
+    if known:
         raise MissingCodecError(
-            "payload is an ISO-BMFF container (MP4/MOV) but PyAV is "
-            "not installed — install av on driver and executors"
-        )
-    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
-        raise MissingCodecError(
-            "payload is AVI but PyAV is not installed — install av "
-            "on driver and executors"
+            f"payload is {known} but PyAV is not installed — the "
+            "stdlib decoder covers YUV4MPEG2 (y4m) only; install "
+            "av on driver and executors to decode this corpus"
         )
     nl = payload.find(b"\n")
     if not payload.startswith(b"YUV4MPEG2") or nl < 0:
@@ -577,27 +604,33 @@ def _av_video_decode(
     payload: bytes, max_frames: int = 16
 ) -> tuple[int, int, float, int, float]:
     """Real decoder via PyAV (full codec coverage) — exercised only
-    where the library exists; same contract as ``_y4m_decode``."""
+    where the library exists; same contract as ``_y4m_decode``.
+
+    Memory shape: frames are decoded ONE AT A TIME and reduced to a
+    scalar per-frame mean immediately — never a retained frame list.
+    A minute of 1080p30 is ~1800 frames; holding them (even as uint8)
+    for one row would OOM the executor, while 1800 floats is nothing.
+    The exact uniform-stride sample is then taken over the scalar
+    means, matching ``_y4m_decode``'s sampling semantics."""
     import io
 
     import av
-    import numpy as np
 
     with av.open(io.BytesIO(payload)) as container:
         stream = container.streams.video[0]
         fps = float(stream.average_rate or stream.base_rate or 0)
-        frames = [
-            np.asarray(f.to_ndarray(format="gray"), dtype=np.float64)
-            for f in container.decode(stream)
-        ]
-    if not frames:
+        w = h = 0
+        means: list[float] = []
+        for f in container.decode(stream):
+            gray = f.to_ndarray(format="gray")
+            h, w = gray.shape
+            means.append(float(gray.mean()))
+    if not means:
         raise ValueError("no decodable video frames")
-    n_frames = len(frames)
+    n_frames = len(means)
     step = max(1, -(-n_frames // max_frames))
-    sampled = frames[::step][:max_frames]
-    h, w = sampled[0].shape
-    luma = sum(float(f.mean()) for f in sampled) / len(sampled) / 255.0
-    return w, h, fps, n_frames, luma
+    sampled = means[::step][:max_frames]
+    return w, h, fps, n_frames, sum(sampled) / len(sampled) / 255.0
 
 
 def decode_video(

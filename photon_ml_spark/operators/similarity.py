@@ -404,12 +404,14 @@ def ivf_topk_from_index(
     ).persist()
     # the routed query set is broadcast into the candidate join below —
     # same "queries are small" regime (and the same 1e6 cap) as the
-    # BLAS path. The guard count MATERIALIZES the persisted query set,
-    # so the cap check and the broadcast share one execution of the
-    # query lineage instead of recomputing it per consumer (the
-    # persisted frame is small by the very invariant being checked;
-    # left to LRU eviction after the call).
-    if q.count() > 1_000_000:
+    # BLAS path. The guard runs a LIMIT-bounded count over the
+    # persisted frame: in the normal (small) case the limit exceeds
+    # the row count, so this one job fully materializes the cache and
+    # the broadcast reads it — one execution of the query lineage
+    # total; in the misuse case CollectLimit's incremental execution
+    # stops after ~1e6 rows, so failing fast stays cheap and the
+    # partial cache is dropped before raising.
+    if q.limit(1_000_001).count() > 1_000_000:
         q.unpersist()
         raise ValueError(
             "ivf_topk_from_index broadcasts the routed query set; "

@@ -224,7 +224,11 @@ def test_jsonlines_file_listener_flushes_on_close(tmp_path):
     li.handle(events.OptimizationLogEvent(index=0, reg_weights={"g": 0.5},
                                           metric=0.9))
     import os
-    assert not os.path.exists(path)  # buffered until close
+    # the path is touched at construction (fail-fast on unwritable
+    # paths) but stays EMPTY until close() flushes the buffer
+    assert os.path.exists(path) and os.path.getsize(path) == 0
+    with pytest.raises(OSError):
+        events.JsonLinesFileListener(str(tmp_path / "no" / "dir.jsonl"))
     li.close()
     rows = [json.loads(l) for l in open(path).read().splitlines()]
     assert [r["event"] for r in rows] == ["SetupEvent", "OptimizationLogEvent"]
