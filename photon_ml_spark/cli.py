@@ -82,6 +82,44 @@ def _assembled(spark, cfg, dictionary=None):
     )
 
 
+# per-driver allowed top-level config keys — a typo'd key ("near_dedup_",
+# "validaton_input") would otherwise SILENTLY skip the stage it meant to
+# configure, the classic config failure mode (same fail-fast discipline
+# as the reg_param_sweep coordinate-name validation)
+_CFG_KEYS = {
+    "train": frozenset({
+        "input", "input_format", "feature_bags", "shard", "output_dir",
+        "coordinates", "family", "n_iterations", "validation_input",
+        "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
+        "per_group_evaluation", "sparsity_threshold", "event_log",
+    }),
+    "score": frozenset({
+        "input", "input_format", "feature_bags", "shard", "model_dir",
+        "output_dir", "output_files_limit",
+    }),
+    "curate": frozenset({
+        "input", "output_dir", "quality", "exact_dedup", "near_dedup",
+        "contamination", "select", "mix", "split", "chunk", "tokenize",
+        "report",
+    }),
+    "curate_stream": frozenset({
+        "input_dir", "schema", "index_path", "output_dir",
+        "checkpoint_dir", "quality", "threshold", "n", "num_hashes",
+        "bands", "max_files_per_trigger",
+    }),
+}
+
+
+def _validate_cfg_keys(cfg: dict, driver: str) -> None:
+    unknown = sorted(set(cfg) - _CFG_KEYS[driver])
+    if unknown:
+        raise ValueError(
+            f"{driver} config contains unknown key(s) {unknown} — "
+            "misspelled keys would silently skip the stage they mean "
+            f"to configure; allowed: {sorted(_CFG_KEYS[driver])}"
+        )
+
+
 def train(
     cfg: dict, spark: SparkSession, listeners=None, tuner=None
 ) -> None:
@@ -110,6 +148,7 @@ def train(
     exclusive with the explicit ``reg_param_sweep`` list."""
     from photon_ml_spark import events
 
+    _validate_cfg_keys(cfg, "train")
     emitter = events.EventEmitter()
     for li in listeners or ():
         emitter.register_listener(li)
@@ -420,6 +459,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
     from photon_ml_spark.estimator import GameTransformer
     from photon_ml_spark.sources.model_io import load_game_model, save_scores
 
+    _validate_cfg_keys(cfg, "score")
     dictionary = spark.read.parquet(f"{cfg['model_dir']}/feature-dictionary").cache()
     assembled, _, _ = _assembled(spark, cfg, dictionary=dictionary)
     model = load_game_model(cfg["model_dir"], spark)
@@ -512,6 +552,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     from photon_ml_spark.operators import dedup, sampling, text
 
+    _validate_cfg_keys(cfg, "curate")
     timings: dict[str, float] = {}
     _t_last = time.perf_counter()
 
@@ -865,6 +906,7 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
     from photon_ml_spark.operators import text
     from photon_ml_spark.streaming.curation import stream_neardup
 
+    _validate_cfg_keys(cfg, "curate_stream")
     reader = spark.readStream.schema(cfg["schema"])
     if cfg.get("max_files_per_trigger"):
         reader = reader.option(

@@ -592,3 +592,33 @@ def test_cli_curate_incremental_index_mode(spark, tmp_path, capsys):
     rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep["report"]["after_near_dedup"] == 0
     assert rep["report"]["out_docs"] == 0
+
+
+def test_cli_unknown_config_keys_fail_fast(spark, tmp_path):
+    """A typo'd top-level config key must raise up front, naming the
+    offender — silently skipping the stage it meant to configure is the
+    classic config failure mode."""
+    with pytest.raises(ValueError, match="near_dedups"):
+        cli.curate(
+            {"input": "x", "output_dir": "y",
+             "near_dedups": {"threshold": 0.5}},
+            spark,
+        )
+    with pytest.raises(ValueError, match="validaton_input"):
+        cli.train(
+            {"input": "x", "output_dir": "y", "coordinates": [],
+             "validaton_input": "oops"},
+            spark,
+        )
+    with pytest.raises(ValueError, match="output_file_limit"):
+        cli.score(
+            {"input": "x", "model_dir": "m", "output_dir": "y",
+             "output_file_limit": 1},
+            spark,
+        )
+    with pytest.raises(ValueError, match="tresh"):
+        cli.curate_stream(
+            {"input_dir": "x", "schema": "doc_id long", "index_path": "i",
+             "output_dir": "o", "checkpoint_dir": "c", "tresh": 0.5},
+            spark,
+        )
