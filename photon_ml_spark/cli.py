@@ -120,6 +120,42 @@ def _validate_cfg_keys(cfg: dict, driver: str) -> None:
         )
 
 
+# nested stage-dict key sets — the same typo class one level down
+# ("min_token", "reg_params") silently falls back to a default
+_STAGE_KEYS = {
+    "coordinates[]": frozenset({
+        "name", "kind", "entity_col", "reg_param", "min_samples",
+        "active_cap", "elastic_net_param", "solver", "constraints",
+    }),
+    "quality": frozenset({
+        "min_tokens", "min_quality", "languages", "max_ppl",
+        "min_novelty", "blocked_terms",
+    }),
+    "near_dedup": frozenset({
+        "threshold", "n", "index_path", "batch_id", "num_hashes", "bands",
+    }),
+    "contamination": frozenset({"eval_input", "ngram", "min_shared"}),
+    "select": frozenset({"target_lang", "k", "temperature", "lang_col"}),
+    "mix": frozenset({"shares", "mode", "group_col", "max_epochs"}),
+    "split": frozenset({"test_frac"}),
+    "chunk": frozenset({"max_tokens", "overlap"}),
+    "tokenize": frozenset({"kind", "n_merges", "min_pair_count",
+                           "vocab_size"}),
+}
+
+
+def _validate_stage_keys(d, stage: str) -> None:
+    if not isinstance(d, dict):
+        return  # boolean toggles (exact_dedup: true) and the like
+    unknown = sorted(set(d) - _STAGE_KEYS[stage])
+    if unknown:
+        raise ValueError(
+            f"config section {stage!r} contains unknown key(s) "
+            f"{unknown} — misspelled keys silently fall back to "
+            f"defaults; allowed: {sorted(_STAGE_KEYS[stage])}"
+        )
+
+
 def train(
     cfg: dict, spark: SparkSession, listeners=None, tuner=None
 ) -> None:
@@ -174,6 +210,12 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     from photon_ml_spark.estimator import GameEstimator
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
     from photon_ml_spark.sources.model_io import save_game_model
+
+    # validate coordinate-entry keys BEFORE any input IO — a typo'd
+    # field ("reg_params") silently falling back to its default is the
+    # same failure class as a typo'd top-level key
+    for c in cfg["coordinates"]:
+        _validate_stage_keys(c, "coordinates[]")
 
     emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
@@ -553,6 +595,10 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     from photon_ml_spark.operators import dedup, sampling, text
 
     _validate_cfg_keys(cfg, "curate")
+    for stage in ("quality", "near_dedup", "contamination", "select",
+                  "mix", "split", "chunk", "tokenize"):
+        if cfg.get(stage) is not None:
+            _validate_stage_keys(cfg[stage], stage)
     timings: dict[str, float] = {}
     _t_last = time.perf_counter()
 

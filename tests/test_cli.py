@@ -622,3 +622,17 @@ def test_cli_unknown_config_keys_fail_fast(spark, tmp_path):
              "output_dir": "o", "checkpoint_dir": "c", "tresh": 0.5},
             spark,
         )
+    # nested stage dicts: same typo class one level down
+    with pytest.raises(ValueError, match="min_token"):
+        cli.curate(
+            {"input": "x", "output_dir": "y",
+             "quality": {"min_token": 5}},
+            spark,
+        )
+    with pytest.raises(ValueError, match="reg_params"):
+        cli.train(
+            {"input": "x", "output_dir": "y",
+             "coordinates": [{"name": "g", "kind": "fixed",
+                              "reg_params": 1.0}]},
+            spark,
+        )
