@@ -141,6 +141,7 @@ _STAGE_KEYS = {
     "chunk": frozenset({"max_tokens", "overlap"}),
     "tokenize": frozenset({"kind", "n_merges", "min_pair_count",
                            "vocab_size"}),
+    "per_group_evaluation": frozenset({"group_col", "metric", "k"}),
 }
 
 
@@ -216,6 +217,10 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     # same failure class as a typo'd top-level key
     for c in cfg["coordinates"]:
         _validate_stage_keys(c, "coordinates[]")
+    if cfg.get("per_group_evaluation") is not None:
+        _validate_stage_keys(
+            cfg["per_group_evaluation"], "per_group_evaluation"
+        )
 
     emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
