@@ -324,56 +324,23 @@ def token_ids(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 
     Ids are 1-based in lexicographic shingle order — ``ROW_NUMBER()
     OVER (ORDER BY shingle)`` — computed WITHOUT a single-partition
-    window and without leaving the JVM: range-partition the distinct
-    vocabulary on the shingle key, ``row_number`` within each (ordered)
-    partition, and add each partition's start offset (a driver-side
-    prefix sum over the per-partition counts — one tiny collect of
-    n_partitions rows, never vocabulary rows). This is the zipWithIndex
-    two-job trick kept entirely in Tungsten; the previous Python-RDD
-    rendering serialized every vocabulary string through the Python
-    workers twice. The ranged frame is ``localCheckpoint``-ed so the
-    count job and the id job read the SAME partitioning (range
-    boundaries come from sampling; re-execution could legally resample).
-    At scale replace with xxhash64(shingle) (``token_ids_hashed``) —
-    same pipeline shape, one less join — at the cost of SQL-portable
-    ids.
+    window and without leaving the JVM via the shared zipWithIndex
+    device (operators/indexing.py: range-partitioned sort +
+    per-partition ``row_number`` + broadcast-joined prefix-sum
+    offsets; the localCheckpoint there pins the sampled range
+    boundaries so the count job and the id job read the SAME
+    partitioning). The broadcast join replaced an inline ``create_map``
+    offset literal — a map literal is a linear key scan, O(n_partitions)
+    per vocabulary row on a cluster running thousands of shuffle
+    partitions. At scale replace with xxhash64(shingle)
+    (``token_ids_hashed``) — same pipeline shape, one less join — at
+    the cost of SQL-portable ids.
     """
-    from pyspark.sql import Window
+    from photon_ml_spark.operators.indexing import zip_with_index
 
     sh = doc_shingles(df, id_col, text_col, n, tokens_col=tokens_col)
     distinct = sh.select("shingle").distinct()
-    ranged = (
-        distinct.repartitionByRange(
-            df.sparkSession.sparkContext.defaultParallelism, "shingle"
-        )
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["__pid"]: r["cnt"]
-        for r in ranged.groupBy("__pid").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    off_expr = F.element_at(
-        F.create_map(
-            *[F.lit(x) for pid in sorted(offsets)
-              for x in (pid, offsets[pid])]
-        ),
-        F.col("__pid"),
-    ) if offsets else F.lit(0)
-    w = Window.partitionBy("__pid").orderBy("shingle")
-    # row_number is IntegerType: cast to long BEFORE the addition so a
-    # vocabulary crossing 2^31 ids cannot wrap int32 mid-expression
-    vocab = ranged.select(
-        "shingle",
-        (F.row_number().over(w).cast("long") + off_expr.cast("long"))
-        .alias("sid"),
-    )
+    vocab, _ = zip_with_index(distinct, "shingle", id_col="sid", start=1)
     return sh.join(vocab, "shingle").select(id_col, "sid")
 
 

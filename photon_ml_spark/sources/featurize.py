@@ -11,21 +11,22 @@ Rebuilds the reference's Avro feature pipeline Spark-first:
 Scale notes: the dictionary is a DataFrame joined at ingest — never a
 driver-side map (the reference needed PalDB off-heap stores above ~200k
 features, FeatureIndexingDriver.scala:41-42; a broadcast-or-shuffle
-join subsumes that). Index assignment uses sort + zipWithIndex, which
-range-partitions the sort: no single-partition row_number bottleneck at
-100M+ features.
+join subsumes that). Index assignment uses the shared JVM
+zipWithIndex (operators/indexing.py): range-partitioned sort, so no
+single-partition row_number bottleneck at 100M+ features, and no
+Python-RDD round-trip — the vocabulary never leaves Tungsten.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
-from pyspark.sql.types import LongType, StructField, StructType
 
 from photon_ml_spark.datamodel import (
     FEATURE_KEY_SEP,
     INTERCEPT_KEY,
     FeatureShardConfig,
 )
+from photon_ml_spark.operators.indexing import zip_with_index
 
 
 def feature_key_col(name_col="name", term_col="term", sep: str = FEATURE_KEY_SEP):
@@ -85,23 +86,23 @@ def build_feature_dictionary(
             "left_semi",
         )
 
-    # Scalable deterministic zipWithIndex: range-partitioned sort, then
-    # per-partition sequential ids — equivalent to ROW_NUMBER() OVER
-    # (ORDER BY feature_key) - 1 without a single-partition window.
-    sorted_rdd = keys.orderBy("feature_key").rdd.map(lambda r: r[0]).zipWithIndex()
-    schema = StructType(
-        [
-            StructField("feature_key", keys.schema[0].dataType, False),
-            StructField("feature_index", LongType(), False),
-        ]
-    )
-    dict_df = keys.sparkSession.createDataFrame(sorted_rdd, schema)
+    # Scalable deterministic zipWithIndex — ROW_NUMBER() OVER (ORDER BY
+    # feature_key) - 1 with neither a single-partition window nor a
+    # Python-RDD round-trip: the shared JVM device (range-partitioned
+    # sort + per-partition row_number + broadcast-joined prefix-sum
+    # offsets) keeps the whole vocabulary inside Tungsten. The
+    # prefix-sum total doubles as the intercept slot, so no extra
+    # count() job either.
+    dict_df, n = zip_with_index(keys, "feature_key", id_col="feature_index")
     if has_intercept:
-        n = dict_df.count()
-        intercept = keys.sparkSession.createDataFrame(
-            [(INTERCEPT_KEY, n)], schema
+        # 1-row JVM literal (no createDataFrame → no ExistingRDD scan)
+        intercept = keys.sparkSession.range(1).select(
+            F.lit(INTERCEPT_KEY).alias("feature_key"),
+            F.lit(n).cast("long").alias("feature_index"),
         )
-        dict_df = dict_df.unionByName(intercept)
+        dict_df = dict_df.select("feature_key", "feature_index").unionByName(
+            intercept
+        )
     return dict_df
 
 

@@ -1,0 +1,55 @@
+"""Unit tests for the shared JVM zip_with_index device
+(operators/indexing.py) — the ordinal assigner behind the feature
+dictionary (S3/S4) and the dedup shingle vocabulary."""
+
+from pyspark.sql import functions as F
+
+from photon_ml_spark.operators.indexing import zip_with_index
+
+
+def _frame(spark, vals):
+    return spark.createDataFrame([(v,) for v in vals], "k string")
+
+
+def test_dense_ids_in_sort_order(spark):
+    vals = ["pear", "apple", "fig", "banana", "date", "cherry"]
+    out, total = zip_with_index(_frame(spark, vals), "k", id_col="i")
+    assert total == 6
+    rows = out.orderBy("i").collect()
+    assert [r.i for r in rows] == list(range(6))
+    assert [r.k for r in rows] == sorted(vals)
+
+
+def test_start_offset_and_multiple_partitions(spark):
+    vals = [f"k{j:04d}" for j in range(257)]
+    out, total = zip_with_index(
+        _frame(spark, vals), "k", id_col="i", start=1, n_partitions=7
+    )
+    assert total == 257
+    agg = out.agg(
+        F.min("i").alias("lo"),
+        F.max("i").alias("hi"),
+        F.countDistinct("i").alias("nd"),
+    ).collect()[0]
+    assert (agg.lo, agg.hi, agg.nd) == (1, 257, 257)
+    # spot-check order: id of the minimum key is `start`
+    first = out.orderBy("k").first()
+    assert first.k == "k0000" and first.i == 1
+
+
+def test_empty_input(spark):
+    out, total = zip_with_index(
+        _frame(spark, []).filter("k IS NOT NULL"), "k", id_col="i"
+    )
+    assert total == 0
+    assert out.count() == 0
+    assert dict(out.dtypes)["i"] == "bigint"
+
+
+def test_extra_columns_preserved(spark):
+    df = spark.createDataFrame(
+        [("b", 20), ("a", 10), ("c", 30)], "k string, v int"
+    )
+    out, _ = zip_with_index(df, "k", id_col="i")
+    rows = {r.k: (r.i, r.v) for r in out.collect()}
+    assert rows == {"a": (0, 10), "b": (1, 20), "c": (2, 30)}
