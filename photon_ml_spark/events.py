@@ -157,11 +157,14 @@ def now() -> float:
 
 
 class JsonLinesFileListener(EventListener):
-    """File-backed listener: one JSON object per event, buffered in
-    memory and flushed by ``close()`` — the listener shape that makes
-    the per-job ownership contract matter (``cli.train`` closes its
-    listeners in a finally block precisely so this flush always runs,
-    success or failure; register a fresh instance per job).
+    """File-backed listener: one JSON object per event, APPENDED and
+    flushed as it happens — a hard crash (SIGKILL/OOM) of a multi-hour
+    job loses at most the tail of the log, and a pre-existing log at
+    the same path is extended, never destroyed. (An earlier rendering
+    buffered everything and wrote only in ``close()``, which is exactly
+    the wrong durability trade for the long-job capture this listener
+    is pitched for.) ``cli.train`` still closes its listeners in a
+    finally block; register a fresh instance per job.
 
     Events are rendered as ``{"event": <class name>, "ts": <unix sec>,
     **dataclass fields}``; non-JSON-serializable field values fall back
@@ -171,13 +174,11 @@ class JsonLinesFileListener(EventListener):
 
     def __init__(self, path: str) -> None:
         self.path = path
-        # fail FAST on an unwritable/mistyped path: close() runs inside
-        # clear_listeners' error-swallowing dispatch, so a path error
-        # discovered only at flush time would silently void the whole
-        # log of a multi-hour job
-        with open(path, "w"):
-            pass
-        self._rows: list[str] = []
+        # fail FAST on an unwritable/mistyped path: handle() runs inside
+        # the emitter's error-swallowing dispatch, so a path error
+        # discovered only at write time would silently void the whole
+        # log of a multi-hour job. Append mode: never truncate.
+        self._fh = open(path, "a", encoding="utf-8")
         self._closed = False
 
     def handle(self, event: Event) -> None:
@@ -192,16 +193,14 @@ class JsonLinesFileListener(EventListener):
         row = {"event": type(event).__name__, "ts": now()}
         for f in dataclasses.fields(event):
             row[f.name] = getattr(event, f.name)
-        self._rows.append(
-            _json.dumps(row, sort_keys=True, default=repr)
-        )
+        self._fh.write(_json.dumps(row, sort_keys=True, default=repr) + "\n")
+        self._fh.flush()
 
     def close(self) -> None:
         if self._closed:
             return
         self._closed = True
-        with open(self.path, "w") as fh:
-            fh.write("\n".join(self._rows) + ("\n" if self._rows else ""))
+        self._fh.close()
 
 
 class CollectingListener(EventListener):

@@ -94,9 +94,13 @@ def _png_decode(payload: bytes) -> tuple[int, int, float]:
     ``zlib`` parse the container and inflate IDAT, numpy vectorizes the
     per-row unfiltering (all five PNG filter types). Covers 8-bit-depth
     gray / gray+alpha / RGB / RGBA non-interlaced PNGs — the shapes a
-    training pipeline's thumbnails actually use; palette, 16-bit, and
-    interlaced variants raise and become ``decode_ok=False`` rows
-    upstream. Returns (width, height, mean luma in [0,1])."""
+    training pipeline's thumbnails actually use. Palette, 16-bit, and
+    interlaced variants are VALID PNGs this decoder cannot handle, so
+    they raise ``MissingCodecError`` (install Pillow) under the same
+    loud-fail contract as JPEG/GIF/TIFF/WebP — a palette-PNG corpus on
+    a Pillow-less cluster must fail the job, not be silently discarded
+    as ``decode_ok=False``; only genuinely corrupt payloads raise
+    ``ValueError``. Returns (width, height, mean luma in [0,1])."""
     import struct
     import zlib
 
@@ -118,11 +122,14 @@ def _png_decode(payload: bytes) -> tuple[int, int, float]:
                 # zero-dim images would yield NaN mean-luma with
                 # decode_ok=True, poisoning downstream aggregates
                 raise ValueError(f"degenerate PNG dimensions {w}x{h}")
+            if color not in (0, 2, 3, 4, 6):
+                raise ValueError(f"corrupt PNG: invalid color type {color}")
             if depth != 8 or interlace != 0 or color == 3:
-                raise ValueError(
-                    "unsupported PNG variant (need 8-bit non-interlaced "
-                    f"non-palette; got depth={depth} color={color} "
-                    f"interlace={interlace})"
+                raise MissingCodecError(
+                    "valid PNG variant the stdlib decoder cannot handle "
+                    f"(depth={depth} color={color} interlace={interlace}; "
+                    "need 8-bit non-interlaced non-palette) — install "
+                    "Pillow on driver and executors to decode this corpus"
                 )
             channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
             dims = (w, h)

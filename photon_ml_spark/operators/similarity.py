@@ -424,11 +424,20 @@ def ivf_topk_from_index(
     probe_win = Window.partitionBy(query_id_col).orderBy(
         F.desc("__sim"), F.asc("cell")
     )
+    # Eagerly materialize the routed probe set (bounded by the 1e6
+    # guard × n_probe) and cut its lineage, then release the query
+    # cache NOW: the previous version unpersisted q only on the error
+    # path, so every successful call left the frame pinned in executor
+    # storage for the session lifetime. The localCheckpoint blocks are
+    # reference-counted and dropped by the ContextCleaner when the
+    # returned plan is garbage-collected.
     probes = (
         routed.withColumn("__pr", F.row_number().over(probe_win))
         .filter(F.col("__pr") <= n_probe)
         .select(query_id_col, "__qv", "cell")
+        .localCheckpoint()
     )
+    q.unpersist()
     vectors = spark.read.parquet(f"{index_path}/vectors")
     joined = vectors.join(F.broadcast(probes), "cell").filter(
         F.col(id_col) != F.col(query_id_col)

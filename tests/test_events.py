@@ -210,30 +210,34 @@ def test_emitter_reentrant_listener_does_not_deadlock():
     assert len(seen) >= 1
 
 
-def test_jsonlines_file_listener_flushes_on_close(tmp_path):
-    """The buffered file listener writes nothing until close() (the
-    per-job flush contract), renders dataclass fields as JSON with a
-    repr fallback, and refuses post-close handling loudly."""
+def test_jsonlines_file_listener_appends_per_event(tmp_path):
+    """The file listener appends + flushes EACH event as it happens (a
+    hard crash loses at most the tail, not the whole log), never
+    truncates a pre-existing log, renders dataclass fields as JSON
+    with a repr fallback, and refuses post-close handling loudly."""
     import json
 
     from photon_ml_spark import events
 
     path = str(tmp_path / "events.jsonl")
+    # pre-existing content must survive (append, never truncate)
+    with open(path, "w") as fh:
+        fh.write('{"event": "PriorRun"}\n')
     li = events.JsonLinesFileListener(path)
     li.handle(events.SetupEvent(params={"x": 1, "weird": {1, 2}}))
+    # durable BEFORE close: the first event is already on disk
+    assert open(path).read().count("\n") == 2
     li.handle(events.OptimizationLogEvent(index=0, reg_weights={"g": 0.5},
                                           metric=0.9))
-    import os
-    # the path is touched at construction (fail-fast on unwritable
-    # paths) but stays EMPTY until close() flushes the buffer
-    assert os.path.exists(path) and os.path.getsize(path) == 0
     with pytest.raises(OSError):
         events.JsonLinesFileListener(str(tmp_path / "no" / "dir.jsonl"))
     li.close()
     rows = [json.loads(l) for l in open(path).read().splitlines()]
-    assert [r["event"] for r in rows] == ["SetupEvent", "OptimizationLogEvent"]
-    assert rows[1]["reg_weights"] == {"g": 0.5} and rows[1]["metric"] == 0.9
-    assert "weird" in rows[0]["params"]  # set rendered via repr fallback
+    assert [r["event"] for r in rows] == [
+        "PriorRun", "SetupEvent", "OptimizationLogEvent",
+    ]
+    assert rows[2]["reg_weights"] == {"g": 0.5} and rows[2]["metric"] == 0.9
+    assert "weird" in rows[1]["params"]  # set rendered via repr fallback
     with pytest.raises(RuntimeError, match="already closed"):
         li.handle(events.TrainingStartEvent(time=0.0))
     li.close()  # idempotent
@@ -272,3 +276,62 @@ def test_cli_event_log_config(spark, tmp_path):
     assert names[0] == "SetupEvent"
     assert "TrainingStartEvent" in names and "TrainingFinishEvent" in names
     assert "CoordinateUpdateEvent" in names
+
+
+def test_cli_train_with_config_tuner_prior_shrink(spark, tmp_path, capsys):
+    """cfg['tuner'] with a ``prior`` block warm-starts the search box
+    around the best prior observation (ShrinkSearchRange +
+    priorFromJson — the reference's production retraining flow): every
+    point the tuner evaluates lies inside the shrunk bounds, which
+    exclude the bad prior corner."""
+    from photon_ml_spark.ml.hypersearch import shrink_search_range
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(spark, "/root/testdata/sf0.001")
+    inp = str(tmp_path / "prior_in.parquet")
+    va = str(tmp_path / "prior_va.parquet")
+    training.filter(F.col("uid") % 3 != 0).write.parquet(inp)
+    training.filter(F.col("uid") % 3 == 0).write.parquet(va)
+
+    prior = {
+        "records": [
+            {"global": 1.0, "evaluationValue": 0.9},
+            {"global": 900.0, "evaluationValue": 0.1},
+        ]
+    }
+    bounds = {"global": [0.01, 1000.0, "log"]}
+    tuner_spec = {
+        "kind": "sobol",
+        "bounds": bounds,
+        "prior": {
+            "records_json": json.dumps(prior), "radius": 0.15, "seed": 1,
+        },
+    }
+    out = str(tmp_path / "prior_model")
+    cli.train(
+        {
+            "input": inp,
+            "validation_input": va,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "tuner": tuner_spec,
+            "tuner_iterations": 4,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    evals = rep["tuner"]["evaluations"]
+    assert len(evals) == 4
+    # the same shrink computation the factory ran: all evaluated points
+    # inside the shrunk box, which excludes the bad 900.0 corner
+    shrunk = shrink_search_range(
+        {k: tuple(v) for k, v in bounds.items()},
+        json.dumps(prior), radius=0.15, seed=1,
+    )
+    lo, hi, _ = shrunk["global"]
+    assert hi < 900.0
+    for e in evals:
+        assert lo - 1e-12 <= e["config"]["global"] <= hi + 1e-12

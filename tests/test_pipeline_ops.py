@@ -1685,6 +1685,56 @@ def test_missing_codec_fails_loudly_not_silently(spark):
     assert not multimodal.decode_audio(junk).first().decode_ok
 
 
+def test_unsupported_png_variants_fail_loudly(spark):
+    """Palette (color type 3), 16-bit, and interlaced PNGs are VALID
+    PNGs the stdlib decoder cannot handle — same loud-fail contract as
+    JPEG-without-Pillow: MissingCodecError, never a silent
+    decode_ok=False discard of the corpus. Genuinely corrupt headers
+    (invalid color type) still degrade per-row."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if multimodal._pil_available():
+        pytest.skip("Pillow present — stdlib branch not selected")
+
+    def png_with_ihdr(depth, color, interlace):
+        def chunk(ctype, body):
+            return (
+                struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body))
+            )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+            + chunk(b"IEND", b"")
+        )
+
+    for depth, color, interlace in [(8, 3, 0), (16, 2, 0), (8, 2, 1)]:
+        with pytest.raises(
+            multimodal.MissingCodecError, match="stdlib decoder"
+        ):
+            multimodal._png_decode(png_with_ihdr(depth, color, interlace))
+        df = spark.createDataFrame(
+            [(1, bytearray(png_with_ihdr(depth, color, interlace)), "p")],
+            "doc_id long, payload binary, media_type string",
+        )
+        with pytest.raises(Exception, match="stdlib decoder"):
+            multimodal.decode_image(df).collect()
+    # invalid color type = corrupt data, not a missing codec
+    with pytest.raises(ValueError, match="invalid color type"):
+        multimodal._png_decode(png_with_ihdr(8, 5, 0))
+    corrupt = spark.createDataFrame(
+        [(1, bytearray(png_with_ihdr(8, 5, 0)), "p")],
+        "doc_id long, payload binary, media_type string",
+    )
+    assert not multimodal.decode_image(corrupt).first().decode_ok
+
+
 def test_degenerate_image_dimensions_are_not_ok(spark):
     """Zero-dimension PNG/BMP headers must come back decode_ok=False,
     never decode_ok=True with NaN luma (which would poison corpus-level
