@@ -138,12 +138,17 @@ def sobol(n: int, dim: int, skip: int = 0) -> np.ndarray:
 
 def _scale(unit: np.ndarray, bounds: list[tuple[float, float, str]]) -> np.ndarray:
     """Map unit-cube points into bounds; scale 'log' spans decades
-    uniformly (regularization weights are log-scaled in practice)."""
+    uniformly (regularization weights are log-scaled in practice);
+    'discrete' integer ranges give each of the hi-lo+1 values an
+    equal-width unit cell (VectorRescaling's +1 adjustment) and snap
+    to integers."""
     cols = []
     for j, (lo, hi, kind) in enumerate(bounds):
         u = unit[:, j]
         if kind == "log":
             cols.append(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+        elif kind == "discrete":
+            cols.append(np.minimum(lo + np.floor(u * (hi - lo + 1.0)), hi))
         else:
             cols.append(lo + u * (hi - lo))
     return np.column_stack(cols)
@@ -244,6 +249,18 @@ def _matern52(X: np.ndarray, Y: np.ndarray, length: np.ndarray) -> np.ndarray:
     return (1.0 + s5d + 5.0 / 3.0 * d * d) * np.exp(-s5d)
 
 
+def _rbf(X: np.ndarray, Y: np.ndarray, length: np.ndarray) -> np.ndarray:
+    """RBF (squared-exponential) kernel — K = exp(-r²/2) over
+    length-scaled Euclidean distance r (reference kernels/RBF.scala:
+    fromPairwiseDistances = exp(dists * -0.5) over squared pairwise
+    distances)."""
+    d2 = (((X[:, None, :] - Y[None, :, :]) / length) ** 2).sum(-1)
+    return np.exp(-0.5 * d2)
+
+
+_KERNELS = {"matern52": _matern52, "rbf": _rbf}
+
+
 def _norm_pdf(z):
     return np.exp(-0.5 * z * z) / math.sqrt(2 * math.pi)
 
@@ -304,11 +321,13 @@ def slice_sample(
 
 
 def _gp_log_marginal(
-    X: np.ndarray, yn: np.ndarray, length: float, amp: float, noise: float
+    X: np.ndarray, yn: np.ndarray, length: float, amp: float, noise: float,
+    kernel: str = "matern52",
 ) -> float:
-    """log p(y | X, θ) for the Matérn-5/2 GP (standardized targets)."""
+    """log p(y | X, θ) for the GP (standardized targets)."""
     n = len(X)
-    K = amp * _matern52(X, X, np.full(X.shape[1], length)) + noise * np.eye(n)
+    kfn = _KERNELS[kernel]
+    K = amp * kfn(X, X, np.full(X.shape[1], length)) + noise * np.eye(n)
     try:
         L = np.linalg.cholesky(K)
     except np.linalg.LinAlgError:
@@ -331,20 +350,35 @@ def gp_search(
     maximize: bool = False,
     kernel_sampling: str = "fixed",
     n_kernel_samples: int = 8,
+    kernel: str = "matern52",
+    acquisition: str = "ei",
+    exploration_factor: float = 2.0,
 ) -> dict:
-    """Bayesian search: GP (Matérn 5/2) posterior over observed points,
-    expected-improvement acquisition argmax over a Halton candidate
-    pool. Internally minimizes (negates when ``maximize``).
+    """Bayesian search: GP posterior over observed points, acquisition
+    argmax over a Halton candidate pool. Internally minimizes (negates
+    when ``maximize``).
+
+    ``kernel``: 'matern52' (the reference's default,
+    estimators/kernels/Matern52.scala) or 'rbf' (kernels/RBF.scala).
+    ``acquisition``: 'ei' (expected improvement,
+    criteria/ExpectedImprovement.scala) or 'cb' (lower confidence bound
+    μ - κ·σ minimized, criteria/ConfidenceBound.scala PBO eq. 3, κ =
+    ``exploration_factor``).
 
     ``kernel_sampling='slice'`` marginalizes the kernel hyperparameters
     (log length scale, log amplitude) over their marginal-likelihood
-    posterior via slice sampling and averages EI across the draws —
-    GaussianProcessSearch + SliceSampler parity; ``'fixed'`` keeps the
-    fast single-kernel path."""
+    posterior via slice sampling and averages the acquisition across
+    the draws — GaussianProcessSearch + SliceSampler parity; ``'fixed'``
+    keeps the fast single-kernel path."""
+    if kernel not in _KERNELS:
+        raise ValueError(f"unknown kernel {kernel!r} (matern52|rbf)")
+    if acquisition not in ("ei", "cb"):
+        raise ValueError(f"unknown acquisition {acquisition!r} (ei|cb)")
     names = list(bounds)
     bl = [bounds[k] for k in names]
     dim = len(names)
     sign = -1.0 if maximize else 1.0
+    kfn = _KERNELS[kernel]
 
     unit_obs = halton(n_init, dim)
     X = unit_obs.copy()
@@ -352,15 +386,21 @@ def gp_search(
     y = np.array([sign * float(evaluate(p)) for p in hist_params])
 
     def _ei_for_kernel(yn, length_scalar, amp):
+        """Acquisition scores over the candidate pool, higher = pick.
+        EI is maximized directly; the confidence bound μ - κσ is a
+        MINIMIZED transformation (ConfidenceBound.isMaxOpt = false), so
+        its negation is returned."""
         length = np.full(dim, length_scalar)
-        K = amp * _matern52(X, X, length) + noise * np.eye(len(X))
+        K = amp * kfn(X, X, length) + noise * np.eye(len(X))
         L = np.linalg.cholesky(K)
         alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
-        Ks = amp * _matern52(cand_unit, X, length)
+        Ks = amp * kfn(cand_unit, X, length)
         mu = Ks @ alpha
         v = np.linalg.solve(L, Ks.T)
         var = np.clip(amp - (v * v).sum(0), 1e-12, None)
         sd = np.sqrt(var)
+        if acquisition == "cb":
+            return -(mu - exploration_factor * sd)
         best = yn.min()
         z = (best - mu) / sd
         return (best - mu) * _norm_cdf(z) + sd * _norm_pdf(z)
@@ -376,7 +416,8 @@ def gp_search(
                 if not (-3.5 <= ln_l <= 1.5 and -4.0 <= ln_a <= 3.0):
                     return -1e18  # log-uniform prior support
                 return _gp_log_marginal(
-                    X, yn, math.exp(ln_l), math.exp(ln_a), noise
+                    X, yn, math.exp(ln_l), math.exp(ln_a), noise,
+                    kernel=kernel,
                 )
 
             draws = slice_sample(
@@ -489,6 +530,151 @@ def gp_ridge_search_1d(
     return res
 
 
+# ----------------------------------------- prior observations / range shrink
+
+
+def prior_from_json(
+    prior_json: str,
+    prior_default: dict[str, object] | None,
+    names: list[str],
+) -> list[tuple[np.ndarray, float]]:
+    """Parse prior tuning observations — HyperparameterSerialization.
+    priorFromJson parity (photon-lib/.../HyperparameterSerialization.
+    scala:42-73): ``{"records": [{<param>: <value>, ...,
+    "evaluationValue": <v>}, ...]}`` → [(vector in ``names`` order,
+    evaluation)]. A record missing a parameter falls back to
+    ``prior_default``; missing from both raises (the reference's
+    ``priorDefault(paramName)`` NoSuchElement). Values may be JSON
+    numbers or numeric strings (the reference stores strings)."""
+    import json
+
+    data = json.loads(prior_json)
+    if not isinstance(data, dict) or not isinstance(data.get("records"), list):
+        raise ValueError(
+            "prior JSON must be an object with a 'records' list"
+        )
+    prior_default = prior_default or {}
+    out = []
+    for i, rec in enumerate(data["records"]):
+        if "evaluationValue" not in rec:
+            raise ValueError(f"prior record {i} missing 'evaluationValue'")
+        vec = []
+        for nm in names:
+            if nm in rec:
+                v = rec[nm]
+            elif nm in prior_default:
+                v = prior_default[nm]
+            else:
+                raise ValueError(
+                    f"prior record {i} missing parameter {nm!r} and no "
+                    "prior_default entry for it"
+                )
+            vec.append(float(v))
+        out.append((np.array(vec), float(rec["evaluationValue"])))
+    return out
+
+
+def _unit_forward(
+    vec: np.ndarray, bounds: list[tuple[float, float, str]]
+) -> np.ndarray:
+    """Raw parameter vector → unit cube (VectorRescaling.transformForward
+    + scaleForward). 'log' spans decades uniformly (ln-space, matching
+    ``_scale``); 'discrete' integer ranges divide by (hi - lo + 1) so
+    each of the hi-lo+1 values owns an equal-width unit cell."""
+    out = np.empty(len(bounds))
+    for j, (lo, hi, kind) in enumerate(bounds):
+        x = vec[j]
+        if kind == "log":
+            out[j] = (math.log(x) - math.log(lo)) / (
+                math.log(hi) - math.log(lo)
+            )
+        elif kind == "discrete":
+            out[j] = (x - lo) / (hi - lo + 1.0)
+        else:
+            out[j] = (x - lo) / (hi - lo)
+    return out
+
+
+def _unit_backward(
+    u: np.ndarray, bounds: list[tuple[float, float, str]]
+) -> np.ndarray:
+    """Unit cube → raw parameters (VectorRescaling.scaleBackward +
+    transformBackward); inverse of ``_unit_forward``."""
+    out = np.empty(len(bounds))
+    for j, (lo, hi, kind) in enumerate(bounds):
+        x = u[j]
+        if kind == "log":
+            out[j] = math.exp(math.log(lo) + x * (math.log(hi) - math.log(lo)))
+        elif kind == "discrete":
+            out[j] = x * (hi - lo + 1.0) + lo
+        else:
+            out[j] = x * (hi - lo) + lo
+    return out
+
+
+def shrink_search_range(
+    bounds: dict[str, tuple[float, float, str]],
+    prior_json: str,
+    prior_default: dict[str, object] | None = None,
+    radius: float = 0.25,
+    candidate_pool_size: int = 1000,
+    seed: int = 0,
+    maximize: bool = True,
+    noise: float = 1e-6,
+) -> dict[str, tuple[float, float, str]]:
+    """Shrink the tuning search box around the best prior observation —
+    ShrinkSearchRange.getBounds parity (photon-client/.../
+    ShrinkSearchRange.scala:28-90), the production retraining loop's
+    warm-started tuner: fit a Matérn-5/2 GP to the prior (unit-rescaled)
+    observations, predict over a Sobol candidate pool, take the
+    best-predicted candidate, and return the ``±radius`` box around it
+    (radius in unit space) mapped back to raw parameter ranges and
+    clipped to the original bounds.
+
+    Discrete parameters (kind ``'discrete'``: integer lo..hi) are
+    snapped per the reference's discretizeCandidate — ``floor(u·n)/n``
+    with n = hi-lo+1 values — BEFORE backward scaling, so the returned
+    discrete bounds land on integers. ``maximize`` follows the
+    reference (selectBestCandidate takes the LARGEST predicted mean);
+    pass False when the evaluation metric is a loss."""
+    names = list(bounds)
+    bl = [bounds[k] for k in names]
+    dim = len(names)
+    priors = prior_from_json(prior_json, prior_default, names)
+    X = np.array([_unit_forward(v, bl) for v, _ in priors])
+    y = np.array([ev for _, ev in priors])
+
+    # GP posterior mean over a Sobol candidate pool (fixed kernel —
+    # same defaults as gp_search's fast path)
+    mu_y, sd_y = float(np.mean(y)), float(np.std(y)) or 1.0
+    yn = (y - mu_y) / sd_y
+    length = np.full(dim, 0.3)
+    K = _matern52(X, X, length) + noise * np.eye(len(X))
+    L = np.linalg.cholesky(K)
+    alpha = np.linalg.solve(L.T, np.linalg.solve(L, yn))
+    cand = sobol(candidate_pool_size, dim, skip=1 + (int(seed) % 4096))
+    mu = _matern52(cand, X, length) @ alpha
+    best = cand[int(np.argmax(mu if maximize else -mu))]
+
+    def _discretize(u: np.ndarray) -> np.ndarray:
+        out = u.copy()
+        for j, (lo, hi, kind) in enumerate(bl):
+            if kind == "discrete":
+                n_vals = hi - lo + 1.0
+                out[j] = math.floor(u[j] * n_vals) / n_vals
+        return out
+
+    upper = _unit_backward(_discretize(best + radius), bl)
+    lower = _unit_backward(_discretize(best - radius), bl)
+    shrunk = {}
+    for j, nm in enumerate(names):
+        lo, hi, kind = bl[j]
+        shrunk[nm] = (
+            float(max(lower[j], lo)), float(min(upper[j], hi)), kind,
+        )
+    return shrunk
+
+
 # ------------------------------------------------------- pluggable tuner seam
 
 
@@ -544,45 +730,117 @@ class QuasiRandomTuner(HyperparameterTuner):
 
 
 class GPTuner(HyperparameterTuner):
-    """GP-EI Bayesian search behind the tuner seam
-    (GaussianProcessSearch.scala parity); ``n`` is the EI-iteration
-    budget on top of ``n_init`` space-filling seeds."""
+    """GP Bayesian search behind the tuner seam
+    (GaussianProcessSearch.scala parity); ``n`` is the acquisition-
+    iteration budget on top of ``n_init`` space-filling seeds.
+    ``kernel``: matern52|rbf; ``acquisition``: ei|cb (confidence bound,
+    κ = ``exploration_factor``)."""
 
     def __init__(
         self, bounds: dict[str, tuple[float, float, str]],
         n_init: int = 5, kernel_sampling: str = "fixed",
+        kernel: str = "matern52", acquisition: str = "ei",
+        exploration_factor: float = 2.0,
     ):
         self.bounds = bounds
         self.n_init = n_init
         self.kernel_sampling = kernel_sampling
+        self.kernel = kernel
+        self.acquisition = acquisition
+        self.exploration_factor = exploration_factor
 
     def search(self, evaluate, n: int, maximize: bool = False) -> dict:
         return gp_search(
             evaluate, self.bounds, n_init=self.n_init, n_iter=n,
             maximize=maximize, kernel_sampling=self.kernel_sampling,
+            kernel=self.kernel, acquisition=self.acquisition,
+            exploration_factor=self.exploration_factor,
         )
+
+
+_PRIOR_KEYS = {"records_json", "records_path", "default", "radius",
+               "candidate_pool_size", "seed", "maximize"}
+
+
+def _apply_prior_shrink(bounds: dict, prior: dict) -> dict:
+    """Resolve a tuner spec's ``prior`` block into shrunk bounds —
+    the ShrinkSearchRange warm-start. ``records_json`` (inline string)
+    or ``records_path`` (file) carries the prior-observation JSON;
+    ``default``/``radius``/``candidate_pool_size``/``seed``/``maximize``
+    pass through to ``shrink_search_range``. Unknown keys raise (same
+    fail-fast contract as the CLI config validators)."""
+    unknown = set(prior) - _PRIOR_KEYS
+    if unknown:
+        raise ValueError(
+            f"unknown prior keys {sorted(unknown)} (allowed: "
+            f"{sorted(_PRIOR_KEYS)})"
+        )
+    if ("records_json" in prior) == ("records_path" in prior):
+        raise ValueError(
+            "prior needs exactly one of records_json | records_path"
+        )
+    if "records_path" in prior:
+        with open(prior["records_path"], encoding="utf-8") as fh:
+            prior_json = fh.read()
+    else:
+        prior_json = prior["records_json"]
+    return shrink_search_range(
+        bounds,
+        prior_json,
+        prior_default=prior.get("default"),
+        radius=float(prior.get("radius", 0.25)),
+        candidate_pool_size=int(prior.get("candidate_pool_size", 1000)),
+        seed=int(prior.get("seed", 0)),
+        maximize=bool(prior.get("maximize", True)),
+    )
 
 
 def make_tuner(spec: dict) -> HyperparameterTuner:
     """HyperparameterTunerFactory parity: build a tuner from a JSON-able
     spec — ``{"kind": "grid", "grid": {...}}``, ``{"kind": "sobol"|
-    "halton", "bounds": {name: [lo, hi, "linear"|"log"]}}``, or
-    ``{"kind": "gp", "bounds": ..., "n_init": 5, "kernel_sampling":
-    "fixed"|"slice"}``. Unknown kinds raise (the factory's TUNER_NAME
-    match)."""
+    "halton", "bounds": {name: [lo, hi, "linear"|"log"|"discrete"]}}``,
+    or ``{"kind": "gp", "bounds": ..., "n_init": 5, "kernel_sampling":
+    "fixed"|"slice", "kernel": "matern52"|"rbf", "acquisition":
+    "ei"|"cb", "exploration_factor": 2.0}``. Bounds-based specs accept
+    an optional ``"prior"`` block (see ``_apply_prior_shrink``) that
+    warm-starts the search by shrinking the box around the best prior
+    observation — the reference's production retraining flow
+    (ShrinkSearchRange + priorFromJson). Unknown kinds raise (the
+    factory's TUNER_NAME match)."""
     kind = spec.get("kind", "grid").lower()
+    allowed = {
+        "grid": {"kind", "grid"},
+        "sobol": {"kind", "bounds", "prior"},
+        "halton": {"kind", "bounds", "prior"},
+        "random": {"kind", "bounds", "prior"},
+        "gp": {"kind", "bounds", "prior", "n_init", "kernel_sampling",
+               "kernel", "acquisition", "exploration_factor"},
+    }
+    if kind in allowed:
+        unknown = set(spec) - allowed[kind]
+        if unknown:
+            raise ValueError(
+                f"unknown tuner spec keys {sorted(unknown)} for kind "
+                f"{kind!r} (allowed: {sorted(allowed[kind])})"
+            )
     if kind == "grid":
         return GridTuner(spec["grid"])
-    if kind in ("sobol", "halton", "random"):
+    if kind in ("sobol", "halton", "random", "gp"):
         bounds = {k: tuple(v) for k, v in spec["bounds"].items()}
+        if spec.get("prior"):
+            bounds = _apply_prior_shrink(bounds, spec["prior"])
+        if kind == "gp":
+            return GPTuner(
+                bounds,
+                n_init=int(spec.get("n_init", 5)),
+                kernel_sampling=spec.get("kernel_sampling", "fixed"),
+                kernel=spec.get("kernel", "matern52"),
+                acquisition=spec.get("acquisition", "ei"),
+                exploration_factor=float(
+                    spec.get("exploration_factor", 2.0)
+                ),
+            )
         return QuasiRandomTuner(
             bounds, sequence="halton" if kind == "halton" else "sobol"
-        )
-    if kind == "gp":
-        bounds = {k: tuple(v) for k, v in spec["bounds"].items()}
-        return GPTuner(
-            bounds,
-            n_init=int(spec.get("n_init", 5)),
-            kernel_sampling=spec.get("kernel_sampling", "fixed"),
         )
     raise ValueError(f"unknown tuner kind {kind!r} (grid|sobol|halton|gp)")

@@ -227,3 +227,227 @@ def test_gp_ridge_search_shares_moments_and_finds_grid_best(spark):
         df, "x", "y", "fold", moments=m, kernel_sampling="slice"
     )
     assert res["history"] == res2["history"]
+
+
+# ------------------------------------------- RBF kernel / confidence bound
+
+
+def test_rbf_kernel_closed_form():
+    from photon_ml_spark.ml.hypersearch import _rbf
+
+    X = np.array([[0.0, 0.0], [1.0, 0.0]])
+    Y = np.array([[0.0, 0.0], [0.0, 2.0]])
+    K = _rbf(X, Y, np.array([1.0, 1.0]))
+    # K(x,x') = exp(-r^2/2): r^2 = 0, 4, 1, 5
+    expect = np.exp(-0.5 * np.array([[0.0, 4.0], [1.0, 5.0]]))
+    assert np.allclose(K, expect)
+    # anisotropic length scale divides per-dimension
+    K2 = _rbf(X, Y, np.array([2.0, 1.0]))
+    assert np.isclose(K2[1, 0], np.exp(-0.5 * 0.25))
+
+
+def test_gp_search_rbf_and_confidence_bound_find_optimum():
+    from photon_ml_spark.ml.hypersearch import gp_search
+
+    def f(p):
+        return (p["x"] - 0.3) ** 2
+
+    for kernel, acq in [("rbf", "ei"), ("matern52", "cb"), ("rbf", "cb")]:
+        res = gp_search(
+            f, {"x": (0.0, 1.0, "linear")}, n_init=4, n_iter=10,
+            kernel=kernel, acquisition=acq,
+        )
+        assert abs(res["best_params"]["x"] - 0.3) < 0.1, (kernel, acq)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown kernel"):
+        gp_search(f, {"x": (0.0, 1.0, "linear")}, kernel="cubic")
+    with _pytest.raises(ValueError, match="unknown acquisition"):
+        gp_search(f, {"x": (0.0, 1.0, "linear")}, acquisition="ucb2")
+
+
+def test_confidence_bound_is_mean_minus_kappa_sigma():
+    """With ONE observed point and an exploration factor κ, the CB
+    acquisition must equal -(μ - κσ) — checked against the closed-form
+    GP posterior at a known candidate (ConfidenceBound.scala PBO eq. 3,
+    lower bound minimized)."""
+    from photon_ml_spark.ml.hypersearch import gp_search
+
+    calls = []
+
+    def f(p):
+        calls.append(dict(p))
+        return 1.0
+
+    # n_init=1, n_iter=1: a single posterior round over the candidate
+    # pool; with constant y the standardized target is 0, so μ=0
+    # everywhere and CB picks the MAX-σ candidate (pure exploration),
+    # i.e. the candidate farthest from the observed point.
+    res = gp_search(
+        f, {"x": (0.0, 1.0, "linear")}, n_init=1, n_iter=1,
+        acquisition="cb", exploration_factor=2.0, n_candidates=256,
+    )
+    x_obs = calls[0]["x"]
+    x_pick = calls[1]["x"]
+    # farthest-from-observation in [0,1] is one of the ends
+    assert abs(x_pick - x_obs) > 0.4
+    assert len(res["history"]) == 2
+
+
+# --------------------------------------------- prior JSON / range shrinking
+
+
+_PRIOR = """
+{"records": [
+  {"alpha": "0.5", "beta": 1.0, "evaluationValue": "0.90"},
+  {"alpha": "0.9", "beta": 4.0, "evaluationValue": 0.30},
+  {"alpha": 0.1, "evaluationValue": 0.10}
+]}
+"""
+
+
+def test_prior_from_json_defaults_and_order():
+    from photon_ml_spark.ml.hypersearch import prior_from_json
+
+    pairs = prior_from_json(_PRIOR, {"beta": 2.0}, ["beta", "alpha"])
+    assert len(pairs) == 3
+    # names order respected: beta first
+    assert np.allclose(pairs[0][0], [1.0, 0.5]) and pairs[0][1] == 0.9
+    # record 3 missing beta -> prior_default
+    assert np.allclose(pairs[2][0], [2.0, 0.1]) and pairs[2][1] == 0.1
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing parameter"):
+        prior_from_json(_PRIOR, None, ["beta", "alpha"])
+    with _pytest.raises(ValueError, match="records"):
+        prior_from_json('{"nope": 1}', None, ["alpha"])
+    with _pytest.raises(ValueError, match="evaluationValue"):
+        prior_from_json('{"records": [{"alpha": 1}]}', None, ["alpha"])
+
+
+def test_unit_forward_backward_roundtrip():
+    from photon_ml_spark.ml.hypersearch import _unit_backward, _unit_forward
+
+    bounds = [(1e-4, 1e2, "log"), (2.0, 10.0, "linear"), (1.0, 8.0, "discrete")]
+    raw = np.array([1e-1, 6.0, 3.0])
+    u = _unit_forward(raw, bounds)
+    assert np.all((u >= 0) & (u <= 1))
+    back = _unit_backward(u, bounds)
+    assert np.allclose(back, raw)
+    # discrete: 8 values over [1,8] -> value v sits at (v-1)/8
+    assert np.isclose(u[2], 2.0 / 8.0)
+
+
+def test_shrink_search_range_box_semantics():
+    """The shrunk box is centered (in unit space) on the best prior
+    observation's neighborhood, has width ≤ 2·radius per dimension,
+    and never exceeds the original bounds (ShrinkSearchRange.scala:
+    28-90 min/max clamp)."""
+    from photon_ml_spark.ml.hypersearch import shrink_search_range
+
+    bounds = {"alpha": (0.0, 1.0, "linear"), "beta": (1.0, 16.0, "log")}
+    # best (maximize) prior is alpha=0.5, beta=1.0 (eval 0.9)
+    prior = (
+        '{"records": ['
+        '{"alpha": 0.5, "beta": 1.0, "evaluationValue": 0.9},'
+        '{"alpha": 0.95, "beta": 14.0, "evaluationValue": 0.1}]}'
+    )
+    shrunk = shrink_search_range(bounds, prior, radius=0.2, seed=3)
+    assert set(shrunk) == {"alpha", "beta"}
+    for nm in shrunk:
+        lo0, hi0, kind0 = bounds[nm]
+        lo, hi, kind = shrunk[nm]
+        assert kind == kind0
+        assert lo0 <= lo < hi <= hi0
+    # the box hugs the good prior region, excluding the bad corner
+    assert shrunk["alpha"][1] < 0.95
+    assert shrunk["beta"][1] < 14.0
+    # alpha width ≤ 2*radius in linear space
+    assert shrunk["alpha"][1] - shrunk["alpha"][0] <= 0.4 + 1e-9
+    # beta is log-scaled: width bounded in ln space
+    assert (np.log(shrunk["beta"][1]) - np.log(shrunk["beta"][0])) <= (
+        0.4 * (np.log(16.0) - np.log(1.0)) + 1e-9
+    )
+
+
+def test_shrink_search_range_discrete_floor_ceil():
+    """Discrete bounds come back ON integers (discretizeCandidate:
+    floor(u·n)/n before backward scaling)."""
+    from photon_ml_spark.ml.hypersearch import shrink_search_range
+
+    bounds = {"k": (1.0, 8.0, "discrete")}
+    prior = (
+        '{"records": ['
+        '{"k": 4, "evaluationValue": 1.0},'
+        '{"k": 8, "evaluationValue": 0.0}]}'
+    )
+    shrunk = shrink_search_range(bounds, prior, radius=0.25, seed=1)
+    lo, hi, kind = shrunk["k"]
+    assert kind == "discrete"
+    assert lo == int(lo) and hi == int(hi)
+    assert 1.0 <= lo <= hi <= 8.0
+    # radius 0.25 over 8 cells = ±2 values around the best cell
+    assert hi - lo <= 4.0
+
+
+def test_make_tuner_gp_options_and_prior_shrink(tmp_path):
+    import json
+
+    from photon_ml_spark.ml.hypersearch import GPTuner, make_tuner
+
+    prior = {
+        "records": [
+            {"x": 0.4, "evaluationValue": 1.0},
+            {"x": 0.95, "evaluationValue": 0.0},
+        ]
+    }
+    p = tmp_path / "prior.json"
+    p.write_text(json.dumps(prior))
+    t = make_tuner(
+        {
+            "kind": "gp",
+            "bounds": {"x": [0.0, 1.0, "linear"]},
+            "kernel": "rbf",
+            "acquisition": "cb",
+            "exploration_factor": 1.5,
+            "prior": {"records_path": str(p), "radius": 0.2, "seed": 2},
+        }
+    )
+    assert isinstance(t, GPTuner)
+    assert t.kernel == "rbf" and t.acquisition == "cb"
+    assert t.exploration_factor == 1.5
+    lo, hi, kind = t.bounds["x"]
+    assert 0.0 <= lo < hi <= 1.0 and (hi - lo) <= 0.4 + 1e-9
+    assert hi < 0.95  # bad prior corner excluded
+    # the shrunk tuner still finds the optimum inside the box
+    res = t.search(lambda prm: (prm["x"] - 0.4) ** 2, n=6)
+    assert abs(res["best_params"]["x"] - 0.4) < 0.15
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown prior keys"):
+        make_tuner(
+            {"kind": "gp", "bounds": {"x": [0, 1, "linear"]},
+             "prior": {"records_json": "{}", "radios": 0.1}}
+        )
+    with _pytest.raises(ValueError, match="exactly one"):
+        make_tuner(
+            {"kind": "gp", "bounds": {"x": [0, 1, "linear"]},
+             "prior": {"radius": 0.1}}
+        )
+
+
+def test_quasi_random_discrete_kind_snaps_to_integers():
+    from photon_ml_spark.ml.hypersearch import quasi_random_search
+
+    seen = []
+
+    def f(p):
+        seen.append(p["k"])
+        return 0.0
+
+    quasi_random_search(f, {"k": (1.0, 5.0, "discrete")}, n=40)
+    assert all(v == int(v) and 1 <= v <= 5 for v in seen)
+    assert len(set(seen)) == 5  # every cell reached
