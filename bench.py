@@ -100,6 +100,76 @@ def run_curate(spark, sf_dir: str) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
+def run_train_game(spark, sf_dir: str) -> None:
+    """The FULL multi-coordinate GAME training loop — the reference's
+    flagship (GameTrainingDriver.scala:363-516, CoordinateDescent.
+    scala:132-166): 2 coordinates (fixed global + per-supplier random
+    effect) × 2 CD iterations with J11 incremental summed-score
+    residual maintenance AND per-coordinate validation scans. Added as
+    a bench row in round 7 (VERDICT r6 Missing #2) so a regression in
+    the residual bookkeeping or the validation scans shows in the
+    per-round bench, not only in the stress harness (scripts/
+    stress_scale.py run_game — same config, this is its sf0.1 case)."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.ml.coordinate_descent import (
+        CoordinateConfig,
+        train_game,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.concat_ws(
+            "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
+        ).alias("uid"),
+        F.round(F.col("l_extendedprice") / 1000, 0).alias("response"),
+        F.lit(0.0).alias("offset"),
+        F.lit(1.0).alias("weight"),
+        F.col("l_suppkey").cast("string").alias("suppkey"),
+        F.array(F.lit(0).cast("long")).alias("features_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+    )
+    is_val = F.pmod(F.xxhash64("uid"), F.lit(10)) == 0
+    train, val = li.filter(~is_val), li.filter(is_val)
+
+    def evaluator(scored):
+        row = scored.agg(
+            F.sqrt(F.avg((F.col("response") - F.col("score")) ** 2)).alias(
+                "rmse"
+            )
+        ).first()
+        return {"rmse": round(float(row.rmse), 6)}
+
+    model, history = train_game(
+        train,
+        coordinates=[
+            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="per_supplier", kind="random", dim=1,
+                entity_col="suppkey", reg_param=10.0,
+            ),
+        ],
+        family="gaussian",
+        n_iterations=2,
+        validation_df=val,
+        evaluator=evaluator,
+    )
+    assert model.coordinates["per_supplier"].count() > 0
+    assert len(history) == 4  # 2 coordinates × 2 iterations
+
+
+# Suite rows that support per-constituent wall-time stamps (VERDICT r6
+# Missing #1): their run functions accept stamps={} and materialize
+# each block under its own timer, so BENCH JSON carries a
+# `constituents` map and regression-vs-box-variance attribution is
+# mechanical instead of worktree-A/B forensics.
+STAMPED_SUITES = {
+    "a9_metric_suite",
+    "m1_custom_solvers",
+    "x6_neardup_pairs",
+    "x9_ann_topk",
+    "xm1_multimodal_suite",
+}
+
 # Heavier / representative registry queries for the headline set.
 BENCH_QUERIES = [
     "s3_feature_dictionary",
@@ -152,14 +222,29 @@ def main() -> None:
     run_curate(spark, sf_dir)
     timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
 
+    t0 = time.perf_counter()
+    run_train_game(spark, sf_dir)
+    timings["train_game_cd_loop"] = round(time.perf_counter() - t0, 3)
+
+    constituents: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         spec = registry.get(name)
         if spec is None:
             continue
         t0 = time.perf_counter()
-        df = spec.run(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        if name in STAMPED_SUITES:
+            stamps: dict[str, float] = {}
+            df = spec.run(spark, sf_dir, stamps=stamps)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+            constituents[name] = stamps
+            # stamped blocks are persisted for the union read — drop
+            # them so one suite's cache can't skew the next row
+            spark.catalog.clearCache()
+        else:
+            df = spec.run(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -169,6 +254,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "constituents": constituents,
                 "sf": _sf_from_dir(sf_dir),
             }
         )

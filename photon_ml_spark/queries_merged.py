@@ -215,7 +215,28 @@ for _anchor in ("m2_per_entity_ridge", "x1_text_quality"):
     _SPEC[_anchor] = QUERY_REGISTRY.pop(_anchor)
 
 
-def _widen(spark, sf_dir, names):
+def _stamp(stamps, name, df):
+    """Per-constituent bench instrumentation (VERDICT r6 Missing #1:
+    suite rows hid their blocks' costs, making regression-vs-box-
+    variance attribution a forensic exercise). When ``stamps`` is a
+    dict, the block is persisted, materialized through a noop write
+    under a wall-clock timer, and ``stamps[name]`` records the
+    seconds; the returned (cached) frame then feeds the suite union,
+    so the union pass costs only a cache read. When ``stamps`` is
+    None — every correctness/gate path — this is an identity: the
+    suite stays one lazy plan."""
+    if stamps is None:
+        return df
+    import time as _time
+
+    df = df.persist()
+    t0 = _time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    stamps[name] = round(_time.perf_counter() - t0, 3)
+    return df
+
+
+def _widen(spark, sf_dir, names, stamps=None):
     """Cross join 1-row frames, prefixing columns per constituent.
 
     Each frame coalesces to one partition first: a cartesian product
@@ -228,6 +249,7 @@ def _widen(spark, sf_dir, names):
         df = df.select(
             [F.col(c).alias(f"{prefix}_{c}") for c in cols]
         ).coalesce(1)
+        df = _stamp(stamps, prefix, df)
         # broadcast the 1-row frame: compiles the cross join to
         # BroadcastNestedLoopJoin on a single-row side instead of a
         # CartesianProduct operator (the plan-sweep audit's contract)
@@ -270,8 +292,8 @@ _METRIC_PARTS = [
     "queries (each still importable standalone); constituent notes in "
     "queries_core.py",
 )
-def a9_metric_suite(spark, sf_dir):
-    return _widen(spark, sf_dir, _METRIC_PARTS)
+def a9_metric_suite(spark, sf_dir, stamps=None):
+    return _widen(spark, sf_dir, _METRIC_PARTS, stamps=stamps)
 
 
 _SOLVER_PARTS = [
@@ -292,8 +314,8 @@ _SOLVER_PARTS = [
     "(J7) and shuffle physical strategies — cross join of the four "
     "1-row constituent queries; constituent notes in queries_ml.py",
 )
-def m1_custom_solvers(spark, sf_dir):
-    return _widen(spark, sf_dir, _SOLVER_PARTS)
+def m1_custom_solvers(spark, sf_dir, stamps=None):
+    return _widen(spark, sf_dir, _SOLVER_PARTS, stamps=stamps)
 
 
 _X5_MELT_SQL = " UNION ALL ".join(
@@ -335,7 +357,7 @@ FROM ({_SPEC["x33_stream_neardup"].oracle.strip()}) t33
     "id_b=publish batch) — variant-tagged union; constituent notes in "
     "queries_pipeline.py",
 )
-def x6_neardup_pairs(spark, sf_dir):
+def x6_neardup_pairs(spark, sf_dir, stamps=None):
     from photon_ml_spark.operators.dedup import (
         minhash_lsh_dedup,
         simhash_neardup_pairs,
@@ -346,16 +368,26 @@ def x6_neardup_pairs(spark, sf_dir):
     # one cached shingle-id relation feeds both the minhash and simhash
     # constituents (both shingle at n=2) — the vocabulary sort runs once
     sids = token_ids(docs, n=2).persist()
+    if stamps is not None:
+        # materialize the SHARED relation under its own stamp so its
+        # cost is attributed once, not smeared into the first block
+        import time as _time
+
+        t0 = _time.perf_counter()
+        sids.count()
+        stamps["token_ids_shared"] = round(_time.perf_counter() - t0, 3)
     lsh = minhash_lsh_dedup(docs, threshold=0.5, n=2, doc_sids=sids).select(
         F.lit("minhash_lsh").alias("variant"),
         "id_a", "id_b", F.col("jaccard").alias("stat"),
     )
+    lsh = _stamp(stamps, "minhash_lsh", lsh)
     sim = simhash_neardup_pairs(
         docs, max_hamming=3, n=2, doc_sids=sids
     ).select(
         F.lit("simhash").alias("variant"),
         "id_a", "id_b", F.col("hamming").cast("double").alias("stat"),
     )
+    sim = _stamp(stamps, "simhash", sim)
     emb = (
         _SPEC["x8_embedding_neardup"].run(spark, sf_dir)
         .select(
@@ -363,6 +395,7 @@ def x6_neardup_pairs(spark, sf_dir):
             "id_a", "id_b", F.col("cosine").alias("stat"),
         )
     )
+    emb = _stamp(stamps, "embedding", emb)
     # the signatures block (x5) shares the suite's cached shingle-id
     # relation — same dense full-corpus vocabulary as its oracle, one
     # vocabulary sort for all three shingle-based constituents
@@ -381,11 +414,33 @@ def x6_neardup_pairs(spark, sf_dir):
             F.col("doc_id").alias("id_a"), "id_b", "stat",
         )
     )
+    sigs = _stamp(stamps, "signatures", sigs)
     # round-5 blocks: the persisted-index flows reuse the suite's cached
     # full-corpus shingle-id relation (their sid_fn semi-joins it per
     # batch), so the vocabulary sort still runs exactly once
-    inc = _SPEC["x32_incremental_neardup"].run(spark, sf_dir, doc_sids=sids)
-    stream = _SPEC["x33_stream_neardup"].run(spark, sf_dir, doc_sids=sids)
+    # x32/x33 build their persisted on-disk indexes EAGERLY inside
+    # run() (that IS the flow under test — real index IO), so each
+    # gets a _build stamp for that phase plus the block stamp for the
+    # returned pair relation; without the _build stamps ~80% of the
+    # suite's wall time would be invisible in the constituents map.
+    def _timed_run(key, name):
+        if stamps is None:
+            return _SPEC[name].run(spark, sf_dir, doc_sids=sids)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        df = _SPEC[name].run(spark, sf_dir, doc_sids=sids)
+        stamps[key] = round(_time.perf_counter() - t0, 3)
+        return df
+
+    inc = _stamp(
+        stamps, "incremental",
+        _timed_run("incremental_build", "x32_incremental_neardup"),
+    )
+    stream = _stamp(
+        stamps, "streaming",
+        _timed_run("streaming_build", "x33_stream_neardup"),
+    )
     return (
         lsh.unionByName(sim).unionByName(emb).unionByName(sigs)
         .unionByName(inc).unionByName(stream)
@@ -415,11 +470,15 @@ _ANN_PARTS = [
     "query == brute force so the brute oracle pins it exactly — "
     "variant-tagged union; constituent notes in queries_pipeline.py",
 )
-def x9_ann_topk(spark, sf_dir):
+def x9_ann_topk(spark, sf_dir, stamps=None):
     parts = [
-        _SPEC[n].run(spark, sf_dir).select(
-            F.lit(_FOLDED[n][0]).alias("variant"),
-            "query_id", "vec_id", "cosine", "rank",
+        _stamp(
+            stamps,
+            _FOLDED[n][0],
+            _SPEC[n].run(spark, sf_dir).select(
+                F.lit(_FOLDED[n][0]).alias("variant"),
+                "query_id", "vec_id", "cosine", "rank",
+            ),
         )
         for n in _ANN_PARTS
     ]
@@ -541,16 +600,17 @@ def _melt_sql(name, key="doc_id") -> str:
     "(decode stages are the capability-gated Arrow mapInPandas paths, "
     "deterministic-fake mode for the oracle)",
 )
-def xm1_multimodal_suite(spark, sf_dir):
+def xm1_multimodal_suite(spark, sf_dir, stamps=None):
     parts = []
     for name in _XM_PARTS:
         variant, cols = _FOLDED[name]
         df = _SPEC[name].run(spark, sf_dir)
         pairs = ", ".join(f"'{c}', CAST({c} AS DOUBLE)" for c in cols)
-        parts.append(
+        melted = (
             df.selectExpr("doc_id", f"stack({len(cols)}, {pairs}) AS (k, v)")
             .select(F.lit(variant).alias("variant"), "doc_id", "k", "v")
         )
+        parts.append(_stamp(stamps, variant, melted))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
