@@ -147,6 +147,9 @@ def _scale(unit: np.ndarray, bounds: list[tuple[float, float, str]]) -> np.ndarr
         u = unit[:, j]
         if kind == "log":
             cols.append(np.exp(np.log(lo) + u * (np.log(hi) - np.log(lo))))
+        elif kind == "sqrt":
+            r = np.sqrt(lo) + u * (np.sqrt(hi) - np.sqrt(lo))
+            cols.append(r * r)
         elif kind == "discrete":
             cols.append(np.minimum(lo + np.floor(u * (hi - lo + 1.0)), hi))
         else:
@@ -588,6 +591,10 @@ def _unit_forward(
             out[j] = (math.log(x) - math.log(lo)) / (
                 math.log(hi) - math.log(lo)
             )
+        elif kind == "sqrt":
+            out[j] = (math.sqrt(x) - math.sqrt(lo)) / (
+                math.sqrt(hi) - math.sqrt(lo)
+            )
         elif kind == "discrete":
             out[j] = (x - lo) / (hi - lo + 1.0)
         else:
@@ -605,6 +612,9 @@ def _unit_backward(
         x = u[j]
         if kind == "log":
             out[j] = math.exp(math.log(lo) + x * (math.log(hi) - math.log(lo)))
+        elif kind == "sqrt":
+            r = math.sqrt(lo) + x * (math.sqrt(hi) - math.sqrt(lo))
+            out[j] = r * r
         elif kind == "discrete":
             out[j] = x * (hi - lo + 1.0) + lo
         else:
@@ -795,6 +805,94 @@ def _apply_prior_shrink(bounds: dict, prior: dict) -> dict:
     )
 
 
+#: GameHyperparameterDefaults parity (photon-client/.../hyperparameter/
+#: GameHyperparameterDefaults.scala): the reference's default prior
+#: fallbacks and tuning config for GAME training. The config's LOG
+#: variables carry min/max in log10 space (-3..3 == raw 1e-3..1e3).
+GAME_PRIOR_DEFAULT = {
+    "global_regularizer": "0.0",
+    "member_regularizer": "0.0",
+    "item_regularizer": "0.0",
+}
+
+GAME_CONFIG_DEFAULT = """
+{ "tuning_mode" : "BAYESIAN",
+  "variables" : {
+    "global_regularizer" : {
+      "type" : "FLOAT", "transform" : "LOG", "min" : -3, "max" : 3
+    },
+    "member_regularizer" : {
+      "type" : "FLOAT", "transform" : "LOG", "min" : -3, "max" : 3
+    },
+    "item_regularizer" : {
+      "type" : "FLOAT", "transform" : "LOG", "min" : -3, "max" : 3
+    }
+  }
+}
+"""
+
+
+def config_from_json(json_config: str) -> dict:
+    """Translate the reference's hyperparameter tuning config JSON —
+    HyperparameterSerialization.configFromJson parity (photon-lib/.../
+    HyperparameterSerialization.scala:82-135) — into a ``make_tuner``
+    spec, so a reference user's existing config file drives this
+    engine's tuner unchanged.
+
+    Reference semantics preserved exactly:
+
+    - ``tuning_mode``: BAYESIAN → gp spec, RANDOM → sobol spec, any
+      other value is NONE → raises (no tuning requested; callers
+      should omit the tuner instead)
+    - a variable's ``min``/``max`` are in TRANSFORMED space when a
+      ``transform`` is present (VectorRescaling.transformForward:
+      LOG = log10, SQRT = square root) — translated here to RAW-space
+      bounds with the matching sampling kind ('log' / 'sqrt'), which
+      sample uniformly in the transformed space;
+    - ``type: INT`` → the 'discrete' kind: max-min+1 integer values,
+      each owning an equal-width unit cell (the reference's +1 range
+      adjustment), snapped to integers;
+    - an unknown ``transform`` raises, matching the reference.
+    """
+    import json
+
+    cfg = json.loads(json_config)
+    if not isinstance(cfg, dict):
+        raise ValueError("hyperparameter config JSON must be an object")
+    mode = str(cfg.get("tuning_mode", "")).upper()
+    variables = cfg.get("variables")
+    if not isinstance(variables, dict) or not variables:
+        raise ValueError("hyperparameter config needs a 'variables' map")
+    bounds = {}
+    for name, var in variables.items():
+        if not isinstance(var, dict):
+            raise ValueError(f"variable {name!r} must be a map")
+        vtype = str(var.get("type", "FLOAT")).upper()
+        lo, hi = float(var["min"]), float(var["max"])
+        transform = var.get("transform")
+        if transform is not None:
+            t = str(transform).upper()
+            if t == "LOG":
+                lo, hi, kind = 10.0 ** lo, 10.0 ** hi, "log"
+            elif t == "SQRT":
+                lo, hi, kind = lo * lo, hi * hi, "sqrt"
+            else:
+                raise ValueError(f"unknown transform {transform!r} (LOG|SQRT)")
+        elif vtype == "INT":
+            kind = "discrete"
+        else:
+            kind = "linear"
+        bounds[name] = [lo, hi, kind]
+    if mode == "BAYESIAN":
+        return {"kind": "gp", "bounds": bounds}
+    if mode == "RANDOM":
+        return {"kind": "sobol", "bounds": bounds}
+    raise ValueError(
+        f"tuning_mode {cfg.get('tuning_mode')!r} requests no tuning "
+        "(NONE) - omit the tuner config instead"
+    )
+
+
 def make_tuner(spec: dict) -> HyperparameterTuner:
     """HyperparameterTunerFactory parity: build a tuner from a JSON-able
     spec — ``{"kind": "grid", "grid": {...}}``, ``{"kind": "sobol"|
@@ -805,8 +903,21 @@ def make_tuner(spec: dict) -> HyperparameterTuner:
     an optional ``"prior"`` block (see ``_apply_prior_shrink``) that
     warm-starts the search by shrinking the box around the best prior
     observation — the reference's production retraining flow
-    (ShrinkSearchRange + priorFromJson). Unknown kinds raise (the
-    factory's TUNER_NAME match)."""
+    (ShrinkSearchRange + priorFromJson). A spec carrying
+    ``tuning_mode`` is treated as the reference's OWN config-JSON shape
+    and translated via ``config_from_json`` first (an optional
+    ``prior`` block carries over), so an existing reference config file
+    can be dropped into ``cfg["tuner"]`` unchanged. Unknown kinds raise
+    (the factory's TUNER_NAME match)."""
+    if "tuning_mode" in spec:
+        # the reference's own config JSON shape (configFromJson) —
+        # translate, carrying over an optional prior block
+        import json as _json
+
+        translated = config_from_json(_json.dumps(spec))
+        if spec.get("prior"):
+            translated["prior"] = spec["prior"]
+        spec = translated
     kind = spec.get("kind", "grid").lower()
     allowed = {
         "grid": {"kind", "grid"},

@@ -451,3 +451,89 @@ def test_quasi_random_discrete_kind_snaps_to_integers():
     quasi_random_search(f, {"k": (1.0, 5.0, "discrete")}, n=40)
     assert all(v == int(v) and 1 <= v <= 5 for v in seen)
     assert len(set(seen)) == 5  # every cell reached
+
+
+def test_config_from_json_reference_format():
+    """configFromJson parity: the reference's config JSON (LOG min/max
+    in log10 space, INT → discrete, SQRT → sqrt kind) translates to a
+    make_tuner spec; the reference's shipped default config parses."""
+    import json
+
+    from photon_ml_spark.ml.hypersearch import (
+        GAME_CONFIG_DEFAULT,
+        GAME_PRIOR_DEFAULT,
+        config_from_json,
+        make_tuner,
+    )
+
+    spec = config_from_json(GAME_CONFIG_DEFAULT)
+    assert spec["kind"] == "gp"
+    assert set(spec["bounds"]) == set(GAME_PRIOR_DEFAULT)
+    lo, hi, kind = spec["bounds"]["global_regularizer"]
+    assert kind == "log"
+    assert np.isclose(lo, 1e-3) and np.isclose(hi, 1e3)
+
+    custom = {
+        "tuning_mode": "RANDOM",
+        "variables": {
+            "lam": {"type": "FLOAT", "transform": "LOG", "min": -2, "max": 2},
+            "depth": {"type": "INT", "min": 1, "max": 8},
+            "frac": {"type": "FLOAT", "transform": "SQRT",
+                     "min": 0.1, "max": 0.9},
+            "plain": {"type": "FLOAT", "min": 0.0, "max": 5.0},
+        },
+    }
+    spec2 = config_from_json(json.dumps(custom))
+    assert spec2["kind"] == "sobol"
+    assert spec2["bounds"]["depth"] == [1.0, 8.0, "discrete"]
+    assert spec2["bounds"]["plain"] == [0.0, 5.0, "linear"]
+    flo, fhi, fkind = spec2["bounds"]["frac"]
+    assert fkind == "sqrt"
+    assert np.isclose(flo, 0.01) and np.isclose(fhi, 0.81)
+
+    # make_tuner accepts the reference format DIRECTLY
+    t = make_tuner(custom)
+    from photon_ml_spark.ml.hypersearch import QuasiRandomTuner
+
+    assert isinstance(t, QuasiRandomTuner)
+    assert t.bounds["depth"] == (1.0, 8.0, "discrete")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown transform"):
+        config_from_json(json.dumps({
+            "tuning_mode": "RANDOM",
+            "variables": {"x": {"type": "FLOAT", "transform": "EXP",
+                                "min": 0, "max": 1}},
+        }))
+    with _pytest.raises(ValueError, match="no tuning"):
+        config_from_json(json.dumps({
+            "tuning_mode": "NONE",
+            "variables": {"x": {"type": "FLOAT", "min": 0, "max": 1}},
+        }))
+
+
+def test_sqrt_kind_roundtrip_and_sampling():
+    from photon_ml_spark.ml.hypersearch import (
+        _scale,
+        _unit_backward,
+        _unit_forward,
+        quasi_random_search,
+    )
+
+    bounds = [(0.01, 0.81, "sqrt")]
+    u = _unit_forward(np.array([0.25]), bounds)
+    # sqrt space: (0.5 - 0.1) / (0.9 - 0.1) = 0.5
+    assert np.isclose(u[0], 0.5)
+    assert np.isclose(_unit_backward(u, bounds)[0], 0.25)
+    pts = _scale(np.linspace(0, 1, 11).reshape(-1, 1), bounds)
+    assert pts.min() >= 0.01 - 1e-12 and pts.max() <= 0.81 + 1e-12
+    # uniform in sqrt space: midpoint maps to 0.25, not 0.41
+    assert np.isclose(pts[5, 0], 0.25)
+
+    seen = []
+    quasi_random_search(
+        lambda p: seen.append(p["f"]) or 0.0,
+        {"f": (0.01, 0.81, "sqrt")}, n=16,
+    )
+    assert all(0.01 - 1e-12 <= v <= 0.81 + 1e-12 for v in seen)
