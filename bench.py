@@ -66,23 +66,26 @@ def run_flagship(spark, sf_dir: str) -> int:
     return n
 
 
-def run_curate(spark, sf_dir: str) -> None:
+def run_curate(spark, sf_dir: str) -> dict:
     """The composed curate CLI end-to-end (quality → exact dedup →
     near-dedup → leakage-safe split → chunk + data cards) over the
     documents table — regressions in the COMPOSITION (stage wiring,
     cache discipline), not just the constituent operators, show up
     here. The CLI's own JSON report line is captured so bench still
-    prints exactly one line."""
+    prints exactly one line; its per-stage `timings` map is returned
+    and re-published under the bench `constituents` key."""
     import contextlib
     import io
+    import json as _json
     import shutil
     import tempfile
 
     from photon_ml_spark.cli import curate
 
     out = tempfile.mkdtemp(prefix="bench_curate_")
+    buf = io.StringIO()
     try:
-        with contextlib.redirect_stdout(io.StringIO()):
+        with contextlib.redirect_stdout(buf):
             curate(
                 {
                     "input": f"{sf_dir}/documents.parquet",
@@ -98,6 +101,12 @@ def run_curate(spark, sf_dir: str) -> None:
             )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+    try:
+        return _json.loads(buf.getvalue().strip().splitlines()[-1]).get(
+            "timings", {}
+        )
+    except (ValueError, IndexError):
+        return {}
 
 
 def run_train_game(spark, sf_dir: str) -> None:
@@ -218,15 +227,17 @@ def main() -> None:
     run_flagship(spark, sf_dir)
     timings["flagship_game_pipeline"] = round(time.perf_counter() - t0, 3)
 
+    constituents: dict[str, dict[str, float]] = {}
+
     t0 = time.perf_counter()
-    run_curate(spark, sf_dir)
+    curate_stages = run_curate(spark, sf_dir)
     timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
+    if curate_stages:
+        constituents["curate_pipeline"] = curate_stages
 
     t0 = time.perf_counter()
     run_train_game(spark, sf_dir)
     timings["train_game_cd_loop"] = round(time.perf_counter() - t0, 3)
-
-    constituents: dict[str, dict[str, float]] = {}
     for name in BENCH_QUERIES:
         spec = registry.get(name)
         if spec is None:
