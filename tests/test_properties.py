@@ -187,3 +187,91 @@ def test_wav_decode_matches_numpy_rms(nch, width, rate, samples16):
     assert got_rate == rate
     assert got_n == frames // nch
     assert abs(got_rms - float(np.sqrt((mono * mono).mean()))) < 1e-12
+
+
+# ------------------------------------------ hyperparameter rescaling
+
+
+@st.composite
+def bounds_and_point(draw):
+    kinds = draw(
+        st.lists(
+            st.sampled_from(["linear", "log", "sqrt", "discrete"]),
+            min_size=1, max_size=5,
+        )
+    )
+    bounds, raw = [], []
+    for k in kinds:
+        if k == "log":
+            lo = draw(st.floats(1e-6, 1e3))
+            hi = lo * draw(st.floats(1.5, 1e6))
+        elif k == "sqrt":
+            lo = draw(st.floats(0.0, 10.0))
+            hi = lo + draw(st.floats(0.5, 100.0))
+        elif k == "discrete":
+            lo = float(draw(st.integers(-20, 20)))
+            hi = lo + float(draw(st.integers(1, 40)))
+        else:
+            lo = draw(st.floats(-1e3, 1e3))
+            hi = lo + draw(st.floats(0.5, 1e3))
+        bounds.append((lo, hi, k))
+        if k == "discrete":
+            raw.append(float(draw(st.integers(int(lo), int(hi)))))
+        else:
+            frac = draw(st.floats(0.0, 1.0))
+            raw.append(lo + frac * (hi - lo))
+    return bounds, np.array(raw)
+
+
+@given(bounds_and_point())
+@settings(max_examples=60, deadline=None)
+def test_unit_rescaling_roundtrip_all_kinds(case):
+    """_unit_backward inverts _unit_forward for every sampling kind
+    (VectorRescaling scaleForward/scaleBackward + transform pair), and
+    the unit image stays in [0, 1] — discrete points land strictly
+    inside their equal-width cell."""
+    from photon_ml_spark.ml.hypersearch import _unit_backward, _unit_forward
+
+    bounds, raw = case
+    u = _unit_forward(raw, bounds)
+    assert np.all(u >= -1e-12) and np.all(u <= 1.0 + 1e-12)
+    back = _unit_backward(u, bounds)
+    assert np.allclose(back, raw, rtol=1e-9, atol=1e-9)
+    # discrete dims sit below 1: value v occupies cell
+    # [(v-lo)/n, (v-lo+1)/n) of n = hi-lo+1 cells
+    for j, (lo, hi, kind) in enumerate(bounds):
+        if kind == "discrete":
+            assert u[j] < 1.0
+
+
+@given(bounds_and_point(), st.floats(0.05, 0.5), st.integers(0, 99))
+@settings(max_examples=30, deadline=None)
+def test_shrink_box_always_inside_original_bounds(case, radius, seed):
+    """shrink_search_range returns a non-empty box clipped inside the
+    original bounds for ANY prior placement, radius, and seed — kinds
+    preserved (ShrinkSearchRange.getBounds min/max clamp)."""
+    import json
+
+    from photon_ml_spark.ml.hypersearch import shrink_search_range
+
+    bounds_list, raw = case
+    names = [f"p{j}" for j in range(len(bounds_list))]
+    bounds = dict(zip(names, bounds_list))
+    records = [
+        dict(zip(names, map(float, raw)), evaluationValue=1.0),
+        dict(
+            zip(names, (lo for lo, _, _ in bounds_list)),
+            evaluationValue=0.0,
+        ),
+    ]
+    shrunk = shrink_search_range(
+        bounds, json.dumps({"records": records}),
+        radius=radius, seed=seed, candidate_pool_size=64,
+    )
+    assert set(shrunk) == set(bounds)
+    for nm in names:
+        lo0, hi0, kind0 = bounds[nm]
+        lo, hi, kind = shrunk[nm]
+        assert kind == kind0
+        assert lo0 - 1e-9 <= lo <= hi <= hi0 + 1e-9
+        assert hi >= lo  # non-empty
