@@ -92,6 +92,11 @@ _CFG_KEYS = {
         "coordinates", "family", "n_iterations", "validation_input",
         "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
         "per_group_evaluation", "sparsity_threshold", "event_log",
+        "dictionary_input",
+    }),
+    "index": frozenset({
+        "input", "input_format", "feature_bags", "output_dir",
+        "has_intercept", "selected_features",
     }),
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
@@ -224,7 +229,17 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
 
     emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
-    assembled, dictionary, dim = _assembled(spark, cfg)
+    dict_in = None
+    if cfg.get("dictionary_input"):
+        # reuse an offline-built dictionary (the `index` driver's
+        # output — FeatureIndexingDriver's consume side): training
+        # skips the distinct+ordinal job entirely and every run shares
+        # ONE frozen feature space (the precondition for warm starts
+        # and incremental priors to be meaningful across runs)
+        dict_in = spark.read.parquet(
+            f"{cfg['dictionary_input']}/feature-dictionary"
+        ).cache()
+    assembled, dictionary, dim = _assembled(spark, cfg, dictionary=dict_in)
     shard = cfg.get("shard", "features")
 
     def _bounds(c):
@@ -500,6 +515,49 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
         )
         report["group_evaluation"] = f"{out}/group-evaluation"
     print(json.dumps(report))
+
+
+def index(cfg: dict, spark: SparkSession) -> None:
+    """Offline feature-indexing job — the reference's standalone
+    FeatureIndexingDriver (photon-client/.../index/
+    FeatureIndexingDriver.scala:218-291: distinct feature keys →
+    contiguous ids → persisted per-shard stores; its PalDB off-heap
+    requirement above ~200k features, :41-42, disappears because the
+    dictionary stays a distributed parquet relation end to end).
+
+    Config: ``input`` (+ optional ``input_format``), ``feature_bags``,
+    ``output_dir``; optional ``has_intercept`` (default true) and
+    ``selected_features`` — a parquet path whose ``feature_key`` column
+    allowlists the dictionary (GLMSuite.getSelectedFeatureSetFromFile
+    flow, applied as a semi-join). Output layout matches what ``train``
+    persists beside a model (``{output_dir}/feature-dictionary``), so
+    ``train`` consumes it via ``dictionary_input``."""
+    from photon_ml_spark.sources import featurize
+    from photon_ml_spark.sources.avro_io import read_training_examples
+
+    _validate_cfg_keys(cfg, "index")
+    fmt = cfg.get("input_format", "parquet")
+    if fmt == "avro":
+        df = read_training_examples(spark, cfg["input"])
+    else:
+        df = spark.read.parquet(cfg["input"])
+    selected = None
+    if cfg.get("selected_features"):
+        selected = spark.read.parquet(cfg["selected_features"])
+    dictionary = featurize.build_feature_dictionary(
+        df,
+        cfg.get("feature_bags", ["features"]),
+        has_intercept=bool(cfg.get("has_intercept", True)),
+        selected_features=selected,
+    )
+    out = cfg["output_dir"]
+    dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+    n = spark.read.parquet(f"{out}/feature-dictionary").count()
+    print(
+        json.dumps(
+            {"status": "indexed", "n_features": n, "output_dir": out}
+        )
+    )
 
 
 def score(cfg: dict, spark: SparkSession) -> None:
@@ -997,7 +1055,8 @@ def main(argv: list[str] | None = None) -> None:
 
     ap = argparse.ArgumentParser(prog="photon_ml_spark")
     ap.add_argument(
-        "command", choices=["train", "score", "curate", "curate-stream"]
+        "command",
+        choices=["index", "train", "score", "curate", "curate-stream"],
     )
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
@@ -1005,6 +1064,7 @@ def main(argv: list[str] | None = None) -> None:
         cfg = json.load(f)
     spark = get_spark(app_name=f"photon-ml-spark-{args.command}")
     {
+        "index": index,
         "train": train,
         "score": score,
         "curate": curate,

@@ -636,3 +636,90 @@ def test_cli_unknown_config_keys_fail_fast(spark, tmp_path):
                               "reg_params": 1.0}]},
             spark,
         )
+
+
+def test_index_then_train_with_dictionary_input(spark, tmp_path, capsys):
+    """The offline feature-indexing driver (FeatureIndexingDriver
+    parity) builds a reusable dictionary; train consumes it via
+    dictionary_input (skipping its own dictionary job and freezing the
+    feature space), and the model scores end to end. The
+    selected_features allowlist narrows the dictionary to the listed
+    keys (+ intercept)."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "idx_in.parquet")
+    training.write.parquet(inp)
+
+    idx_out = str(tmp_path / "index_out")
+    cli.index(
+        {"input": inp, "feature_bags": ["features"], "output_dir": idx_out},
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "indexed"
+    d = spark.read.parquet(f"{idx_out}/feature-dictionary")
+    assert rep["n_features"] == d.count() > 1
+    # dense contiguous ids, intercept last
+    rows = sorted(
+        d.collect(), key=lambda r: r.feature_index
+    )
+    assert [r.feature_index for r in rows] == list(range(len(rows)))
+    assert rows[-1].feature_key == "(INTERCEPT)"
+
+    model_out = str(tmp_path / "idx_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": model_out,
+            "dictionary_input": idx_out,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "trained"
+    # the persisted model dictionary IS the offline one (same keys/ids)
+    saved = spark.read.parquet(f"{model_out}/feature-dictionary")
+    assert sorted(map(tuple, saved.collect())) == sorted(
+        map(tuple, d.collect())
+    )
+    score_out = str(tmp_path / "idx_scores")
+    cli.score(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "model_dir": model_out,
+            "output_dir": score_out,
+        },
+        spark,
+    )
+    assert spark.read.parquet(score_out).count() == training.count()
+
+    # selected-features allowlist: only the listed keys (+ intercept)
+    allow = str(tmp_path / "allow.parquet")
+    d.filter("feature_key LIKE '%qty%'").select("feature_key").write.parquet(allow)
+    idx2 = str(tmp_path / "index_narrow")
+    cli.index(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "output_dir": idx2,
+            "selected_features": allow,
+        },
+        spark,
+    )
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["n_features"] == 2  # the one qty key + intercept
+
+    # fail-fast on a typo'd key, same as every other driver
+    with pytest.raises(ValueError, match="unknown key"):
+        cli.index(
+            {"input": inp, "output_dirs": idx_out}, spark
+        )
