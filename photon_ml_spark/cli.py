@@ -100,7 +100,7 @@ _CFG_KEYS = {
     }),
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
-        "output_dir", "output_files_limit",
+        "output_dir", "output_files_limit", "evaluators",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -560,6 +560,93 @@ def index(cfg: dict, spark: SparkSession) -> None:
     )
 
 
+def _evaluate_scores(scored, evaluators: list) -> dict:
+    """Scoring-time evaluation — the reference scoring driver's
+    ``evaluators`` param (GameScoringDriver.scala:180 →
+    GameTransformer.scala:187-190: each requested EvaluatorType is
+    computed over the scored data and reported). Accepts the
+    reference's evaluator names, case-insensitive (EvaluatorType.
+    scala:59-65 + MultiEvaluatorType id-tag grammar):
+
+    - scalar: ``AUC``, ``AUPR``, ``RMSE``, ``MAE``, ``LOGISTIC_LOSS``,
+      ``POISSON_LOSS``, ``SQUARED_LOSS``, ``SMOOTHED_HINGE_LOSS``
+    - grouped: ``AUC:<group_col>`` (mean per-group AUC) and
+      ``PRECISION@<k>:<group_col>`` (mean per-group precision@k)
+
+    Metrics are computed on the OFFSET-INCLUSIVE margin against the
+    ``response`` column; an unknown name or a label-less frame raises
+    (fail fast, never a silently empty evaluation)."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.functions import metrics
+
+    if "response" not in scored.columns:
+        raise ValueError(
+            "evaluators need a 'response' label column on the scoring "
+            "input — score without evaluators, or add labels"
+        )
+    off = (
+        F.coalesce(F.col("offset"), F.lit(0.0))
+        if "offset" in scored.columns
+        else F.lit(0.0)
+    )
+    sdf = scored.withColumn("__eval_margin", F.col("score") + off)
+    m, lbl = "__eval_margin", "response"
+    loss_kinds = {
+        "LOGISTIC_LOSS": "logistic",
+        "POISSON_LOSS": "poisson",
+        "SQUARED_LOSS": "squared",
+        "SMOOTHED_HINGE_LOSS": "smoothed_hinge",
+    }
+    out = {}
+    for ev in evaluators:
+        name = str(ev).strip().upper()
+        if name == "AUC":
+            v = metrics.auroc(sdf, score=m, label=lbl).first().auroc
+        elif name == "AUPR":
+            v = metrics.aupr(sdf, score=m, label=lbl).first().aupr
+        elif name == "RMSE":
+            v = metrics.weighted_rmse(sdf, score=m, label=lbl).first().rmse
+        elif name == "MAE":
+            v = metrics.weighted_mae(sdf, score=m, label=lbl).first().mae
+        elif name in loss_kinds:
+            kind = loss_kinds[name]
+            v = metrics.loss_metric(sdf, kind, margin=m, label=lbl).first()[
+                f"{kind}_loss"
+            ]
+        elif name.startswith("AUC:"):
+            group = str(ev).split(":", 1)[1].strip()
+            per = metrics.auroc_per_group(sdf, group, score=m, label=lbl)
+            v = metrics.multi_metric_mean(per, "auc").first()[0]
+        elif name.startswith("PRECISION@"):
+            head, _, group = name.partition(":")
+            if not group:
+                raise ValueError(
+                    f"evaluator {ev!r} needs a group col: PRECISION@k:<col>"
+                )
+            k = int(head.split("@", 1)[1])
+            group = str(ev).split(":", 1)[1].strip()
+            per = metrics.precision_at_k_per_group(
+                sdf, k, group, score=m, label=lbl
+            )
+            v = metrics.multi_metric_mean(
+                per, "precision_at_k"
+            ).first()[0]
+        else:
+            raise ValueError(
+                f"unknown evaluator {ev!r} (AUC, AUPR, RMSE, MAE, "
+                "LOGISTIC_LOSS, POISSON_LOSS, SQUARED_LOSS, "
+                "SMOOTHED_HINGE_LOSS, AUC:<group>, PRECISION@k:<group>)"
+            )
+        if v is None:
+            raise ValueError(
+                f"evaluator {ev!r} is undefined on this data (single "
+                "response class or empty frame)"
+            )
+        out[str(ev)] = round(float(v), 6)
+    return out
+
+
 def score(cfg: dict, spark: SparkSession) -> None:
     from photon_ml_spark.estimator import GameTransformer
     from photon_ml_spark.sources.model_io import load_game_model, save_scores
@@ -573,7 +660,10 @@ def score(cfg: dict, spark: SparkSession) -> None:
         scored, cfg["output_dir"],
         output_files_limit=cfg.get("output_files_limit"),
     )
-    print(json.dumps({"status": "scored", "output_dir": cfg["output_dir"]}))
+    report = {"status": "scored", "output_dir": cfg["output_dir"]}
+    if cfg.get("evaluators"):
+        report["evaluation"] = _evaluate_scores(scored, cfg["evaluators"])
+    print(json.dumps(report))
 
 
 

@@ -723,3 +723,65 @@ def test_index_then_train_with_dictionary_input(spark, tmp_path, capsys):
         cli.index(
             {"input": inp, "output_dirs": idx_out}, spark
         )
+
+
+def test_score_with_evaluators(spark, tmp_path, capsys):
+    """The score driver's `evaluators` config computes the requested
+    reference-named metrics on the scored data (offset-inclusive
+    margin vs response) and reports them — GameScoringDriver's
+    validationEvaluators flow. Unknown names and label-less inputs
+    fail fast."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "ev_in.parquet")
+    training.write.parquet(inp)
+    model_out = str(tmp_path / "ev_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": model_out,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    score_out = str(tmp_path / "ev_scores")
+    cli.score(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "model_dir": model_out,
+            "output_dir": score_out,
+            "evaluators": [
+                "AUC", "aupr", "RMSE", "LOGISTIC_LOSS",
+                "PRECISION@5:suppkey" if "suppkey" in training.columns
+                else "AUC",
+            ],
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ev = rep["evaluation"]
+    assert 0.0 <= ev["AUC"] <= 1.0
+    assert 0.0 <= ev["aupr"] <= 1.0
+    assert ev["RMSE"] > 0.0
+    assert ev["LOGISTIC_LOSS"] > 0.0
+
+    with pytest.raises(ValueError, match="unknown evaluator"):
+        cli.score(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "model_dir": model_out,
+                "output_dir": str(tmp_path / "ev2"),
+                "evaluators": ["NDCG"],
+            },
+            spark,
+        )
