@@ -92,7 +92,7 @@ _CFG_KEYS = {
         "coordinates", "family", "n_iterations", "validation_input",
         "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
         "per_group_evaluation", "sparsity_threshold", "event_log",
-        "dictionary_input",
+        "dictionary_input", "data_validation",
     }),
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
@@ -101,6 +101,7 @@ _CFG_KEYS = {
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
         "output_dir", "output_files_limit", "evaluators",
+        "data_validation",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -240,6 +241,24 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             f"{cfg['dictionary_input']}/feature-dictionary"
         ).cache()
     assembled, dictionary, dim = _assembled(spark, cfg, dictionary=dict_in)
+    dv_mode = cfg.get("data_validation", "disabled")
+    if dv_mode != "disabled":
+        # GameTrainingDriver's dataValidation hook (default
+        # VALIDATE_DISABLED, GameTrainingDriver.scala:223): per-task
+        # checks over the assembled frame in full or seeded-sample mode
+        from photon_ml_spark.operators.validation import (
+            standard_training_checks,
+            validate_or_raise,
+        )
+
+        validate_or_raise(
+            assembled,
+            standard_training_checks(
+                task=cfg.get("family", "binomial"),
+                features_col=f"{cfg.get('shard', 'features')}_values",
+            ),
+            mode=dv_mode,
+        )
     shard = cfg.get("shard", "features")
 
     def _bounds(c):
@@ -654,6 +673,23 @@ def score(cfg: dict, spark: SparkSession) -> None:
     _validate_cfg_keys(cfg, "score")
     dictionary = spark.read.parquet(f"{cfg['model_dir']}/feature-dictionary").cache()
     assembled, _, _ = _assembled(spark, cfg, dictionary=dictionary)
+    dv_mode = cfg.get("data_validation", "disabled")
+    if dv_mode != "disabled":
+        # sanityCheckDataFrameForScoring with no task type — the
+        # label-free base validators (default VALIDATE_DISABLED,
+        # GameScoringDriver.scala:103)
+        from photon_ml_spark.operators.validation import (
+            standard_scoring_checks,
+            validate_or_raise,
+        )
+
+        validate_or_raise(
+            assembled,
+            standard_scoring_checks(
+                features_col=f"{cfg.get('shard', 'features')}_values"
+            ),
+            mode=dv_mode,
+        )
     model = load_game_model(cfg["model_dir"], spark)
     scored = GameTransformer(model=model).transform(assembled)
     save_scores(

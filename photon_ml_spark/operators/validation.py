@@ -67,6 +67,28 @@ def standard_training_checks(
     return checks
 
 
+def standard_scoring_checks(
+    weight_col: str = "weight",
+    offset_col: str = "offset",
+    features_col: str | None = "features_values",
+) -> dict[str, Column]:
+    """The reference's label-free base validator set — scoring inputs
+    carry no response (dataFrameBaseValidators, DataValidators.scala:
+    47-52: finite features, finite offset, positive weight). Used by
+    the scoring driver's data_validation modes
+    (sanityCheckDataFrameForScoring with no task type,
+    DataValidators.scala:369-399)."""
+    checks = {
+        "n_nonfinite_offset": ~is_finite(F.col(offset_col)),
+        "n_nonpositive_weight": ~(F.col(weight_col) > 0),
+    }
+    if features_col is not None:
+        checks["n_nonfinite_features"] = F.col(features_col).isNull() | F.exists(
+            F.col(features_col), lambda v: ~is_finite(v)
+        )
+    return checks
+
+
 def validate_or_raise(
     df: DataFrame,
     checks: dict[str, Column],

@@ -785,3 +785,50 @@ def test_score_with_evaluators(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_data_validation_modes_in_train_and_score(spark, tmp_path, capsys):
+    """data_validation config (reference dataValidation param, default
+    VALIDATE_DISABLED) runs the per-task checks in train and the
+    label-free base checks in score; 'full' mode rejects an input with
+    a non-positive weight, 'disabled' lets it through."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    # zero weight: rejected by the reference's validWeight check
+    # (weight > 0) but tolerated by spark.ml GLR, so 'disabled' can
+    # genuinely train through the same input
+    bad = training.withColumn(
+        "weight", F.when(F.col("uid") % 50 == 0, 0.0).otherwise(F.col("weight"))
+    )
+    inp = str(tmp_path / "dv_in.parquet")
+    bad.write.parquet(inp)
+
+    base = {
+        "input": inp,
+        "feature_bags": ["features"],
+        "coordinates": [{"name": "global", "kind": "fixed"}],
+        "family": "binomial",
+        "n_iterations": 1,
+        "output_dir": str(tmp_path / "dv_model"),
+    }
+    with pytest.raises(ValueError, match="data validation failed"):
+        cli.train({**base, "data_validation": "full"}, spark)
+    # disabled (the default) trains through
+    cli.train(base, spark)
+    capsys.readouterr()
+
+    with pytest.raises(ValueError, match="data validation failed"):
+        cli.score(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "model_dir": str(tmp_path / "dv_model"),
+                "output_dir": str(tmp_path / "dv_scores"),
+                "data_validation": "full",
+            },
+            spark,
+        )
