@@ -101,7 +101,7 @@ _CFG_KEYS = {
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
         "output_dir", "output_files_limit", "evaluators",
-        "data_validation",
+        "data_validation", "model_id",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -695,6 +695,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
     save_scores(
         scored, cfg["output_dir"],
         output_files_limit=cfg.get("output_files_limit"),
+        model_id=cfg.get("model_id"),
     )
     report = {"status": "scored", "output_dir": cfg["output_dir"]}
     if cfg.get("evaluators"):

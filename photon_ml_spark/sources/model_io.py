@@ -142,10 +142,17 @@ def load_game_model(path: str, spark: SparkSession) -> GameModel:
 
 
 def save_scores(
-    scored: DataFrame, path: str, output_files_limit: int | None = None
+    scored: DataFrame,
+    path: str,
+    output_files_limit: int | None = None,
+    model_id: str | None = None,
 ) -> None:
     """S8 scored-output sink (GameScoringDriver.scala:229-256):
-    optional coalesce to bound output file count (T6)."""
+    optional coalesce to bound output file count (T6); ``model_id``
+    tags every row (the driver's modelId param, :56 — scores from
+    several models can share one downstream table)."""
+    if model_id is not None:
+        scored = scored.withColumn("model_id", F.lit(model_id))
     out = scored.coalesce(output_files_limit) if output_files_limit else scored
     out.write.mode("overwrite").parquet(path)
 

@@ -117,3 +117,18 @@ def test_legacy_glm_text_round_trip(spark, trained, tmp_path):
         for r in back.filter(F.col("reg_weight") == 10.0).collect()
     }
     assert len(keys) == dim
+
+
+def test_save_scores_model_id_tag(spark, tmp_path):
+    """model_id tags every scored row (GameScoringDriver modelId)."""
+    from photon_ml_spark.sources.model_io import save_scores
+
+    df = spark.range(10).selectExpr("id AS uid", "CAST(id AS DOUBLE) AS score")
+    out = str(tmp_path / "scores")
+    save_scores(df, out, model_id="m-2026-08-15")
+    back = spark.read.parquet(out)
+    assert back.filter("model_id = 'm-2026-08-15'").count() == 10
+    # untagged path keeps the slim schema
+    out2 = str(tmp_path / "scores2")
+    save_scores(df, out2)
+    assert "model_id" not in spark.read.parquet(out2).columns
