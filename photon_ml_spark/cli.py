@@ -92,7 +92,8 @@ _CFG_KEYS = {
         "coordinates", "family", "n_iterations", "validation_input",
         "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
         "per_group_evaluation", "sparsity_threshold", "event_log",
-        "dictionary_input", "data_validation",
+        "dictionary_input", "data_validation", "normalization",
+        "variance_computation",
     }),
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
@@ -261,6 +262,30 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
         )
     shard = cfg.get("shard", "features")
 
+    norm_kind = str(cfg.get("normalization", "none")).lower()
+    norm_table = None
+    if norm_kind != "none":
+        # GameTrainingDriver's normalization param (NormalizationType,
+        # factors from the feature summaries, GameTrainingDriver.scala:
+        # 590-656): training runs on factor-scaled SPARSE pairs (the
+        # shift folds into the intercept — see
+        # normalization.apply_sparse_normalization), and the final
+        # model is mapped back to original space before persisting.
+        from photon_ml_spark.ml.normalization import (
+            apply_sparse_normalization,
+            sparse_normalization_table,
+        )
+
+        norm_table = sparse_normalization_table(
+            assembled,
+            f"{shard}_indices",
+            f"{shard}_values",
+            kind=norm_kind,
+        ).cache()
+        assembled = apply_sparse_normalization(
+            assembled, norm_table, f"{shard}_indices", f"{shard}_values"
+        )
+
     def _bounds(c):
         # reference parity (GLMSuite.createConstraintFeatureMap): a
         # JSON constraint list on a fixed coordinate resolves against
@@ -297,6 +322,31 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     family = cfg.get("family", "binomial")
     assembled = assembled.cache()
 
+    def _backmapped_model(model):
+        """Original-space COPY of a transformed-space GameModel (never
+        mutates — the sweep's candidate saves and the final save must
+        not double-transform the selected model)."""
+        if norm_table is None:
+            return model
+        from photon_ml_spark.ml.coordinate_descent import GameModel
+        from photon_ml_spark.ml.normalization import (
+            backmap_fixed_model,
+            backmap_random_effects,
+        )
+
+        norm_rows = norm_table.collect()  # O(dim), like the model itself
+        out_model = GameModel(family=model.family)
+        out_model.configs = dict(model.configs)
+        for name, c in model.configs.items():
+            m = model.coordinates[name]
+            out_model.coordinates[name] = (
+                backmap_fixed_model(m, norm_rows)
+                if c.kind == "fixed"
+                else backmap_random_effects(m, norm_table)
+            )
+        return out_model
+
+
     def fit_with(overrides: dict):
         cs = [
             replace(c, reg_param=float(overrides.get(c.name, c.reg_param)))
@@ -321,6 +371,14 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             {**cfg, "input": cfg["validation_input"]},
             dictionary=dictionary,
         )
+        if norm_table is not None:
+            # the TRAINING factors transform the held-out frame too —
+            # refitting contexts on validation data would evaluate a
+            # different model than the one being selected
+            validation_frame = apply_sparse_normalization(
+                validation_frame, norm_table,
+                f"{shard}_indices", f"{shard}_values",
+            )
         validation_frame = validation_frame.cache()
 
     def _eval_scored(fitted, frame):
@@ -475,7 +533,8 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
                 best = (m, i, overrides, fitted)
             if output_mode == "all":
                 save_game_model(
-                    fitted.model, f"{out}/models/{i}", spark,
+                    _backmapped_model(fitted.model), f"{out}/models/{i}",
+                    spark,
                     sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
                     dictionary=dictionary,
                 )
@@ -492,13 +551,70 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     else:
         fitted = fit_with({})
         report["updates"] = len(fitted.history)
-    if output_mode != "none":
-        save_game_model(
-            fitted.model, out, spark,
-            sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
-            dictionary=dictionary,
+    vc = str(cfg.get("variance_computation", "none")).lower()
+    variance_tables = {}
+    if vc not in ("none", "simple", "full"):
+        raise ValueError(
+            f"variance_computation must be none|simple|full, got {vc!r}"
         )
-        dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+    if vc != "none":
+        # varianceComputationType (GameTrainingDriver; M10/A3):
+        # coefficient variances of each FIXED coordinate at the CD
+        # optimum — the coordinate's local problem sees the full summed
+        # margin as offset, so the full offset-inclusive margin is its
+        # exact curvature point. Computed in the (possibly normalized)
+        # training space, then scaled back by factor² — exact for the
+        # shift-free kinds; under standardization the intercept slot
+        # keeps its transformed-space variance (the shift adjustment's
+        # cross-covariances are not tracked, same simplification the
+        # per-slot SIMPLE path makes by ignoring off-diagonals).
+        from photon_ml_spark.ml.variance import (
+            simple_variance,
+            sparse_full_hessian_variance,
+            sparse_hessian_diagonal,
+        )
+
+        scored_tr = _eval_scored(fitted, assembled)
+        for name, c in fitted.model.configs.items():
+            if c.kind != "fixed":
+                continue
+            if vc == "simple":
+                hd = sparse_hessian_diagonal(
+                    scored_tr,
+                    f"{shard}_indices",
+                    f"{shard}_values",
+                    margin_col="__eval_margin",
+                    weight_col="weight",
+                    family=family,
+                    l2=c.reg_param,
+                    dim=dim,
+                )
+                vt = simple_variance(hd).select("feature_index", "variance")
+            else:
+                rows = sparse_full_hessian_variance(
+                    scored_tr,
+                    dim,
+                    f"{shard}_indices",
+                    f"{shard}_values",
+                    margin_col="__eval_margin",
+                    weight_col="weight",
+                    family=family,
+                    l2=c.reg_param,
+                )
+                vt = spark.createDataFrame(
+                    rows, "feature_index long, variance double"
+                )
+            if norm_table is not None:
+                vt = vt.join(
+                    F.broadcast(norm_table), "feature_index", "left"
+                ).select(
+                    "feature_index",
+                    (
+                        F.col("variance")
+                        * F.pow(F.coalesce(F.col("factor"), F.lit(1.0)), 2)
+                    ).alias("variance"),
+                )
+            variance_tables[name] = vt
     pge = cfg.get("per_group_evaluation")
     if pge:
         # savePerGroupEvaluationResult parity (GameTrainingDriver
@@ -533,6 +649,23 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             f"{out}/group-evaluation"
         )
         report["group_evaluation"] = f"{out}/group-evaluation"
+    if output_mode != "none":
+        # back to original space BEFORE persisting: the saved model
+        # scores RAW data (NormalizationContext.scala:77-94 algebra) —
+        # β_j = β'_j·factor_j, intercept absorbs the shifts; per-entity
+        # tables are backmapped as a distributed transform
+        save_game_model(
+            _backmapped_model(fitted.model), out, spark,
+            sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
+            dictionary=dictionary,
+        )
+        dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+        for name, vt in variance_tables.items():
+            vt.join(F.broadcast(dictionary), "feature_index", "left").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/fixed-effect/{name}/variances")
+        if variance_tables:
+            report["variances"] = sorted(variance_tables)
     print(json.dumps(report))
 
 

@@ -84,3 +84,127 @@ def simple_variance(hessian_diag_table: DataFrame) -> DataFrame:
     return hessian_diag_table.withColumn(
         "variance", F.lit(1.0) / F.col("hessian_diag")
     )
+
+
+def sparse_hessian_diagonal(
+    df: DataFrame,
+    indices_col: str = "features_indices",
+    values_col: str = "features_values",
+    margin_col: str = "score",
+    weight_col: str | None = "weight",
+    family: str = "binomial",
+    l2: float = 0.0,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hessian diagonal over the engine's sparse-pair layout →
+    (feature_index, hessian_diag); the intercept slot (H = Σ w·μ′)
+    lands at ``feature_index = dim - 1`` when ``dim`` is given (the
+    dictionary's intercept convention) or -1 otherwise. Zeros
+    contribute nothing to off-intercept entries, so the exploded
+    nonzeros are exact. One aggregation pass, JVM-side."""
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    d = _dmu(F.col(margin_col), family)
+    base = df.select((w * d).alias("__wd"), indices_col, values_col)
+    pairs = base.select(
+        "__wd",
+        F.explode(F.arrays_zip(F.col(indices_col), F.col(values_col))).alias(
+            "__p"
+        ),
+    ).select(
+        F.col(f"__p.{indices_col}").alias("feature_index"),
+        (
+            F.col("__wd")
+            * F.col(f"__p.{values_col}")
+            * F.col(f"__p.{values_col}")
+        ).alias("__h"),
+    )
+    feats = pairs.groupBy("feature_index").agg(
+        (F.sum("__h") + F.lit(float(l2))).alias("hessian_diag")
+    )
+    icol = F.lit(int(dim - 1 if dim is not None else -1)).cast("long")
+    intercept = base.agg(
+        (F.sum("__wd") + F.lit(float(l2))).alias("hessian_diag")
+    ).select(icol.alias("feature_index"), "hessian_diag")
+    return feats.unionByName(intercept)
+
+
+def sparse_full_hessian_variance(
+    df: DataFrame,
+    dim: int,
+    indices_col: str = "features_indices",
+    values_col: str = "features_values",
+    margin_col: str = "score",
+    weight_col: str | None = "weight",
+    family: str = "binomial",
+    l2: float = 0.0,
+    max_dim: int = 2000,
+) -> "list[tuple[int, float]]":
+    """VarianceComputationType.FULL — diag of the INVERSE of the full
+    Hessian (DistributedOptimizationProblem.scala: the expensive exact
+    path; SIMPLE is 1/H_jj). The intercept occupies slot ``dim - 1``
+    (the dictionary's intercept index) with implicit x = 1.
+
+    H's entries are accumulated JVM-side from within-row pair products
+    (two explodes over the sparse pairs — O(nnz² per row), cheap for
+    the short vectors this path is meant for), collected as sparse
+    (i, j, h) triples, inverted driver-side. Like the reference, FULL
+    is only sensible at modest dims: dim > ``max_dim`` raises (use
+    'simple').
+
+    Returns [(feature_index, variance)] driver-side — O(dim), the same
+    footprint as the model vector.
+    """
+    import numpy as np
+
+    if dim > max_dim:
+        raise ValueError(
+            f"variance_computation=full inverts a {dim}x{dim} Hessian — "
+            f"beyond max_dim={max_dim}; use 'simple' (1/H_jj) at this "
+            "width, as the reference does"
+        )
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    d = _dmu(F.col(margin_col), family)
+    icol = F.lit(int(dim - 1)).cast("long")
+    base = df.select(
+        (w * d).alias("__wd"),
+        F.arrays_zip(F.col(indices_col), F.col(values_col)).alias("__ps"),
+    )
+    a = base.select(
+        "__wd", "__ps", F.explode("__ps").alias("__a")
+    ).select(
+        "__wd",
+        "__ps",
+        F.col(f"__a.{indices_col}").alias("i"),
+        F.col(f"__a.{values_col}").cast("double").alias("xi"),
+    )
+    ff = a.select(
+        "__wd", "i", "xi", F.explode("__ps").alias("__b")
+    ).select(
+        "i",
+        F.col(f"__b.{indices_col}").alias("j"),
+        (F.col("__wd") * F.col("xi") * F.col(f"__b.{values_col}")).alias(
+            "__h"
+        ),
+    )
+    fi = a.select(
+        "i", icol.alias("j"), (F.col("__wd") * F.col("xi")).alias("__h")
+    )
+    if_ = fi.select(F.col("j").alias("i"), F.col("i").alias("j"), "__h")
+    corner = base.agg(F.sum("__wd").alias("__h")).select(
+        icol.alias("i"), icol.alias("j"), "__h"
+    )
+    entries = (
+        ff.unionByName(fi).unionByName(if_).unionByName(corner)
+        .groupBy("i", "j")
+        .agg(F.sum("__h").alias("h"))
+        .collect()
+    )
+    H = np.zeros((dim, dim))
+    for r in entries:
+        H[int(r.i), int(r.j)] += float(r.h)
+    H += float(l2) * np.eye(dim)
+    # pinv: an unobserved dictionary slot (zero row/col at l2=0) makes
+    # H singular; the pseudo-inverse reports 0 variance there instead
+    # of failing the whole job
+    var = np.diag(np.linalg.pinv(H))
+    return [(j, float(var[j])) for j in range(dim)]

@@ -832,3 +832,108 @@ def test_data_validation_modes_in_train_and_score(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_train_normalization_backmap_and_variances(spark, tmp_path, capsys):
+    """normalization=standardization trains in the transformed space
+    and persists an ORIGINAL-space model: for an unregularized gaussian
+    fit the backmapped coefficients match the unnormalized fit (same
+    optimum, reparametrized). variance_computation=simple|full writes
+    per-coordinate variance tables beside the model."""
+    import numpy as np
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    ).withColumn("response", (F.col("uid") % 7).cast("double"))
+    inp = str(tmp_path / "nb_in.parquet")
+    training.write.parquet(inp)
+
+    base = {
+        "input": inp,
+        "feature_bags": ["features"],
+        "coordinates": [{"name": "global", "kind": "fixed"}],
+        "family": "gaussian",
+        "n_iterations": 1,
+    }
+
+    def coefs(model_dir):
+        rows = spark.read.parquet(
+            f"{model_dir}/fixed-effect/global/coefficients"
+        ).collect()
+        out = {}
+        for r in rows:
+            out[int(r.feature_index)] = float(r.coefficient)
+        return out
+
+    plain_out = str(tmp_path / "nb_plain")
+    cli.train({**base, "output_dir": plain_out}, spark)
+    norm_out = str(tmp_path / "nb_norm")
+    cli.train(
+        {
+            **base,
+            "output_dir": norm_out,
+            "normalization": "STANDARDIZATION",  # reference-style name
+            "variance_computation": "simple",
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["variances"] == ["global"]
+
+    c0, c1 = coefs(plain_out), coefs(norm_out)
+    assert set(c0) == set(c1)
+    for j in c0:
+        assert abs(c0[j] - c1[j]) < 1e-3 * max(1.0, abs(c0[j])), (j, c0[j], c1[j])
+
+    var = spark.read.parquet(f"{norm_out}/fixed-effect/global/variances")
+    rows = {int(r.feature_index): r for r in var.collect()}
+    assert all(v.variance >= 0 for v in rows.values())
+    # dictionary join labels the intercept slot
+    labeled = {r.feature_key for r in rows.values() if r.feature_key}
+    assert "(INTERCEPT)" in labeled
+
+    # the saved normalized-trained model scores RAW data equivalently
+    s_plain = str(tmp_path / "nb_s0")
+    s_norm = str(tmp_path / "nb_s1")
+    for mdir, sdir in ((plain_out, s_plain), (norm_out, s_norm)):
+        cli.score(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "model_dir": mdir,
+                "output_dir": sdir,
+            },
+            spark,
+        )
+    a = {r.uid: r.score for r in spark.read.parquet(s_plain).collect()}
+    b = {r.uid: r.score for r in spark.read.parquet(s_norm).collect()}
+    diffs = [abs(a[k] - b[k]) for k in a]
+    assert float(np.max(diffs)) < 1e-3
+
+    # FULL variance: same schema, strictly tighter than SIMPLE is not
+    # guaranteed, but positivity and the report key are
+    full_out = str(tmp_path / "nb_full")
+    cli.train(
+        {**base, "output_dir": full_out, "variance_computation": "full"},
+        spark,
+    )
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["variances"] == ["global"]
+    var2 = spark.read.parquet(f"{full_out}/fixed-effect/global/variances")
+    assert var2.filter("variance < 0").count() == 0
+
+    with pytest.raises(ValueError, match="variance_computation"):
+        cli.train(
+            {**base, "output_dir": str(tmp_path / "x"),
+             "variance_computation": "exact"},
+            spark,
+        )
+    with pytest.raises(ValueError, match="kind must be"):
+        cli.train(
+            {**base, "output_dir": str(tmp_path / "y"),
+             "normalization": "zscore"},
+            spark,
+        )
