@@ -93,7 +93,8 @@ _CFG_KEYS = {
         "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
         "per_group_evaluation", "sparsity_threshold", "event_log",
         "dictionary_input", "data_validation", "normalization",
-        "variance_computation",
+        "variance_computation", "incremental_training",
+        "data_summary_dir", "evaluators", "update_sequence",
     }),
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
@@ -134,6 +135,7 @@ _STAGE_KEYS = {
         "name", "kind", "entity_col", "reg_param", "min_samples",
         "active_cap", "elastic_net_param", "solver", "constraints",
     }),
+    "incremental_training": frozenset({"model_dir", "locked_coordinates"}),
     "quality": frozenset({
         "min_tokens", "min_quality", "languages", "max_ppl",
         "min_novelty", "blocked_terms",
@@ -214,6 +216,8 @@ def train(
 
 
 def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
+    from pyspark.sql import functions as F
+
     from photon_ml_spark import events
     from photon_ml_spark.estimator import GameEstimator
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig
@@ -231,7 +235,39 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
 
     emitter.send_event(events.SetupEvent(params=events.params_summary(cfg)))
 
+    inc = cfg.get("incremental_training")
+    prev_model = None
+    if inc:
+        # M9 incremental training (GameTrainingDriver incrementalTraining
+        # + modelInputDirectory): warm-start every coordinate from the
+        # previous run's model — fixed effects get a Gaussian prior
+        # centered on the previous coefficients with precision =
+        # 1/variance when a variance table was saved (the reason
+        # variance_computation exists), random effects get the previous
+        # model TABLE as prior/x0 with carry-forward for data-less
+        # entities. The previous run's dictionary is reused by default:
+        # priors are meaningless across different feature spaces.
+        if isinstance(inc, str):
+            inc = {"model_dir": inc}
+        _validate_stage_keys(inc, "incremental_training")
+        if "model_dir" not in inc:
+            raise ValueError("incremental_training needs model_dir")
+        if str(cfg.get("normalization", "none")).lower() != "none":
+            raise ValueError(
+                "incremental_training cannot combine with normalization: "
+                "the prior model is original-space while training would "
+                "run in the scaled space — retrain without normalization "
+                "or drop the prior"
+            )
+        from photon_ml_spark.sources.model_io import load_game_model
+
+        prev_model = load_game_model(inc["model_dir"], spark)
+
     dict_in = None
+    if inc and not cfg.get("dictionary_input"):
+        dict_in = spark.read.parquet(
+            f"{inc['model_dir']}/feature-dictionary"
+        ).cache()
     if cfg.get("dictionary_input"):
         # reuse an offline-built dictionary (the `index` driver's
         # output — FeatureIndexingDriver's consume side): training
@@ -297,9 +333,48 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
         parsed = parse_constraint_map(c["constraints"], dictionary, dim)
         return (None, None) if parsed is None else parsed
 
+    def _fixed_prior(name, prev):
+        """(prior_mean, prior_precision) arrays (dim+1, intercept last)
+        from the previous fixed model + its saved variance table. No
+        variances on disk → warm-start-only (mean carried, no penalty),
+        matching the reference's requirement that incremental priors
+        come from a variance-computing run."""
+        import numpy as np
+
+        mean = np.append(
+            np.asarray(prev.coefficients, dtype=float), float(prev.intercept)
+        )
+        vpath = f"{inc['model_dir']}/fixed-effect/{name}/variances"
+        from photon_ml_spark.sources.model_io import _hadoop_exists
+
+        if not _hadoop_exists(spark, vpath):
+            return None, None
+        rows = spark.read.parquet(vpath).select(
+            "feature_index", "variance"
+        ).collect()
+        prec = np.zeros(dim + 1)
+        for r in rows:
+            j = int(r.feature_index)
+            v = float(r.variance)
+            if v <= 0:
+                continue
+            if j == dim - 1:
+                # the dictionary's intercept slot → the prior vector's
+                # trailing intercept position
+                prec[dim] = 1.0 / v
+            elif 0 <= j < dim - 1:
+                prec[j] = 1.0 / v
+        return mean, prec
+
     coords = []
     for c in cfg["coordinates"]:
         lo, hi = _bounds(c)
+        pretrained = None
+        pm = pp = None
+        if prev_model is not None and c["name"] in prev_model.coordinates:
+            pretrained = prev_model.coordinates[c["name"]]
+            if c["kind"] == "fixed":
+                pm, pp = _fixed_prior(c["name"], pretrained)
         coords.append(
             CoordinateConfig(
                 name=c["name"],
@@ -315,12 +390,101 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
                 solver=c.get("solver", "auto"),
                 lower_bounds=lo,
                 upper_bounds=hi,
+                pretrained=pretrained,
+                prior_mean=pm,
+                prior_precision=pp,
             )
         )
+    locked_names = set((inc or {}).get("locked_coordinates", []))
+    if locked_names:
+        # partialRetrainLockedCoordinates (M8): these coordinates keep
+        # the previous model verbatim — scored every update, never
+        # re-trained. Only meaningful with a previous model to lock to.
+        known = {c.name for c in coords}
+        unknown = sorted(locked_names - known)
+        if unknown:
+            raise ValueError(
+                f"locked_coordinates names unknown coordinate(s) {unknown}"
+            )
+        from dataclasses import replace as _replace
+
+        coords = [
+            _replace(c, locked=True) if c.name in locked_names else c
+            for c in coords
+        ]
+        missing = sorted(
+            n for n in locked_names
+            if prev_model is None or n not in prev_model.coordinates
+        )
+        if missing:
+            raise ValueError(
+                f"locked_coordinates {missing} have no model in "
+                "incremental_training.model_dir to lock to"
+            )
+    seq = cfg.get("update_sequence")
+    if seq:
+        # coordinateUpdateSequence: explicit update order. Must be a
+        # permutation of the configured coordinate names — a missing
+        # name would silently drop a coordinate from training.
+        names = [c.name for c in coords]
+        if sorted(seq) != sorted(names):
+            raise ValueError(
+                f"update_sequence {seq} must be a permutation of the "
+                f"configured coordinates {sorted(names)}"
+            )
+        by_name = {c.name: c for c in coords}
+        coords = [by_name[n] for n in seq]
+
     from dataclasses import replace
 
     family = cfg.get("family", "binomial")
     assembled = assembled.cache()
+
+    if cfg.get("data_summary_dir"):
+        # dataSummaryDirectory (GameTrainingDriver): per-feature
+        # summaries of the assembled shard — nnz/moments/min/max from
+        # the exploded sparse pairs (zeros implicit: mean/variance use
+        # the full row count), dictionary-labeled, written as parquet.
+        n_rows = assembled.count()
+        pairs = assembled.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col(f"{shard}_indices"), F.col(f"{shard}_values")
+                )
+            ).alias("__p")
+        ).select(
+            F.col(f"__p.{shard}_indices").alias("feature_index"),
+            F.col(f"__p.{shard}_values").cast("double").alias("x"),
+        )
+        nn = F.lit(float(n_rows))
+        summary = pairs.groupBy("feature_index").agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.min("x").alias("min"),
+            F.max("x").alias("max"),
+        ).select(
+            "feature_index",
+            "nnz",
+            (F.col("s1") / nn).alias("mean"),
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / nn)
+                / (nn - F.lit(1.0))
+            ).alias("variance"),
+            # implicit zeros widen the range ONLY where the feature
+            # is absent from some rows
+            F.when(
+                F.col("nnz") < F.lit(n_rows),
+                F.least(F.col("min"), F.lit(0.0)),
+            ).otherwise(F.col("min")).alias("min"),
+            F.when(
+                F.col("nnz") < F.lit(n_rows),
+                F.greatest(F.col("max"), F.lit(0.0)),
+            ).otherwise(F.col("max")).alias("max"),
+        )
+        summary.join(
+            F.broadcast(dictionary), "feature_index", "left"
+        ).write.mode("overwrite").parquet(cfg["data_summary_dir"])
 
     def _backmapped_model(model):
         """Original-space COPY of a transformed-space GameModel (never
@@ -359,8 +523,6 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
         for li in emitter.listeners():
             est.register_listener(li)
         return est.fit(assembled)
-
-    from pyspark.sql import functions as F
 
     validation_frame = None
     if cfg.get("validation_input"):
@@ -649,6 +811,17 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             f"{out}/group-evaluation"
         )
         report["group_evaluation"] = f"{out}/group-evaluation"
+    if cfg.get("evaluators"):
+        # GameDriver's `evaluators` param applied at train time: the
+        # requested reference-named metrics over the selected model's
+        # validation (or training) scores — same grammar as the score
+        # driver (_evaluate_scores)
+        frame = (
+            validation_frame if validation_frame is not None else assembled
+        )
+        report["evaluation"] = _evaluate_scores(
+            fitted.transform(frame), cfg["evaluators"]
+        )
     if output_mode != "none":
         # back to original space BEFORE persisting: the saved model
         # scores RAW data (NormalizationContext.scala:77-94 algebra) —

@@ -73,6 +73,12 @@ class CoordinateConfig:
     solver: str = "auto"
     lower_bounds: object = None
     upper_bounds: object = None
+    # M9 incremental Gaussian prior for FIXED coordinates: arrays of
+    # length dim+1 (intercept last). Random coordinates take their
+    # prior through ``pretrained`` (the previous model TABLE, which
+    # may carry per-entity variances).
+    prior_mean: object = None
+    prior_precision: object = None
 
     def __post_init__(self):
         if self.kind not in ("fixed", "random"):
@@ -140,6 +146,7 @@ def _fit_coordinate(
             offset_col=offset_col, reg_param=cfg.reg_param,
             elastic_net_param=cfg.elastic_net_param, solver=cfg.solver,
             lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
+            prior_mean=cfg.prior_mean, prior_precision=cfg.prior_precision,
         )
     if cfg.active_cap is not None:
         from photon_ml_spark.operators.sampling import per_entity_cap
@@ -193,6 +200,29 @@ def train_game(
         # executor churn, prefer reliable checkpoints
         # (spark.sparkContext.setCheckpointDir + df.checkpoint).
         return d.localCheckpoint(eager=True)
+
+    # Warm start (M7/M9): a non-locked coordinate carrying a
+    # ``pretrained`` model enters the loop as if a previous iteration
+    # had fitted it — the model is seeded (a random coordinate then
+    # receives it as prior/x0 on its first update, with carry-forward
+    # for data-less entities) and its scores join the running sum, so
+    # the FIRST update already trains against the incremental model's
+    # residuals (the reference's warm-start/incremental flow; locked
+    # coordinates keep being scored inside the loop as before).
+    for cfg in coordinates:
+        if cfg.pretrained is not None and not cfg.locked:
+            model.coordinates[cfg.name] = cfg.pretrained
+            sc = _persist(
+                _score_coordinate(df, cfg, cfg.pretrained, "score").select(
+                    uid_col, "score"
+                )
+            )
+            score_dfs[cfg.name] = sc
+            summed = (
+                sc
+                if summed is None
+                else _persist(scoring.add_scores(summed, sc, uid_col=uid_col))
+            )
 
     for it in range(1, n_iterations + 1):
         for cfg in coordinates:

@@ -937,3 +937,246 @@ def test_train_normalization_backmap_and_variances(spark, tmp_path, capsys):
              "normalization": "zscore"},
             spark,
         )
+
+
+def test_incremental_training_cli(spark, tmp_path, capsys):
+    """incremental_training warm-starts from a previous run's model:
+    the previous dictionary is reused automatically, the fixed
+    coordinate gets a Gaussian prior from the saved variances (new
+    coefficients stay NEAR the prior run's on a tiny drifted batch,
+    where an unwarmed fit drifts away), and random-effect entities
+    absent from the new batch are carried forward."""
+    import numpy as np
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    batch1 = training.filter(F.col("uid") % 5 != 0)
+    # tiny second batch with flipped labels — a plain fit drifts hard
+    # restricted to half the suppliers so carry-forward is observable
+    batch2 = training.filter(
+        (F.col("uid") % 97 == 0) & (F.col("suppkey") < 5)
+    ).withColumn("response", 1.0 - F.col("response"))
+    in1, in2 = str(tmp_path / "b1.parquet"), str(tmp_path / "b2.parquet")
+    batch1.write.parquet(in1)
+    batch2.write.parquet(in2)
+
+    coords = [
+        {"name": "global", "kind": "fixed", "reg_param": 1e-3},
+        {"name": "per_supplier", "kind": "random",
+         "entity_col": "suppkey", "reg_param": 10.0},
+    ]
+    run1 = str(tmp_path / "run1")
+    cli.train(
+        {
+            "input": in1,
+            "feature_bags": ["features"],
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run1,
+            "variance_computation": "simple",
+        },
+        spark,
+    )
+    run2 = str(tmp_path / "run2")
+    cli.train(
+        {
+            "input": in2,
+            "feature_bags": ["features"],
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run2,
+            "incremental_training": {"model_dir": run1},
+        },
+        spark,
+    )
+    plain = str(tmp_path / "plain2")
+    cli.train(
+        {
+            "input": in2,
+            "feature_bags": ["features"],
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": plain,
+        },
+        spark,
+    )
+    capsys.readouterr()
+
+    def fixed_vec(d):
+        rows = spark.read.parquet(
+            f"{d}/fixed-effect/global/coefficients"
+        ).collect()
+        v = {}
+        for r in rows:
+            v[int(r.feature_index)] = float(r.coefficient)
+        return np.array([v.get(j, 0.0) for j in range(max(v) + 1)])
+
+    a, b, c = fixed_vec(run1), fixed_vec(run2), fixed_vec(plain)
+    # prior pulls run2 toward run1; the plain fit on flipped labels drifts
+    assert np.linalg.norm(b - a) < np.linalg.norm(c - a)
+
+    # the previous run's dictionary was reused: same key->index mapping
+    d1 = {
+        r.feature_key: r.feature_index
+        for r in spark.read.parquet(f"{run1}/feature-dictionary").collect()
+    }
+    d2 = {
+        r.feature_key: r.feature_index
+        for r in spark.read.parquet(f"{run2}/feature-dictionary").collect()
+    }
+    assert d1 == d2
+
+    # RE carry-forward: entities in run1 absent from batch2 survive
+    re1 = {
+        r.entity
+        for r in spark.read.parquet(
+            f"{run1}/random-effect/per_supplier/models"
+        ).collect()
+    }
+    re2 = {
+        r.entity
+        for r in spark.read.parquet(
+            f"{run2}/random-effect/per_supplier/models"
+        ).collect()
+    }
+    re_plain = {
+        r.entity
+        for r in spark.read.parquet(
+            f"{plain}/random-effect/per_supplier/models"
+        ).collect()
+    }
+    assert re1 <= re2  # everything known before is still known
+    assert len(re_plain) < len(re2)
+
+    # normalization + incremental is refused loudly
+    with pytest.raises(ValueError, match="incremental_training"):
+        cli.train(
+            {
+                "input": in2,
+                "feature_bags": ["features"],
+                "coordinates": coords,
+                "output_dir": str(tmp_path / "x"),
+                "incremental_training": {"model_dir": run1},
+                "normalization": "standardization",
+            },
+            spark,
+        )
+
+
+def test_train_summary_evaluators_sequence_and_locking(spark, tmp_path, capsys):
+    """Remaining reference training params: data_summary_dir writes
+    dictionary-labeled feature summaries; `evaluators` reports metrics
+    on the validation scores; update_sequence reorders the CD updates
+    (and rejects non-permutations); incremental_training.
+    locked_coordinates keeps the previous model verbatim (M8)."""
+    import numpy as np
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "sq_in.parquet")
+    va = str(tmp_path / "sq_va.parquet")
+    training.filter(F.col("uid") % 3 != 0).write.parquet(inp)
+    training.filter(F.col("uid") % 3 == 0).write.parquet(va)
+
+    coords = [
+        {"name": "global", "kind": "fixed", "reg_param": 1e-3},
+        {"name": "per_supplier", "kind": "random",
+         "entity_col": "suppkey", "reg_param": 10.0},
+    ]
+    run1 = str(tmp_path / "sq_run1")
+    summary_dir = str(tmp_path / "sq_summary")
+    cli.train(
+        {
+            "input": inp,
+            "validation_input": va,
+            "feature_bags": ["features"],
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run1,
+            "data_summary_dir": summary_dir,
+            "evaluators": ["AUC", "LOGISTIC_LOSS"],
+            "update_sequence": ["per_supplier", "global"],
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= rep["evaluation"]["AUC"] <= 1.0
+    assert rep["evaluation"]["LOGISTIC_LOSS"] > 0.0
+
+    # summaries: one labeled row per observed feature, exact moments
+    summ = {
+        r.feature_key: r
+        for r in spark.read.parquet(summary_dir).collect()
+    }
+    assert len(summ) >= 4 and all(k for k in summ)
+    some = next(iter(summ.values()))
+    assert some.nnz > 0 and some.variance >= 0 and some.min <= some.max
+
+    # update_sequence must be a permutation
+    with pytest.raises(ValueError, match="permutation"):
+        cli.train(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "coordinates": coords,
+                "output_dir": str(tmp_path / "x"),
+                "update_sequence": ["global"],
+            },
+            spark,
+        )
+
+    # M8 partial retrain: lock the fixed coordinate to run1's model —
+    # its saved coefficients come back bit-identical while the
+    # unlocked RE coordinate refits
+    run2 = str(tmp_path / "sq_run2")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run2,
+            "incremental_training": {
+                "model_dir": run1,
+                "locked_coordinates": ["global"],
+            },
+        },
+        spark,
+    )
+    capsys.readouterr()
+
+    def fixed_vec(d):
+        rows = spark.read.parquet(
+            f"{d}/fixed-effect/global/coefficients"
+        ).collect()
+        return {int(r.feature_index): float(r.coefficient) for r in rows}
+
+    assert fixed_vec(run1) == fixed_vec(run2)
+
+    with pytest.raises(ValueError, match="unknown coordinate"):
+        cli.train(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "coordinates": coords,
+                "output_dir": str(tmp_path / "y"),
+                "incremental_training": {
+                    "model_dir": run1,
+                    "locked_coordinates": ["nope"],
+                },
+            },
+            spark,
+        )
