@@ -46,6 +46,57 @@ import json
 from pyspark.sql import SparkSession
 
 
+def _resolve_input(spark, cfg):
+    """``input`` + optional ``date_range``/``days_range`` → the path(s)
+    to read — inputDataDateRange / inputDataDaysRange parity
+    (GameDriver + IOUtils.scala:115-164): with a range, ``input`` is a
+    root of ``yyyy/MM/dd`` daily directories; days that do not exist
+    are skipped (the reference lists-and-filters too) and an empty
+    resolution fails fast. ``days_range`` takes an explicit ``until``
+    date so runs are reproducible (the reference anchors at now())."""
+    inp = cfg["input"]
+    dr, days = cfg.get("date_range"), cfg.get("days_range")
+    if not dr and not days:
+        return inp
+    if dr and days:
+        raise ValueError("configure date_range OR days_range, not both")
+    if days:
+        _validate_stage_keys(days, "days_range")
+        if "days" not in days or "until" not in days:
+            raise ValueError(
+                "days_range needs {'days': N, 'until': 'yyyy-MM-dd'} — "
+                "an explicit until keeps reruns deterministic"
+            )
+        import datetime as _dt
+
+        until = _dt.date.fromisoformat(str(days["until"]))
+        start = until - _dt.timedelta(days=int(days["days"]) - 1)
+        start, end = start.isoformat(), until.isoformat()
+    else:
+        _validate_stage_keys(dr, "date_range")
+        if "start" not in dr or "end" not in dr:
+            raise ValueError("date_range needs start and end")
+        start, end = str(dr["start"]), str(dr["end"])
+    if cfg.get("input_format", "parquet") != "parquet":
+        raise ValueError(
+            "date ranges currently compose with parquet inputs only"
+        )
+    from photon_ml_spark.sources.datasets import daily_paths
+    from photon_ml_spark.sources.model_io import _hadoop_exists
+
+    paths = [
+        r.path
+        for r in daily_paths(spark, start, end, root=inp).collect()
+    ]
+    existing = [p for p in paths if _hadoop_exists(spark, p)]
+    if not existing:
+        raise ValueError(
+            f"no daily directories exist under {inp!r} in [{start}, "
+            f"{end}] — checked {len(paths)} paths like {paths[0]!r}"
+        )
+    return existing
+
+
 def _assembled(spark, cfg, dictionary=None):
     from photon_ml_spark.datamodel import FeatureShardConfig
     from photon_ml_spark.sources import featurize
@@ -66,7 +117,10 @@ def _assembled(spark, cfg, dictionary=None):
             "uid", F.monotonically_increasing_id()
         )
     else:
-        df = spark.read.parquet(cfg["input"])
+        resolved = _resolve_input(spark, cfg)
+        df = spark.read.parquet(
+            *(resolved if isinstance(resolved, list) else [resolved])
+        )
     bags = cfg.get("feature_bags", ["features"])
     if dictionary is None:
         dictionary = featurize.build_feature_dictionary(
@@ -95,15 +149,16 @@ _CFG_KEYS = {
         "dictionary_input", "data_validation", "normalization",
         "variance_computation", "incremental_training",
         "data_summary_dir", "evaluators", "update_sequence",
+        "date_range", "days_range",
     }),
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
-        "has_intercept", "selected_features",
+        "has_intercept", "selected_features", "date_range", "days_range",
     }),
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
         "output_dir", "output_files_limit", "evaluators",
-        "data_validation", "model_id",
+        "data_validation", "model_id", "date_range", "days_range",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -136,6 +191,8 @@ _STAGE_KEYS = {
         "active_cap", "elastic_net_param", "solver", "constraints",
     }),
     "incremental_training": frozenset({"model_dir", "locked_coordinates"}),
+    "date_range": frozenset({"start", "end"}),
+    "days_range": frozenset({"days", "until"}),
     "quality": frozenset({
         "min_tokens", "min_quality", "languages", "max_ppl",
         "min_novelty", "blocked_terms",
@@ -865,7 +922,10 @@ def index(cfg: dict, spark: SparkSession) -> None:
     if fmt == "avro":
         df = read_training_examples(spark, cfg["input"])
     else:
-        df = spark.read.parquet(cfg["input"])
+        resolved = _resolve_input(spark, cfg)
+        df = spark.read.parquet(
+            *(resolved if isinstance(resolved, list) else [resolved])
+        )
     selected = None
     if cfg.get("selected_features"):
         selected = spark.read.parquet(cfg["selected_features"])

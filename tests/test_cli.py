@@ -1180,3 +1180,73 @@ def test_train_summary_evaluators_sequence_and_locking(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_date_range_inputs(spark, tmp_path, capsys):
+    """date_range / days_range read yyyy/MM/dd daily directories under
+    the input root (inputDataDateRange parity): missing days are
+    skipped, an empty resolution fails fast, and train consumes the
+    union of the selected days."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    root = str(tmp_path / "daily")
+    # three present days (01, 02, 04) — day 03 missing on purpose
+    counts = {}
+    for day, m in (("01", 0), ("02", 1), ("04", 2)):
+        part = training.filter(F.col("uid") % 3 == m)
+        part.write.parquet(f"{root}/2026/08/{day}")
+        counts[day] = part.count()
+
+    out = str(tmp_path / "dr_model")
+    cli.train(
+        {
+            "input": root,
+            "date_range": {"start": "2026-08-01", "end": "2026-08-04"},
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    # scoring the same range sees every row of the three present days
+    sout = str(tmp_path / "dr_scores")
+    cli.score(
+        {
+            "input": root,
+            "days_range": {"days": 4, "until": "2026-08-04"},
+            "feature_bags": ["features"],
+            "model_dir": out,
+            "output_dir": sout,
+        },
+        spark,
+    )
+    assert spark.read.parquet(sout).count() == sum(counts.values())
+
+    with pytest.raises(ValueError, match="no daily directories"):
+        cli.index(
+            {
+                "input": root,
+                "date_range": {"start": "2027-01-01", "end": "2027-01-02"},
+                "output_dir": str(tmp_path / "x"),
+            },
+            spark,
+        )
+    with pytest.raises(ValueError, match="not both"):
+        cli.train(
+            {
+                "input": root,
+                "date_range": {"start": "2026-08-01", "end": "2026-08-04"},
+                "days_range": {"days": 2, "until": "2026-08-04"},
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "output_dir": str(tmp_path / "y"),
+            },
+            spark,
+        )
