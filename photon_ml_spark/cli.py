@@ -102,6 +102,12 @@ def _assembled(spark, cfg, dictionary=None):
     from photon_ml_spark.sources import featurize
 
     fmt = cfg.get("input_format", "parquet")
+    if fmt != "parquet" and (cfg.get("date_range") or cfg.get("days_range")):
+        # _resolve_input would never run on the avro branches — refuse
+        # instead of silently reading the whole root
+        raise ValueError(
+            "date ranges currently compose with parquet inputs only"
+        )
     if fmt == "avro":
         from photon_ml_spark.sources.avro_io import read_training_examples
 
@@ -919,6 +925,10 @@ def index(cfg: dict, spark: SparkSession) -> None:
 
     _validate_cfg_keys(cfg, "index")
     fmt = cfg.get("input_format", "parquet")
+    if fmt != "parquet" and (cfg.get("date_range") or cfg.get("days_range")):
+        raise ValueError(
+            "date ranges currently compose with parquet inputs only"
+        )
     if fmt == "avro":
         df = read_training_examples(spark, cfg["input"])
     else:
