@@ -54,6 +54,8 @@ def _resolve_input(spark, cfg):
     are skipped (the reference lists-and-filters too) and an empty
     resolution fails fast. ``days_range`` takes an explicit ``until``
     date so runs are reproducible (the reference anchors at now())."""
+    import datetime as _dt
+
     inp = cfg["input"]
     dr, days = cfg.get("date_range"), cfg.get("days_range")
     if not dr and not days:
@@ -61,46 +63,72 @@ def _resolve_input(spark, cfg):
     if dr and days:
         raise ValueError("configure date_range OR days_range, not both")
     if days:
+        if not isinstance(days, dict):
+            raise ValueError(
+                "days_range needs {'days': N, 'until': 'yyyy-MM-dd'} — "
+                "an explicit until keeps reruns deterministic"
+            )
         _validate_stage_keys(days, "days_range")
         if "days" not in days or "until" not in days:
             raise ValueError(
                 "days_range needs {'days': N, 'until': 'yyyy-MM-dd'} — "
                 "an explicit until keeps reruns deterministic"
             )
-        import datetime as _dt
-
         until = _dt.date.fromisoformat(str(days["until"]))
-        start = until - _dt.timedelta(days=int(days["days"]) - 1)
-        start, end = start.isoformat(), until.isoformat()
+        start_d = until - _dt.timedelta(days=int(days["days"]) - 1)
+        end_d = until
     else:
+        if not isinstance(dr, dict):
+            raise ValueError("date_range needs {'start': ..., 'end': ...}")
         _validate_stage_keys(dr, "date_range")
         if "start" not in dr or "end" not in dr:
             raise ValueError("date_range needs start and end")
-        start, end = str(dr["start"]), str(dr["end"])
+        # fromisoformat validates the strings up front — a malformed
+        # date must fail HERE, not surface as an empty scan later
+        start_d = _dt.date.fromisoformat(str(dr["start"]))
+        end_d = _dt.date.fromisoformat(str(dr["end"]))
+    if start_d > end_d:
+        raise ValueError(f"empty date range [{start_d}, {end_d}]")
     if cfg.get("input_format", "parquet") != "parquet":
         raise ValueError(
             "date ranges currently compose with parquet inputs only"
         )
-    from photon_ml_spark.sources.datasets import daily_paths
-    from photon_ml_spark.sources.model_io import _hadoop_exists
+    wanted = []
+    d = start_d
+    while d <= end_d:
+        wanted.append(f"{inp}/{d.strftime('%Y/%m/%d')}")
+        d += _dt.timedelta(days=1)
+    # ONE globStatus RPC lists every existing daily dir under the root
+    # (the reference lists-and-filters the same way) — not O(days)
+    # sequential exists() round-trips against object storage
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    glob = jvm.org.apache.hadoop.fs.Path(f"{inp}/*/*/*")
+    fs = glob.getFileSystem(conf)
+    statuses = fs.globStatus(glob)
+    on_disk = (
+        {st.getPath().toUri().getPath() for st in statuses}
+        if statuses is not None
+        else set()
+    )
 
-    paths = [
-        r.path
-        for r in daily_paths(spark, start, end, root=inp).collect()
-    ]
-    existing = [p for p in paths if _hadoop_exists(spark, p)]
+    def _norm(path):
+        u = jvm.org.apache.hadoop.fs.Path(path).toUri().getPath()
+        return u
+
+    existing = [p for p in wanted if _norm(p) in on_disk]
     if not existing:
         raise ValueError(
-            f"no daily directories exist under {inp!r} in [{start}, "
-            f"{end}] — checked {len(paths)} paths like {paths[0]!r}"
+            f"no daily directories exist under {inp!r} in [{start_d}, "
+            f"{end_d}] — expected paths like {wanted[0]!r}"
         )
     return existing
 
 
-def _assembled(spark, cfg, dictionary=None):
-    from photon_ml_spark.datamodel import FeatureShardConfig
-    from photon_ml_spark.sources import featurize
-
+def _read_input(spark, cfg):
+    """Input reader shared by train/score (via ``_assembled``) and the
+    index driver: format dispatch + date-range resolution in ONE place
+    so the range/format rules cannot drift between drivers."""
     fmt = cfg.get("input_format", "parquet")
     if fmt != "parquet" and (cfg.get("date_range") or cfg.get("days_range")):
         # _resolve_input would never run on the avro branches — refuse
@@ -111,22 +139,28 @@ def _assembled(spark, cfg, dictionary=None):
     if fmt == "avro":
         from photon_ml_spark.sources.avro_io import read_training_examples
 
-        df = read_training_examples(spark, cfg["input"])
-    elif fmt == "response_prediction_avro":
+        return read_training_examples(spark, cfg["input"])
+    if fmt == "response_prediction_avro":
         # the reference's scoring-input format carries no uid; assign
         # one like GameScoringDriver does (P2, zipWithUniqueId analog)
         from pyspark.sql import functions as F
 
         from photon_ml_spark.sources.avro_io import read_response_predictions
 
-        df = read_response_predictions(spark, cfg["input"]).withColumn(
+        return read_response_predictions(spark, cfg["input"]).withColumn(
             "uid", F.monotonically_increasing_id()
         )
-    else:
-        resolved = _resolve_input(spark, cfg)
-        df = spark.read.parquet(
-            *(resolved if isinstance(resolved, list) else [resolved])
-        )
+    resolved = _resolve_input(spark, cfg)
+    return spark.read.parquet(
+        *(resolved if isinstance(resolved, list) else [resolved])
+    )
+
+
+def _assembled(spark, cfg, dictionary=None):
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.sources import featurize
+
+    df = _read_input(spark, cfg)
     bags = cfg.get("feature_bags", ["features"])
     if dictionary is None:
         dictionary = featurize.build_feature_dictionary(
@@ -155,7 +189,8 @@ _CFG_KEYS = {
         "dictionary_input", "data_validation", "normalization",
         "variance_computation", "incremental_training",
         "data_summary_dir", "evaluators", "update_sequence",
-        "date_range", "days_range",
+        "date_range", "days_range", "validation_date_range",
+        "validation_days_range",
     }),
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
@@ -331,6 +366,29 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
         dict_in = spark.read.parquet(
             f"{inc['model_dir']}/feature-dictionary"
         ).cache()
+    elif inc and cfg.get("dictionary_input"):
+        # an explicit dictionary alongside a prior model must BE the
+        # prior model's feature space — priors are indexed by the old
+        # dictionary, so a silently different mapping would center
+        # every prior on the wrong feature. One symmetric-difference
+        # job over the (small) dictionary relations proves equality.
+        prev_d = spark.read.parquet(
+            f"{inc['model_dir']}/feature-dictionary"
+        )
+        new_d = spark.read.parquet(
+            f"{cfg['dictionary_input']}/feature-dictionary"
+        )
+        if (
+            prev_d.exceptAll(new_d).limit(1).count() > 0
+            or new_d.exceptAll(prev_d).limit(1).count() > 0
+        ):
+            raise ValueError(
+                "dictionary_input differs from incremental_training."
+                "model_dir's saved dictionary — priors are indexed by "
+                "the previous feature space; drop dictionary_input (the "
+                "previous dictionary is reused automatically) or "
+                "retrain from scratch on the new space"
+            )
     if cfg.get("dictionary_input"):
         # reuse an offline-built dictionary (the `index` driver's
         # output — FeatureIndexingDriver's consume side): training
@@ -360,6 +418,56 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             mode=dv_mode,
         )
     shard = cfg.get("shard", "features")
+
+    if cfg.get("data_summary_dir"):
+        # dataSummaryDirectory (GameTrainingDriver): per-feature
+        # summaries of the assembled shard — nnz/moments/min/max from
+        # the exploded sparse pairs (zeros implicit: mean/variance use
+        # the full row count), dictionary-labeled, written as parquet.
+        # Runs on the RAW assembled frame, BEFORE any normalization —
+        # the artifact must describe the data, not the training
+        # transform (summaries are the INPUT normalization derives
+        # its factors from).
+        n_rows = assembled.count()
+        pairs = assembled.select(
+            F.explode(
+                F.arrays_zip(
+                    F.col(f"{shard}_indices"), F.col(f"{shard}_values")
+                )
+            ).alias("__p")
+        ).select(
+            F.col(f"__p.{shard}_indices").alias("feature_index"),
+            F.col(f"__p.{shard}_values").cast("double").alias("x"),
+        )
+        nn = F.lit(float(n_rows))
+        summary = pairs.groupBy("feature_index").agg(
+            F.count(F.lit(1)).alias("nnz"),
+            F.sum("x").alias("s1"),
+            F.sum(F.col("x") * F.col("x")).alias("s2"),
+            F.min("x").alias("min"),
+            F.max("x").alias("max"),
+        ).select(
+            "feature_index",
+            "nnz",
+            (F.col("s1") / nn).alias("mean"),
+            (
+                (F.col("s2") - F.col("s1") * F.col("s1") / nn)
+                / (nn - F.lit(1.0))
+            ).alias("variance"),
+            # implicit zeros widen the range ONLY where the feature
+            # is absent from some rows
+            F.when(
+                F.col("nnz") < F.lit(n_rows),
+                F.least(F.col("min"), F.lit(0.0)),
+            ).otherwise(F.col("min")).alias("min"),
+            F.when(
+                F.col("nnz") < F.lit(n_rows),
+                F.greatest(F.col("max"), F.lit(0.0)),
+            ).otherwise(F.col("max")).alias("max"),
+        )
+        summary.join(
+            F.broadcast(dictionary), "feature_index", "left"
+        ).write.mode("overwrite").parquet(cfg["data_summary_dir"])
 
     norm_kind = str(cfg.get("normalization", "none")).lower()
     norm_table = None
@@ -503,51 +611,7 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     family = cfg.get("family", "binomial")
     assembled = assembled.cache()
 
-    if cfg.get("data_summary_dir"):
-        # dataSummaryDirectory (GameTrainingDriver): per-feature
-        # summaries of the assembled shard — nnz/moments/min/max from
-        # the exploded sparse pairs (zeros implicit: mean/variance use
-        # the full row count), dictionary-labeled, written as parquet.
-        n_rows = assembled.count()
-        pairs = assembled.select(
-            F.explode(
-                F.arrays_zip(
-                    F.col(f"{shard}_indices"), F.col(f"{shard}_values")
-                )
-            ).alias("__p")
-        ).select(
-            F.col(f"__p.{shard}_indices").alias("feature_index"),
-            F.col(f"__p.{shard}_values").cast("double").alias("x"),
-        )
-        nn = F.lit(float(n_rows))
-        summary = pairs.groupBy("feature_index").agg(
-            F.count(F.lit(1)).alias("nnz"),
-            F.sum("x").alias("s1"),
-            F.sum(F.col("x") * F.col("x")).alias("s2"),
-            F.min("x").alias("min"),
-            F.max("x").alias("max"),
-        ).select(
-            "feature_index",
-            "nnz",
-            (F.col("s1") / nn).alias("mean"),
-            (
-                (F.col("s2") - F.col("s1") * F.col("s1") / nn)
-                / (nn - F.lit(1.0))
-            ).alias("variance"),
-            # implicit zeros widen the range ONLY where the feature
-            # is absent from some rows
-            F.when(
-                F.col("nnz") < F.lit(n_rows),
-                F.least(F.col("min"), F.lit(0.0)),
-            ).otherwise(F.col("min")).alias("min"),
-            F.when(
-                F.col("nnz") < F.lit(n_rows),
-                F.greatest(F.col("max"), F.lit(0.0)),
-            ).otherwise(F.col("max")).alias("max"),
-        )
-        summary.join(
-            F.broadcast(dictionary), "feature_index", "left"
-        ).write.mode("overwrite").parquet(cfg["data_summary_dir"])
+    _norm_rows_cache: list = []
 
     def _backmapped_model(model):
         """Original-space COPY of a transformed-space GameModel (never
@@ -561,7 +625,11 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             backmap_random_effects,
         )
 
-        norm_rows = norm_table.collect()  # O(dim), like the model itself
+        if not _norm_rows_cache:
+            # O(dim) like the model itself; collected ONCE — sweep mode
+            # calls this per saved candidate
+            _norm_rows_cache.append(norm_table.collect())
+        norm_rows = _norm_rows_cache[0]
         out_model = GameModel(family=model.family)
         out_model.configs = dict(model.configs)
         for name, c in model.configs.items():
@@ -591,10 +659,22 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
     if cfg.get("validation_input"):
         # assembled ONCE with the training dictionary and cached —
         # reused by every sweep evaluation and the per-group sink
+        # the TRAINING range must not leak onto the validation path
+        # (a flat validation dir would fail daily-dir resolution);
+        # validation gets its own optional range — the reference's
+        # separate validationDataDateRange/DaysRange params
+        vcfg = {
+            k: v
+            for k, v in cfg.items()
+            if k not in ("date_range", "days_range")
+        }
+        vcfg["input"] = cfg["validation_input"]
+        if cfg.get("validation_date_range"):
+            vcfg["date_range"] = cfg["validation_date_range"]
+        if cfg.get("validation_days_range"):
+            vcfg["days_range"] = cfg["validation_days_range"]
         validation_frame, _, _ = _assembled(
-            spark,
-            {**cfg, "input": cfg["validation_input"]},
-            dictionary=dictionary,
+            spark, vcfg, dictionary=dictionary,
         )
         if norm_table is not None:
             # the TRAINING factors transform the held-out frame too —
@@ -921,21 +1001,9 @@ def index(cfg: dict, spark: SparkSession) -> None:
     persists beside a model (``{output_dir}/feature-dictionary``), so
     ``train`` consumes it via ``dictionary_input``."""
     from photon_ml_spark.sources import featurize
-    from photon_ml_spark.sources.avro_io import read_training_examples
 
     _validate_cfg_keys(cfg, "index")
-    fmt = cfg.get("input_format", "parquet")
-    if fmt != "parquet" and (cfg.get("date_range") or cfg.get("days_range")):
-        raise ValueError(
-            "date ranges currently compose with parquet inputs only"
-        )
-    if fmt == "avro":
-        df = read_training_examples(spark, cfg["input"])
-    else:
-        resolved = _resolve_input(spark, cfg)
-        df = spark.read.parquet(
-            *(resolved if isinstance(resolved, list) else [resolved])
-        )
+    df = _read_input(spark, cfg)
     selected = None
     if cfg.get("selected_features"):
         selected = spark.read.parquet(cfg["selected_features"])
@@ -985,7 +1053,10 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
         if "offset" in scored.columns
         else F.lit(0.0)
     )
-    sdf = scored.withColumn("__eval_margin", F.col("score") + off)
+    # one scoring pass feeds every requested metric: without the
+    # persist each .first() below re-executes the full scoring plan
+    # (random-effect joins included) once per evaluator
+    sdf = scored.withColumn("__eval_margin", F.col("score") + off).persist()
     m, lbl = "__eval_margin", "response"
     loss_kinds = {
         "LOGISTIC_LOSS": "logistic",
@@ -1039,6 +1110,7 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
                 "response class or empty frame)"
             )
         out[str(ev)] = round(float(v), 6)
+    sdf.unpersist()
     return out
 
 

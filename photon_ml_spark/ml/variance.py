@@ -101,7 +101,12 @@ def sparse_hessian_diagonal(
     lands at ``feature_index = dim - 1`` when ``dim`` is given (the
     dictionary's intercept convention) or -1 otherwise. Zeros
     contribute nothing to off-intercept entries, so the exploded
-    nonzeros are exact. One aggregation pass, JVM-side."""
+    nonzeros are exact. One aggregation pass, JVM-side.
+
+    ``l2`` is added to FEATURE slots only — the solvers leave the
+    intercept unpenalized (distributed_solver's trailing-zero l2
+    vector), so the intercept's true curvature carries no l2 term and
+    adding one would understate its variance."""
     w = F.col(weight_col) if weight_col else F.lit(1.0)
     d = _dmu(F.col(margin_col), family)
     base = df.select((w * d).alias("__wd"), indices_col, values_col)
@@ -123,7 +128,7 @@ def sparse_hessian_diagonal(
     )
     icol = F.lit(int(dim - 1 if dim is not None else -1)).cast("long")
     intercept = base.agg(
-        (F.sum("__wd") + F.lit(float(l2))).alias("hessian_diag")
+        F.sum("__wd").alias("hessian_diag")
     ).select(icol.alias("feature_index"), "hessian_diag")
     return feats.unionByName(intercept)
 
@@ -202,7 +207,11 @@ def sparse_full_hessian_variance(
     H = np.zeros((dim, dim))
     for r in entries:
         H[int(r.i), int(r.j)] += float(r.h)
-    H += float(l2) * np.eye(dim)
+    # l2 on FEATURE slots only — the solvers never penalize the
+    # intercept (slot dim-1), so its curvature carries no l2 term
+    reg = float(l2) * np.eye(dim)
+    reg[dim - 1, dim - 1] = 0.0
+    H += reg
     # pinv: an unobserved dictionary slot (zero row/col at l2=0) makes
     # H singular; the pseudo-inverse reports 0 variance there instead
     # of failing the whole job

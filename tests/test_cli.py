@@ -1250,3 +1250,91 @@ def test_date_range_inputs(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_review_fixes_round7(spark, tmp_path, capsys):
+    """Regression pins for the round-7 self-review findings: summaries
+    describe RAW data even under normalization; a mismatched explicit
+    dictionary alongside incremental_training is refused; the training
+    date_range does not leak onto a flat validation_input; a scalar
+    days_range gets the fail-fast ValueError, not a TypeError."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    root = str(tmp_path / "daily")
+    training.write.parquet(f"{root}/2026/08/01")
+    flat_va = str(tmp_path / "flat_va.parquet")
+    training.filter(F.col("uid") % 4 == 0).write.parquet(flat_va)
+
+    # 1+3: normalization + data_summary_dir + daily input + FLAT validation
+    out = str(tmp_path / "rf_model")
+    summary_dir = str(tmp_path / "rf_summary")
+    cli.train(
+        {
+            "input": root,
+            "date_range": {"start": "2026-08-01", "end": "2026-08-01"},
+            "validation_input": flat_va,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "normalization": "standardization",
+            "data_summary_dir": summary_dir,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    rows = spark.read.parquet(summary_dir).collect()
+    # raw-data stats: standardized stats would have variance ≈ 1
+    # everywhere; the raw measures differ by orders of magnitude
+    variances = sorted(float(r.variance) for r in rows)
+    assert variances[-1] / max(variances[0], 1e-12) > 10.0
+
+    # 2: explicit mismatched dictionary_input + incremental refused
+    idx2 = str(tmp_path / "rf_idx")
+    narrowed = spark.read.parquet(f"{out}/feature-dictionary").filter(
+        "feature_index <= 2"
+    )
+    narrowed.write.parquet(f"{idx2}/feature-dictionary")
+    with pytest.raises(ValueError, match="differs from incremental"):
+        cli.train(
+            {
+                "input": root,
+                "date_range": {"start": "2026-08-01", "end": "2026-08-01"},
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "output_dir": str(tmp_path / "x"),
+                "incremental_training": {"model_dir": out},
+                "dictionary_input": idx2,
+            },
+            spark,
+        )
+
+    # 4: scalar days_range → config ValueError, not TypeError
+    with pytest.raises(ValueError, match="days_range needs"):
+        cli.train(
+            {
+                "input": root,
+                "days_range": 30,
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "output_dir": str(tmp_path / "y"),
+            },
+            spark,
+        )
+    # malformed date fails up front with the iso error, not an empty scan
+    with pytest.raises(ValueError, match="Invalid isoformat|month must"):
+        cli.train(
+            {
+                "input": root,
+                "date_range": {"start": "2026-13-01", "end": "2026-13-02"},
+                "feature_bags": ["features"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "output_dir": str(tmp_path / "z"),
+            },
+            spark,
+        )
