@@ -109,7 +109,7 @@ def run_curate(spark, sf_dir: str) -> dict:
         return {}
 
 
-def run_train_game(spark, sf_dir: str) -> None:
+def run_train_game(spark, sf_dir: str) -> dict:
     """The FULL multi-coordinate GAME training loop — the reference's
     flagship (GameTrainingDriver.scala:363-516, CoordinateDescent.
     scala:132-166): 2 coordinates (fixed global + per-supplier random
@@ -148,6 +148,19 @@ def run_train_game(spark, sf_dir: str) -> None:
         ).first()
         return {"rmse": round(float(row.rmse), 6)}
 
+    stamps: dict[str, float] = {}
+    t_last = [time.perf_counter()]
+
+    def on_update(entry):
+        # wall time per coordinate update (fit + residual bookkeeping +
+        # validation scan) — the same per-constituent attribution the
+        # suite rows carry
+        now = time.perf_counter()
+        stamps[f"it{entry['iteration']}_{entry['coordinate']}"] = round(
+            now - t_last[0], 3
+        )
+        t_last[0] = now
+
     model, history = train_game(
         train,
         coordinates=[
@@ -161,9 +174,11 @@ def run_train_game(spark, sf_dir: str) -> None:
         n_iterations=2,
         validation_df=val,
         evaluator=evaluator,
+        on_update=on_update,
     )
     assert model.coordinates["per_supplier"].count() > 0
     assert len(history) == 4  # 2 coordinates × 2 iterations
+    return stamps
 
 
 # Suite rows that support per-constituent wall-time stamps (VERDICT r6
@@ -236,8 +251,9 @@ def main() -> None:
         constituents["curate_pipeline"] = curate_stages
 
     t0 = time.perf_counter()
-    run_train_game(spark, sf_dir)
+    game_stamps = run_train_game(spark, sf_dir)
     timings["train_game_cd_loop"] = round(time.perf_counter() - t0, 3)
+    constituents["train_game_cd_loop"] = game_stamps
     for name in BENCH_QUERIES:
         spec = registry.get(name)
         if spec is None:
