@@ -204,7 +204,7 @@ _CFG_KEYS = {
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
         "contamination", "select", "mix", "split", "chunk", "tokenize",
-        "report",
+        "report", "pii",
     }),
     "curate_stream": frozenset({
         "input_dir", "schema", "index_path", "output_dir",
@@ -232,6 +232,7 @@ _STAGE_KEYS = {
         "active_cap", "elastic_net_param", "solver", "constraints",
     }),
     "incremental_training": frozenset({"model_dir", "locked_coordinates"}),
+    "pii": frozenset({"action", "max_matches"}),
     "date_range": frozenset({"start", "end"}),
     "days_range": frozenset({"days", "until"}),
     "quality": frozenset({
@@ -1176,7 +1177,8 @@ def _quality_prefilter(docs, q, tokens_col=None):
 def curate(cfg: dict, spark: SparkSession) -> None:
     """End-to-end training-corpus curation driver — the data-pipeline
     twin of ``train``/``score``. Every stage is optional and config-
-    gated; stages compose in the canonical order quality → exact dedup
+    gated; stages compose in the canonical order PII scrub → quality →
+    exact dedup
     → near-dedup → contamination → mix → split → chunk:
 
     {"input": "<docs parquet: doc_id, text[, source]>",
@@ -1256,11 +1258,40 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     # a per-stage re-tokenize is the single largest redundant scan in
     # the pipeline. The column is internal; _finish/_card drop it.
     TOK = "__toks"
-    docs = spark.read.parquet(cfg["input"]).withColumn(
-        TOK, text.tokens(F.col("text"))
-    )
+    docs = spark.read.parquet(cfg["input"])
     report: dict[str, int] = {"input": docs.count()}
     _stamp("input")
+
+    pii_cfg = cfg.get("pii")
+    if pii_cfg:
+        # PII stage FIRST — redaction rewrites the text, and every
+        # downstream stage (including the shared token column built
+        # right below) must see the scrubbed corpus. action='redact'
+        # (default) keeps every document with matches replaced by
+        # [PII]; action='drop' removes documents with more than
+        # max_matches (default 0) total matches.
+        _validate_stage_keys(pii_cfg, "pii")
+        action = str(pii_cfg.get("action", "redact")).lower()
+        scanned = text.pii_scan(docs, text_col="text")
+        total = sum(
+            (F.col(f"n_{name}") for name in text.PII_PATTERNS),
+            F.lit(0),
+        )
+        if action == "redact":
+            docs = scanned.withColumn(
+                "text", F.col("text_redacted")
+            ).drop("text_redacted", *[f"n_{n}" for n in text.PII_PATTERNS])
+        elif action == "drop":
+            cap = int(pii_cfg.get("max_matches", 0))
+            docs = scanned.filter(total <= cap).drop(
+                "text_redacted", *[f"n_{n}" for n in text.PII_PATTERNS]
+            )
+        else:
+            raise ValueError("pii.action must be redact|drop")
+        report["after_pii"] = docs.count()
+        _stamp("pii")
+
+    docs = docs.withColumn(TOK, text.tokens(F.col("text")))
 
     def _card(frame, name):
         # group by whichever descriptor column the corpus carries

@@ -1338,3 +1338,58 @@ def test_review_fixes_round7(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_curate_pii_stage(spark, tmp_path, capsys):
+    """The curate `pii` stage runs FIRST (before the shared token
+    column): redact scrubs matches to [PII] in the published text,
+    drop removes offending documents; downstream stages see the
+    scrubbed corpus."""
+    from photon_ml_spark import cli
+
+    docs = spark.createDataFrame(
+        [
+            (0, "contact me at alice@example.com for the dataset", "s"),
+            (1, "a clean document with plenty of ordinary words here", "s"),
+            (2, "call 555-123-4567 or mail bob@example.org today ok", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    inp = str(tmp_path / "pii_in.parquet")
+    docs.write.parquet(inp)
+
+    out1 = str(tmp_path / "pii_redact")
+    cli.curate(
+        {"input": inp, "output_dir": out1, "pii": {"action": "redact"}},
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["report"]["after_pii"] == 3
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{out1}/docs").collect()
+    }
+    assert "[PII]" in texts[0] and "@" not in texts[0]
+    assert "[PII]" in texts[2]
+    assert "[PII]" not in texts[1]
+
+    out2 = str(tmp_path / "pii_drop")
+    cli.curate(
+        {"input": inp, "output_dir": out2, "pii": {"action": "drop"}},
+        spark,
+    )
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["report"]["after_pii"] == 1
+
+    with pytest.raises(ValueError, match="redact|drop"):
+        cli.curate(
+            {"input": inp, "output_dir": str(tmp_path / "x"),
+             "pii": {"action": "hide"}},
+            spark,
+        )
+    with pytest.raises(ValueError, match="unknown key"):
+        cli.curate(
+            {"input": inp, "output_dir": str(tmp_path / "y"),
+             "pii": {"mode": "redact"}},
+            spark,
+        )
