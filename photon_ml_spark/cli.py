@@ -209,7 +209,7 @@ _CFG_KEYS = {
     "curate_stream": frozenset({
         "input_dir", "schema", "index_path", "output_dir",
         "checkpoint_dir", "quality", "threshold", "n", "num_hashes",
-        "bands", "max_files_per_trigger",
+        "bands", "max_files_per_trigger", "pii",
     }),
 }
 
@@ -1632,9 +1632,30 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
     # hashing (pure expression — streaming-safe); neardup_process_batch
     # drops it before publishing survivors
     TOK = "__toks"
-    stream = reader.parquet(cfg["input_dir"]).withColumn(
-        TOK, text.tokens(F.col("text"))
-    )
+    stream = reader.parquet(cfg["input_dir"])
+    pii_cfg = cfg.get("pii")
+    if pii_cfg:
+        # same PII stage as the batch driver, stream edition — pure
+        # regex expressions, stateless and streaming-safe. Runs BEFORE
+        # tokenization/dedup so the index only ever sees scrubbed text
+        # (a replayed batch must hash identical content).
+        _validate_stage_keys(pii_cfg, "pii")
+        action = str(pii_cfg.get("action", "redact")).lower()
+        scanned = text.pii_scan(stream, text_col="text")
+        total = sum(
+            (F.col(f"n_{name}") for name in text.PII_PATTERNS),
+            F.lit(0),
+        )
+        if action == "redact":
+            stream = scanned.withColumn(
+                "text", F.col("text_redacted")
+            ).select(*stream.columns)
+        elif action == "drop":
+            cap = int(pii_cfg.get("max_matches", 0))
+            stream = scanned.filter(total <= cap).select(*stream.columns)
+        else:
+            raise ValueError("pii.action must be redact|drop")
+    stream = stream.withColumn(TOK, text.tokens(F.col("text")))
     qc = cfg.get("quality")
     if qc:
         stream = _quality_prefilter(

@@ -1393,3 +1393,42 @@ def test_curate_pii_stage(spark, tmp_path, capsys):
              "pii": {"mode": "redact"}},
             spark,
         )
+
+
+def test_cli_curate_stream_pii_redaction(spark, tmp_path, capsys):
+    """The streaming driver's pii stage scrubs BEFORE tokenization and
+    dedup, so the published survivors and the shared index only ever
+    see redacted text."""
+    import glob as _glob
+    import os
+    import shutil
+
+    docs = spark.createDataFrame(
+        [
+            (0, "s", "en", "mail alice@example.com about the training set"),
+            (1, "s", "en", "a perfectly ordinary document with many words"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    src = str(tmp_path / "pii_src")
+    os.makedirs(src)
+    tmp = str(tmp_path / "one")
+    docs.coalesce(1).write.parquet(tmp)
+    shutil.copyfile(
+        _glob.glob(f"{tmp}/part-*.parquet")[0], f"{src}/batch0.parquet"
+    )
+    cfg = {
+        "input_dir": src,
+        "schema": "doc_id long, source string, lang string, text string",
+        "index_path": str(tmp_path / "index_p"),
+        "output_dir": str(tmp_path / "out_p"),
+        "checkpoint_dir": str(tmp_path / "ckpt_p"),
+        "pii": {"action": "redact"},
+        "threshold": 0.5,
+        "n": 2,
+    }
+    cli.curate_stream(cfg, spark)
+    capsys.readouterr()
+    out = {r.doc_id: r.text for r in spark.read.parquet(cfg["output_dir"]).collect()}
+    assert "[PII]" in out[0] and "@" not in out[0]
+    assert "[PII]" not in out[1]
