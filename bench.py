@@ -189,6 +189,7 @@ def run_train_game(spark, sf_dir: str) -> dict:
 STAMPED_SUITES = {
     "a9_metric_suite",
     "m1_custom_solvers",
+    "m2_per_entity_ridge",
     "x6_neardup_pairs",
     "x9_ann_topk",
     "xm1_multimodal_suite",

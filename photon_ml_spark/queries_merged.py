@@ -1202,14 +1202,20 @@ FROM ({_SPEC["m2b_per_entity_poisson"].oracle.strip()}) m2b
     "coef/intercept carry the recomputed penalized gradient, which "
     "must round to 0) — variant-tagged union",
 )
-def m2_per_entity_ridge(spark, sf_dir):
-    base = _SPEC["m2_per_entity_ridge"].run(spark, sf_dir)
-    poisson = _SPEC["m2b_per_entity_poisson"].run(spark, sf_dir).select(
-        F.lit("poisson").alias("variant"),
-        "entity",
-        F.col("g_x").alias("coef"),
-        F.col("g_int").alias("intercept"),
-        "n_samples",
+def m2_per_entity_ridge(spark, sf_dir, stamps=None):
+    base = _stamp(
+        stamps, "ridge", _SPEC["m2_per_entity_ridge"].run(spark, sf_dir)
+    )
+    poisson = _stamp(
+        stamps,
+        "poisson",
+        _SPEC["m2b_per_entity_poisson"].run(spark, sf_dir).select(
+            F.lit("poisson").alias("variant"),
+            "entity",
+            F.col("g_x").alias("coef"),
+            F.col("g_int").alias("intercept"),
+            "n_samples",
+        ),
     )
     return base.unionByName(poisson)
 
