@@ -1000,7 +1000,7 @@ FROM ({_unigram_gate_sql().strip()}) t3
     "tie-break — variant-tagged union; constituent notes in "
     "queries_pipeline.py / operators/text.py",
 )
-def x21_chunk_split(spark, sf_dir):
+def x21_chunk_split(spark, sf_dir, stamps=None):
     chunk = _SPEC["x21_doc_chunking"].run(spark, sf_dir).select(
         F.lit("chunk").alias("variant"),
         "doc_id",
@@ -1029,6 +1029,10 @@ def x21_chunk_split(spark, sf_dir):
         F.col("n_pieces").alias("n_tok"),
         F.concat("word", F.lit("="), "seg").alias("tag"),
     )
+    chunk = _stamp(stamps, "chunk", chunk)
+    split = _stamp(stamps, "split", split)
+    bpe = _stamp(stamps, "bpe", bpe)
+    unigram = _stamp(stamps, "unigram", unigram)
     return chunk.unionByName(split).unionByName(bpe).unionByName(unigram)
 
 
