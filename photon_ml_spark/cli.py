@@ -983,6 +983,14 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             ).parquet(f"{out}/fixed-effect/{name}/variances")
         if variance_tables:
             report["variances"] = sorted(variance_tables)
+    # release job-scoped caches: these drivers are callable in-process
+    # (tests, notebooks, sweep orchestration) — without this every call
+    # leaves dictionary/assembled/validation frames pinned in executor
+    # storage for the session lifetime (the same leak class as the
+    # round-7 IVF fix)
+    for frame in (dictionary, assembled, validation_frame, norm_table):
+        if frame is not None:
+            frame.unpersist()
     print(json.dumps(report))
 
 
@@ -1149,6 +1157,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
     report = {"status": "scored", "output_dir": cfg["output_dir"]}
     if cfg.get("evaluators"):
         report["evaluation"] = _evaluate_scores(scored, cfg["evaluators"])
+    dictionary.unpersist()  # job-scoped cache (see _train_impl note)
     print(json.dumps(report))
 
 
