@@ -1302,6 +1302,20 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     docs = docs.withColumn(TOK, text.tokens(F.col("text")))
 
+    def _advance(new_docs, report_key, stage):
+        """Swap in the next corpus generation: cache it, materialize
+        through the stage's report count, stamp, then UNPERSIST the
+        superseded generation — each stage's cache is corpus-sized, so
+        leaving every generation pinned multiplies storage pressure by
+        the stage count at scale (the same leak class as the round-7
+        IVF fix; a no-op when the predecessor was never cached)."""
+        nonlocal docs
+        prev = docs
+        docs = new_docs.cache()
+        report[report_key] = docs.count()
+        _stamp(stage)
+        prev.unpersist()
+
     def _card(frame, name):
         # group by whichever descriptor column the corpus carries
         g = next(
@@ -1340,18 +1354,18 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             scored = scored.filter(
                 ~F.arrays_overlap(F.col(TOK), blocked)
             )
-        docs = scored.select(*docs.columns).cache()
-        report["after_quality"] = docs.count()
-        _stamp("quality")
+        _advance(scored.select(*docs.columns), "after_quality", "quality")
 
     if cfg.get("exact_dedup"):
         dups = dedup.bow_exact_dedup(docs, tokens_col=TOK)
         losers = dups.select(
             F.explode("doc_ids").alias("doc_id"), F.col("keep_id")
         ).filter(F.col("doc_id") != F.col("keep_id")).select("doc_id")
-        docs = docs.join(losers, "doc_id", "left_anti").cache()
-        report["after_exact_dedup"] = docs.count()
-        _stamp("exact_dedup")
+        _advance(
+            docs.join(losers, "doc_id", "left_anti"),
+            "after_exact_dedup",
+            "exact_dedup",
+        )
 
     pairs = None
     nd = cfg.get("near_dedup")
@@ -1399,16 +1413,19 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         # upstream stage already ran)
         from photon_ml_spark.sources.model_io import _hadoop_exists
 
+        advanced = False
         if _hadoop_exists(spark, f"{staged}/batch={bid}"):
             # survivors come back from the staged batch=<id> partition;
             # re-attach the shared token column for the later stages
-            docs = (
+            _advance(
                 spark.read.parquet(staged)
                 .filter(F.col("batch") == bid)
                 .drop("batch")
-                .withColumn(TOK, text.tokens(F.col("text")))
-                .cache()
+                .withColumn(TOK, text.tokens(F.col("text"))),
+                "after_near_dedup",
+                "near_dedup",
             )
+            advanced = True
         elif docs.limit(1).count() == 0:
             pass  # empty batch: keep the (empty) docs frame as-is
         else:
@@ -1419,8 +1436,9 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 f"{staged!r}; re-run with the original output_dir or "
                 "a fresh batch_id"
             )
-        report["after_near_dedup"] = docs.count()
-        _stamp("near_dedup")
+        if not advanced:
+            report["after_near_dedup"] = docs.count()
+            _stamp("near_dedup")
     elif nd:
         pairs = dedup.minhash_lsh_dedup(
             docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2),
@@ -1436,12 +1454,12 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         # keep one doc per near-dup cluster unless a split stage wants
         # the full clusters (split drops nothing; it separates them)
         if not cfg.get("split"):
-            docs = (
+            _advance(
                 dedup.cluster_and_keep(docs, pairs)
-                .filter("is_keep").drop("cluster_id", "is_keep").cache()
+                .filter("is_keep").drop("cluster_id", "is_keep"),
+                "after_near_dedup",
+                "near_dedup",
             )
-            report["after_near_dedup"] = docs.count()
-            _stamp("near_dedup")
 
     cont = cfg.get("contamination")
     if cont:
@@ -1449,9 +1467,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         bad = dedup.contaminated_docs(
             docs, ev, n=cont.get("ngram", 3), tokens_col=TOK
         ).filter(F.col("n_shared_ngrams") >= cont.get("min_shared", 1))
-        docs = docs.join(bad.select("doc_id"), "doc_id", "left_anti").cache()
-        report["after_contamination"] = docs.count()
-        _stamp("contamination")
+        _advance(
+            docs.join(bad.select("doc_id"), "doc_id", "left_anti"),
+            "after_contamination",
+            "contamination",
+        )
 
     sel = cfg.get("select")
     if sel:
@@ -1462,9 +1482,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             temperature=sel.get("temperature", 1.0),
             tokens_col=TOK,
         ).select("doc_id")
-        docs = docs.join(chosen, "doc_id", "left_semi").cache()
-        report["after_select"] = docs.count()
-        _stamp("select")
+        _advance(
+            docs.join(chosen, "doc_id", "left_semi"),
+            "after_select",
+            "select",
+        )
 
     mix = cfg.get("mix")
     if mix:
@@ -1477,17 +1499,16 @@ def curate(cfg: dict, spark: SparkSession) -> None:
                 "split the corpus first, then oversample the train side"
             )
         if mix.get("mode") == "oversample":
-            docs = sampling.oversample_to_shares(
+            mixed = sampling.oversample_to_shares(
                 docs, mix.get("group_col", "source"), mix["shares"],
                 max_epochs=mix.get("max_epochs", 4.0), uid_col="doc_id",
-            ).cache()
+            )
         else:
-            docs = sampling.corpus_mix(
+            mixed = sampling.corpus_mix(
                 docs, mix.get("group_col", "source"), mix["shares"],
                 uid_col="doc_id",
-            ).cache()
-        report["after_mix"] = docs.count()
-        _stamp("mix")
+            )
+        _advance(mixed, "after_mix", "mix")
 
     ch = cfg.get("chunk")
     tok = cfg.get("tokenize")
