@@ -315,6 +315,25 @@ def train(
 
 
 def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
+    """Exception-safe shell: every cache the body registers is released
+    on ANY exit — the in-process leak this guards against (tests and
+    sweep orchestration call the driver repeatedly, several paths via
+    pytest.raises) happens precisely on the raising paths a clean-exit
+    unpersist would miss."""
+    job_caches: list = []
+    try:
+        _train_impl_body(cfg, spark, emitter, tuner, job_caches)
+    finally:
+        for frame in job_caches:
+            try:
+                frame.unpersist()
+            except Exception:
+                pass
+
+
+def _train_impl_body(
+    cfg: dict, spark: SparkSession, emitter, tuner, job_caches: list
+) -> None:
     from pyspark.sql import functions as F
 
     from photon_ml_spark import events
@@ -400,6 +419,7 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             f"{cfg['dictionary_input']}/feature-dictionary"
         ).cache()
     assembled, dictionary, dim = _assembled(spark, cfg, dictionary=dict_in)
+    job_caches.append(dictionary)
     dv_mode = cfg.get("data_validation", "disabled")
     if dv_mode != "disabled":
         # GameTrainingDriver's dataValidation hook (default
@@ -490,6 +510,7 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             f"{shard}_values",
             kind=norm_kind,
         ).cache()
+        job_caches.append(norm_table)
         assembled = apply_sparse_normalization(
             assembled, norm_table, f"{shard}_indices", f"{shard}_values"
         )
@@ -611,6 +632,7 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
 
     family = cfg.get("family", "binomial")
     assembled = assembled.cache()
+    job_caches.append(assembled)
 
     _norm_rows_cache: list = []
 
@@ -686,6 +708,7 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
                 f"{shard}_indices", f"{shard}_values",
             )
         validation_frame = validation_frame.cache()
+        job_caches.append(validation_frame)
 
     def _eval_scored(fitted, frame):
         """Score + the EVALUATION margin: the transformer's score is
@@ -983,14 +1006,6 @@ def _train_impl(cfg: dict, spark: SparkSession, emitter, tuner) -> None:
             ).parquet(f"{out}/fixed-effect/{name}/variances")
         if variance_tables:
             report["variances"] = sorted(variance_tables)
-    # release job-scoped caches: these drivers are callable in-process
-    # (tests, notebooks, sweep orchestration) — without this every call
-    # leaves dictionary/assembled/validation frames pinned in executor
-    # storage for the session lifetime (the same leak class as the
-    # round-7 IVF fix)
-    for frame in (dictionary, assembled, validation_frame, norm_table):
-        if frame is not None:
-            frame.unpersist()
     print(json.dumps(report))
 
 
@@ -1124,11 +1139,18 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
 
 
 def score(cfg: dict, spark: SparkSession) -> None:
+    _validate_cfg_keys(cfg, "score")
+    dictionary = spark.read.parquet(f"{cfg['model_dir']}/feature-dictionary").cache()
+    try:
+        _score_body(cfg, spark, dictionary)
+    finally:
+        dictionary.unpersist()
+
+
+def _score_body(cfg: dict, spark, dictionary) -> None:
     from photon_ml_spark.estimator import GameTransformer
     from photon_ml_spark.sources.model_io import load_game_model, save_scores
 
-    _validate_cfg_keys(cfg, "score")
-    dictionary = spark.read.parquet(f"{cfg['model_dir']}/feature-dictionary").cache()
     assembled, _, _ = _assembled(spark, cfg, dictionary=dictionary)
     dv_mode = cfg.get("data_validation", "disabled")
     if dv_mode != "disabled":
@@ -1157,9 +1179,43 @@ def score(cfg: dict, spark: SparkSession) -> None:
     report = {"status": "scored", "output_dir": cfg["output_dir"]}
     if cfg.get("evaluators"):
         report["evaluation"] = _evaluate_scores(scored, cfg["evaluators"])
-    dictionary.unpersist()  # job-scoped cache (see _train_impl note)
     print(json.dumps(report))
 
+
+
+def _pii_stage(frame, pii_cfg):
+    """Shared PII stage for both curate drivers (same precedent as
+    `_quality_prefilter` — one definition, or the batch and stream
+    flows drift and replayed batches stop hashing identical content).
+    action='redact' (default) rewrites text with matches replaced by
+    [PII]; action='drop' removes documents with more than
+    ``max_matches`` (default 0) total matches. ``{}`` enables the
+    stage with defaults; a non-dict value is a config error."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators import text
+
+    if not isinstance(pii_cfg, dict):
+        raise ValueError(
+            "pii must be a config object ({} enables the defaults), "
+            f"got {pii_cfg!r}"
+        )
+    _validate_stage_keys(pii_cfg, "pii")
+    action = str(pii_cfg.get("action", "redact")).lower()
+    scanned = text.pii_scan(frame, text_col="text")
+    total = sum(
+        (F.col(f"n_{name}") for name in text.PII_PATTERNS),
+        F.lit(0),
+    )
+    drops = ["text_redacted", *[f"n_{n}" for n in text.PII_PATTERNS]]
+    if action == "redact":
+        return scanned.withColumn("text", F.col("text_redacted")).drop(
+            *drops
+        )
+    if action == "drop":
+        cap = int(pii_cfg.get("max_matches", 0))
+        return scanned.filter(total <= cap).drop(*drops)
+    raise ValueError("pii.action must be redact|drop")
 
 
 def _quality_prefilter(docs, q, tokens_col=None):
@@ -1270,37 +1326,9 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     docs = spark.read.parquet(cfg["input"])
     report: dict[str, int] = {"input": docs.count()}
     _stamp("input")
-
-    pii_cfg = cfg.get("pii")
-    if pii_cfg:
-        # PII stage FIRST — redaction rewrites the text, and every
-        # downstream stage (including the shared token column built
-        # right below) must see the scrubbed corpus. action='redact'
-        # (default) keeps every document with matches replaced by
-        # [PII]; action='drop' removes documents with more than
-        # max_matches (default 0) total matches.
-        _validate_stage_keys(pii_cfg, "pii")
-        action = str(pii_cfg.get("action", "redact")).lower()
-        scanned = text.pii_scan(docs, text_col="text")
-        total = sum(
-            (F.col(f"n_{name}") for name in text.PII_PATTERNS),
-            F.lit(0),
-        )
-        if action == "redact":
-            docs = scanned.withColumn(
-                "text", F.col("text_redacted")
-            ).drop("text_redacted", *[f"n_{n}" for n in text.PII_PATTERNS])
-        elif action == "drop":
-            cap = int(pii_cfg.get("max_matches", 0))
-            docs = scanned.filter(total <= cap).drop(
-                "text_redacted", *[f"n_{n}" for n in text.PII_PATTERNS]
-            )
-        else:
-            raise ValueError("pii.action must be redact|drop")
-        report["after_pii"] = docs.count()
-        _stamp("pii")
-
-    docs = docs.withColumn(TOK, text.tokens(F.col("text")))
+    # the "input" data card must describe the RAW corpus — its whole
+    # point includes PII incidence, which the pii stage below removes
+    raw_docs = docs
 
     def _advance(new_docs, report_key, stage):
         """Swap in the next corpus generation: cache it, materialize
@@ -1316,6 +1344,25 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         _stamp(stage)
         prev.unpersist()
 
+    pii_cfg = cfg.get("pii")
+    if pii_cfg is not None:
+        # PII stage FIRST — redaction rewrites the text, and every
+        # downstream stage must see the scrubbed corpus. The shared
+        # token column is folded into the SAME cached generation (a
+        # separate withColumn rebinding would orphan the cache), and
+        # routing through _advance caches it: uncached, the
+        # per-pattern regex chain would re-execute in every downstream
+        # stage's lineage.
+        _advance(
+            _pii_stage(docs, pii_cfg).withColumn(
+                TOK, text.tokens(F.col("text"))
+            ),
+            "after_pii",
+            "pii",
+        )
+    else:
+        docs = docs.withColumn(TOK, text.tokens(F.col("text")))
+
     def _card(frame, name):
         # group by whichever descriptor column the corpus carries
         g = next(
@@ -1329,7 +1376,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         ).parquet(f"{cfg['output_dir']}/report/{name}")
 
     if cfg.get("report"):
-        _card(docs, "input")
+        _card(raw_docs, "input")
         _stamp("report_input")
 
     q = cfg.get("quality")
@@ -1619,6 +1666,12 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             _train_tokenizer(docs)
             _stamp("tokenizer_train")
         _finish(docs, "docs")
+    # release the job's remaining caches (the final docs generation and
+    # the near-dup pair relation) — same in-process discipline as the
+    # train/score drivers
+    docs.unpersist()
+    if pairs is not None:
+        pairs.unpersist()
     print(
         json.dumps(
             {"status": "curated", "report": report, "timings": timings}
@@ -1664,27 +1717,12 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
     TOK = "__toks"
     stream = reader.parquet(cfg["input_dir"])
     pii_cfg = cfg.get("pii")
-    if pii_cfg:
-        # same PII stage as the batch driver, stream edition — pure
-        # regex expressions, stateless and streaming-safe. Runs BEFORE
-        # tokenization/dedup so the index only ever sees scrubbed text
-        # (a replayed batch must hash identical content).
-        _validate_stage_keys(pii_cfg, "pii")
-        action = str(pii_cfg.get("action", "redact")).lower()
-        scanned = text.pii_scan(stream, text_col="text")
-        total = sum(
-            (F.col(f"n_{name}") for name in text.PII_PATTERNS),
-            F.lit(0),
-        )
-        if action == "redact":
-            stream = scanned.withColumn(
-                "text", F.col("text_redacted")
-            ).select(*stream.columns)
-        elif action == "drop":
-            cap = int(pii_cfg.get("max_matches", 0))
-            stream = scanned.filter(total <= cap).select(*stream.columns)
-        else:
-            raise ValueError("pii.action must be redact|drop")
+    if pii_cfg is not None:
+        # same PII stage as the batch driver (shared _pii_stage helper)
+        # — pure regex expressions, stateless and streaming-safe. Runs
+        # BEFORE tokenization/dedup so the index only ever sees
+        # scrubbed text (a replayed batch must hash identical content).
+        stream = _pii_stage(stream, pii_cfg).select(*stream.columns)
     stream = stream.withColumn(TOK, text.tokens(F.col("text")))
     qc = cfg.get("quality")
     if qc:

@@ -66,11 +66,12 @@ def test_sparse_hessian_diag_matches_numpy(spark, family):
         df, family=family, l2=l2, dim=DIM
     ).collect()
     got = {int(r.feature_index): float(r.hessian_diag) for r in got_rows}
+    # every slot must be present — a dropped feature row would
+    # otherwise skip its assertion silently
+    assert set(got) == set(range(DIM))
     for j in range(DIM - 1):
         # feature slots carry the l2 term
-        ref = expect[j] + l2 if j in got else None
-        if j in got:
-            assert got[j] == pytest.approx(expect[j] + l2, rel=1e-9)
+        assert got[j] == pytest.approx(expect[j] + l2, rel=1e-9)
     # intercept slot: Σ w·μ′, NO l2 (solvers leave it unpenalized)
     assert got[DIM - 1] == pytest.approx(expect[DIM - 1], rel=1e-9)
     # SIMPLE variance = 1/H
