@@ -1001,28 +1001,50 @@ FROM ({_unigram_gate_sql().strip()}) t3
     "queries_pipeline.py / operators/text.py",
 )
 def x21_chunk_split(spark, sf_dir, stamps=None):
-    chunk = _SPEC["x21_doc_chunking"].run(spark, sf_dir).select(
+    # the BPE/unigram constituents TRAIN their tokenizers eagerly
+    # inside run() (driver-side bounded merge/EM over a distributed
+    # word-frequency pass) — stamp those build phases like x6's index
+    # builds, or ~90% of the row's wall time is unattributed
+    def _timed_run(key, name):
+        if stamps is None:
+            return _SPEC[name].run(spark, sf_dir)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        df = _SPEC[name].run(spark, sf_dir)
+        stamps[key] = round(_time.perf_counter() - t0, 3)
+        return df
+
+    chunk = _timed_run("chunk_build", "x21_doc_chunking").select(
         F.lit("chunk").alias("variant"),
         "doc_id",
         F.col("chunk_id").cast("long").alias("idx"),
         F.col("chunk_tokens").cast("long").alias("n_tok"),
         F.col("chunk_text").alias("tag"),
     )
-    split = _SPEC["x22_leakage_safe_split"].run(spark, sf_dir).select(
+    split = _timed_run("split_build", "x22_leakage_safe_split").select(
         F.lit("split").alias("variant"),
         "doc_id",
         F.col("cluster_id").alias("idx"),
         F.lit(None).cast("long").alias("n_tok"),
         F.col("split").alias("tag"),
     )
-    bpe = _SPEC["x29_bpe_tokenizer"].run(spark, sf_dir).select(
+    bpe = _timed_run("bpe_build", "x29_bpe_tokenizer").select(
         F.concat(F.lit("bpe_"), F.col("kind")).alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
         "idx",
         F.col("n").alias("n_tok"),
         "tag",
     )
-    unigram = _unigram_gate_run(spark, sf_dir).select(
+    if stamps is None:
+        unigram_df = _unigram_gate_run(spark, sf_dir)
+    else:
+        import time as _time
+
+        t0 = _time.perf_counter()
+        unigram_df = _unigram_gate_run(spark, sf_dir)
+        stamps["unigram_build"] = round(_time.perf_counter() - t0, 3)
+    unigram = unigram_df.select(
         F.lit("unigram").alias("variant"),
         F.lit(None).cast("long").alias("doc_id"),
         F.col("score").alias("idx"),
