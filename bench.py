@@ -25,6 +25,20 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+def close_stamps(stamps: dict[str, float], elapsed: float) -> float:
+    """Close a stamped row's accounting: the wall time the row spent
+    OUTSIDE its per-block stamps (setup, stamp-persist materialization,
+    the union noop write) becomes its own ``overhead`` constituent, and
+    the row total is redefined as Σ constituents — so BENCH row totals
+    decompose exactly and an unattributed gap can never masquerade as a
+    block regression (round-7 verdict: x9 read 24.5 s against 15.5 s of
+    stamps). Mutates ``stamps``; returns the closed row total. The
+    closed total deviates from the raw wall measurement only by stamp
+    rounding (< 1 ms per block)."""
+    stamps["overhead"] = max(round(elapsed - sum(stamps.values()), 3), 0.0)
+    return round(sum(stamps.values()), 3)
+
+
 def run_flagship(spark, sf_dir: str) -> int:
     from photon_ml_spark.datamodel import FeatureShardConfig
     from photon_ml_spark.functions import metrics
@@ -257,13 +271,19 @@ def main() -> None:
 
     t0 = time.perf_counter()
     curate_stages = run_curate(spark, sf_dir)
-    timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
     if curate_stages:
+        timings["curate_pipeline"] = close_stamps(
+            curate_stages, time.perf_counter() - t0
+        )
         constituents["curate_pipeline"] = curate_stages
+    else:
+        timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     game_stamps = run_train_game(spark, sf_dir)
-    timings["train_game_cd_loop"] = round(time.perf_counter() - t0, 3)
+    timings["train_game_cd_loop"] = close_stamps(
+        game_stamps, time.perf_counter() - t0
+    )
     constituents["train_game_cd_loop"] = game_stamps
     for name in BENCH_QUERIES:
         spec = registry.get(name)
@@ -274,15 +294,22 @@ def main() -> None:
             stamps: dict[str, float] = {}
             df = spec.run(spark, sf_dir, stamps=stamps)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = close_stamps(stamps, time.perf_counter() - t0)
             constituents[name] = stamps
             # stamped blocks are persisted for the union read — drop
             # them so one suite's cache can't skew the next row
+            # (outside the row timer, like every other row's teardown)
             spark.catalog.clearCache()
         else:
             df = spec.run(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+
+    # accounting invariant: every stamped row total == Σ constituents
+    for name, stamps in constituents.items():
+        assert abs(timings[name] - sum(stamps.values())) < 1e-6, (
+            name, timings[name], stamps,
+        )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -93,6 +93,14 @@ def _resolve_input(spark, cfg):
         raise ValueError(
             "date ranges currently compose with parquet inputs only"
         )
+    # Qualify the root first: globStatus results are always absolute,
+    # so a RELATIVE input root would never match the wanted paths and
+    # falsely raise "no daily directories exist"
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(inp)
+    fs = root.getFileSystem(conf)
+    inp = str(fs.makeQualified(root))
     wanted = []
     d = start_d
     while d <= end_d:
@@ -101,10 +109,7 @@ def _resolve_input(spark, cfg):
     # ONE globStatus RPC lists every existing daily dir under the root
     # (the reference lists-and-filters the same way) — not O(days)
     # sequential exists() round-trips against object storage
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
     glob = jvm.org.apache.hadoop.fs.Path(f"{inp}/*/*/*")
-    fs = glob.getFileSystem(conf)
     statuses = fs.globStatus(glob)
     on_disk = (
         {st.getPath().toUri().getPath() for st in statuses}
@@ -195,6 +200,10 @@ _CFG_KEYS = {
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
         "has_intercept", "selected_features", "date_range", "days_range",
+    }),
+    "bags": frozenset({
+        "input", "input_format", "feature_bags", "output_dir",
+        "date_range", "days_range",
     }),
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
@@ -471,9 +480,12 @@ def _train_impl_body(
             "feature_index",
             "nnz",
             (F.col("s1") / nn).alias("mean"),
-            (
+            # n > 1 guard: a single-row input must not divide by zero
+            # (throws under Spark 4 ANSI mode) — variance is NULL there
+            F.when(
+                nn > F.lit(1.0),
                 (F.col("s2") - F.col("s1") * F.col("s1") / nn)
-                / (nn - F.lit(1.0))
+                / (nn - F.lit(1.0)),
             ).alias("variance"),
             # implicit zeros widen the range ONLY where the feature
             # is absent from some rows
@@ -1021,7 +1033,10 @@ def index(cfg: dict, spark: SparkSession) -> None:
     ``output_dir``; optional ``has_intercept`` (default true) and
     ``selected_features`` — a parquet path whose ``feature_key`` column
     allowlists the dictionary (GLMSuite.getSelectedFeatureSetFromFile
-    flow, applied as a semi-join). Output layout matches what ``train``
+    flow, applied as a semi-join), or ``{"bags_dir": <path>}`` pointing
+    at a ``bags`` driver output (per-bag name\\tterm text lists —
+    the reference's NameAndTermFeatureBagsDriver artifact). Output
+    layout matches what ``train``
     persists beside a model (``{output_dir}/feature-dictionary``), so
     ``train`` consumes it via ``dictionary_input``."""
     from photon_ml_spark.sources import featurize
@@ -1030,7 +1045,22 @@ def index(cfg: dict, spark: SparkSession) -> None:
     df = _read_input(spark, cfg)
     selected = None
     if cfg.get("selected_features"):
-        selected = spark.read.parquet(cfg["selected_features"])
+        sel = cfg["selected_features"]
+        if isinstance(sel, dict):
+            # {"bags_dir": <path>}: a `bags` driver output — per-bag
+            # name\tterm text lists (the reference's chained
+            # NameAndTermFeatureBagsDriver → FeatureIndexingDriver flow)
+            unknown = sorted(set(sel) - {"bags_dir"})
+            if unknown or "bags_dir" not in sel:
+                raise ValueError(
+                    "selected_features as a map needs exactly "
+                    f"{{'bags_dir': <path>}}, got keys {sorted(sel)}"
+                )
+            selected = featurize.read_name_term_bags(
+                spark, sel["bags_dir"], cfg.get("feature_bags", ["features"])
+            )
+        else:
+            selected = spark.read.parquet(sel)
     dictionary = featurize.build_feature_dictionary(
         df,
         cfg.get("feature_bags", ["features"]),
@@ -1045,6 +1075,31 @@ def index(cfg: dict, spark: SparkSession) -> None:
             {"status": "indexed", "n_features": n, "output_dir": out}
         )
     )
+
+
+def bags(cfg: dict, spark: SparkSession) -> None:
+    """Standalone name/term feature-bags job — the reference's fourth
+    CLI driver, NameAndTermFeatureBagsDriver (photon-client/.../data/
+    avro/NameAndTermFeatureBagsDriver.scala:148-180): scan the input
+    (optionally date-ranged), and for each configured feature bag
+    write the distinct (name, term) vocabulary to
+    ``{output_dir}/{bag}`` as ``name\\tterm`` text (NameAndTerm's wire
+    format). A later ``index`` run consumes the artifact via
+    ``selected_features: {"bags_dir": <output_dir>}`` and ``train``
+    picks the result up through ``dictionary_input`` — the reference's
+    bags → index → train production chain.
+
+    Config: ``input`` (+ optional ``input_format``,
+    ``date_range``/``days_range``), ``feature_bags``, ``output_dir``."""
+    from photon_ml_spark.sources import featurize
+
+    _validate_cfg_keys(cfg, "bags")
+    df = _read_input(spark, cfg)
+    out = cfg["output_dir"]
+    counts = featurize.write_name_term_bags(
+        df, cfg.get("feature_bags", ["features"]), out
+    )
+    print(json.dumps({"status": "bags", "bags": counts, "output_dir": out}))
 
 
 def _evaluate_scores(scored, evaluators: list) -> dict:
@@ -1081,6 +1136,17 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
     # persist each .first() below re-executes the full scoring plan
     # (random-effect joins included) once per evaluator
     sdf = scored.withColumn("__eval_margin", F.col("score") + off).persist()
+    try:
+        return _evaluate_scores_body(sdf, evaluators)
+    finally:
+        # unpersist on EVERY exit — an unknown evaluator name or an
+        # undefined metric raises mid-loop and must not leak the cache
+        sdf.unpersist()
+
+
+def _evaluate_scores_body(sdf, evaluators) -> dict:
+    from photon_ml_spark.functions import metrics
+
     m, lbl = "__eval_margin", "response"
     loss_kinds = {
         "LOGISTIC_LOSS": "logistic",
@@ -1134,7 +1200,6 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
                 "response class or empty frame)"
             )
         out[str(ev)] = round(float(v), 6)
-    sdf.unpersist()
     return out
 
 
@@ -1751,7 +1816,8 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="photon_ml_spark")
     ap.add_argument(
         "command",
-        choices=["index", "train", "score", "curate", "curate-stream"],
+        choices=["bags", "index", "train", "score", "curate",
+                 "curate-stream"],
     )
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
@@ -1759,6 +1825,7 @@ def main(argv: list[str] | None = None) -> None:
         cfg = json.load(f)
     spark = get_spark(app_name=f"photon-ml-spark-{args.command}")
     {
+        "bags": bags,
         "index": index,
         "train": train,
         "score": score,

@@ -202,27 +202,18 @@ def train_game(
         return d.localCheckpoint(eager=True)
 
     # Warm start (M7/M9): a non-locked coordinate carrying a
-    # ``pretrained`` model enters the loop as if a previous iteration
-    # had fitted it — the model is seeded (a random coordinate then
-    # receives it as prior/x0 on its first update, with carry-forward
-    # for data-less entities) and its scores join the running sum, so
-    # the FIRST update already trains against the incremental model's
-    # residuals (the reference's warm-start/incremental flow; locked
-    # coordinates keep being scored inside the loop as before).
+    # ``pretrained`` model enters the loop as x0/prior ONLY — a random
+    # coordinate receives it as prior on its first update (with
+    # carry-forward for data-less entities). Its scores do NOT join
+    # the running sum before the coordinate is first trained: the
+    # reference trains the first coordinate of iteration 1 with
+    # residualsOpt = None (CoordinateDescent.scala:383-394 — initial
+    # models are starting points, only already-updated coordinates
+    # contribute residuals). Locked coordinates keep being scored
+    # inside the loop as before.
     for cfg in coordinates:
         if cfg.pretrained is not None and not cfg.locked:
             model.coordinates[cfg.name] = cfg.pretrained
-            sc = _persist(
-                _score_coordinate(df, cfg, cfg.pretrained, "score").select(
-                    uid_col, "score"
-                )
-            )
-            score_dfs[cfg.name] = sc
-            summed = (
-                sc
-                if summed is None
-                else _persist(scoring.add_scores(summed, sc, uid_col=uid_col))
-            )
 
     for it in range(1, n_iterations + 1):
         for cfg in coordinates:

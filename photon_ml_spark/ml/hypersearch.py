@@ -136,12 +136,38 @@ def sobol(n: int, dim: int, skip: int = 0) -> np.ndarray:
     return out
 
 
+def _transformed_span(lo: float, hi: float, kind: str) -> tuple[float, float]:
+    """(a, b) = the bounds in the variable's TRANSFORMED space — log10
+    for the log kinds (VectorRescaling.LOG_TRANSFORM), square root for
+    the sqrt kinds; identity otherwise."""
+    if kind.startswith("log"):
+        return math.log10(lo), math.log10(hi)
+    if kind.startswith("sqrt"):
+        return math.sqrt(lo), math.sqrt(hi)
+    return lo, hi
+
+
+def _discrete_n(lo: float, hi: float, kind: str) -> float:
+    """Number of discrete cells for a discrete kind — the reference's
+    ``(max - min).toInt + 1`` (HyperparameterSerialization.scala:122)
+    computed on the CONFIG-space (= transformed-space) bounds, with an
+    epsilon so an integer span that wobbled through a raw→transformed
+    round trip still truncates to itself."""
+    a, b = _transformed_span(lo, hi, kind)
+    return float(int((b - a) + 1e-9) + 1)
+
+
 def _scale(unit: np.ndarray, bounds: list[tuple[float, float, str]]) -> np.ndarray:
     """Map unit-cube points into bounds; scale 'log' spans decades
     uniformly (regularization weights are log-scaled in practice);
     'discrete' integer ranges give each of the hi-lo+1 values an
     equal-width unit cell (VectorRescaling's +1 adjustment) and snap
-    to integers."""
+    to integers. 'log-discrete' / 'sqrt-discrete' (reference: an INT
+    variable WITH a transform — discreteParams is computed for every
+    INT regardless of transform) snap on the integer grid of the
+    TRANSFORMED space: floor(u·n)/n in unit space, scaleBackward lands
+    on a transformed integer, transformBackward maps it to the raw
+    value (so log-discrete candidates are powers of ten)."""
     cols = []
     for j, (lo, hi, kind) in enumerate(bounds):
         u = unit[:, j]
@@ -152,6 +178,11 @@ def _scale(unit: np.ndarray, bounds: list[tuple[float, float, str]]) -> np.ndarr
             cols.append(r * r)
         elif kind == "discrete":
             cols.append(np.minimum(lo + np.floor(u * (hi - lo + 1.0)), hi))
+        elif kind in ("log-discrete", "sqrt-discrete"):
+            a, b = _transformed_span(lo, hi, kind)
+            n = _discrete_n(lo, hi, kind)
+            t = np.minimum(a + np.floor(u * n) / n * (b - a + 1.0), b)
+            cols.append(10.0 ** t if kind == "log-discrete" else t * t)
         else:
             cols.append(lo + u * (hi - lo))
     return np.column_stack(cols)
@@ -597,6 +628,10 @@ def _unit_forward(
             )
         elif kind == "discrete":
             out[j] = (x - lo) / (hi - lo + 1.0)
+        elif kind in ("log-discrete", "sqrt-discrete"):
+            a, b = _transformed_span(lo, hi, kind)
+            t = math.log10(x) if kind == "log-discrete" else math.sqrt(x)
+            out[j] = (t - a) / (b - a + 1.0)
         else:
             out[j] = (x - lo) / (hi - lo)
     return out
@@ -617,6 +652,10 @@ def _unit_backward(
             out[j] = r * r
         elif kind == "discrete":
             out[j] = x * (hi - lo + 1.0) + lo
+        elif kind in ("log-discrete", "sqrt-discrete"):
+            a, b = _transformed_span(lo, hi, kind)
+            t = x * (b - a + 1.0) + a
+            out[j] = 10.0 ** t if kind == "log-discrete" else t * t
         else:
             out[j] = x * (hi - lo) + lo
     return out
@@ -669,8 +708,8 @@ def shrink_search_range(
     def _discretize(u: np.ndarray) -> np.ndarray:
         out = u.copy()
         for j, (lo, hi, kind) in enumerate(bl):
-            if kind == "discrete":
-                n_vals = hi - lo + 1.0
+            if kind == "discrete" or kind.endswith("-discrete"):
+                n_vals = _discrete_n(lo, hi, kind)
                 out[j] = math.floor(u[j] * n_vals) / n_vals
         return out
 
@@ -851,7 +890,11 @@ def config_from_json(json_config: str) -> dict:
       sample uniformly in the transformed space;
     - ``type: INT`` → the 'discrete' kind: max-min+1 integer values,
       each owning an equal-width unit cell (the reference's +1 range
-      adjustment), snapped to integers;
+      adjustment), snapped to integers; an INT variable WITH a
+      transform becomes 'log-discrete' / 'sqrt-discrete' — the
+      reference builds discreteParams for every INT regardless of
+      transform, so candidates snap to the integer grid of the
+      transformed space (e.g. powers of ten for INT+LOG);
     - an unknown ``transform`` raises, matching the reference.
     """
     import json
@@ -878,6 +921,12 @@ def config_from_json(json_config: str) -> dict:
                 lo, hi, kind = lo * lo, hi * hi, "sqrt"
             else:
                 raise ValueError(f"unknown transform {transform!r} (LOG|SQRT)")
+            if vtype == "INT":
+                # the reference computes discreteParams for EVERY INT
+                # variable regardless of transform
+                # (HyperparameterSerialization.scala:122) — candidates
+                # snap to the integer grid of the TRANSFORMED space
+                kind += "-discrete"
         elif vtype == "INT":
             kind = "discrete"
         else:

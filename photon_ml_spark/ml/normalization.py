@@ -141,7 +141,13 @@ def sparse_normalization_table(
         F.max(F.abs("x")).alias("maxabs"),
     )
     nn = F.lit(float(n))
-    variance = (F.col("s2") - F.col("s1") * F.col("s1") / nn) / (nn - 1.0)
+    # guard the n-1 divisor: a single-row input would divide by zero,
+    # which THROWS under Spark 4 ANSI mode — undefined variance falls
+    # into the existing variance>0 repair (factor = 1) instead
+    variance = F.when(
+        nn > 1.0,
+        (F.col("s2") - F.col("s1") * F.col("s1") / nn) / (nn - 1.0),
+    )
     mean = F.col("s1") / nn
     std = F.sqrt(variance)
     inv_std = F.when(variance > 0, F.lit(1.0) / std).otherwise(F.lit(1.0))

@@ -106,6 +106,65 @@ def build_feature_dictionary(
     return dict_df
 
 
+def write_name_term_bags(
+    df: DataFrame, feature_bags: list[str], output_dir: str
+) -> dict[str, int]:
+    """Per-bag distinct (name, term) vocabulary sink — the
+    NameAndTermFeatureBagsDriver's output artifact (photon-client/.../
+    data/avro/NameAndTermFeatureBagsDriver.scala:148-180 →
+    NameAndTermFeatureMapUtils.saveAsTextFiles:66-94): each bag's
+    distinct list lands under ``{output_dir}/{bag}`` as TAB-delimited
+    text lines ``name\\tterm`` (NameAndTerm.toString's wire format), a
+    later run's feature allowlist.
+
+    Each bag is an independent job over ONLY that bag's column (parquet
+    column pruning makes the per-bag rescan cheaper than caching the
+    full input at scale); distinct is one shuffle on (name, term) with
+    map-side partial aggregation. Returns {bag: distinct count} read
+    back from the written files (one cheap scan of the small text
+    output, not a second pass over the input)."""
+    counts = {}
+    for bag in feature_bags:
+        (
+            df.select(F.explode(F.col(bag)).alias("__f"))
+            .select(
+                F.col("__f.name").cast("string").alias("name"),
+                F.col("__f.term").cast("string").alias("term"),
+            )
+            .distinct()
+            .select(F.concat_ws("\t", "name", "term").alias("value"))
+            .write.mode("overwrite")
+            .text(f"{output_dir}/{bag}")
+        )
+        counts[bag] = df.sparkSession.read.text(f"{output_dir}/{bag}").count()
+    return counts
+
+
+def read_name_term_bags(
+    spark, root: str, feature_bags: list[str]
+) -> DataFrame:
+    """Parse a ``write_name_term_bags`` output back into a
+    (feature_key) relation — NameAndTermFeatureMapUtils.
+    readNameAndTermFeatureMapFromTextFiles parity (:114-148: a line is
+    1 token — empty term — or 2 tokens). The result plugs straight
+    into ``build_feature_dictionary(selected_features=...)`` and the
+    index driver's allowlist semi-join."""
+    out = None
+    for bag in feature_bags:
+        toks = spark.read.text(f"{root}/{bag}").select(
+            F.split(F.col("value"), "\t", 2).alias("__t")
+        )
+        keys = toks.select(
+            F.concat_ws(
+                FEATURE_KEY_SEP,
+                F.element_at("__t", 1),
+                F.coalesce(F.element_at("__t", 2), F.lit("")),
+            ).alias("feature_key")
+        )
+        out = keys if out is None else out.unionByName(keys)
+    return out.distinct()
+
+
 def check_duplicate_features(
     df: DataFrame, feature_bags: list[str], uid_col: str = "uid"
 ) -> DataFrame:

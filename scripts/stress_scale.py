@@ -299,6 +299,31 @@ def run(spark) -> dict:
     return out
 
 
+def run_x21(spark) -> dict:
+    """x21 suite at sf0.1 vs x{F} (round-7 verdict Missing #2): the
+    leakage-safe split's near-dup clustering pass (``split_build`` —
+    LSH pairs + connected components) dominates the row and was the
+    one heavy path without scale evidence. Per-block stamps at both
+    scales + the ratio map; expect sublinear-to-linear for the
+    LSH-bounded clustering (documents are salted per replica, so the
+    pair structure scales ~linearly with the corpus)."""
+    from photon_ml_spark.queries import all_queries
+
+    registry = all_queries()
+    out: dict = {"sf01": {}, "xN": {}, "ratio": {}, "factor": FACTOR}
+    for sf_dir, key in ((SRC, "sf01"), (X10, "xN")):
+        stamps: dict[str, float] = {}
+        t0 = time.perf_counter()
+        _noop(registry["x21_chunk_split"].run(spark, sf_dir, stamps=stamps))
+        stamps["total"] = round(time.perf_counter() - t0, 2)
+        out[key] = stamps
+        spark.catalog.clearCache()
+    for name, v in out["xN"].items():
+        base = out["sf01"].get(name) or 1e-9
+        out["ratio"][name] = round(v / base, 1)
+    return out
+
+
 def _game_frame(spark, sf_dir: str) -> DataFrame:
     """The m3 gate query's training frame shape over any dataset dir:
     one fixed + one per-supplier coordinate, gaussian response."""
@@ -398,6 +423,8 @@ def main() -> None:
         print(json.dumps(result))
     if mode in ("game", "all"):
         print(json.dumps({"game": run_game(spark)}))
+    if mode == "x21":
+        print(json.dumps({"x21": run_x21(spark)}))
     spark.stop()
 
 

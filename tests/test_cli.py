@@ -1432,3 +1432,187 @@ def test_cli_curate_stream_pii_redaction(spark, tmp_path, capsys):
     out = {r.doc_id: r.text for r in spark.read.parquet(cfg["output_dir"]).collect()}
     assert "[PII]" in out[0] and "@" not in out[0]
     assert "[PII]" not in out[1]
+
+
+def test_advice_fixes_round8(spark, tmp_path, capsys):
+    """Regression pins for the round-8 ADVICE findings: a RELATIVE
+    input root resolves date ranges (globStatus paths are absolute —
+    the root is qualified first); a failed evaluator does not leak the
+    persisted scoring frame; single-row training input does not
+    divide by zero in the (n-1) variance under ANSI mode."""
+    import os
+
+    import numpy as np
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.ml import normalization
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+
+    # 1) relative input root + date_range
+    root = str(tmp_path / "rel_daily")
+    training.limit(50).write.parquet(f"{root}/2026/08/01")
+    rel = os.path.relpath(root, os.getcwd())
+    assert not os.path.isabs(rel)
+    paths = cli._resolve_input(
+        spark,
+        {"input": rel,
+         "date_range": {"start": "2026-08-01", "end": "2026-08-02"}},
+    )
+    assert len(paths) == 1 and paths[0].endswith("2026/08/01")
+    assert spark.read.parquet(*paths).count() == 50
+
+    # 2) evaluator failure path releases the persisted frame
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    scored = training.limit(20).withColumn("score", F.rand(7))
+    with pytest.raises(ValueError, match="unknown evaluator"):
+        cli._evaluate_scores(scored, ["AUC", "NDCG"])
+    assert jsc.getPersistentRDDs().size() == before
+
+    # 3) single-row input: variance guard, factor repairs to 1
+    one_feat = spark.createDataFrame(
+        [(0, [0, 1], [0.5, 2.0])],
+        "uid long, features_indices array<int>, features_values array<double>",
+    )
+    table = normalization.sparse_normalization_table(
+        one_feat, kind="standardization"
+    ).collect()
+    assert table, "single-row table must not be empty"
+    assert all(float(r.factor) == 1.0 for r in table)
+    # the train driver's data_summary on a single row writes NULL
+    # variance instead of throwing
+    out = str(tmp_path / "one_model")
+    sdir = str(tmp_path / "one_summary")
+    inp1 = str(tmp_path / "one.parquet")
+    training.limit(1).write.parquet(inp1)
+    cli.train(
+        {
+            "input": inp1,
+            "feature_bags": ["features"],
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "data_summary_dir": sdir,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    summ = spark.read.parquet(sdir)
+    assert summ.count() > 0
+    assert all(r.variance is None for r in summ.select("variance").collect())
+    assert np.isfinite(
+        [float(r.coefficient) for r in spark.read.parquet(
+            f"{out}/fixed-effect/global/coefficients").collect()]
+    ).all()
+
+
+def test_bags_driver_chains_into_index_and_train(spark, tmp_path, capsys):
+    """The `bags` driver (NameAndTermFeatureBagsDriver parity) writes
+    per-bag distinct name\\tterm text lists; `index` consumes them as a
+    selected_features allowlist; `train` consumes the resulting
+    dictionary via dictionary_input — the reference's production
+    bags -> index -> train chain, end to end."""
+    import json as _json
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets, featurize
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "train.parquet")
+    training.write.parquet(inp)
+
+    # 1) bags
+    bags_dir = str(tmp_path / "bags")
+    cli.bags(
+        {"input": inp, "feature_bags": ["features"],
+         "output_dir": bags_dir},
+        spark,
+    )
+    status = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert status["status"] == "bags"
+
+    # wire format: name\tterm text lines, one per distinct pair
+    lines = [
+        r.value for r in spark.read.text(f"{bags_dir}/features").collect()
+    ]
+    expected = {
+        (f["name"], f["term"])
+        for row in training.select(F.explode("features").alias("f")).collect()
+        for f in [row.f]
+    }
+    assert status["bags"]["features"] == len(expected) == len(lines)
+    assert {tuple((ln.split("\t") + [""])[:2]) for ln in lines} == expected
+
+    # the reader round-trips to the same feature keys
+    keys = {
+        r.feature_key
+        for r in featurize.read_name_term_bags(
+            spark, bags_dir, ["features"]
+        ).collect()
+    }
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    assert keys == {FEATURE_KEY_SEP.join(p) for p in expected}
+
+    # 2) index with the bags artifact as the allowlist — drop one pair
+    # from the list and the dictionary must shrink accordingly
+    pruned_dir = str(tmp_path / "bags_pruned")
+    dropped = sorted(lines)[0]
+    spark.createDataFrame(
+        [(ln,) for ln in lines if ln != dropped], "value string"
+    ).write.text(f"{pruned_dir}/features")
+    idx_dir = str(tmp_path / "index")
+    cli.index(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "selected_features": {"bags_dir": pruned_dir},
+            "output_dir": idx_dir,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    dictionary = spark.read.parquet(f"{idx_dir}/feature-dictionary")
+    dkeys = {r.feature_key for r in dictionary.collect()}
+    dropped_key = FEATURE_KEY_SEP.join((dropped.split("\t") + [""])[:2])
+    assert dropped_key not in dkeys
+    assert len(dkeys) == len(expected)  # -1 pruned, +1 intercept
+
+    # 3) train against the indexed dictionary
+    out = str(tmp_path / "model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "dictionary_input": idx_dir,
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    d2 = {
+        r.feature_key: r.feature_index
+        for r in spark.read.parquet(f"{out}/feature-dictionary").collect()
+    }
+    assert d2 == {r.feature_key: r.feature_index for r in dictionary.collect()}
+    assert spark.read.parquet(
+        f"{out}/fixed-effect/global/coefficients"
+    ).count() > 0
+
+    # unknown selected_features map keys fail fast
+    with pytest.raises(ValueError, match="bags_dir"):
+        cli.index(
+            {"input": inp, "selected_features": {"dir": pruned_dir},
+             "output_dir": str(tmp_path / "z")},
+            spark,
+        )

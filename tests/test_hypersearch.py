@@ -537,3 +537,73 @@ def test_sqrt_kind_roundtrip_and_sampling():
         {"f": (0.01, 0.81, "sqrt")}, n=16,
     )
     assert all(0.01 - 1e-12 <= v <= 0.81 + 1e-12 for v in seen)
+
+
+def test_int_with_transform_snaps_to_transformed_integer_grid():
+    """The reference computes discreteParams for EVERY INT variable
+    regardless of transform (HyperparameterSerialization.scala:122),
+    so an INT+LOG variable samples only powers of ten and an INT+SQRT
+    variable only squares of integers — never values between grid
+    points."""
+    import json
+
+    from photon_ml_spark.ml.hypersearch import (
+        _scale,
+        _unit_backward,
+        _unit_forward,
+        config_from_json,
+        quasi_random_search,
+        shrink_search_range,
+    )
+
+    spec = config_from_json(json.dumps({
+        "tuning_mode": "BAYESIAN",
+        "variables": {
+            "lam": {"type": "INT", "transform": "LOG", "min": -4, "max": 2},
+            "d": {"type": "INT", "transform": "SQRT", "min": 1, "max": 4},
+        },
+    }))
+    llo, lhi, lkind = spec["bounds"]["lam"]
+    assert lkind == "log-discrete"
+    assert np.isclose(llo, 1e-4) and np.isclose(lhi, 1e2)
+    assert spec["bounds"]["d"] == [1.0, 16.0, "sqrt-discrete"]
+
+    bl = [tuple(spec["bounds"]["lam"]), tuple(spec["bounds"]["d"])]
+    rng = np.random.RandomState(7)
+    pts = _scale(rng.rand(512, 2), bl)
+    lam_grid = sorted(set(np.round(np.log10(pts[:, 0]), 9)))
+    assert lam_grid == [-4.0, -3.0, -2.0, -1.0, 0.0, 1.0, 2.0]
+    d_grid = sorted(set(np.round(np.sqrt(pts[:, 1]), 9)))
+    assert d_grid == [1.0, 2.0, 3.0, 4.0]
+
+    # round trip through the unit cube is exact on grid points
+    for lam, d in [(1e-4, 1.0), (1e-1, 9.0), (1e2, 16.0)]:
+        u = _unit_forward(np.array([lam, d]), bl)
+        assert np.allclose(_unit_backward(u, bl), [lam, d])
+
+    # a full search only ever evaluates grid values
+    seen = []
+    quasi_random_search(
+        lambda p: seen.append((p["lam"], p["d"])) or 0.0,
+        {"lam": tuple(spec["bounds"]["lam"]),
+         "d": tuple(spec["bounds"]["d"])},
+        n=32,
+    )
+    for lam, d in seen:
+        assert np.isclose(np.log10(lam), round(np.log10(lam)))
+        assert np.isclose(np.sqrt(d), round(np.sqrt(d)))
+
+    # shrink_search_range discretizes the new box on the same grid
+    prior = json.dumps({"records": [
+        {"lam": 1e-2, "d": 4.0, "evaluationValue": 0.9},
+        {"lam": 1e0, "d": 9.0, "evaluationValue": 0.4},
+        {"lam": 1e1, "d": 16.0, "evaluationValue": 0.1},
+    ]})
+    shrunk = dict(shrink_search_range(
+        {"lam": tuple(spec["bounds"]["lam"]),
+         "d": tuple(spec["bounds"]["d"])},
+        prior,
+    ))
+    (slo, shi, skind) = shrunk["lam"]
+    assert skind == "log-discrete"
+    assert 1e-4 - 1e-12 <= slo <= shi <= 1e2 + 1e-10
