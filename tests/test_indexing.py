@@ -53,3 +53,23 @@ def test_extra_columns_preserved(spark):
     out, _ = zip_with_index(df, "k", id_col="i")
     rows = {r.k: (r.i, r.v) for r in out.collect()}
     assert rows == {"a": (0, 10), "b": (1, 20), "c": (2, 30)}
+
+
+def test_single_data_shuffle_plan(spark):
+    """The round-8 scale fix, pinned: the id job runs exactly ONE
+    shuffle of the data (the range exchange). The earlier
+    row_number-over-pid window forced a second full hashpartitioning
+    exchange — 10.9x wall for 3.3x keys at 100M (BASELINE round 8)."""
+    df = spark.range(10_000).select(
+        F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    out, _ = zip_with_index(df, "k", id_col="i", n_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    data_exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert data_exchanges.count("rangepartitioning") <= 1
+    assert "hashpartitioning" not in data_exchanges
+    # offsets arrive by broadcast hash join, never a shuffle join
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
