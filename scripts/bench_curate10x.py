@@ -65,17 +65,28 @@ def main() -> None:
     spark = get_spark(app_name="bench-curate10x", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("WARN")
 
-    # warmup at sf0.01: JVM/codegen/parquet-footer caches, so the
-    # sf0.1 leg does not carry the cold-start cost the x10 leg skips
-    run_once(spark, "/root/testdata/sf0.01/documents.parquet")
+    # warmup at sf0.01 (sibling of SRC, falling back to SRC itself):
+    # JVM/codegen/parquet-footer caches, so the sf0.1 leg does not
+    # carry the cold-start cost the x10 leg skips
+    warm = os.path.join(os.path.dirname(SRC.rstrip("/")), "sf0.01")
+    run_once(
+        spark,
+        f"{warm if os.path.isdir(warm) else SRC}/documents.parquet",
+    )
     spark.catalog.clearCache()
     out: dict = {
         "sf01": run_once(spark, f"{SRC}/documents.parquet"),
     }
     spark.catalog.clearCache()
     out["x10"] = run_once(spark, f"{X10}/documents.parquet")
+    # stamps are rounded to 10ms by the driver — a ratio against a
+    # ~0 base is noise, not measurement: emit null for those
     out["ratio"] = {
-        k: round(v / (out["sf01"].get(k) or 1e-9), 1)
+        k: (
+            round(v / out["sf01"][k], 1)
+            if out["sf01"].get(k, 0) >= 0.05
+            else None
+        )
         for k, v in out["x10"].items()
     }
     print(json.dumps({"curate10x_pii": out}))
