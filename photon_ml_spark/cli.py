@@ -43,6 +43,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark import StorageLevel
 from pyspark.sql import SparkSession
 
 
@@ -1135,7 +1136,9 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
     # one scoring pass feeds every requested metric: without the
     # persist each .first() below re-executes the full scoring plan
     # (random-effect joins included) once per evaluator
-    sdf = scored.withColumn("__eval_margin", F.col("score") + off).persist()
+    sdf = scored.withColumn("__eval_margin", F.col("score") + off).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     try:
         return _evaluate_scores_body(sdf, evaluators)
     finally:
@@ -1668,7 +1671,7 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         # persisted so the encode join sees the same ids the output does
         keyed = frame.withColumn(
             "__tok_uid", F.monotonically_increasing_id()
-        ).persist()
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         if kind == "bpe":
             enc = text.bpe_encode(
                 keyed, art, id_col="__tok_uid", text_col=tcol
@@ -1715,7 +1718,10 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         labeled = sampling.leakage_safe_split(
             docs, pairs, test_frac=sp.get("test_frac", 0.1)
         )
-        labeled = labeled.persist()
+        # serialized: full-text corpus rows — the heaviest frames in
+        # the pipeline; deserialized caching means one Java object per
+        # row (the GC failure mode BASELINE round 8 documents)
+        labeled = labeled.persist(StorageLevel.MEMORY_AND_DISK)
         if tok:
             _train_tokenizer(labeled.filter(F.col("split") == "train"))
             _stamp("tokenizer_train")

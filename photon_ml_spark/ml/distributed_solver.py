@@ -99,6 +99,10 @@ class _DataPass:
             (F.col(weight_col).cast("double") if weight_col else F.lit(1.0)).alias("__w"),
             (F.col(offset_col).cast("double") if offset_col else F.lit(0.0)).alias("__o"),
         ]
+        # deserialized default ON PURPOSE (unlike the pipeline-side
+        # corpus caches): the solver re-reads this frame on every
+        # L-BFGS/TRON iteration, so per-read deserialization cost
+        # compounds; the projection above keeps rows narrow
         self.df = df.select(*cols).persist()
 
     def unpersist(self):

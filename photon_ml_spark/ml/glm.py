@@ -194,6 +194,8 @@ def fit_fixed_effect(
     # project to the fit's columns and cache: IRLS re-reads the input
     # every iteration, and re-running the densify transform (and
     # everything upstream) per iteration dominates fit time otherwise
+    # (deserialized default on purpose — iterative reads, narrow rows;
+    # the pipeline-side corpus caches use serialized storage instead)
     fit_cols = [label_col] + [c for c in (weight_col, offset_col) if c]
     vec_df = (
         densify(df, indices_col, values_col, dim)

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 from photon_ml_spark.operators.text import (
@@ -152,7 +153,11 @@ def ngram_jaccard_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if strategy not in ("auto", "copair", "ppjoin"):
         raise ValueError(f"unknown strategy {strategy!r}")
-    sh = doc_shingles(df, id_col, text_col, n).persist()
+    # serialized: one row per (doc, shingle) — corpus-scale; see the
+    # connected_components storage note
+    sh = doc_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     if strategy == "auto":
         stats = sh.agg(
             F.count(F.lit(1)).alias("rows"),
@@ -223,7 +228,7 @@ def _jaccard_ppjoin(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
             ).alias("ordered")
         )
         .withColumn("set_size", F.size("ordered"))
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     pref_len = (
         F.col("set_size")
@@ -622,18 +627,24 @@ def connected_components(
     e = pairs.select(
         F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
     )
+    # SERIALIZED caching throughout: edge and label frames are one row
+    # per edge/node — at corpus scale, deserialized storage means
+    # billions of per-row objects (the GC-pressure failure mode the
+    # round-8 dictionary stress hit); serialized blocks are a few big
+    # buffers, and the per-iteration reads of (long, long) rows
+    # deserialize for pennies.
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
         .repartition("u")
-        .persist()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # init: label(u) = min(u, min neighbor) — one propagation step for free
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("m"))
         .select("u", F.least(F.col("u"), F.col("m")).alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     prev_sum = None
     converged = False
@@ -664,7 +675,9 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = jumped.localCheckpoint()
+        new_labels = jumped.localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         # labels are monotone non-increasing: unchanged sum == fixpoint
         s = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

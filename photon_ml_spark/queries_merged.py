@@ -366,8 +366,11 @@ def x6_neardup_pairs(spark, sf_dir, stamps=None):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # one cached shingle-id relation feeds both the minhash and simhash
-    # constituents (both shingle at n=2) — the vocabulary sort runs once
-    sids = token_ids(docs, n=2).persist()
+    # constituents (both shingle at n=2) — the vocabulary sort runs
+    # once; serialized, it is one row per (doc, token) — corpus-scale
+    from pyspark import StorageLevel
+
+    sids = token_ids(docs, n=2).persist(StorageLevel.MEMORY_AND_DISK)
     if stamps is not None:
         # materialize the SHARED relation under its own stamp so its
         # cost is attributed once, not smeared into the first block

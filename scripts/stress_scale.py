@@ -153,6 +153,17 @@ QUERIES = [
     "x14_pack_shuffle",
 ]
 
+# STRESS_SKIP: comma-separated row names to leave out of ``run`` —
+# needed above factor 10 because the x9 registry row is quadratic BY
+# SPEC (both query and corpus sides scale; at 30x that is ~900x of
+# its sf0.1 cost). The fixed-query BLAS/IVF datapoint below still
+# runs, so the linear direction keeps its measurement.
+SKIP = {
+    s.strip()
+    for s in os.environ.get("STRESS_SKIP", "").split(",")
+    if s.strip()
+}
+
 
 def _time(fn) -> float:
     t0 = time.perf_counter()
@@ -169,12 +180,14 @@ def run(spark) -> dict:
     from photon_ml_spark.queries import all_queries
 
     registry = all_queries()
-    out: dict = {"sf01": {}, "x10": {}, "ratio": {}}
+    out: dict = {"sf01": {}, "x10": {}, "ratio": {}, "factor": FACTOR}
     for sf_dir, key in ((SRC, "sf01"), (X10, "x10")):
         out[key]["flagship_game_pipeline"] = _time(
             lambda: run_flagship(spark, sf_dir)
         )
         for name in QUERIES:
+            if name in SKIP:
+                continue
             out[key][name] = _time(
                 lambda: _noop(registry[name].run(spark, sf_dir))
             )
