@@ -206,8 +206,9 @@ def run(spark) -> dict:
             lambda: _noop(cosine_topk_blas(emb, queries, k=5, vec_col="qe"))
         )
     for name, v in out["x10"].items():
-        base = out["sf01"].get(name) or 1e-9
-        out["ratio"][name] = round(v / base, 1)
+        # ratios against a sub-50ms base are overhead noise: emit null
+        base = out["sf01"].get(name, 0)
+        out["ratio"][name] = round(v / base, 1) if base >= 0.05 else None
 
     # ---- skew case: one entity holds ~30% of 6M rows ----
     from photon_ml_spark.ml.random_effects import fit_random_effects
@@ -332,8 +333,9 @@ def run_x21(spark) -> dict:
         out[key] = stamps
         spark.catalog.clearCache()
     for name, v in out["xN"].items():
-        base = out["sf01"].get(name) or 1e-9
-        out["ratio"][name] = round(v / base, 1)
+        # ratios against a sub-50ms base are overhead noise: emit null
+        base = out["sf01"].get(name, 0)
+        out["ratio"][name] = round(v / base, 1) if base >= 0.05 else None
     return out
 
 
