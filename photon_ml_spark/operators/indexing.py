@@ -70,12 +70,13 @@ def zip_with_index(
     """
     if isinstance(order_cols, str):
         order_cols = [order_cols]
-    reserved = {"__pid", "__mid", "__off"} & set(df.columns)
+    reserved = {"__pid", "__mid", "__off"} & (set(df.columns) | {id_col})
     if reserved:
         raise ValueError(
             f"zip_with_index reserves column name(s) {sorted(reserved)}; "
-            "rename them before indexing (they would be silently "
-            "overwritten and dropped)"
+            "rename them before indexing (as input columns they would "
+            "be silently overwritten and dropped; as id_col the id "
+            "itself would be dropped)"
         )
     spark = df.sparkSession
     n_parts = n_partitions or spark.sparkContext.defaultParallelism

@@ -163,6 +163,20 @@ SKIP = {
     for s in os.environ.get("STRESS_SKIP", "").split(",")
     if s.strip()
 }
+_UNKNOWN_SKIP = SKIP - set(QUERIES)
+if _UNKNOWN_SKIP:
+    # fail fast: a typo here would silently run the quadratic x9 row
+    # at 30x (~hours); only QUERIES-loop rows are skippable
+    raise SystemExit(
+        f"STRESS_SKIP names unknown row(s) {sorted(_UNKNOWN_SKIP)}; "
+        f"skippable: {QUERIES}"
+    )
+
+
+def _ratio(base, scaled):
+    """xN/sf0.1 wall ratio; null when the base is sub-50ms overhead
+    noise (a 'ratio' against fixed job overhead is not measurement)."""
+    return round(scaled / base, 1) if base and base >= 0.05 else None
 
 
 def _time(fn) -> float:
@@ -206,9 +220,7 @@ def run(spark) -> dict:
             lambda: _noop(cosine_topk_blas(emb, queries, k=5, vec_col="qe"))
         )
     for name, v in out["x10"].items():
-        # ratios against a sub-50ms base are overhead noise: emit null
-        base = out["sf01"].get(name, 0)
-        out["ratio"][name] = round(v / base, 1) if base >= 0.05 else None
+        out["ratio"][name] = _ratio(out["sf01"].get(name, 0), v)
 
     # ---- skew case: one entity holds ~30% of 6M rows ----
     from photon_ml_spark.ml.random_effects import fit_random_effects
@@ -333,9 +345,7 @@ def run_x21(spark) -> dict:
         out[key] = stamps
         spark.catalog.clearCache()
     for name, v in out["xN"].items():
-        # ratios against a sub-50ms base are overhead noise: emit null
-        base = out["sf01"].get(name, 0)
-        out["ratio"][name] = round(v / base, 1) if base >= 0.05 else None
+        out["ratio"][name] = _ratio(out["sf01"].get(name, 0), v)
     return out
 
 
@@ -416,9 +426,9 @@ def run_game(spark) -> dict:
             "updates": len(history),
             "final_rmse": history[-1]["metrics"]["rmse"],
         }
-    base = out["sf01_uncapped"]["sec"] or 1e-9
+    base = out["sf01_uncapped"]["sec"]
     out["ratios_vs_sf01"] = {
-        k: round(v["sec"] / base, 1) for k, v in out.items() if "sec" in v
+        k: _ratio(base, v["sec"]) for k, v in out.items() if "sec" in v
     }
     return out
 

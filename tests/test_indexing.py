@@ -80,3 +80,14 @@ def test_single_data_shuffle_plan(spark):
     # offsets arrive by broadcast hash join, never a shuffle join
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
+
+
+def test_reserved_names_rejected(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, __mid int")
+    with pytest.raises(ValueError, match="__mid"):
+        zip_with_index(df, "k")
+    clean = spark.createDataFrame([("a",)], "k string")
+    with pytest.raises(ValueError, match="__off"):
+        zip_with_index(clean, "k", id_col="__off")
