@@ -1465,13 +1465,17 @@ def test_advice_fixes_round8(spark, tmp_path, capsys):
     assert len(paths) == 1 and paths[0].endswith("2026/08/01")
     assert spark.read.parquet(*paths).count() == 50
 
-    # 2) evaluator failure path releases the persisted frame
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    # 2) evaluator failure path releases the persisted frame. Compare
+    # RDD-id SETS, not counts: the async ContextCleaner may drop other
+    # tests' stale caches between the two snapshots (observed in full
+    # suite runs), but a leak would always show as a NEW id
+    jsc = spark.sparkContext._jsc
+    before_ids = set(jsc.getPersistentRDDs().keySet())
     scored = training.limit(20).withColumn("score", F.rand(7))
     with pytest.raises(ValueError, match="unknown evaluator"):
         cli._evaluate_scores(scored, ["AUC", "NDCG"])
-    assert jsc.getPersistentRDDs().size() == before
+    leaked = set(jsc.getPersistentRDDs().keySet()) - before_ids
+    assert not leaked, f"evaluator error path leaked cached RDDs {leaked}"
 
     # 3) single-row input: variance guard, factor repairs to 1
     one_feat = spark.createDataFrame(
