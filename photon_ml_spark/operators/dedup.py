@@ -26,6 +26,7 @@ import json
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
+from photon_ml_spark.operators.indexing import release_local_checkpoint
 from photon_ml_spark.operators.text import (
     bow_signature_of,
     shingles_of,
@@ -166,8 +167,19 @@ def ngram_jaccard_pairs(
         mean_df = stats.rows / max(stats.vocab, 1)
         strategy = "copair" if mean_df > _COPAIR_MEAN_DF_CUTOFF else "ppjoin"
     if strategy == "copair":
-        return _jaccard_copair(sh, threshold, id_col)
-    return _jaccard_ppjoin(sh, threshold, id_col)
+        # Materialize the (small) pairs frame so the corpus-sized
+        # shingle relation can be released here instead of lingering
+        # until driver GC — at corpus scale a stale MEMORY_AND_DISK
+        # block competes with live caches for memory/disk. (The ppjoin
+        # branch checkpoints inside the helper, before releasing its
+        # own doc_arr cache.)
+        out = _jaccard_copair(sh, threshold, id_col).localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+    else:
+        out = _jaccard_ppjoin(sh, threshold, id_col)
+    sh.unpersist()
+    return out
 
 
 # Mean document frequency above which dense co-shingle counting beats
@@ -319,6 +331,11 @@ def _jaccard_ppjoin(sh: DataFrame, threshold: float, id_col: str) -> DataFrame:
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_inter", "size_a", "size_b", "jaccard")
     )
+    # Materialize before releasing doc_arr: the checkpoint truncates
+    # lineage, so the per-doc ordered-shingle relation (one array per
+    # doc — corpus-scale) does not outlive the call as a stale cache.
+    out = out.localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+    doc_arr.unpersist()
     return out
 
 
@@ -682,6 +699,12 @@ def connected_components(
         s = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first().s
+        # new_labels is materialized (eager localCheckpoint), so the
+        # superseded iteration's checkpoint blocks can be released now
+        # instead of accumulating one stale label frame per iteration
+        # (DataFrame.unpersist is a no-op on checkpoint blocks — see
+        # release_local_checkpoint).
+        release_local_checkpoint(labels)
         labels = new_labels
         # elementwise non-increasing => equal sums mean a fixpoint
         # (both None on an empty edge list: converged trivially)
@@ -691,6 +714,7 @@ def connected_components(
         prev_sum = s
     edges.unpersist()
     if not converged:
+        release_local_checkpoint(labels)
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations"
         )

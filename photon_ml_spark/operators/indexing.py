@@ -48,6 +48,24 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, functions as F
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Release the cached blocks behind a ``localCheckpoint``-ed frame.
+
+    ``DataFrame.unpersist()`` is a no-op here: checkpoint blocks are
+    RDD-level storage, not CacheManager entries, so they otherwise
+    linger until the JVM garbage-collects the RDD handle — at corpus
+    scale that is stale MEMORY_AND_DISK storage competing with live
+    caches. Only call this once nothing will read the frame again:
+    the checkpoint truncated lineage, so the data is unrecoverable
+    after release. Best-effort (reaches through py4j internals);
+    failure degrades to the old wait-for-GC behavior.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def zip_with_index(
     df: DataFrame,
     order_cols: str | list[str],
@@ -70,7 +88,12 @@ def zip_with_index(
     """
     if isinstance(order_cols, str):
         order_cols = [order_cols]
-    reserved = {"__pid", "__mid", "__off"} & (set(df.columns) | {id_col})
+    # Spark resolves names case-insensitively by default, so "__PID"
+    # would collide with the internal "__pid" just as silently — lower
+    # both sides before intersecting.
+    reserved = {"__pid", "__mid", "__off"} & (
+        {c.lower() for c in df.columns} | {id_col.lower()}
+    )
     if reserved:
         raise ValueError(
             f"zip_with_index reserves column name(s) {sorted(reserved)}; "

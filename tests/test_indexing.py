@@ -91,3 +91,11 @@ def test_reserved_names_rejected(spark):
     clean = spark.createDataFrame([("a",)], "k string")
     with pytest.raises(ValueError, match="__off"):
         zip_with_index(clean, "k", id_col="__off")
+    # Spark resolves column names case-insensitively by default, so an
+    # upper-cased variant collides just as silently — the guard must
+    # catch it too.
+    upper = spark.createDataFrame([("a", 1)], "k string, __PID int")
+    with pytest.raises(ValueError, match="__pid"):
+        zip_with_index(upper, "k")
+    with pytest.raises(ValueError, match="__mid"):
+        zip_with_index(clean, "k", id_col="__MID")

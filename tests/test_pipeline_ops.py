@@ -104,6 +104,45 @@ def test_jaccard_strategies_agree_zipf_regime(spark):
     assert {(i, 100_000 + i) for i in range(20)} <= cp
 
 
+def test_jaccard_and_cc_release_intermediate_caches(spark, docs):
+    """ngram_jaccard_pairs must release its corpus-sized intermediates
+    (shingle relation; ppjoin's per-doc ordered arrays) once the pairs
+    frame is materialized, and connected_components must release every
+    superseded per-iteration label checkpoint — at corpus scale a
+    stale MEMORY_AND_DISK block competes with live caches. Each call
+    may leave exactly ONE new persistent RDD: the returned frame's own
+    checkpoint (caller-owned)."""
+    from photon_ml_spark.operators.indexing import release_local_checkpoint
+
+    jsc = spark.sparkContext._jsc
+    docs.count()  # register the fixture's cache before the snapshot
+    small = docs.limit(200)
+
+    for strategy in ("copair", "ppjoin"):
+        before = set(jsc.getPersistentRDDs().keySet())
+        out = dedup.ngram_jaccard_pairs(small, 0.5, n=2, strategy=strategy)
+        out.collect()
+        new = set(jsc.getPersistentRDDs().keySet()) - before
+        assert len(new) <= 1, (
+            f"{strategy} leaked {len(new)} cached RDDs (expected only "
+            "the returned pairs checkpoint)"
+        )
+        release_local_checkpoint(out)
+        assert not (set(jsc.getPersistentRDDs().keySet()) - before)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)], "id_a long, id_b long"
+    )
+    before = set(jsc.getPersistentRDDs().keySet())
+    cc = dedup.connected_components(edges)
+    assert cc.agg(F.count_distinct("component")).first()[0] == 1
+    new = set(jsc.getPersistentRDDs().keySet()) - before
+    assert len(new) <= 1, (
+        f"connected_components leaked {len(new)} cached RDDs (expected "
+        "only the final labels checkpoint)"
+    )
+
+
 def test_jaccard_bad_args(docs):
     with pytest.raises(ValueError):
         dedup.ngram_jaccard_pairs(docs, 1.5)
