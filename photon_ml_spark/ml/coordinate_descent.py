@@ -42,6 +42,7 @@ from pyspark.storagelevel import StorageLevel
 from photon_ml_spark.ml import glm as glm_mod
 from photon_ml_spark.ml import random_effects as re_mod
 from photon_ml_spark.ml import scoring
+from photon_ml_spark.operators.indexing import release_local_checkpoint
 
 
 @dataclass
@@ -193,6 +194,7 @@ def train_game(
     score_dfs: dict[str, DataFrame] = {}
     summed: DataFrame | None = None  # (uid, score) running total
     history: list[dict] = []
+    ours: set[int] = set()  # ids of RE model frames THIS loop checkpointed
 
     def _persist(d: DataFrame) -> DataFrame:
         # eager localCheckpoint: materializes AND truncates the logical
@@ -244,6 +246,14 @@ def train_game(
                 )
                 if cfg.kind == "random":
                     coord_model = _persist(coord_model)
+                    ours.add(id(coord_model))
+                    # the superseded RE model table served as prior/x0
+                    # for the fit just materialized — release it (only
+                    # generations THIS loop checkpointed: a caller-
+                    # provided pretrained frame is not ours to drop)
+                    if prior is not None and id(prior) in ours:
+                        release_local_checkpoint(prior)
+                        ours.discard(id(prior))
             model.coordinates[cfg.name] = coord_model
 
             new_score = _persist(
@@ -261,10 +271,22 @@ def train_game(
                 summed = _persist(
                     scoring.add_scores(base, new_score, uid_col=uid_col)
                 )
+            # Release superseded generations. These frames are eager
+            # localCheckpoints, so plain unpersist() is a NO-OP on them
+            # (checkpoint blocks are RDD-level storage, not CacheManager
+            # entries) — without the explicit release the loop
+            # accumulates two row-set-sized stale frames per coordinate
+            # update until driver GC. The first summed generation
+            # aliases a live score frame, so never release anything a
+            # score_dfs slot still points at.
             if cfg.name in score_dfs:
-                score_dfs[cfg.name].unpersist()
-            if old_summed is not None and old_summed is not summed:
-                old_summed.unpersist()
+                release_local_checkpoint(score_dfs[cfg.name])
+            if (
+                old_summed is not None
+                and old_summed is not summed
+                and all(old_summed is not s for s in score_dfs.values())
+            ):
+                release_local_checkpoint(old_summed)
             score_dfs[cfg.name] = new_score
 
             entry = {"iteration": it, "coordinate": cfg.name}
@@ -276,4 +298,15 @@ def train_game(
                 on_update(entry)
 
     df.unpersist()
+    # the per-coordinate score frames and the running sum are loop
+    # internals — nothing in the returned (model, history) reads them,
+    # so their checkpoint blocks are released here; the final RE model
+    # tables (returned inside the model) are the only frames that
+    # outlive the call
+    for s in score_dfs.values():
+        release_local_checkpoint(s)
+    if summed is not None and all(
+        summed is not s for s in score_dfs.values()
+    ):
+        release_local_checkpoint(summed)
     return model, history

@@ -144,3 +144,35 @@ def test_active_cap_inside_loop_equals_precapped_fit(assembled):
         assert got_c == pytest.approx(c, rel=1e-9, abs=1e-12)
     # scoring still covers EVERY row (passive rows score via the join)
     assert model.score(assembled).count() == assembled.count()
+
+
+def test_train_game_releases_loop_internals(spark, assembled):
+    """The CD loop's per-update score frames and running-sum
+    generations are eager localCheckpoints, invisible to
+    DataFrame.unpersist — train_game must release every superseded
+    generation AND its loop internals on exit, leaving exactly the
+    final random-effect model tables cached (they are returned inside
+    the model). Without the explicit release the loop leaks two
+    row-set-sized stale frames per coordinate update."""
+    jsc = spark.sparkContext._jsc
+    assembled.count()  # make sure the fixture cache is registered
+    before = set(jsc.getPersistentRDDs().keySet())
+    coords = [
+        CoordinateConfig(name="global", kind="fixed", dim=5),
+        CoordinateConfig(
+            name="per-supplier", kind="random", dim=5,
+            entity_col="suppkey", reg_param=10.0, min_samples=5,
+        ),
+    ]
+    model, history = train_game(
+        assembled, coords, family="binomial", n_iterations=2
+    )
+    assert len(history) == 4
+    new = set(jsc.getPersistentRDDs().keySet()) - before
+    # one random coordinate -> exactly its final model table may remain
+    assert len(new) <= 1, (
+        f"train_game leaked {len(new)} cached frames; expected only the "
+        "final RE model table"
+    )
+    # the surviving model table must still be readable (not released)
+    assert model.coordinates["per-supplier"].count() > 0
