@@ -11,7 +11,19 @@ Train config:
      "input_format": "parquet",             # or "avro" (TrainingExampleAvro)
      "feature_bags": ["features"],          # (name,term,value) array cols
      "shard": "features",
-     "coordinates": [{"name": "global", "kind": "fixed"},
+     # OR per-coordinate shards (replaces shard/feature_bags) — the
+     # reference's featureShardConfigurations map + per-coordinate
+     # featureShardId (FeatureShardConfiguration.scala:23,
+     # CoordinateDataConfiguration.scala:24,37,58): one dictionary,
+     # dim, normalization table, and summary per shard; the model dir
+     # persists feature-dictionaries/{shard} + feature-shards.json and
+     # the score driver reassembles from those artifacts
+     "feature_shards": {"shard1": {"bags": ["userFeatures"]},
+                        "shard2": {"bags": ["songFeatures"],
+                                   "has_intercept": true}},
+     "coordinates": [{"name": "global", "kind": "fixed",
+                      "shard": "shard1"},  # shard: only with
+                                            # feature_shards
                      {"name": "per_user", "kind": "random",
                       "entity_col": "userId", "reg_param": 1.0,
                       "elastic_net_param": 0.0, "solver": "auto"}],
@@ -162,24 +174,79 @@ def _read_input(spark, cfg):
     )
 
 
-def _assembled(spark, cfg, dictionary=None):
+def _shard_configs(cfg) -> dict:
+    """``feature_shards`` → {shard_name: FeatureShardConfig} — the
+    reference's featureShardConfigurations map
+    (FeatureShardConfiguration.scala:23: featureBags + hasIntercept;
+    flagship config GameTrainingDriverIntegTest.scala:736-770). Without
+    ``feature_shards`` the legacy single-shard keys (``shard`` +
+    ``feature_bags``) define one shard; with it, those keys are
+    rejected — two sources of truth for the same mapping is the silent-
+    config-drift failure mode."""
     from photon_ml_spark.datamodel import FeatureShardConfig
+
+    fs = cfg.get("feature_shards")
+    if fs is None:
+        name = cfg.get("shard", "features")
+        return {
+            name: FeatureShardConfig(name, cfg.get("feature_bags", ["features"]))
+        }
+    if "shard" in cfg or "feature_bags" in cfg:
+        raise ValueError(
+            "feature_shards replaces the single-shard 'shard'/"
+            "'feature_bags' keys — configure one or the other"
+        )
+    if not isinstance(fs, dict) or not fs:
+        raise ValueError(
+            "feature_shards must be a non-empty map "
+            "{shard_name: {'bags': [...], 'has_intercept': bool}}"
+        )
+    out = {}
+    for name, spec in fs.items():
+        if not isinstance(spec, dict):
+            raise ValueError(
+                f"feature_shards[{name!r}] must be an object with "
+                "'bags' (and optional 'has_intercept')"
+            )
+        _validate_stage_keys(spec, "feature_shards{}")
+        bags = spec.get("bags", [])
+        has_intercept = bool(spec.get("has_intercept", True))
+        if not bags and not has_intercept:
+            # FeatureShardConfiguration.scala:25 require()
+            raise ValueError(
+                f"feature shard {name!r} must have feature bags or an "
+                "intercept"
+            )
+        out[name] = FeatureShardConfig(name, list(bags), has_intercept)
+    return out
+
+
+def _assembled(spark, cfg, dictionaries=None):
+    """Read the input and attach every configured feature shard's
+    sparse-pair columns. Returns ``(frame, {shard: dictionary},
+    {shard: dim})``; dictionaries built here are cached (callers own
+    the release)."""
     from photon_ml_spark.sources import featurize
 
-    df = _read_input(spark, cfg)
-    bags = cfg.get("feature_bags", ["features"])
-    if dictionary is None:
-        dictionary = featurize.build_feature_dictionary(
-            df, bags, has_intercept=True
-        ).cache()
-    shard = FeatureShardConfig(cfg.get("shard", "features"), bags)
-    n_keys = dictionary.count()
-    strategy = "map" if n_keys <= 100_000 else "join"
-    return (
-        featurize.assemble_shard(df, dictionary, shard, strategy=strategy),
-        dictionary,
-        n_keys,
-    )
+    raw = _read_input(spark, cfg)
+    shards = _shard_configs(cfg)
+    dictionaries = dict(dictionaries or {})
+    dims = {}
+    df = raw
+    for name, shard in shards.items():
+        if dictionaries.get(name) is None:
+            # built from the RAW frame — a dictionary plan hanging off
+            # an earlier shard's assembly join would redo that join
+            dictionaries[name] = featurize.build_feature_dictionary(
+                raw, shard.feature_bags, has_intercept=shard.has_intercept
+            ).cache()
+        n_keys = dictionaries[name].count()
+        dims[name] = n_keys
+        strategy = "map" if n_keys <= 100_000 else "join"
+        df = featurize.assemble_shard(
+            df, dictionaries[name], shard, strategy=strategy
+        )
+    return df, dictionaries, dims
 
 
 # per-driver allowed top-level config keys — a typo'd key ("near_dedup_",
@@ -188,7 +255,8 @@ def _assembled(spark, cfg, dictionary=None):
 # as the reg_param_sweep coordinate-name validation)
 _CFG_KEYS = {
     "train": frozenset({
-        "input", "input_format", "feature_bags", "shard", "output_dir",
+        "input", "input_format", "feature_bags", "shard", "feature_shards",
+        "output_dir",
         "coordinates", "family", "n_iterations", "validation_input",
         "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
         "per_group_evaluation", "sparsity_threshold", "event_log",
@@ -238,9 +306,11 @@ def _validate_cfg_keys(cfg: dict, driver: str) -> None:
 # ("min_token", "reg_params") silently falls back to a default
 _STAGE_KEYS = {
     "coordinates[]": frozenset({
-        "name", "kind", "entity_col", "reg_param", "min_samples",
+        "name", "kind", "shard", "entity_col", "reg_param", "min_samples",
         "active_cap", "elastic_net_param", "solver", "constraints",
     }),
+    # FeatureShardConfiguration.scala:23 fields
+    "feature_shards{}": frozenset({"bags", "has_intercept"}),
     "incremental_training": frozenset({"model_dir", "locked_coordinates"}),
     "pii": frozenset({"action", "max_matches"}),
     "date_range": frozenset({"start", "end"}),
@@ -356,6 +426,27 @@ def _train_impl_body(
     # same failure class as a typo'd top-level key
     for c in cfg["coordinates"]:
         _validate_stage_keys(c, "coordinates[]")
+    # per-coordinate feature shards (CoordinateDataConfiguration.scala:
+    # 24,37,58 featureShardId): resolve every coordinate's shard now,
+    # before any IO — a typo'd shard name must fail here, not as a
+    # missing column mid-training
+    shard_cfgs = _shard_configs(cfg)
+    multi_shard = cfg.get("feature_shards") is not None
+    sole_shard = next(iter(shard_cfgs)) if len(shard_cfgs) == 1 else None
+    coord_shard: dict[str, str] = {}
+    for c in cfg["coordinates"]:
+        s = c.get("shard", sole_shard)
+        if s is None:
+            raise ValueError(
+                f"coordinate {c['name']!r} needs a 'shard' when several "
+                f"feature_shards are configured ({sorted(shard_cfgs)})"
+            )
+        if s not in shard_cfgs:
+            raise ValueError(
+                f"coordinate {c['name']!r} names unknown shard {s!r}; "
+                f"configured shards: {sorted(shard_cfgs)}"
+            )
+        coord_shard[c["name"]] = s
     if cfg.get("per_group_evaluation") is not None:
         _validate_stage_keys(
             cfg["per_group_evaluation"], "per_group_evaluation"
@@ -380,6 +471,13 @@ def _train_impl_body(
         _validate_stage_keys(inc, "incremental_training")
         if "model_dir" not in inc:
             raise ValueError("incremental_training needs model_dir")
+        if multi_shard:
+            raise ValueError(
+                "incremental_training does not yet compose with "
+                "feature_shards — per-shard prior dictionaries are not "
+                "implemented; train the multi-shard model from scratch "
+                "or use the single-shard config"
+            )
         if str(cfg.get("normalization", "none")).lower() != "none":
             raise ValueError(
                 "incremental_training cannot combine with normalization: "
@@ -419,17 +517,43 @@ def _train_impl_body(
                 "previous dictionary is reused automatically) or "
                 "retrain from scratch on the new space"
             )
+    dicts_in: dict = {}
     if cfg.get("dictionary_input"):
         # reuse an offline-built dictionary (the `index` driver's
         # output — FeatureIndexingDriver's consume side): training
         # skips the distinct+ordinal job entirely and every run shares
         # ONE frozen feature space (the precondition for warm starts
-        # and incremental priors to be meaningful across runs)
-        dict_in = spark.read.parquet(
-            f"{cfg['dictionary_input']}/feature-dictionary"
-        ).cache()
-    assembled, dictionary, dim = _assembled(spark, cfg, dictionary=dict_in)
-    job_caches.append(dictionary)
+        # and incremental priors to be meaningful across runs). With
+        # feature_shards, pass a {shard: index_output_dir} map — one
+        # offline index per shard, mirroring the reference's per-shard
+        # PalDB stores (FeatureIndexingDriver writes one per shard).
+        di = cfg["dictionary_input"]
+        if multi_shard:
+            if not isinstance(di, dict):
+                raise ValueError(
+                    "with feature_shards, dictionary_input must be a "
+                    "map {shard_name: index_output_dir}"
+                )
+            unknown = sorted(set(di) - set(shard_cfgs))
+            if unknown:
+                raise ValueError(
+                    f"dictionary_input names unknown shard(s) {unknown}; "
+                    f"configured shards: {sorted(shard_cfgs)}"
+                )
+            for s, p in di.items():
+                dicts_in[s] = spark.read.parquet(
+                    f"{p}/feature-dictionary"
+                ).cache()
+        else:
+            dicts_in[next(iter(shard_cfgs))] = spark.read.parquet(
+                f"{di}/feature-dictionary"
+            ).cache()
+    elif dict_in is not None:
+        dicts_in[next(iter(shard_cfgs))] = dict_in
+    assembled, dictionaries, dims = _assembled(
+        spark, cfg, dictionaries=dicts_in
+    )
+    job_caches.extend(dictionaries.values())
     dv_mode = cfg.get("data_validation", "disabled")
     if dv_mode != "disabled":
         # GameTrainingDriver's dataValidation hook (default
@@ -440,71 +564,80 @@ def _train_impl_body(
             validate_or_raise,
         )
 
-        validate_or_raise(
-            assembled,
-            standard_training_checks(
-                task=cfg.get("family", "binomial"),
-                features_col=f"{cfg.get('shard', 'features')}_values",
-            ),
-            mode=dv_mode,
-        )
-    shard = cfg.get("shard", "features")
+        for s in shard_cfgs:
+            validate_or_raise(
+                assembled,
+                standard_training_checks(
+                    task=cfg.get("family", "binomial"),
+                    features_col=f"{s}_values",
+                ),
+                mode=dv_mode,
+            )
 
     if cfg.get("data_summary_dir"):
         # dataSummaryDirectory (GameTrainingDriver): per-feature
-        # summaries of the assembled shard — nnz/moments/min/max from
+        # summaries of each assembled shard — nnz/moments/min/max from
         # the exploded sparse pairs (zeros implicit: mean/variance use
         # the full row count), dictionary-labeled, written as parquet.
         # Runs on the RAW assembled frame, BEFORE any normalization —
         # the artifact must describe the data, not the training
         # transform (summaries are the INPUT normalization derives
-        # its factors from).
+        # its factors from). Multi-shard runs write one summary per
+        # shard under {dir}/{shard}; the legacy single-shard layout
+        # stays flat.
         n_rows = assembled.count()
-        pairs = assembled.select(
-            F.explode(
-                F.arrays_zip(
-                    F.col(f"{shard}_indices"), F.col(f"{shard}_values")
-                )
-            ).alias("__p")
-        ).select(
-            F.col(f"__p.{shard}_indices").alias("feature_index"),
-            F.col(f"__p.{shard}_values").cast("double").alias("x"),
-        )
-        nn = F.lit(float(n_rows))
-        summary = pairs.groupBy("feature_index").agg(
-            F.count(F.lit(1)).alias("nnz"),
-            F.sum("x").alias("s1"),
-            F.sum(F.col("x") * F.col("x")).alias("s2"),
-            F.min("x").alias("min"),
-            F.max("x").alias("max"),
-        ).select(
-            "feature_index",
-            "nnz",
-            (F.col("s1") / nn).alias("mean"),
-            # n > 1 guard: a single-row input must not divide by zero
-            # (throws under Spark 4 ANSI mode) — variance is NULL there
-            F.when(
-                nn > F.lit(1.0),
-                (F.col("s2") - F.col("s1") * F.col("s1") / nn)
-                / (nn - F.lit(1.0)),
-            ).alias("variance"),
-            # implicit zeros widen the range ONLY where the feature
-            # is absent from some rows
-            F.when(
-                F.col("nnz") < F.lit(n_rows),
-                F.least(F.col("min"), F.lit(0.0)),
-            ).otherwise(F.col("min")).alias("min"),
-            F.when(
-                F.col("nnz") < F.lit(n_rows),
-                F.greatest(F.col("max"), F.lit(0.0)),
-            ).otherwise(F.col("max")).alias("max"),
-        )
-        summary.join(
-            F.broadcast(dictionary), "feature_index", "left"
-        ).write.mode("overwrite").parquet(cfg["data_summary_dir"])
+        for s in shard_cfgs:
+            pairs = assembled.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.col(f"{s}_indices"), F.col(f"{s}_values")
+                    )
+                ).alias("__p")
+            ).select(
+                F.col(f"__p.{s}_indices").alias("feature_index"),
+                F.col(f"__p.{s}_values").cast("double").alias("x"),
+            )
+            nn = F.lit(float(n_rows))
+            summary = pairs.groupBy("feature_index").agg(
+                F.count(F.lit(1)).alias("nnz"),
+                F.sum("x").alias("s1"),
+                F.sum(F.col("x") * F.col("x")).alias("s2"),
+                F.min("x").alias("min"),
+                F.max("x").alias("max"),
+            ).select(
+                "feature_index",
+                "nnz",
+                (F.col("s1") / nn).alias("mean"),
+                # n > 1 guard: a single-row input must not divide by
+                # zero (throws under Spark 4 ANSI mode) — variance is
+                # NULL there
+                F.when(
+                    nn > F.lit(1.0),
+                    (F.col("s2") - F.col("s1") * F.col("s1") / nn)
+                    / (nn - F.lit(1.0)),
+                ).alias("variance"),
+                # implicit zeros widen the range ONLY where the feature
+                # is absent from some rows
+                F.when(
+                    F.col("nnz") < F.lit(n_rows),
+                    F.least(F.col("min"), F.lit(0.0)),
+                ).otherwise(F.col("min")).alias("min"),
+                F.when(
+                    F.col("nnz") < F.lit(n_rows),
+                    F.greatest(F.col("max"), F.lit(0.0)),
+                ).otherwise(F.col("max")).alias("max"),
+            )
+            target = (
+                f"{cfg['data_summary_dir']}/{s}"
+                if multi_shard
+                else cfg["data_summary_dir"]
+            )
+            summary.join(
+                F.broadcast(dictionaries[s]), "feature_index", "left"
+            ).write.mode("overwrite").parquet(target)
 
     norm_kind = str(cfg.get("normalization", "none")).lower()
-    norm_table = None
+    norm_tables: dict = {}
     if norm_kind != "none":
         # GameTrainingDriver's normalization param (NormalizationType,
         # factors from the feature summaries, GameTrainingDriver.scala:
@@ -512,34 +645,41 @@ def _train_impl_body(
         # shift folds into the intercept — see
         # normalization.apply_sparse_normalization), and the final
         # model is mapped back to original space before persisting.
+        # One factor table per shard — each shard is its own feature
+        # space with its own index range.
         from photon_ml_spark.ml.normalization import (
             apply_sparse_normalization,
             sparse_normalization_table,
         )
 
-        norm_table = sparse_normalization_table(
-            assembled,
-            f"{shard}_indices",
-            f"{shard}_values",
-            kind=norm_kind,
-        ).cache()
-        job_caches.append(norm_table)
-        assembled = apply_sparse_normalization(
-            assembled, norm_table, f"{shard}_indices", f"{shard}_values"
-        )
+        for s in shard_cfgs:
+            norm_tables[s] = sparse_normalization_table(
+                assembled,
+                f"{s}_indices",
+                f"{s}_values",
+                kind=norm_kind,
+            ).cache()
+            job_caches.append(norm_tables[s])
+            assembled = apply_sparse_normalization(
+                assembled, norm_tables[s], f"{s}_indices", f"{s}_values"
+            )
 
     def _bounds(c):
         # reference parity (GLMSuite.createConstraintFeatureMap): a
         # JSON constraint list on a fixed coordinate resolves against
-        # the feature dictionary into per-index box bounds
+        # the coordinate's OWN shard dictionary into per-index box
+        # bounds
         if "constraints" not in c:
             return None, None
         from photon_ml_spark.ml.constraints import parse_constraint_map
 
-        parsed = parse_constraint_map(c["constraints"], dictionary, dim)
+        s = coord_shard[c["name"]]
+        parsed = parse_constraint_map(
+            c["constraints"], dictionaries[s], dims[s]
+        )
         return (None, None) if parsed is None else parsed
 
-    def _fixed_prior(name, prev):
+    def _fixed_prior(name, prev, dim):
         """(prior_mean, prior_precision) arrays (dim+1, intercept last)
         from the previous fixed model + its saved variance table. No
         variances on disk → warm-start-only (mean carried, no penalty),
@@ -574,20 +714,21 @@ def _train_impl_body(
 
     coords = []
     for c in cfg["coordinates"]:
+        s = coord_shard[c["name"]]
         lo, hi = _bounds(c)
         pretrained = None
         pm = pp = None
         if prev_model is not None and c["name"] in prev_model.coordinates:
             pretrained = prev_model.coordinates[c["name"]]
             if c["kind"] == "fixed":
-                pm, pp = _fixed_prior(c["name"], pretrained)
+                pm, pp = _fixed_prior(c["name"], pretrained, dims[s])
         coords.append(
             CoordinateConfig(
                 name=c["name"],
                 kind=c["kind"],
-                dim=dim,
-                indices_col=f"{shard}_indices",
-                values_col=f"{shard}_values",
+                dim=dims[s],
+                indices_col=f"{s}_indices",
+                values_col=f"{s}_values",
                 entity_col=c.get("entity_col"),
                 reg_param=c.get("reg_param", 0.0),
                 min_samples=c.get("min_samples", 1),
@@ -647,13 +788,14 @@ def _train_impl_body(
     assembled = assembled.cache()
     job_caches.append(assembled)
 
-    _norm_rows_cache: list = []
+    _norm_rows_cache: dict = {}
 
     def _backmapped_model(model):
         """Original-space COPY of a transformed-space GameModel (never
         mutates — the sweep's candidate saves and the final save must
-        not double-transform the selected model)."""
-        if norm_table is None:
+        not double-transform the selected model). Each coordinate maps
+        back through its OWN shard's factor table."""
+        if not norm_tables:
             return model
         from photon_ml_spark.ml.coordinate_descent import GameModel
         from photon_ml_spark.ml.normalization import (
@@ -661,20 +803,23 @@ def _train_impl_body(
             backmap_random_effects,
         )
 
-        if not _norm_rows_cache:
-            # O(dim) like the model itself; collected ONCE — sweep mode
-            # calls this per saved candidate
-            _norm_rows_cache.append(norm_table.collect())
-        norm_rows = _norm_rows_cache[0]
         out_model = GameModel(family=model.family)
         out_model.configs = dict(model.configs)
         for name, c in model.configs.items():
+            s = coord_shard[name]
             m = model.coordinates[name]
-            out_model.coordinates[name] = (
-                backmap_fixed_model(m, norm_rows)
-                if c.kind == "fixed"
-                else backmap_random_effects(m, norm_table)
-            )
+            if c.kind == "fixed":
+                if s not in _norm_rows_cache:
+                    # O(dim) like the model itself; collected ONCE per
+                    # shard — sweep mode calls this per saved candidate
+                    _norm_rows_cache[s] = norm_tables[s].collect()
+                out_model.coordinates[name] = backmap_fixed_model(
+                    m, _norm_rows_cache[s]
+                )
+            else:
+                out_model.coordinates[name] = backmap_random_effects(
+                    m, norm_tables[s]
+                )
         return out_model
 
 
@@ -710,15 +855,14 @@ def _train_impl_body(
         if cfg.get("validation_days_range"):
             vcfg["days_range"] = cfg["validation_days_range"]
         validation_frame, _, _ = _assembled(
-            spark, vcfg, dictionary=dictionary,
+            spark, vcfg, dictionaries=dictionaries,
         )
-        if norm_table is not None:
+        for s, nt in norm_tables.items():
             # the TRAINING factors transform the held-out frame too —
             # refitting contexts on validation data would evaluate a
             # different model than the one being selected
             validation_frame = apply_sparse_normalization(
-                validation_frame, norm_table,
-                f"{shard}_indices", f"{shard}_values",
+                validation_frame, nt, f"{s}_indices", f"{s}_values",
             )
         validation_frame = validation_frame.cache()
         job_caches.append(validation_frame)
@@ -765,7 +909,13 @@ def _train_impl_body(
     output_mode = cfg.get("output_mode", "best").lower()
     if output_mode not in ("best", "all", "none"):
         raise ValueError("output_mode must be best|all|none")
-    report = {"status": "trained", "model_dir": out, "dim": dim}
+    report = {
+        "status": "trained",
+        "model_dir": out,
+        # single-shard reports keep the scalar (back-compat); multi-
+        # shard reports the per-shard dim map
+        "dim": dict(dims) if multi_shard else dims[sole_shard],
+    }
     if tuner is None and cfg.get("tuner"):
         from photon_ml_spark.ml.hypersearch import make_tuner
 
@@ -878,7 +1028,9 @@ def _train_impl_body(
                     _backmapped_model(fitted.model), f"{out}/models/{i}",
                     spark,
                     sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
-                    dictionary=dictionary,
+                    dictionary={
+                        n: dictionaries[coord_shard[n]] for n in coord_shard
+                    },
                 )
         report["sweep"] = [
             {"config": ov, "metric": m} for _, ov, m in results
@@ -920,24 +1072,25 @@ def _train_impl_body(
         for name, c in fitted.model.configs.items():
             if c.kind != "fixed":
                 continue
+            s = coord_shard[name]
             if vc == "simple":
                 hd = sparse_hessian_diagonal(
                     scored_tr,
-                    f"{shard}_indices",
-                    f"{shard}_values",
+                    f"{s}_indices",
+                    f"{s}_values",
                     margin_col="__eval_margin",
                     weight_col="weight",
                     family=family,
                     l2=c.reg_param,
-                    dim=dim,
+                    dim=dims[s],
                 )
                 vt = simple_variance(hd).select("feature_index", "variance")
             else:
                 rows = sparse_full_hessian_variance(
                     scored_tr,
-                    dim,
-                    f"{shard}_indices",
-                    f"{shard}_values",
+                    dims[s],
+                    f"{s}_indices",
+                    f"{s}_values",
                     margin_col="__eval_margin",
                     weight_col="weight",
                     family=family,
@@ -946,9 +1099,9 @@ def _train_impl_body(
                 vt = spark.createDataFrame(
                     rows, "feature_index long, variance double"
                 )
-            if norm_table is not None:
+            if norm_tables.get(s) is not None:
                 vt = vt.join(
-                    F.broadcast(norm_table), "feature_index", "left"
+                    F.broadcast(norm_tables[s]), "feature_index", "left"
                 ).select(
                     "feature_index",
                     (
@@ -1010,13 +1163,49 @@ def _train_impl_body(
         save_game_model(
             _backmapped_model(fitted.model), out, spark,
             sparsity_threshold=cfg.get("sparsity_threshold", 0.0),
-            dictionary=dictionary,
+            dictionary={
+                n: dictionaries[coord_shard[n]] for n in coord_shard
+            },
         )
-        dictionary.write.mode("overwrite").parquet(f"{out}/feature-dictionary")
+        if multi_shard:
+            # per-shard dictionaries + the shard definitions, so the
+            # score driver reassembles every shard with the TRAINING
+            # vocabulary and bag unions (the reference persists one
+            # index map per shard the same way)
+            from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+            for s, sh in shard_cfgs.items():
+                dictionaries[s].write.mode("overwrite").parquet(
+                    f"{out}/feature-dictionaries/{s}"
+                )
+            _hadoop_write_text(
+                spark,
+                f"{out}/feature-shards.json",
+                json.dumps(
+                    {
+                        "shards": {
+                            s: {
+                                "bags": list(sh.feature_bags),
+                                "has_intercept": sh.has_intercept,
+                            }
+                            for s, sh in shard_cfgs.items()
+                        }
+                    },
+                    indent=2,
+                ),
+            )
+        else:
+            dictionaries[sole_shard].write.mode("overwrite").parquet(
+                f"{out}/feature-dictionary"
+            )
         for name, vt in variance_tables.items():
-            vt.join(F.broadcast(dictionary), "feature_index", "left").write.mode(
-                "overwrite"
-            ).parquet(f"{out}/fixed-effect/{name}/variances")
+            vt.join(
+                F.broadcast(dictionaries[coord_shard[name]]),
+                "feature_index",
+                "left",
+            ).write.mode("overwrite").parquet(
+                f"{out}/fixed-effect/{name}/variances"
+            )
         if variance_tables:
             report["variances"] = sorted(variance_tables)
     print(json.dumps(report))
@@ -1207,19 +1396,50 @@ def _evaluate_scores_body(sdf, evaluators) -> dict:
 
 
 def score(cfg: dict, spark: SparkSession) -> None:
+    from photon_ml_spark.sources.model_io import (
+        _hadoop_exists,
+        _hadoop_read_text,
+    )
+
     _validate_cfg_keys(cfg, "score")
-    dictionary = spark.read.parquet(f"{cfg['model_dir']}/feature-dictionary").cache()
+    model_dir = cfg["model_dir"]
+    shards_json = f"{model_dir}/feature-shards.json"
+    if _hadoop_exists(spark, shards_json):
+        # multi-shard model: the shard definitions AND vocabularies are
+        # the training run's saved artifacts — user-supplied shard keys
+        # would be a second source of truth, so they are rejected
+        if "shard" in cfg or "feature_bags" in cfg:
+            raise ValueError(
+                "model_dir holds a multi-shard model; its saved "
+                "feature-shards.json defines the shards — drop the "
+                "'shard'/'feature_bags' keys from the score config"
+            )
+        shards = json.loads(_hadoop_read_text(spark, shards_json))["shards"]
+        cfg = {**cfg, "feature_shards": shards}
+        dictionaries = {
+            s: spark.read.parquet(
+                f"{model_dir}/feature-dictionaries/{s}"
+            ).cache()
+            for s in shards
+        }
+    else:
+        dictionaries = {
+            cfg.get("shard", "features"): spark.read.parquet(
+                f"{model_dir}/feature-dictionary"
+            ).cache()
+        }
     try:
-        _score_body(cfg, spark, dictionary)
+        _score_body(cfg, spark, dictionaries)
     finally:
-        dictionary.unpersist()
+        for d in dictionaries.values():
+            d.unpersist()
 
 
-def _score_body(cfg: dict, spark, dictionary) -> None:
+def _score_body(cfg: dict, spark, dictionaries: dict) -> None:
     from photon_ml_spark.estimator import GameTransformer
     from photon_ml_spark.sources.model_io import load_game_model, save_scores
 
-    assembled, _, _ = _assembled(spark, cfg, dictionary=dictionary)
+    assembled, _, _ = _assembled(spark, cfg, dictionaries=dictionaries)
     dv_mode = cfg.get("data_validation", "disabled")
     if dv_mode != "disabled":
         # sanityCheckDataFrameForScoring with no task type — the
@@ -1230,13 +1450,12 @@ def _score_body(cfg: dict, spark, dictionary) -> None:
             validate_or_raise,
         )
 
-        validate_or_raise(
-            assembled,
-            standard_scoring_checks(
-                features_col=f"{cfg.get('shard', 'features')}_values"
-            ),
-            mode=dv_mode,
-        )
+        for s in dictionaries:
+            validate_or_raise(
+                assembled,
+                standard_scoring_checks(features_col=f"{s}_values"),
+                mode=dv_mode,
+            )
     model = load_game_model(cfg["model_dir"], spark)
     scored = GameTransformer(model=model).transform(assembled)
     save_scores(

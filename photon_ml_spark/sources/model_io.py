@@ -68,14 +68,23 @@ def save_game_model(
     path: str,
     spark: SparkSession,
     sparsity_threshold: float = 0.0,
-    dictionary: DataFrame | None = None,
+    dictionary: DataFrame | dict | None = None,
 ) -> None:
     """Persist; ``dictionary`` (feature_key, feature_index) adds
     human-readable keys to fixed-effect coefficient tables (the
-    reference always writes name/term pairs)."""
+    reference always writes name/term pairs). With per-coordinate
+    feature shards (CoordinateDataConfiguration.featureShardId) pass a
+    ``{coordinate_name: dictionary}`` map instead — each fixed table is
+    labeled with ITS shard's vocabulary; coordinates absent from the
+    map are written unlabeled."""
     meta = {"family": model.family, "coordinates": {}}
     for name, cfg in model.configs.items():
         m = model.coordinates[name]
+        coord_dict = (
+            dictionary.get(name)
+            if isinstance(dictionary, dict)
+            else dictionary
+        )
         meta["coordinates"][name] = {
             "kind": cfg.kind,
             "dim": cfg.dim,
@@ -89,8 +98,8 @@ def save_game_model(
             tbl = m.as_table(spark)
             if sparsity_threshold > 0:
                 tbl = tbl.filter(F.abs(F.col("coefficient")) >= sparsity_threshold)
-            if dictionary is not None:
-                tbl = tbl.join(F.broadcast(dictionary), "feature_index", "left")
+            if coord_dict is not None:
+                tbl = tbl.join(F.broadcast(coord_dict), "feature_index", "left")
             tbl.write.mode("overwrite").parquet(
                 f"{path}/fixed-effect/{name}/coefficients"
             )

@@ -1620,3 +1620,298 @@ def test_bags_driver_chains_into_index_and_train(spark, tmp_path, capsys):
              "output_dir": str(tmp_path / "z")},
             spark,
         )
+
+
+def _two_bag_frame(spark):
+    """lineitem training frame with its feature bag split in two —
+    user-side measures in bag_a, item-side in bag_b (the reference
+    flagship's userFeatures/songFeatures split,
+    GameTrainingDriverIntegTest.scala:736-770)."""
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(spark, "/root/testdata/sf0.001")
+    a_terms = F.array(F.lit("qty"), F.lit("price"))
+    return training.select(
+        "uid", "response", "offset", "weight", "suppkey", "custkey",
+        F.filter(
+            "features", lambda f: F.array_contains(a_terms, f["term"])
+        ).alias("bag_a"),
+        F.filter(
+            "features", lambda f: ~F.array_contains(a_terms, f["term"])
+        ).alias("bag_b"),
+    )
+
+
+def test_multi_shard_train_save_score_roundtrip(spark, tmp_path, capsys):
+    """Per-coordinate feature shards end-to-end
+    (CoordinateDataConfiguration.scala:24,37,58 featureShardId +
+    FeatureShardConfiguration.scala:23): the train driver builds ONE
+    dictionary per shard, each coordinate trains on its own shard's
+    columns, the model dir persists per-shard dictionaries +
+    feature-shards.json, and the score driver reassembles every shard
+    from those artifacts — no shard keys in the score config."""
+    import numpy as np
+
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources.model_io import load_game_model
+
+    two = _two_bag_frame(spark)
+    inp = str(tmp_path / "ms_in.parquet")
+    two.write.parquet(inp)
+    model_out = str(tmp_path / "ms_model")
+    cli.train(
+        {
+            "input": inp,
+            "feature_shards": {
+                "shardA": {"bags": ["bag_a"]},
+                "shardB": {"bags": ["bag_b"]},
+            },
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "shard": "shardA"},
+                {
+                    "name": "per_supplier", "kind": "random",
+                    "shard": "shardB", "entity_col": "suppkey",
+                    "reg_param": 1.0,
+                },
+            ],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": model_out,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # per-shard dims: bag_a has 2 keys + intercept, bag_b has 3 + intercept
+    assert rep["dim"] == {"shardA": 3, "shardB": 4}
+
+    # per-shard artifacts on disk
+    shards_meta = json.loads(
+        (tmp_path / "ms_model" / "feature-shards.json").read_text()
+    )
+    assert shards_meta["shards"] == {
+        "shardA": {"bags": ["bag_a"], "has_intercept": True},
+        "shardB": {"bags": ["bag_b"], "has_intercept": True},
+    }
+    dict_a = {
+        r.feature_key
+        for r in spark.read.parquet(
+            f"{model_out}/feature-dictionaries/shardA"
+        ).collect()
+    }
+    dict_b = {
+        r.feature_key
+        for r in spark.read.parquet(
+            f"{model_out}/feature-dictionaries/shardB"
+        ).collect()
+    }
+    assert len(dict_a) == 3 and len(dict_b) == 4
+    assert dict_a & dict_b == {"(INTERCEPT)"}
+
+    # the model's coordinates carry their OWN shard columns
+    model = load_game_model(model_out, spark)
+    assert model.configs["global"].indices_col == "shardA_indices"
+    assert model.configs["per_supplier"].indices_col == "shardB_indices"
+    assert model.configs["global"].dim == 3
+    assert model.configs["per_supplier"].dim == 4
+    # fixed table labeled with shardA's vocabulary
+    keys = {
+        r.feature_key
+        for r in spark.read.parquet(
+            f"{model_out}/fixed-effect/global/coefficients"
+        ).collect()
+    }
+    assert keys <= dict_a
+
+    # score driver: shard definitions come from the model dir
+    score_out = str(tmp_path / "ms_scores")
+    cli.score(
+        {"input": inp, "model_dir": model_out, "output_dir": score_out},
+        spark,
+    )
+    capsys.readouterr()
+    scored = spark.read.parquet(score_out)
+    assert scored.count() == two.count()
+    assert {"score", "prediction"} <= set(scored.columns)
+    # scores vary across rows (both coordinates contribute)
+    stats = scored.agg(
+        F.count_distinct(F.round("score", 9)).alias("k")
+    ).first()
+    assert stats.k > 10
+
+    # cross-check one path: transformer score over a manual reassembly
+    # equals the driver's sink output
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.estimator import GameTransformer
+    from photon_ml_spark.sources import featurize
+
+    da = spark.read.parquet(f"{model_out}/feature-dictionaries/shardA")
+    db = spark.read.parquet(f"{model_out}/feature-dictionaries/shardB")
+    manual = featurize.assemble_shard(
+        two, da, FeatureShardConfig("shardA", ["bag_a"]), strategy="map"
+    )
+    manual = featurize.assemble_shard(
+        manual, db, FeatureShardConfig("shardB", ["bag_b"]), strategy="map"
+    )
+    expect = {
+        r.uid: r.score
+        for r in GameTransformer(model=model).transform(manual)
+        .select("uid", "score").collect()
+    }
+    got = {r.uid: r.score for r in scored.select("uid", "score").collect()}
+    assert set(got) == set(expect)
+    assert all(abs(got[u] - expect[u]) < 1e-9 for u in got)
+
+    # user-supplied shard keys against a multi-shard model are rejected
+    with pytest.raises(ValueError, match="feature-shards.json"):
+        cli.score(
+            {
+                "input": inp, "feature_bags": ["bag_a"],
+                "model_dir": model_out,
+                "output_dir": str(tmp_path / "ms_bad"),
+            },
+            spark,
+        )
+
+
+def test_multi_shard_config_validation(spark, tmp_path):
+    from photon_ml_spark import cli
+
+    two = _two_bag_frame(spark)
+    inp = str(tmp_path / "msv_in.parquet")
+    two.write.parquet(inp)
+    base = {
+        "input": inp,
+        "feature_shards": {
+            "shardA": {"bags": ["bag_a"]},
+            "shardB": {"bags": ["bag_b"]},
+        },
+        "family": "binomial",
+        "n_iterations": 1,
+        "output_dir": str(tmp_path / "msv_model"),
+    }
+    # a coordinate naming an unknown shard fails before any IO
+    with pytest.raises(ValueError, match="unknown shard"):
+        cli.train(
+            {**base, "coordinates": [
+                {"name": "g", "kind": "fixed", "shard": "nope"}
+            ]},
+            spark,
+        )
+    # several shards configured -> every coordinate must pick one
+    with pytest.raises(ValueError, match="needs a 'shard'"):
+        cli.train(
+            {**base, "coordinates": [{"name": "g", "kind": "fixed"}]},
+            spark,
+        )
+    # feature_shards and the legacy single-shard keys are exclusive
+    with pytest.raises(ValueError, match="feature_shards replaces"):
+        cli.train(
+            {**base, "feature_bags": ["bag_a"], "coordinates": [
+                {"name": "g", "kind": "fixed", "shard": "shardA"}
+            ]},
+            spark,
+        )
+    # shard spec typos fail fast
+    with pytest.raises(ValueError, match="feature_shards"):
+        cli.train(
+            {**base, "feature_shards": {"shardA": {"bag": ["bag_a"]}},
+             "coordinates": [
+                 {"name": "g", "kind": "fixed", "shard": "shardA"}
+             ]},
+            spark,
+        )
+    # incremental training does not compose with feature_shards yet
+    with pytest.raises(ValueError, match="incremental_training"):
+        cli.train(
+            {**base, "incremental_training": {"model_dir": str(tmp_path)},
+             "coordinates": [
+                 {"name": "g", "kind": "fixed", "shard": "shardA"}
+             ]},
+            spark,
+        )
+
+
+def test_multi_shard_normalization_summaries_variances(spark, tmp_path, capsys):
+    """Per-shard normalization factor tables, per-shard data summaries
+    ({dir}/{shard}), and per-coordinate variance tables computed on the
+    coordinate's OWN shard. The persisted model must be original-space
+    per shard: backmapped coefficients score raw data identically to
+    the training-space model scoring normalized data."""
+    from photon_ml_spark import cli
+
+    two = _two_bag_frame(spark)
+    inp = str(tmp_path / "msn_in.parquet")
+    two.write.parquet(inp)
+    model_out = str(tmp_path / "msn_model")
+    summary_dir = str(tmp_path / "msn_summary")
+    cli.train(
+        {
+            "input": inp,
+            "feature_shards": {
+                "shardA": {"bags": ["bag_a"]},
+                "shardB": {"bags": ["bag_b"]},
+            },
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "shard": "shardA"},
+                {"name": "second", "kind": "fixed", "shard": "shardB",
+                 "reg_param": 0.0},
+            ],
+            "family": "gaussian",
+            "n_iterations": 1,
+            "normalization": "standardization",
+            "variance_computation": "simple",
+            "data_summary_dir": summary_dir,
+            "output_dir": model_out,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    # per-shard summaries, each labeled by its own dictionary
+    sa = spark.read.parquet(f"{summary_dir}/shardA")
+    sb = spark.read.parquet(f"{summary_dir}/shardB")
+    assert sa.filter(F.col("feature_key").isNotNull()).count() == 2
+    assert sb.filter(F.col("feature_key").isNotNull()).count() == 3
+    # per-coordinate variance tables exist, sized by each shard's dim
+    va = spark.read.parquet(f"{model_out}/fixed-effect/global/variances")
+    vb = spark.read.parquet(f"{model_out}/fixed-effect/second/variances")
+    assert va.count() == 3 and vb.count() == 4
+
+    # original-space round trip: an unnormalized run reaches the same
+    # optimum for the unregularized gaussian fit (same algebra the
+    # single-shard test pins, now per shard)
+    model_out2 = str(tmp_path / "msn_model_raw")
+    cli.train(
+        {
+            "input": inp,
+            "feature_shards": {
+                "shardA": {"bags": ["bag_a"]},
+                "shardB": {"bags": ["bag_b"]},
+            },
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "shard": "shardA"},
+                {"name": "second", "kind": "fixed", "shard": "shardB",
+                 "reg_param": 0.0},
+            ],
+            "family": "gaussian",
+            "n_iterations": 1,
+            "output_dir": model_out2,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    for coord in ("global", "second"):
+        c1 = {
+            r.feature_index: r.coefficient
+            for r in spark.read.parquet(
+                f"{model_out}/fixed-effect/{coord}/coefficients"
+            ).collect()
+        }
+        c2 = {
+            r.feature_index: r.coefficient
+            for r in spark.read.parquet(
+                f"{model_out2}/fixed-effect/{coord}/coefficients"
+            ).collect()
+        }
+        assert set(c1) == set(c2)
+        for j in c1:
+            assert abs(c1[j] - c2[j]) < 1e-4, (coord, j, c1[j], c2[j])
