@@ -126,13 +126,17 @@ def run_curate(spark, sf_dir: str) -> dict:
 def run_train_game(spark, sf_dir: str) -> dict:
     """The FULL multi-coordinate GAME training loop — the reference's
     flagship (GameTrainingDriver.scala:363-516, CoordinateDescent.
-    scala:132-166): 2 coordinates (fixed global + per-supplier random
-    effect) × 2 CD iterations with J11 incremental summed-score
-    residual maintenance AND per-coordinate validation scans. Added as
-    a bench row in round 7 (VERDICT r6 Missing #2) so a regression in
-    the residual bookkeeping or the validation scans shows in the
-    per-round bench, not only in the stress harness (scripts/
-    stress_scale.py run_game — same config, this is its sf0.1 case)."""
+    scala:132-166): 2 coordinates on 2 DIFFERENT feature shards (fixed
+    global on the qty shard, per-supplier random effect on the disc
+    shard — per-coordinate featureShardId, CoordinateDataConfiguration.
+    scala:24,37,58, the reference flagship's shard split) × 2 CD
+    iterations with J11 incremental summed-score residual maintenance
+    AND per-coordinate validation scans. Added as a bench row in round
+    7 (VERDICT r6 Missing #2) so a regression in the residual
+    bookkeeping or the validation scans shows in the per-round bench,
+    not only in the stress harness (scripts/stress_scale.py run_game —
+    same config, this is its sf0.1 case); 2-shard since round 9 so the
+    benched loop IS the reference's flagship shape."""
     from pyspark.sql import functions as F
 
     from photon_ml_spark.ml.coordinate_descent import (
@@ -148,8 +152,10 @@ def run_train_game(spark, sf_dir: str) -> dict:
         F.lit(0.0).alias("offset"),
         F.lit(1.0).alias("weight"),
         F.col("l_suppkey").cast("string").alias("suppkey"),
-        F.array(F.lit(0).cast("long")).alias("features_indices"),
-        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.array(F.lit(0).cast("long")).alias("qty_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("qty_values"),
+        F.array(F.lit(0).cast("long")).alias("disc_indices"),
+        F.array(F.round(F.col("l_discount") * 100, 0)).alias("disc_values"),
     )
     is_val = F.pmod(F.xxhash64("uid"), F.lit(10)) == 0
     train, val = li.filter(~is_val), li.filter(is_val)
@@ -186,10 +192,14 @@ def run_train_game(spark, sf_dir: str) -> dict:
     model, history = train_game(
         train,
         coordinates=[
-            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="global", kind="fixed", dim=1,
+                indices_col="qty_indices", values_col="qty_values",
+            ),
             CoordinateConfig(
                 name="per_supplier", kind="random", dim=1,
                 entity_col="suppkey", reg_param=10.0,
+                indices_col="disc_indices", values_col="disc_values",
             ),
         ],
         family="gaussian",

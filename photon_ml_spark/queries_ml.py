@@ -399,10 +399,16 @@ FROM scored
     "RandomEffectModel.scala:283-287) after P10 sparsification, score "
     "sum, sigmoid mean (GameModel.scala:108-112). The GAME model is "
     "saved and RELOADED through the model sink/scan "
-    "(ModelProcessingUtils.scala:77-265) before scoring, and the "
-    "scored output is written and RE-READ through the S8 score sink "
-    "(GameScoringDriver.scala:229-256) — the oracle-compared rows are "
-    "the re-read table, so a green row proves both sinks round-trip",
+    "(ModelProcessingUtils.scala:77-265) before scoring; its two "
+    "coordinates carry DIFFERENT feature shards (fx on a 2-dim "
+    "qty/disc shard, re on the 1-dim qty shard) and total/prediction "
+    "come from the shard-aware GameTransformer "
+    "(GameTransformer.scala:150-283 — each coordinate resolves its own "
+    "featureShardId's columns), so a wrong per-coordinate column "
+    "binding flips the hash. The scored output is written and RE-READ "
+    "through the S8 score sink (GameScoringDriver.scala:229-256) — the "
+    "oracle-compared rows are the re-read table, so a green row proves "
+    "both sinks round-trip",
 )
 def m12_game_scoring(spark, sf_dir):
     import os
@@ -411,11 +417,7 @@ def m12_game_scoring(spark, sf_dir):
 
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, GameModel
     from photon_ml_spark.ml.glm import FixedEffectGLM
-    from photon_ml_spark.ml.scoring import (
-        apply_mean,
-        score_literal,
-        score_random_effect,
-    )
+    from photon_ml_spark.ml.scoring import score_literal, score_random_effect
     from photon_ml_spark.sources.model_io import (
         load_game_model,
         save_game_model,
@@ -476,25 +478,35 @@ def m12_game_scoring(spark, sf_dir):
     loaded = load_game_model(model_path, spark)
     fixed = loaded.coordinates["fx"]
     sparse = loaded.coordinates["re"]
+    # the scoring frame carries BOTH shards' columns — fx on its own
+    # 2-dim (qty, disc100) shard, re on the default 1-dim qty shard
+    frame = rows_in.withColumn(
+        "fx_indices", F.array(F.lit(0).cast("long"), F.lit(1).cast("long"))
+    ).withColumn(
+        "fx_values",
+        F.array(F.col("qty").cast("double"), F.col("disc100").cast("double")),
+    )
     with_fixed = score_literal(
-        rows_in.withColumn(
-            "fx_indices", F.array(F.lit(0).cast("long"), F.lit(1).cast("long"))
-        ).withColumn(
-            "fx_values", F.array(F.col("qty").cast("double"), F.col("disc100").cast("double"))
-        ),
+        frame,
         fixed, indices_col="fx_indices", values_col="fx_values",
         out_col="fixed_score",
     )
     with_re = score_random_effect(
         with_fixed, sparse, entity_col="entity", out_col="re_score"
     )
-    # coordinate-score sum (GameModel.scala:108-112). The general J11
-    # outer-join path is exercised by j11_score_add; uid is non-unique
-    # in this derivation so the sum stays inline here.
-    out = with_re.withColumn(
-        "total", F.col("fixed_score") + F.col("re_score")
+    # total + prediction come from the SHARD-AWARE transformer
+    # (GameTransformer.scala:150-283 contract: each coordinate scores
+    # through its own featureShardId's columns) over the RELOADED
+    # 2-shard model — a wrong per-coordinate column resolution flips
+    # the row's value hash. The manual per-part scores ride along so
+    # the oracle also pins each coordinate's contribution; the
+    # transformer's sum is the same fx+re addition (GameModel.scala:
+    # 108-112), so the arithmetic is bit-identical.
+    from photon_ml_spark.estimator import GameTransformer
+
+    out = GameTransformer(model=loaded).transform(
+        with_re, score_col="total", prediction_col="prediction"
     )
-    out = apply_mean(out, "binomial", margin_col="total", out_col="prediction")
     out = out.select(
         "uid", r6(F.col("fixed_score")).alias("fixed_score"),
         r6(F.col("re_score")).alias("re_score"),
@@ -517,6 +529,7 @@ WITH d AS (
   SELECT l_orderkey * 100 + l_linenumber AS uid,
          CAST(l_suppkey AS VARCHAR) AS e,
          CAST(l_quantity AS DOUBLE) AS x,
+         ROUND(l_discount * 100) AS z,
          ROUND(l_extendedprice / 1000) AS y
   FROM lineitem
 ),
@@ -531,18 +544,18 @@ f1 AS (
   FROM g1
 ),
 mm1 AS (
-  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
-         SUM(y - (f1.b*x + f1.a)) AS sr, SUM(x*x) AS sxx,
-         SUM(x*(y - (f1.b*x + f1.a))) AS sxr
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(z) AS sz,
+         SUM(y - (f1.b*x + f1.a)) AS sr, SUM(z*z) AS szz,
+         SUM(z*(y - (f1.b*x + f1.a))) AS szr
   FROM d, f1 GROUP BY e
 ),
 re1 AS (
-  SELECT e, (n*sxr - sx*sr) / ((sxx + 10.0)*n - sx*sx) AS c,
-         ((sxx + 10.0)*sr - sx*sxr) / ((sxx + 10.0)*n - sx*sx) AS i
+  SELECT e, (n*szr - sz*sr) / ((szz + 10.0)*n - sz*sz) AS c,
+         ((szz + 10.0)*sr - sz*szr) / ((szz + 10.0)*n - sz*sz) AS i
   FROM mm1
 ),
 d2 AS (
-  SELECT d.*, y - (re1.c*x + re1.i) AS y2
+  SELECT d.*, y - (re1.c*z + re1.i) AS y2
   FROM d JOIN re1 ON d.e = re1.e
 ),
 g2 AS (
@@ -556,14 +569,14 @@ f2 AS (
   FROM g2
 ),
 mm2 AS (
-  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
-         SUM(y - (f2.b*x + f2.a)) AS sr, SUM(x*x) AS sxx,
-         SUM(x*(y - (f2.b*x + f2.a))) AS sxr
+  SELECT e, CAST(COUNT(*) AS DOUBLE) AS n, SUM(z) AS sz,
+         SUM(y - (f2.b*x + f2.a)) AS sr, SUM(z*z) AS szz,
+         SUM(z*(y - (f2.b*x + f2.a))) AS szr
   FROM d, f2 GROUP BY e
 ),
 re2 AS (
-  SELECT e, n, (n*sxr - sx*sr) / ((sxx + 10.0)*n - sx*sx) AS c,
-         ((sxx + 10.0)*sr - sx*sxr) / ((sxx + 10.0)*n - sx*sx) AS i
+  SELECT e, n, (n*szr - sz*sr) / ((szz + 10.0)*n - sz*sz) AS c,
+         ((szz + 10.0)*sr - sz*szr) / ((szz + 10.0)*n - sz*sz) AS i
   FROM mm2
 )
 SELECT e AS entity, ROUND(c, 6) AS coef, ROUND(i, 6) AS intercept,
@@ -581,8 +594,8 @@ FROM (
          (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n AS a
   FROM (
     SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
-           SUM(y - (0.5*x + 0.25)) AS sy, SUM(x*x) AS sxx,
-           SUM(x*(y - (0.5*x + 0.25))) AS sxy
+           SUM(y - (0.5*z + 0.25)) AS sy, SUM(x*x) AS sxx,
+           SUM(x*(y - (0.5*z + 0.25))) AS sxy
     FROM d
   )
 ) m8
@@ -590,25 +603,33 @@ UNION ALL
 SELECT '__m8_locked__', 0.5, 0.25,
        (SELECT CAST(COUNT(DISTINCT e) AS BIGINT) FROM d)
 """,
-    note="M3/M7/M8/J1/J11 through the REAL train_game loop: 2 backfitting "
-    "iterations over [fixed global, per-supplier ridge] with gaussian "
-    "family — fixed1 → RE1 on residual → fixed2 on (y − RE1 score) via "
-    "the incremental summed-score subtraction → RE2 warm-started from "
-    "RE1 (CoordinateDescent.scala:373-463). Every stage is a closed-form "
-    "least-squares solve, so the oracle replays the whole descent in SQL. "
-    "The __m8_* rows run a SECOND train_game with the random coordinate "
-    "LOCKED to a constant pretrained model (coef 0.5, intercept 0.25): "
-    "partial retraining scores-but-never-trains the locked coordinate "
-    "(GameEstimator.train:770-775) — the fixed coordinate's closed form "
-    "on the locked residual and the untouched locked model are both "
-    "oracle-checked; the binomial/validation variants stay in "
+    note="M3/M7/M8/J1/J11 through the REAL train_game loop, on TWO "
+    "feature shards (CoordinateDataConfiguration.scala:24,37,58 "
+    "featureShardId — the fixed coordinate trains on the qty shard, the "
+    "random coordinate on the disc shard, the reference flagship's "
+    "userFeatures/songFeatures split): 2 backfitting iterations over "
+    "[fixed global, per-supplier ridge] with gaussian family — fixed1 → "
+    "RE1 on residual → fixed2 on (y − RE1 score) via the incremental "
+    "summed-score subtraction → RE2 warm-started from RE1 "
+    "(CoordinateDescent.scala:373-463). Every stage is a closed-form "
+    "least-squares solve, so the oracle replays the whole descent in SQL "
+    "(z = ROUND(discount·100) keeps every moment sum integer-valued → "
+    "order-independent). The __m8_* rows run a SECOND train_game with "
+    "the random coordinate LOCKED to a constant pretrained model on the "
+    "disc shard (coef 0.5, intercept 0.25): partial retraining scores-"
+    "but-never-trains the locked coordinate (GameEstimator.train:"
+    "770-775) — the fixed coordinate's closed form on the locked "
+    "residual and the untouched locked model are both oracle-checked; "
+    "the binomial/validation variants stay in "
     "tests/test_coordinate_descent.py",
 )
 def m3_coordinate_descent(spark, sf_dir):
     from photon_ml_spark.ml.coordinate_descent import CoordinateConfig, train_game
 
     # (orderkey, linenumber, suppkey, partkey) is the unique row key in
-    # the synthetic lineitem — orderkey*100+linenumber alone collides
+    # the synthetic lineitem — orderkey*100+linenumber alone collides.
+    # Two single-feature shards: qty (fixed coordinate) and disc
+    # (random coordinate) — per-coordinate featureShardId end to end.
     li = _t(spark, sf_dir, "lineitem").select(
         F.concat_ws(
             "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
@@ -617,16 +638,22 @@ def m3_coordinate_descent(spark, sf_dir):
         F.lit(0.0).alias("offset"),
         F.lit(1.0).alias("weight"),
         F.col("l_suppkey").cast("string").alias("suppkey"),
-        F.array(F.lit(0).cast("long")).alias("features_indices"),
-        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.array(F.lit(0).cast("long")).alias("qty_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("qty_values"),
+        F.array(F.lit(0).cast("long")).alias("disc_indices"),
+        F.array(F.round(F.col("l_discount") * 100, 0)).alias("disc_values"),
     )
     model, history = train_game(
         li,
         coordinates=[
-            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="global", kind="fixed", dim=1,
+                indices_col="qty_indices", values_col="qty_values",
+            ),
             CoordinateConfig(
                 name="per_supplier", kind="random", dim=1,
                 entity_col="suppkey", reg_param=10.0,
+                indices_col="disc_indices", values_col="disc_values",
             ),
         ],
         family="gaussian",
@@ -662,8 +689,12 @@ def m3_coordinate_descent(spark, sf_dir):
             CoordinateConfig(
                 name="per_supplier", kind="random", dim=1,
                 entity_col="suppkey", locked=True, pretrained=pretrained,
+                indices_col="disc_indices", values_col="disc_values",
             ),
-            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="global", kind="fixed", dim=1,
+                indices_col="qty_indices", values_col="qty_values",
+            ),
         ],
         family="gaussian",
         n_iterations=1,

@@ -351,7 +351,9 @@ def run_x21(spark) -> dict:
 
 def _game_frame(spark, sf_dir: str) -> DataFrame:
     """The m3 gate query's training frame shape over any dataset dir:
-    one fixed + one per-supplier coordinate, gaussian response."""
+    one fixed + one per-supplier coordinate on two DIFFERENT feature
+    shards (qty / disc — the r9 2-shard flagship shape), gaussian
+    response."""
     return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         F.concat_ws(
             "|", "l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"
@@ -360,8 +362,10 @@ def _game_frame(spark, sf_dir: str) -> DataFrame:
         F.lit(0.0).alias("offset"),
         F.lit(1.0).alias("weight"),
         F.col("l_suppkey").cast("string").alias("suppkey"),
-        F.array(F.lit(0).cast("long")).alias("features_indices"),
-        F.array(F.col("l_quantity").cast("double")).alias("features_values"),
+        F.array(F.lit(0).cast("long")).alias("qty_indices"),
+        F.array(F.col("l_quantity").cast("double")).alias("qty_values"),
+        F.array(F.lit(0).cast("long")).alias("disc_indices"),
+        F.array(F.round(F.col("l_discount") * 100, 0)).alias("disc_values"),
     )
 
 
@@ -387,10 +391,14 @@ def run_game(spark) -> dict:
 
     def coords(cap):
         return [
-            CoordinateConfig(name="global", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="global", kind="fixed", dim=1,
+                indices_col="qty_indices", values_col="qty_values",
+            ),
             CoordinateConfig(
                 name="per_supplier", kind="random", dim=1,
                 entity_col="suppkey", reg_param=10.0, active_cap=cap,
+                indices_col="disc_indices", values_col="disc_values",
             ),
         ]
 
