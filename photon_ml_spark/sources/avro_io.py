@@ -15,14 +15,15 @@ binary encoding are small public specs (zigzag varints, length-
 prefixed bytes, block-framed arrays/maps, union index prefix;
 container = magic, metadata map, 16-byte sync, deflate/null blocks):
 
-- **read**: ``sparkContext.binaryFiles(path)`` → per-file decode on
-  executors. One task per file — the same parallelism grain the
-  reference gets from HDFS input splits, since production Avro part
-  files are written at ~block size. (Splitting WITHIN a file on sync
-  markers is possible but needs byte-range reads; per-file is the
-  honest local fallback.) The writer schema is read driver-side from
-  the first file's header via a bounded Hadoop-FS stream — never a
-  full-file driver fetch.
+- **read**: local files split WITHIN the file on sync markers at
+  spark.sql.files.maxPartitionBytes (``_decode_split`` — the standard
+  input-split ownership contract, matching the within-file splits the
+  reference gets from HDFS input splits, AvroUtils.scala:62-93), so a
+  multi-GB part file decodes across many tasks. Non-local schemes
+  (hdfs://, s3a://) fall back to ``binaryFiles`` whole-file tasks —
+  executors have no pure-Python byte-range access there. The writer
+  schema is read driver-side from each file's header via a bounded
+  Hadoop-FS stream — never a full-file driver fetch.
 - **write**: ``df.rdd.mapPartitionsWithIndex`` → one ``part-N.avro``
   per partition through Python ``open()`` (POSIX-visible paths; for
   object stores install spark-avro, which the writer tries first).
@@ -368,9 +369,10 @@ def write_ocf(
     return bytes(out)
 
 
-def read_ocf(data: bytes) -> tuple[str, list]:
-    """Decode a full container file → (writer schema JSON, records).
-    Records are field-order tuples (see _make_decoder)."""
+def _parse_header(data: bytes) -> tuple[dict, bytes, int]:
+    """OCF header → (metadata map, 16-byte sync, header length). Raises
+    IndexError when ``data`` is a truncated prefix that ends inside the
+    header (callers retry with a larger bound)."""
     if data[:4] != MAGIC:
         raise ValueError("not an Avro object container file")
     pos = 4
@@ -387,10 +389,20 @@ def read_ocf(data: bytes) -> tuple[str, list]:
             k = data[pos:pos + klen].decode()
             pos += klen
             vlen, pos = _read_long(data, pos)
+            if pos + vlen > len(data):
+                raise IndexError("truncated header prefix")
             meta[k] = data[pos:pos + vlen]
             pos += vlen
     sync = data[pos:pos + 16]
-    pos += 16
+    if len(sync) != 16:
+        raise IndexError("truncated header prefix")
+    return meta, sync, pos + 16
+
+
+def read_ocf(data: bytes) -> tuple[str, list]:
+    """Decode a full container file → (writer schema JSON, records).
+    Records are field-order tuples (see _make_decoder)."""
+    meta, sync, pos = _parse_header(data)
     schema_json = meta["avro.schema"].decode()
     codec = meta.get("avro.codec", b"null").decode()
     dec = _make_decoder(parse_schema(schema_json))
@@ -467,6 +479,12 @@ def _header_bytes(spark: SparkSession, path: str, limit: int) -> bytes:
 
 
 def _list_avro_files(spark: SparkSession, path: str) -> list[str]:
+    return [p for p, _ in _list_avro_files_with_size(spark, path)]
+
+
+def _list_avro_files_with_size(
+    spark: SparkSession, path: str
+) -> list[tuple[str, int]]:
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
@@ -474,11 +492,112 @@ def _list_avro_files(spark: SparkSession, path: str) -> list[str]:
     if fs.isDirectory(p):
         it = fs.listStatus(p)
         return sorted(
-            s.getPath().toString()
+            (s.getPath().toString(), int(s.getLen()))
             for s in it
             if s.isFile() and s.getPath().getName().endswith(".avro")
         )
-    return [p.toString()]
+    return [(p.toString(), int(fs.getFileStatus(p).getLen()))]
+
+
+def _local_path(path: str) -> str | None:
+    """POSIX path for a Hadoop path string, or None for a non-local
+    scheme (hdfs://, s3a://, ...) — those fall back to whole-file
+    tasks since executors have no pure-Python byte-range access to
+    them."""
+    if path.startswith("file:"):
+        rest = path[len("file:"):]
+        # file:///x and file:/x both mean /x
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    if "://" in path or path.startswith("viewfs:"):
+        return None
+    return path
+
+
+# Matches spark.sql.files.maxPartitionBytes' default: the input-split
+# grain the JVM scan would use on the same files.
+DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+def _split_ranges(file_size: int, split_bytes: int) -> list[tuple[int, int]]:
+    if file_size <= split_bytes:
+        return [(0, file_size)]
+    return [
+        (s, min(s + split_bytes, file_size))
+        for s in range(0, file_size, split_bytes)
+    ]
+
+
+def _decode_split(
+    path: str,
+    start: int,
+    end: int,
+    header_len: int,
+    sync: bytes,
+    codec: str,
+    schema_json: str,
+) -> list:
+    """Decode the OCF blocks OWNED by byte range [start, end) — the
+    within-file parallelism the reference gets from HDFS input splits
+    (AvroUtils.scala:62-93 / the avro mapred input format). Ownership
+    is the standard input-split contract: a block belongs to the split
+    containing the first byte of its PRECEDING sync marker (the header
+    tail for the first block), and the owning task streams past `end`
+    to finish its last block. Pure Python, executor-safe (no JVM
+    gateway): splits exist only for local paths. A random 16-byte
+    payload collision with the sync marker is possible in principle
+    (2^-128 per position) and would surface as a loud decode error,
+    never silent row loss."""
+    dec = _make_decoder(parse_schema(schema_json))
+    out: list = []
+    with open(path, "rb") as f:
+        fsize = os.fstat(f.fileno()).st_size
+        if start == 0:
+            # first block's preceding sync is the header tail; owned
+            # iff that sync starts inside this split
+            if end <= header_len - 16:
+                return out
+            pos = header_len
+        else:
+            # first sync STARTING in [start, end) — read the range
+            # plus 15 lookahead bytes so a sync straddling `end` is
+            # still found iff it starts before `end`. Syncs inside the
+            # header region belong to split 0's convention above.
+            f.seek(start)
+            window = f.read(min(end - start + len(sync) - 1, fsize - start))
+            idx = window.find(sync)
+            while idx != -1 and start + idx < header_len - 16:
+                idx = window.find(sync, idx + 1)
+            if idx == -1 or start + idx >= end:
+                return out
+            pos = start + idx + 16
+        while pos < fsize:
+            f.seek(pos)
+            head = f.read(20)  # two varint longs are ≤ 20 bytes
+            n, off = _read_long(head, 0)
+            size, off = _read_long(head, off)
+            f.seek(pos + off)
+            payload = f.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec}")
+            p = 0
+            for _ in range(n):
+                v, p = dec(payload, p)
+                out.append(v)
+            sync_pos = pos + off + size
+            f.seek(sync_pos)
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch")
+            pos = sync_pos + 16
+            # the trailing sync is the NEXT block's preceding sync:
+            # starting at or past `end`, the next block is the next
+            # split's property
+            if sync_pos >= end:
+                break
+    return out
 
 
 def _schema_from_header(data: bytes) -> str:
@@ -529,18 +648,31 @@ def has_spark_avro(spark: SparkSession) -> bool:
 
 
 def read_avro(
-    spark: SparkSession, path: str, avro_schema: str | None = None
+    spark: SparkSession,
+    path: str,
+    avro_schema: str | None = None,
+    split_bytes: int | None = None,
 ) -> DataFrame:
     """S1 Avro scan. spark-avro datasource when present (see
     ``has_spark_avro`` for the enable recipe), else the distributed
-    pure-Python fallback (one decode task per file)."""
+    pure-Python fallback. Local files split WITHIN the file on sync
+    markers at ``split_bytes`` (default
+    spark.sql.files.maxPartitionBytes) — the within-file parallelism
+    the reference gets from HDFS input splits (AvroUtils.scala:62-93),
+    so one multi-GB part file no longer means one task. Non-local
+    schemes (hdfs://, s3a://) keep whole-file tasks: executors have no
+    pure-Python byte-range access there — install spark-avro for those
+    (it is also simply the faster path everywhere)."""
     if has_spark_avro(spark):
         reader = spark.read.format("avro")
         if avro_schema is not None:
             reader = reader.option("avroSchema", avro_schema)
         return reader.load(path)
+    files = _list_avro_files_with_size(spark, path)
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
     if avro_schema is None:
-        first = _list_avro_files(spark, path)[0]
+        first = files[0][0]
         for limit in (1 << 20, 1 << 24):
             avro_schema = _schema_from_header(_header_bytes(spark, first, limit))
             if avro_schema:
@@ -548,14 +680,44 @@ def read_avro(
         if not avro_schema:
             raise ValueError(f"no avro.schema header found in {first}")
     spark_schema = avro_spark_type(parse_schema(avro_schema))
+    if split_bytes is None:
+        raw = spark.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(DEFAULT_SPLIT_BYTES)
+        )
+        split_bytes = int(str(raw).lower().removesuffix("b"))
+    locals_ = [_local_path(p) for p, _ in files]
+    if all(lp is not None for lp in locals_):
+        # one bounded header RPC per file (sync marker, codec, and
+        # writer schema are per-file), then split descriptors fan the
+        # block decode across executors
+        descs = []
+        for (fpath, fsize), lp in zip(files, locals_):
+            hdr = None
+            for limit in (1 << 20, 1 << 24):
+                try:
+                    hdr = _parse_header(_header_bytes(spark, fpath, limit))
+                    break
+                except IndexError:
+                    continue
+            if hdr is None:
+                raise ValueError(f"could not parse OCF header of {fpath}")
+            meta, sync, header_len = hdr
+            codec = meta.get("avro.codec", b"null").decode()
+            schema_j = meta["avro.schema"].decode()
+            for s, e in _split_ranges(fsize, split_bytes):
+                descs.append((lp, s, e, header_len, sync, codec, schema_j))
+        rdd = spark.sparkContext.parallelize(
+            descs, max(len(descs), 1)
+        ).flatMap(lambda d: _decode_split(*d))
+        return spark.createDataFrame(rdd, schema=spark_schema)
 
     def decode(kv):
         _, data = kv
         _, records = read_ocf(bytes(data))
         return records
 
-    files = path if path.endswith(".avro") else os.path.join(path, "*.avro")
-    rdd = spark.sparkContext.binaryFiles(files).flatMap(decode)
+    glob = path if path.endswith(".avro") else os.path.join(path, "*.avro")
+    rdd = spark.sparkContext.binaryFiles(glob).flatMap(decode)
     return spark.createDataFrame(rdd, schema=spark_schema)
 
 
