@@ -55,6 +55,7 @@ def build_feature_dictionary(
     feature_bags: list[str],
     has_intercept: bool = True,
     selected_features: DataFrame | None = None,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Distinct feature keys → dense contiguous index (S3/S4).
 
@@ -93,7 +94,13 @@ def build_feature_dictionary(
     # offsets) keeps the whole vocabulary inside Tungsten. The
     # prefix-sum total doubles as the intercept slot, so no extra
     # count() job either.
-    dict_df, n = zip_with_index(keys, "feature_key", id_col="feature_index")
+    # n_partitions sizes the ordinal job's range exchange (default:
+    # cluster parallelism) — the per-partition vocabulary slice must
+    # fit executor memory, so 100M+ key builds on few cores raise it
+    dict_df, n = zip_with_index(
+        keys, "feature_key", id_col="feature_index",
+        n_partitions=n_partitions,
+    )
     if has_intercept:
         # 1-row JVM literal (no createDataFrame → no ExistingRDD scan)
         intercept = keys.sparkSession.range(1).select(

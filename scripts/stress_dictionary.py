@@ -27,6 +27,14 @@ def main() -> None:
     n_keys = int(os.environ.get("DICT_KEYS", "10000000"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # sweep knobs (round-9 residual attribution): range-exchange
+    # partition count of the ordinal job, and shuffle partitions for
+    # the distinct stage — vary one at a time against the 24g/32-part
+    # baseline to separate plan cost from spill IO
+    range_parts = os.environ.get("DICT_RANGE_PARTS")
+    range_parts = int(range_parts) if range_parts else None
+    shuffle_parts = os.environ.get("DICT_SHUFFLE_PARTS")
+    shuffle_parts = int(shuffle_parts) if shuffle_parts else None
 
     from pyspark.sql import functions as F
 
@@ -34,7 +42,8 @@ def main() -> None:
     from photon_ml_spark.sources.featurize import build_feature_dictionary
 
     spark = get_spark(
-        app_name="stress-dictionary", master=f"local[{cpus}]"
+        app_name="stress-dictionary", master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_parts,
     )
     spark.sparkContext.setLogLevel("WARN")
     par = spark.sparkContext.defaultParallelism
@@ -58,7 +67,9 @@ def main() -> None:
     spark.range(1000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     t0 = time.perf_counter()
-    d = build_feature_dictionary(corpus, ["features"], has_intercept=True)
+    d = build_feature_dictionary(
+        corpus, ["features"], has_intercept=True, n_partitions=range_parts
+    )
     d.write.format("noop").mode("overwrite").save()
     wall = round(time.perf_counter() - t0, 2)
 
@@ -80,6 +91,9 @@ def main() -> None:
                 "unit": "sec",
                 "n_keys": n_keys,
                 "parallelism": par,
+                "range_parts": range_parts or par,
+                "shuffle_parts": shuffle_parts,
+                "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM"),
             }
         )
     )
