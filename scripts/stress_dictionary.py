@@ -7,7 +7,7 @@ Times the S3/S4 dictionary job over a synthetic corpus of N unique
 (name, term) keys (one per row, so the distinct is the full N) and
 prints one JSON line. A/B usage against another commit's package:
 
-    DICT_KEYS=10000000 python scripts/stress_dictionary.py
+    PYTHONPATH=. DICT_KEYS=10000000 python scripts/stress_dictionary.py
     PYTHONPATH=/path/to/r6-worktree DICT_KEYS=10000000 \
         python scripts/stress_dictionary.py
 
