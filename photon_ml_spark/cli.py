@@ -472,12 +472,42 @@ def _train_impl_body(
         if "model_dir" not in inc:
             raise ValueError("incremental_training needs model_dir")
         if multi_shard:
-            raise ValueError(
-                "incremental_training does not yet compose with "
-                "feature_shards — per-shard prior dictionaries are not "
-                "implemented; train the multi-shard model from scratch "
-                "or use the single-shard config"
+            # per-shard priors need the prior run's per-shard feature
+            # spaces: the prior model dir must be a multi-shard model
+            # whose shard DEFINITIONS (bags + intercept) match this
+            # config exactly — a renamed bag or a dropped intercept
+            # would silently re-index the spaces the priors live in
+            from photon_ml_spark.sources.model_io import (
+                _hadoop_exists,
+                _hadoop_read_text,
             )
+
+            shards_json = f"{inc['model_dir']}/feature-shards.json"
+            if not _hadoop_exists(spark, shards_json):
+                raise ValueError(
+                    "incremental_training.model_dir holds a single-shard "
+                    "model (no feature-shards.json) but feature_shards "
+                    "is configured — priors are indexed per shard; use "
+                    "the single-shard config or retrain from scratch"
+                )
+            prev_shards = json.loads(
+                _hadoop_read_text(spark, shards_json)
+            )["shards"]
+            cur_shards = {
+                s: {
+                    "bags": list(sh.feature_bags),
+                    "has_intercept": sh.has_intercept,
+                }
+                for s, sh in shard_cfgs.items()
+            }
+            if prev_shards != cur_shards:
+                raise ValueError(
+                    "feature_shards differs from the prior model's saved "
+                    f"feature-shards.json (prior: {prev_shards}; "
+                    f"configured: {cur_shards}) — priors are indexed by "
+                    "the previous per-shard feature spaces; match the "
+                    "prior config or retrain from scratch"
+                )
         if str(cfg.get("normalization", "none")).lower() != "none":
             raise ValueError(
                 "incremental_training cannot combine with normalization: "
@@ -490,11 +520,11 @@ def _train_impl_body(
         prev_model = load_game_model(inc["model_dir"], spark)
 
     dict_in = None
-    if inc and not cfg.get("dictionary_input"):
+    if inc and not multi_shard and not cfg.get("dictionary_input"):
         dict_in = spark.read.parquet(
             f"{inc['model_dir']}/feature-dictionary"
         ).cache()
-    elif inc and cfg.get("dictionary_input"):
+    elif inc and not multi_shard and cfg.get("dictionary_input"):
         # an explicit dictionary alongside a prior model must BE the
         # prior model's feature space — priors are indexed by the old
         # dictionary, so a silently different mapping would center
@@ -550,6 +580,28 @@ def _train_impl_body(
             ).cache()
     elif dict_in is not None:
         dicts_in[next(iter(shard_cfgs))] = dict_in
+    if inc and multi_shard:
+        # the prior model's per-shard dictionaries ARE the feature
+        # spaces its priors are indexed by: reuse them for every shard.
+        # An explicitly supplied dictionary_input shard must BE that
+        # space — same symmetric-difference proof as single-shard.
+        for s in shard_cfgs:
+            prev_path = f"{inc['model_dir']}/feature-dictionaries/{s}"
+            if s in dicts_in:
+                prev_d = spark.read.parquet(prev_path)
+                if (
+                    prev_d.exceptAll(dicts_in[s]).limit(1).count() > 0
+                    or dicts_in[s].exceptAll(prev_d).limit(1).count() > 0
+                ):
+                    raise ValueError(
+                        f"dictionary_input[{s!r}] differs from the prior "
+                        "model's saved per-shard dictionary — priors are "
+                        "indexed by the previous feature space; drop the "
+                        "dictionary_input entry (the prior dictionary is "
+                        "reused automatically) or retrain from scratch"
+                    )
+            else:
+                dicts_in[s] = spark.read.parquet(prev_path).cache()
     assembled, dictionaries, dims = _assembled(
         spark, cfg, dictionaries=dicts_in
     )

@@ -1820,8 +1820,9 @@ def test_multi_shard_config_validation(spark, tmp_path):
              ]},
             spark,
         )
-    # incremental training does not compose with feature_shards yet
-    with pytest.raises(ValueError, match="incremental_training"):
+    # a single-shard prior model (no feature-shards.json) cannot seed a
+    # multi-shard run — priors are indexed per shard
+    with pytest.raises(ValueError, match="single-shard model"):
         cli.train(
             {**base, "incremental_training": {"model_dir": str(tmp_path)},
              "coordinates": [
@@ -1915,3 +1916,137 @@ def test_multi_shard_normalization_summaries_variances(spark, tmp_path, capsys):
         assert set(c1) == set(c2)
         for j in c1:
             assert abs(c1[j] - c2[j]) < 1e-4, (coord, j, c1[j], c2[j])
+
+
+def test_multi_shard_incremental_training(spark, tmp_path, capsys):
+    """incremental_training composes with feature_shards: every shard
+    reuses the prior run's saved per-shard dictionary (the spaces the
+    priors are indexed by), the fixed coordinate's Gaussian prior pulls
+    the refit toward the prior run on a drifted batch, random-effect
+    entities absent from the new batch carry forward, and a prior model
+    whose shard definitions differ is rejected before any IO."""
+    import numpy as np
+
+    from photon_ml_spark import cli
+
+    two = _two_bag_frame(spark)
+    batch1 = two.filter(F.col("uid") % 5 != 0)
+    # tiny flipped-label second batch on half the suppliers — a plain
+    # fit drifts hard and carry-forward is observable
+    batch2 = two.filter(
+        (F.col("uid") % 97 == 0) & (F.col("suppkey") < 5)
+    ).withColumn("response", 1.0 - F.col("response"))
+    in1 = str(tmp_path / "msi_b1.parquet")
+    in2 = str(tmp_path / "msi_b2.parquet")
+    batch1.write.parquet(in1)
+    batch2.write.parquet(in2)
+
+    shards = {
+        "shardA": {"bags": ["bag_a"]},
+        "shardB": {"bags": ["bag_b"]},
+    }
+    coords = [
+        {"name": "global", "kind": "fixed", "shard": "shardA",
+         "reg_param": 1e-3},
+        {"name": "per_supplier", "kind": "random", "shard": "shardB",
+         "entity_col": "suppkey", "reg_param": 10.0},
+    ]
+    run1 = str(tmp_path / "msi_run1")
+    cli.train(
+        {
+            "input": in1,
+            "feature_shards": shards,
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run1,
+            "variance_computation": "simple",
+        },
+        spark,
+    )
+    run2 = str(tmp_path / "msi_run2")
+    cli.train(
+        {
+            "input": in2,
+            "feature_shards": shards,
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run2,
+            "incremental_training": {"model_dir": run1},
+        },
+        spark,
+    )
+    plain = str(tmp_path / "msi_plain")
+    cli.train(
+        {
+            "input": in2,
+            "feature_shards": shards,
+            "coordinates": coords,
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": plain,
+        },
+        spark,
+    )
+    capsys.readouterr()
+
+    def fixed_vec(d):
+        v = {
+            int(r.feature_index): float(r.coefficient)
+            for r in spark.read.parquet(
+                f"{d}/fixed-effect/global/coefficients"
+            ).collect()
+        }
+        return np.array([v.get(j, 0.0) for j in range(max(v) + 1)])
+
+    a, b, c = fixed_vec(run1), fixed_vec(run2), fixed_vec(plain)
+    # the prior pulls run2 toward run1; the plain flipped-label fit drifts
+    assert np.linalg.norm(b - a) < np.linalg.norm(c - a)
+
+    # every shard's dictionary was reused: same key->index mappings
+    for s in shards:
+        d1 = {
+            r.feature_key: r.feature_index
+            for r in spark.read.parquet(
+                f"{run1}/feature-dictionaries/{s}"
+            ).collect()
+        }
+        d2 = {
+            r.feature_key: r.feature_index
+            for r in spark.read.parquet(
+                f"{run2}/feature-dictionaries/{s}"
+            ).collect()
+        }
+        assert d1 == d2, s
+
+    # RE carry-forward: entities known to run1 but absent from batch2
+    # survive into run2; the plain fit only knows batch2's suppliers
+    def entities(d):
+        return {
+            r.entity
+            for r in spark.read.parquet(
+                f"{d}/random-effect/per_supplier/models"
+            ).collect()
+        }
+
+    assert entities(run1) <= entities(run2)
+    assert len(entities(plain)) < len(entities(run2))
+
+    # shard-definition drift against the prior model is rejected
+    with pytest.raises(ValueError, match="feature-shards.json"):
+        cli.train(
+            {
+                "input": in2,
+                "feature_shards": {
+                    "shardA": {"bags": ["bag_b"]},
+                    "shardB": {"bags": ["bag_a"]},
+                },
+                "coordinates": coords,
+                "family": "binomial",
+                "n_iterations": 1,
+                "output_dir": str(tmp_path / "msi_bad"),
+                "incremental_training": {"model_dir": run1},
+            },
+            spark,
+        )
