@@ -1662,7 +1662,13 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     # a per-stage re-tokenize is the single largest redundant scan in
     # the pipeline. The column is internal; _finish/_card drop it.
     TOK = "__toks"
-    docs = spark.read.parquet(cfg["input"])
+    from photon_ml_spark.sources.datasets import spread_scan
+
+    # spread an under-split scan to core count BEFORE the per-document
+    # transforms (tokenization, PII regexes, shingling) — otherwise a
+    # small/single-row-group input runs them single-threaded up to the
+    # first shuffle; no-op on block-sized inputs (datasets.spread_scan)
+    docs = spread_scan(spark.read.parquet(cfg["input"]))
     report: dict[str, int] = {"input": docs.count()}
     _stamp("input")
     # the "input" data card must describe the RAW corpus — its whole

@@ -38,7 +38,22 @@ def register(name: str, oracle: str | None = None, note: str = ""):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "documents":
+        # spread the under-split documents scan to core count: the
+        # synthetic table is a single-row-group file (one task), and
+        # document queries run CPU-heavy per-row expressions —
+        # shingling, tokenization, quality regexes — single-threaded
+        # up to the first shuffle without it (measured 5.7 s -> 0.2 s
+        # for the x6 shingle explode at sf0.1). ONLY the documents
+        # table: for the cheap columnar scans (lineitem metric blocks)
+        # the added exchange costs more than it buys — a blanket
+        # spread measured a9 10.5 -> 19.5 s. No-op on block-sized
+        # real datasets (see datasets.spread_scan).
+        from photon_ml_spark.sources.datasets import spread_scan
+
+        df = spread_scan(df)
+    return df
 
 
 def r6(c) -> F.Column:

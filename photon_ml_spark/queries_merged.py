@@ -364,7 +364,9 @@ def x6_neardup_pairs(spark, sf_dir, stamps=None):
         token_ids,
     )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_ml_spark.sources.datasets import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     # one cached shingle-id relation feeds both the minhash and simhash
     # constituents (both shingle at n=2) — the vocabulary sort runs
     # once; serialized, it is one row per (doc, token) — corpus-scale
@@ -857,7 +859,9 @@ def x19_curation_scores(spark, sf_dir):
         tfidf_top_terms,
     )
 
-    all_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from photon_ml_spark.sources.datasets import spread_scan
+
+    all_docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     tfidf = tfidf_top_terms(
         all_docs.filter(F.col("doc_id") % 3 == 0), k=3
     ).select(
@@ -952,7 +956,9 @@ SELECT word, seg, score, n_pieces FROM uv WHERE rn = 1
 def _unigram_gate_run(spark, sf_dir):
     from photon_ml_spark.operators.text import tokens, unigram_encode_words
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+    from photon_ml_spark.sources.datasets import spread_scan
+
+    docs = spread_scan(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
         F.col("doc_id") % 9 == 0
     )
     words = (

@@ -25,6 +25,28 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
+def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan UP to the session's default
+    parallelism when the source yielded fewer splits.
+
+    Spark's scan parallelism is file-split-based, so a small/single-
+    row-group file becomes ONE task — and every per-row expression
+    upstream of the first shuffle (tokenization, shingling, PII
+    regexes: the CPU-expensive document transforms) runs single-
+    threaded regardless of core count. The reference controls the same
+    hazard with an explicit minimum input-split count
+    (AvroUtils.scala:62-93 minPartitions). Guarded: a scan already at
+    or above the target (every real block-sized dataset — a 100 TB
+    corpus yields ~800k splits) passes through untouched, so this adds
+    NO shuffle at scale; the repartition only fires on under-split
+    inputs, where the shuffled bytes are small by construction."""
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def _ntv(name: str, term: str, value):
     """One (name, term, value) feature struct (FeatureAvro.avsc shape)."""
     return F.struct(
