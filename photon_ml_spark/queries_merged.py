@@ -372,13 +372,19 @@ def x6_neardup_pairs(spark, sf_dir, stamps=None):
     # once; serialized, it is one row per (doc, token) — corpus-scale
     from pyspark import StorageLevel
 
-    sids = token_ids(docs, n=2).persist(StorageLevel.MEMORY_AND_DISK)
-    if stamps is not None:
-        # materialize the SHARED relation under its own stamp so its
-        # cost is attributed once, not smeared into the first block
+    if stamps is None:
+        sids = token_ids(docs, n=2).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        # build AND materialize the SHARED relation under its own
+        # stamp so its cost is attributed once, not smeared into the
+        # first block — the CALL must sit inside the timer too:
+        # token_ids' zip_with_index localCheckpoints eagerly, so the
+        # vocabulary sort runs at call time (it was landing in the
+        # row's `overhead`, not here)
         import time as _time
 
         t0 = _time.perf_counter()
+        sids = token_ids(docs, n=2).persist(StorageLevel.MEMORY_AND_DISK)
         sids.count()
         stamps["token_ids_shared"] = round(_time.perf_counter() - t0, 3)
     lsh = minhash_lsh_dedup(docs, threshold=0.5, n=2, doc_sids=sids).select(
