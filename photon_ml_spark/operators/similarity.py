@@ -453,3 +453,189 @@ def ivf_topk_from_index(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+# ------------------------------------------------------- scalar quantization
+#
+# SQ8: the memory-bounded ANN index format (the FAISS
+# ScalarQuantizer/QT_8bit idea) — each vector component is min-max
+# quantized to one signed byte, so the persisted index is ~4x smaller
+# than float32 (the lever that decides whether a 100 TB corpus's index
+# fits the cluster's storage tier at all). Search dequantizes on the
+# fly JVM-side and reuses the exact top-k machinery.
+#
+# Exactness device (the repo's oracle convention): scoring runs on the
+# integer RECONSTRUCTION Z_j = levels*lo_j + d_j*(code_j + 128), which
+# is levels × the dequantized value — cosine is scale-invariant, so
+# cosine(Z_a, Z_b) == cosine(dequantized_a, dequantized_b) EXACTLY,
+# while every Z component stays an exact integer whenever the input
+# vectors are integer-valued (the quantized-embedding convention in
+# queries_pipeline.py). The SQL oracle replays encode + reconstruct +
+# cosine bit-identically.
+
+
+def sq8_train(
+    df: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> tuple[list[float], list[float]]:
+    """Per-dimension (lo, hi) over the corpus: posexplode → groupBy(pos)
+    min/max — O(dim) work per row, map-side combined, dim rows to the
+    driver (O(dim) like a model vector). NOT per-dim ``element_at``
+    aggregate expressions: ``element_at(<array expr>, i)`` re-evaluates
+    the whole array expression per position, turning a computed vector
+    column into O(dim²) per row."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("__p", "__x"))
+        .groupBy("__p")
+        .agg(
+            F.min(F.col("__x").cast("double")).alias("__lo"),
+            F.max(F.col("__x").cast("double")).alias("__hi"),
+        )
+        .collect()
+    )
+    got = {int(r["__p"]): (float(r["__lo"]), float(r["__hi"])) for r in rows}
+    if sorted(got) != list(range(dim)):
+        raise ValueError(
+            f"sq8_train: expected dense {dim}-dim vectors, saw positions "
+            f"{sorted(got)[:5]}...{sorted(got)[-3:]} ({len(got)} dims)"
+        )
+    lo = [got[i][0] for i in range(dim)]
+    hi = [got[i][1] for i in range(dim)]
+    return lo, hi
+
+
+def _sq8_params(lo: list[float], hi: list[float]):
+    """Literal array<struct<lo,d>> — zip_with'ed against the data so
+    each row is ONE positional pass. (element_at on a computed array
+    expression would re-evaluate it per position: O(dim²) per row —
+    measured 39 s vs 0.9 s for the sf0.01 encode+reconstruct pass.)"""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(float(l)).alias("lo"), F.lit(float(h - l)).alias("d")
+            )
+            for l, h in zip(lo, hi)
+        ]
+    )
+
+
+def sq8_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """Append the 1-byte-per-dimension code column: code_j =
+    round(255·(x_j − lo_j)/d_j) − 128 ∈ [−128, 127], stored as
+    array<tinyint> (d_j = 0 → code −128, i.e. quantized 0). Pure
+    Catalyst expression — no Python in the encode path."""
+    code = F.zip_with(
+        F.col(vec_col),
+        _sq8_params(lo, hi),
+        lambda x, p: (
+            F.when(p["d"] == 0.0, F.lit(0.0)).otherwise(
+                F.round(
+                    F.lit(255.0) * (x.cast("double") - p["lo"]) / p["d"], 0
+                )
+            )
+            - F.lit(128.0)
+        ).cast("tinyint"),
+    )
+    return df.withColumn(out_col, code)
+
+
+def sq8_reconstruct(
+    codes_col, lo: list[float], hi: list[float]
+):
+    """array<double> Z with Z_j = 255·lo_j + d_j·(code_j + 128) — the
+    scale-invariant integer reconstruction (see module comment); feed
+    it to any cosine operator in place of the original vector."""
+    return F.zip_with(
+        codes_col,
+        _sq8_params(lo, hi),
+        lambda c, p: F.lit(255.0) * p["lo"]
+        + p["d"] * (c.cast("double") + F.lit(128.0)),
+    )
+
+
+def sq8_topk(
+    corpus_codes: DataFrame,
+    query_codes: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    k: int,
+    id_col: str = "vec_id",
+    codes_col: str = "sq8",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine over the QUANTIZED representation: both
+    sides reconstruct in-plan (JVM transform over the byte codes) and
+    route through the brute-force machinery — same plan shape as
+    ``cosine_topk`` (broadcast queries + rank window), the corpus side
+    just scans 1-byte codes instead of float32."""
+    rec = lambda df: df.withColumn(  # noqa: E731
+        "__z", sq8_reconstruct(F.col(codes_col), lo, hi)
+    )
+    return cosine_topk(
+        rec(corpus_codes),
+        rec(query_codes),
+        k,
+        id_col=id_col,
+        vec_col="__z",
+        query_id_col=query_id_col,
+    )
+
+
+def save_sq8_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> None:
+    """Persist the compact ANN index: ``{path}/codes`` (id +
+    array<tinyint> — the ~4x-smaller artifact) and ``{path}/meta.json``
+    (per-dim lo/hi, the dequantization parameters). Build cost is one
+    min/max aggregation + one encode-and-write pass."""
+    import json
+
+    from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+    lo, hi = sq8_train(corpus, vec_col=vec_col, dim=dim)
+    sq8_encode(corpus, lo, hi, vec_col=vec_col).select(
+        id_col, "sq8"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    _hadoop_write_text(
+        corpus.sparkSession,
+        f"{path}/meta.json",
+        json.dumps({"lo": lo, "hi": hi, "levels": 255}),
+    )
+
+
+def sq8_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Top-k search against a persisted SQ8 index: queries (raw float
+    vectors) are encoded with the INDEX's saved quantization parameters
+    — the index meta, not the query batch, defines the grid, exactly as
+    a trained quantizer must — then scored code-vs-code."""
+    import json
+
+    from photon_ml_spark.sources.model_io import _hadoop_read_text
+
+    meta = json.loads(_hadoop_read_text(spark, f"{index_path}/meta.json"))
+    lo, hi = meta["lo"], meta["hi"]
+    codes = spark.read.parquet(f"{index_path}/codes")
+    q = sq8_encode(queries, lo, hi, vec_col=vec_col).select(
+        F.col(id_col), F.col("sq8")
+    )
+    return sq8_topk(
+        codes, q, lo, hi, k,
+        id_col=id_col, codes_col="sq8", query_id_col=query_id_col,
+    )

@@ -102,6 +102,7 @@ _FOLDED = {
         "ivf_index",
         ["query_id", "vec_id", "cosine", "rank"],
     ),
+    "x9c_ann_sq8_topk": ("sq8", ["query_id", "vec_id", "cosine", "rank"]),
     # event-time windows (unioned)
     "e1_event_window_agg": (
         "tumbling",
@@ -463,6 +464,7 @@ _ANN_PARTS = [
     "x9b_ann_blas_topk",
     "x10_ann_ivf_topk",
     "x10b_ann_ivf_index_topk",
+    "x9c_ann_sq8_topk",
 ]
 
 
@@ -476,10 +478,12 @@ _ANN_PARTS = [
     note="pipeline/similarity ANN suite in ONE gate row: exact brute-force "
     "cosine top-5, the Arrow/BLAS batch-matmul physical variant (same "
     "oracle rows — value-equal by construction), IVF cell-bucketed "
-    "top-5, and (round 5) the PERSISTED-IVF index path — KMeans "
+    "top-5, (round 5) the PERSISTED-IVF index path — KMeans "
     "quantizer + cell-partitioned corpus saved to disk, full-probe "
-    "query == brute force so the brute oracle pins it exactly — "
-    "variant-tagged union; constituent notes in queries_pipeline.py",
+    "query == brute force so the brute oracle pins it exactly — and "
+    "(round 9) SQ8 scalar-quantized top-5 over 1-byte codes, oracle-"
+    "exact via the integer reconstruction (x9c note) — variant-tagged "
+    "union; constituent notes in queries_pipeline.py",
 )
 def x9_ann_topk(spark, sf_dir, stamps=None):
     parts = [

@@ -922,6 +922,65 @@ def x10b_ann_ivf_index_topk(spark, sf_dir):
 
 
 @register(
+    "x9c_ann_sq8_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),
+dims AS (
+  SELECT i, MIN(qe[i + 1]) AS lo, MAX(qe[i + 1]) - MIN(qe[i + 1]) AS d
+  FROM q, range(64) r(i) GROUP BY i
+),
+meta AS (SELECT list(lo ORDER BY i) AS lo, list(d ORDER BY i) AS d FROM dims),
+z AS (
+  SELECT vec_id,
+         list_transform(range(0, 64), i ->
+           255 * meta.lo[i + 1] + meta.d[i + 1] *
+           (CASE WHEN meta.d[i + 1] = 0 THEN 0
+                 ELSE ROUND(255.0 * (qe[i + 1] - meta.lo[i + 1])
+                            / meta.d[i + 1]) END)) AS zv
+  FROM q, meta
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(a.zv, b.zv)
+           / sqrt(list_dot_product(a.zv, a.zv))
+           / sqrt(list_dot_product(b.zv, b.zv)) AS cosine
+  FROM z a JOIN z b ON TRUE
+  WHERE a.vec_id % 25 = 0 AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    note="pipeline/similarity: SQ8 scalar-quantized top-5 (the FAISS "
+    "QT_8bit idea — per-dim min-max codes in ONE signed byte, a ~4x "
+    "smaller persisted index than float32): train (one min/max agg "
+    "pass) -> encode to array<tinyint> -> score on the integer "
+    "reconstruction Z = 255*lo + d*(code+128), which equals the "
+    "dequantized cosine EXACTLY by scale invariance — so the oracle "
+    "replays quantize+reconstruct+rank bit-identically; all Catalyst "
+    "expressions, no Python in encode or search",
+)
+def x9c_ann_sq8_topk(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import (
+        sq8_encode,
+        sq8_topk,
+        sq8_train,
+    )
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    lo, hi = sq8_train(emb, vec_col="qe", dim=64)
+    enc = sq8_encode(emb, lo, hi, vec_col="qe")
+    queries = enc.filter(F.col("vec_id") % 25 == 0)
+    # raw cosine like the sibling ANN parts: integer reconstruction →
+    # exact dot sums → bit-identical doubles on both engines, no round
+    return sq8_topk(enc, queries, lo, hi, k=5)
+
+
+@register(
     "x14_sequence_packing",
     oracle=f"""
 WITH t AS (
