@@ -343,6 +343,8 @@ def save_ivf_index(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    sq8: bool = False,
+    dim: int = 64,
 ) -> None:
     """Materialize the ANN state for repeated query batches — the
     similarity twin of ``dedup.save_minhash_index``:
@@ -355,10 +357,15 @@ def save_ivf_index(
       partition pruning skips unprobed cells at scan time; at 100 TB
       that is the difference between reading n_probe/k of the corpus
       and reading all of it.
+    - ``sq8=True`` composes both index levers (FAISS IVF+SQ): the
+      partitioned table stores 1-byte SQ8 CODES instead of float
+      vectors (~4x smaller on disk — see the scalar-quantization
+      section) plus ``{path}/meta.json`` with the min-max grid; search
+      reconstructs candidates in-plan.
 
-    Build cost is one KMeans fit + one partitioned write; rebuild when
-    the corpus distribution drifts (the quantizer, not the data,
-    decides recall).
+    Build cost is one KMeans fit + one partitioned write (plus one
+    min/max pass when ``sq8``); rebuild when the corpus distribution
+    drifts (the quantizer, not the data, decides recall).
     """
     assigned, model = kmeans_cells(
         corpus, k=k, vec_col=vec_col, out_col="cell",
@@ -373,9 +380,26 @@ def save_ivf_index(
         "cell int, centroid array<double>",
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    assigned.select(id_col, vec_col, "cell").write.mode(
-        "overwrite"
-    ).partitionBy("cell").parquet(f"{path}/vectors")
+    if sq8:
+        import json
+
+        from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+        lo, hi = sq8_train(corpus, vec_col=vec_col, dim=dim)
+        sq8_encode(assigned, lo, hi, vec_col=vec_col).select(
+            id_col, "sq8", "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
+        _hadoop_write_text(
+            spark,
+            f"{path}/meta.json",
+            json.dumps({"lo": lo, "hi": hi, "levels": 255}),
+        )
+    else:
+        assigned.select(id_col, vec_col, "cell").write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(f"{path}/vectors")
 
 
 def ivf_topk_from_index(
@@ -439,12 +463,41 @@ def ivf_topk_from_index(
     )
     q.unpersist()
     vectors = spark.read.parquet(f"{index_path}/vectors")
-    joined = vectors.join(F.broadcast(probes), "cell").filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
-    scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
-    )
+    from photon_ml_spark.sources.model_io import _hadoop_exists
+
+    if _hadoop_exists(spark, f"{index_path}/meta.json"):
+        # SQ8-composed index (save_ivf_index(sq8=True)): candidates are
+        # 1-byte codes — reconstruct them in-plan, and put the QUERY
+        # through the same saved grid (encode + reconstruct) so scores
+        # are code-vs-code, identical to sq8_topk over the same
+        # candidate set. Routing above used the RAW query vector (the
+        # coarse quantizer is trained on raw vectors, FAISS-style).
+        import json
+
+        from photon_ml_spark.sources.model_io import _hadoop_read_text
+
+        meta = json.loads(_hadoop_read_text(spark, f"{index_path}/meta.json"))
+        lo, hi = meta["lo"], meta["hi"]
+        probes = probes.withColumn(
+            "__qz",
+            sq8_reconstruct(sq8_code_expr(F.col("__qv"), lo, hi), lo, hi),
+        )
+        joined = vectors.join(F.broadcast(probes), "cell").filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
+        scored = joined.withColumn(
+            "cosine",
+            cosine_similarity(
+                F.col("__qz"), sq8_reconstruct(F.col("sq8"), lo, hi)
+            ),
+        )
+    else:
+        joined = vectors.join(F.broadcast(probes), "cell").filter(
+            F.col(id_col) != F.col(query_id_col)
+        )
+        scored = joined.withColumn(
+            "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
+        )
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
@@ -518,19 +571,12 @@ def _sq8_params(lo: list[float], hi: list[float]):
     )
 
 
-def sq8_encode(
-    df: DataFrame,
-    lo: list[float],
-    hi: list[float],
-    vec_col: str = "embedding",
-    out_col: str = "sq8",
-) -> DataFrame:
-    """Append the 1-byte-per-dimension code column: code_j =
-    round(255·(x_j − lo_j)/d_j) − 128 ∈ [−128, 127], stored as
-    array<tinyint> (d_j = 0 → code −128, i.e. quantized 0). Pure
-    Catalyst expression — no Python in the encode path."""
-    code = F.zip_with(
-        F.col(vec_col),
+def sq8_code_expr(vec, lo: list[float], hi: list[float]):
+    """The encode EXPRESSION (array<tinyint>) over any vector column:
+    code_j = round(255·(x_j − lo_j)/d_j) − 128 ∈ [−128, 127]
+    (d_j = 0 → code −128, i.e. quantized 0)."""
+    return F.zip_with(
+        vec,
         _sq8_params(lo, hi),
         lambda x, p: (
             F.when(p["d"] == 0.0, F.lit(0.0)).otherwise(
@@ -541,7 +587,18 @@ def sq8_encode(
             - F.lit(128.0)
         ).cast("tinyint"),
     )
-    return df.withColumn(out_col, code)
+
+
+def sq8_encode(
+    df: DataFrame,
+    lo: list[float],
+    hi: list[float],
+    vec_col: str = "embedding",
+    out_col: str = "sq8",
+) -> DataFrame:
+    """Append the 1-byte-per-dimension code column (``sq8_code_expr``).
+    Pure Catalyst expression — no Python in the encode path."""
+    return df.withColumn(out_col, sq8_code_expr(F.col(vec_col), lo, hi))
 
 
 def sq8_reconstruct(

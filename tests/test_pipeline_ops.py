@@ -1929,3 +1929,30 @@ def test_sq8_recall_and_index_roundtrip(spark, emb, tmp_path):
     plan = sq._jdf.queryExecution().executedPlan().toString()
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan
+
+
+def test_ivf_sq8_composed_index(spark, emb, tmp_path):
+    """IVF+SQ8 composed index (both levers: partition-pruned cells AND
+    1-byte codes): full probe over every cell visits every candidate,
+    so the result must equal brute sq8_topk EXACTLY (same grid, same
+    candidates, same integer reconstruction) — the composition adds
+    routing, never different arithmetic."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "ivf_sq8_idx")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5, sq8=True, dim=64
+    )
+    # the stored table is codes, not floats
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert dict(stored.dtypes)["sq8"] == "array<tinyint>"
+    composed = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe"
+    )
+    lo, hi = similarity.sq8_train(emb, vec_col="qe", dim=64)
+    enc = similarity.sq8_encode(emb, lo, hi, vec_col="qe")
+    brute = similarity.sq8_topk(
+        enc, enc.filter(F.col("vec_id") % 25 == 0), lo, hi, k=5
+    )
+    a = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in composed.collect()}
+    b = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in brute.collect()}
+    assert a == b
