@@ -224,17 +224,32 @@ def word_shingles(text: Column, n: int = 2) -> Column:
 
 def shingles_of(toks: Column, n: int) -> Column:
     """Word n-gram shingles over a pre-built token array (the shared-
-    tokenization seam — see ``tokens_expr``)."""
+    tokenization seam — see ``tokens_expr``).
+
+    Built by zip_with-ing the array against its own 1..n−1 shifted
+    slices — each input array expression is evaluated ONCE per row.
+    The previous transform(sequence)+element_at form re-evaluated
+    ``toks`` per position whenever it was a COMPUTED expression
+    (element_at on an array expression re-runs the whole expression),
+    making every shingle pass O(tokens²) per document — measured 5.7 s
+    vs 0.4 s for the sf0.1 bigram explode. zip_with pads the shorter
+    side with null and concat_ws SKIPS nulls, so the trailing n−1
+    entries are corrupted rather than null — the final slice to
+    k = L−n+1 elements drops exactly those."""
     if n == 1:
         return toks
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(0), k - 1),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+    grams = toks
+    for j in range(1, n):
+        shifted = F.slice(
+            toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0))
+        )
+        grams = F.zip_with(
+            grams, shifted, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return F.when(k > 0, F.slice(grams, 1, k)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
 def unigram_perplexity(
