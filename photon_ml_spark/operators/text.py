@@ -340,17 +340,33 @@ def chunk_documents(
         )
     stride = max_tokens - overlap
     toks = tokens_expr(text_col, tokens_col)
-    n = F.size(toks)
-    # 1 chunk when n <= max_tokens, else 1 + ceil((n - max_tokens)/stride)
-    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
-        F.lit(1)
-        + F.greatest(
-            F.ceil((n - F.lit(max_tokens)) / F.lit(stride)), F.lit(0)
-        ).cast("int")
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.slice(toks, (i * stride + 1).cast("int"), max_tokens),
+
+    def _n_chunks_of(t):
+        n = F.size(t)
+        # 1 chunk when n <= max_tokens, else 1 + ceil((n-max_tokens)/stride)
+        return F.when(n <= 0, F.lit(0)).otherwise(
+            F.lit(1)
+            + F.greatest(
+                F.ceil((n - F.lit(max_tokens)) / F.lit(stride)), F.lit(0)
+            ).cast("int")
+        )
+
+    n_chunks = _n_chunks_of(toks)
+    # let-bind the token array through a 1-element-array transform so
+    # the slicing lambda reads an evaluated VALUE (tv): a HOF lambda
+    # body re-evaluates any embedded expression per element, so slicing
+    # `toks` directly would re-run the tokenizer once per chunk —
+    # O(tokens²/stride) on book-length documents (the element_at
+    # hazard, same class the shingle/SQ8 rewrites removed)
+    chunks = F.element_at(
+        F.transform(
+            F.array(toks),
+            lambda tv: F.transform(
+                F.sequence(F.lit(0), _n_chunks_of(tv) - 1),
+                lambda i: F.slice(tv, (i * stride + 1).cast("int"), max_tokens),
+            ),
+        ),
+        1,
     )
     return (
         df.withColumn("__n_chunks", n_chunks)
