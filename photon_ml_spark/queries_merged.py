@@ -486,17 +486,34 @@ _ANN_PARTS = [
     "union; constituent notes in queries_pipeline.py",
 )
 def x9_ann_topk(spark, sf_dir, stamps=None):
-    parts = [
-        _stamp(
+    parts = []
+    for n in _ANN_PARTS:
+        prefix = _FOLDED[n][0]
+        if stamps is None:
+            df = _SPEC[n].run(spark, sf_dir)
+            build = 0.0
+        else:
+            # some parts do EAGER work inside run() — x10b's KMeans
+            # fit + partitioned index write, sq8's min/max training
+            # pass — which otherwise lands in the row's `overhead`
+            # line; fold it into the part's own stamp (x6/x21 set the
+            # pattern with their explicit _build stamps)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            df = _SPEC[n].run(spark, sf_dir)
+            build = _time.perf_counter() - t0
+        df = _stamp(
             stamps,
-            _FOLDED[n][0],
-            _SPEC[n].run(spark, sf_dir).select(
-                F.lit(_FOLDED[n][0]).alias("variant"),
+            prefix,
+            df.select(
+                F.lit(prefix).alias("variant"),
                 "query_id", "vec_id", "cosine", "rank",
             ),
         )
-        for n in _ANN_PARTS
-    ]
+        if stamps is not None:
+            stamps[prefix] = round(stamps[prefix] + build, 3)
+        parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
