@@ -508,6 +508,24 @@ def _train_impl_body(
                     "the previous per-shard feature spaces; match the "
                     "prior config or retrain from scratch"
                 )
+        else:
+            # the inverse mismatch needs the same guided failure: a
+            # legacy single-shard config against a multi-shard prior
+            # would otherwise die on a raw 'path does not exist' for
+            # {model_dir}/feature-dictionary (multi-shard models write
+            # feature-dictionaries/{shard} instead)
+            from photon_ml_spark.sources.model_io import _hadoop_exists
+
+            if _hadoop_exists(
+                spark, f"{inc['model_dir']}/feature-shards.json"
+            ):
+                raise ValueError(
+                    "incremental_training.model_dir holds a MULTI-shard "
+                    "model (feature-shards.json present) but this config "
+                    "is single-shard — configure the matching "
+                    "feature_shards map (priors are indexed per shard) "
+                    "or retrain from scratch"
+                )
         if str(cfg.get("normalization", "none")).lower() != "none":
             raise ValueError(
                 "incremental_training cannot combine with normalization: "
@@ -569,6 +587,19 @@ def _train_impl_body(
                 raise ValueError(
                     f"dictionary_input names unknown shard(s) {unknown}; "
                     f"configured shards: {sorted(shard_cfgs)}"
+                )
+            missing = sorted(set(shard_cfgs) - set(di))
+            if missing and not inc:
+                # a partial map would silently rebuild the uncovered
+                # shards' dictionaries from THIS run's data — the
+                # frozen-feature-space contract (the whole point of
+                # dictionary_input) broken without an error. With
+                # incremental_training the prior model fills the gap
+                # below instead.
+                raise ValueError(
+                    "dictionary_input must cover every configured shard; "
+                    f"missing {missing} — a partially frozen feature "
+                    "space re-indexes the uncovered shards per run"
                 )
             for s, p in di.items():
                 dicts_in[s] = spark.read.parquet(

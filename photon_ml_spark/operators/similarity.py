@@ -574,14 +574,28 @@ def _sq8_params(lo: list[float], hi: list[float]):
 def sq8_code_expr(vec, lo: list[float], hi: list[float]):
     """The encode EXPRESSION (array<tinyint>) over any vector column:
     code_j = round(255·(x_j − lo_j)/d_j) − 128 ∈ [−128, 127]
-    (d_j = 0 → code −128, i.e. quantized 0)."""
+    (d_j = 0 → code −128, i.e. quantized 0). Components OUTSIDE the
+    trained [lo, hi] grid clamp to the nearest edge (FAISS semantics):
+    query batches are encoded with the INDEX's saved grid, so an
+    unclamped out-of-range value would overflow the tinyint cast —
+    an ANSI-mode ArithmeticException, or a silent wraparound that
+    reconstructs the largest component as lo."""
     return F.zip_with(
         vec,
         _sq8_params(lo, hi),
         lambda x, p: (
             F.when(p["d"] == 0.0, F.lit(0.0)).otherwise(
-                F.round(
-                    F.lit(255.0) * (x.cast("double") - p["lo"]) / p["d"], 0
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(
+                        F.lit(255.0),
+                        F.round(
+                            F.lit(255.0)
+                            * (x.cast("double") - p["lo"])
+                            / p["d"],
+                            0,
+                        ),
+                    ),
                 )
             )
             - F.lit(128.0)

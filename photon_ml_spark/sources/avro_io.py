@@ -489,6 +489,12 @@ def _list_avro_files_with_size(
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
+    # qualify BEFORE returning strings: listStatus results come back
+    # scheme-qualified, but the single-file branch would otherwise
+    # echo the caller's bare string — and a scheme-less path under an
+    # hdfs:// defaultFS would then string-sniff as POSIX-local and be
+    # open()'d on executors
+    p = fs.makeQualified(p)
     if fs.isDirectory(p):
         it = fs.listStatus(p)
         return sorted(
@@ -518,6 +524,28 @@ def _local_path(path: str) -> str | None:
 # Matches spark.sql.files.maxPartitionBytes' default: the input-split
 # grain the JVM scan would use on the same files.
 DEFAULT_SPLIT_BYTES = 128 * 1024 * 1024
+
+
+_BYTE_SUFFIXES = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _parse_byte_string(raw) -> int:
+    """Spark byte-string config values — ``134217728b``, ``128m``,
+    ``64mb``, ``1g`` are all valid ``maxPartitionBytes`` settings
+    (JavaUtils.byteStringAs suffixes); bare-``b``-stripping alone
+    crashed on the human-readable forms."""
+    s = str(raw).strip().lower()
+    num = s.rstrip("kmgtb")
+    mult = _BYTE_SUFFIXES.get(s[len(num):])
+    if mult is None or not num:
+        raise ValueError(f"unparseable byte size: {raw!r}")
+    return int(num) * mult
 
 
 def _split_ranges(file_size: int, split_bytes: int) -> list[tuple[int, int]]:
@@ -560,18 +588,34 @@ def _decode_split(
                 return out
             pos = header_len
         else:
-            # first sync STARTING in [start, end) — read the range
-            # plus 15 lookahead bytes so a sync straddling `end` is
-            # still found iff it starts before `end`. Syncs inside the
-            # header region belong to split 0's convention above.
-            f.seek(start)
-            window = f.read(min(end - start + len(sync) - 1, fsize - start))
-            idx = window.find(sync)
-            while idx != -1 and start + idx < header_len - 16:
-                idx = window.find(sync, idx + 1)
-            if idx == -1 or start + idx >= end:
+            # first sync STARTING in [start, end) — bounded forward
+            # scan in 64 KB chunks with a (sync−1)-byte overlap, so a
+            # sync straddling a chunk (or `end`) boundary is found iff
+            # it starts before `end`. Never a split-sized allocation,
+            # and the bytes are not read twice (the first sync almost
+            # always sits within the first block — a whole-split read
+            # here doubled per-task IO and peaked a 128 MB buffer).
+            # Syncs inside the header region belong to split 0's
+            # convention above.
+            chunk_bytes = 64 * 1024
+            scan_limit = min(end + len(sync) - 1, fsize)
+            found = -1
+            cpos = start
+            while cpos < scan_limit:
+                f.seek(cpos)
+                chunk = f.read(min(chunk_bytes, scan_limit - cpos))
+                idx = chunk.find(sync)
+                while idx != -1 and cpos + idx < header_len - 16:
+                    idx = chunk.find(sync, idx + 1)
+                if idx != -1:
+                    found = cpos + idx
+                    break
+                if cpos + len(chunk) >= scan_limit:
+                    break
+                cpos += len(chunk) - (len(sync) - 1)
+            if found == -1 or found >= end:
                 return out
-            pos = start + idx + 16
+            pos = found + 16
         while pos < fsize:
             f.seek(pos)
             head = f.read(20)  # two varint longs are ≤ 20 bytes
@@ -616,6 +660,11 @@ def _schema_from_header(data: bytes) -> str:
             k = data[pos:pos + klen].decode()
             pos += klen
             vlen, pos = _read_long(data, pos)
+            if pos + vlen > len(data):
+                # truncated prefix mid-value: a silently shortened
+                # schema string would fail later as a JSON error
+                # instead of triggering the caller's larger-bound retry
+                raise IndexError("truncated header prefix")
             v = data[pos:pos + vlen]
             pos += vlen
             if k == "avro.schema":
@@ -671,10 +720,24 @@ def read_avro(
     files = _list_avro_files_with_size(spark, path)
     if not files:
         raise ValueError(f"no .avro files under {path}")
+    # headers are typically < 1 KB: start the bounded fetch small and
+    # escalate on truncation; cache per (path, limit) so the first
+    # file's header is not fetched twice (schema probe + split loop)
+    hdr_cache: dict[tuple[str, int], bytes] = {}
+
+    def _hb(p: str, limit: int) -> bytes:
+        if (p, limit) not in hdr_cache:
+            hdr_cache[p, limit] = _header_bytes(spark, p, limit)
+        return hdr_cache[p, limit]
+
+    _LIMITS = (1 << 16, 1 << 20, 1 << 24)
     if avro_schema is None:
         first = files[0][0]
-        for limit in (1 << 20, 1 << 24):
-            avro_schema = _schema_from_header(_header_bytes(spark, first, limit))
+        for limit in _LIMITS:
+            try:
+                avro_schema = _schema_from_header(_hb(first, limit))
+            except IndexError:  # metadata truncated at this bound
+                continue
             if avro_schema:
                 break
         if not avro_schema:
@@ -684,7 +747,7 @@ def read_avro(
         raw = spark.conf.get(
             "spark.sql.files.maxPartitionBytes", str(DEFAULT_SPLIT_BYTES)
         )
-        split_bytes = int(str(raw).lower().removesuffix("b"))
+        split_bytes = _parse_byte_string(raw)
     locals_ = [_local_path(p) for p, _ in files]
     if all(lp is not None for lp in locals_):
         # one bounded header RPC per file (sync marker, codec, and
@@ -693,9 +756,9 @@ def read_avro(
         descs = []
         for (fpath, fsize), lp in zip(files, locals_):
             hdr = None
-            for limit in (1 << 20, 1 << 24):
+            for limit in _LIMITS:
                 try:
-                    hdr = _parse_header(_header_bytes(spark, fpath, limit))
+                    hdr = _parse_header(_hb(fpath, limit))
                     break
                 except IndexError:
                     continue

@@ -5,6 +5,7 @@ bundled with Spark (org.apache.avro.file.DataFileReader)."""
 
 import json
 import math
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -477,3 +478,47 @@ def test_local_path_scheme_detection():
     assert avro_io._local_path("file:///x/y.avro") == "/x/y.avro"
     assert avro_io._local_path("hdfs://nn/x.avro") is None
     assert avro_io._local_path("s3a://bucket/x.avro") is None
+
+
+def test_parse_byte_string_forms():
+    """maxPartitionBytes accepts Spark's human-readable byte strings
+    (JavaUtils.byteStringAs) — not just the bare '...b' default."""
+    from photon_ml_spark.sources.avro_io import _parse_byte_string
+
+    assert _parse_byte_string("134217728b") == 134217728
+    assert _parse_byte_string("134217728") == 134217728
+    assert _parse_byte_string("128m") == 128 * 1024 * 1024
+    assert _parse_byte_string("64mb") == 64 * 1024 * 1024
+    assert _parse_byte_string("1g") == 1 << 30
+    assert _parse_byte_string(" 512K ") == 512 * 1024
+    for bad in ("", "m", "12q", "1.5g"):
+        with pytest.raises(ValueError):
+            _parse_byte_string(bad)
+
+
+def test_single_file_path_is_qualified(spark, tmp_path):
+    """The single-file branch of the lister returns a QUALIFIED path
+    (scheme attached by the filesystem), like the directory branch —
+    a bare string would be scheme-sniffed as POSIX-local even under a
+    remote defaultFS."""
+    from photon_ml_spark.sources.avro_io import (
+        _list_avro_files_with_size,
+        write_avro,
+    )
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Q",
+            "fields": [{"name": "x", "type": "long"}],
+        }
+    )
+    p = str(tmp_path / "one")
+    df = spark.createDataFrame([(i,) for i in range(10)], "x long")
+    write_avro(df, p, schema)
+    fname = next(
+        n for n in os.listdir(p) if n.endswith(".avro")
+    )
+    got = _list_avro_files_with_size(spark, f"{p}/{fname}")
+    assert len(got) == 1
+    assert got[0][0].startswith("file:"), got[0][0]

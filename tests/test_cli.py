@@ -2050,3 +2050,74 @@ def test_multi_shard_incremental_training(spark, tmp_path, capsys):
             },
             spark,
         )
+
+
+def test_multi_shard_dictionary_input_and_prior_mismatch_guards(
+    spark, tmp_path, capsys
+):
+    """Two fail-fast guards around per-shard feature spaces: a PARTIAL
+    multi-shard dictionary_input map (uncovered shards would silently
+    re-index per run) and a single-shard incremental config against a
+    multi-shard prior model (the prior's spaces are per-shard)."""
+    from photon_ml_spark import cli
+
+    two = _two_bag_frame(spark)
+    inp = str(tmp_path / "msg_in.parquet")
+    two.write.parquet(inp)
+    shards = {
+        "shardA": {"bags": ["bag_a"]},
+        "shardB": {"bags": ["bag_b"]},
+    }
+    coords = [
+        {"name": "global", "kind": "fixed", "shard": "shardA"},
+        {"name": "second", "kind": "fixed", "shard": "shardB"},
+    ]
+    # build one real multi-shard index artifact for shardA only
+    idx_a = str(tmp_path / "msg_idx_a")
+    cli.index(
+        {"input": inp, "feature_bags": ["bag_a"], "output_dir": idx_a},
+        spark,
+    )
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="cover every configured shard"):
+        cli.train(
+            {
+                "input": inp,
+                "feature_shards": shards,
+                "coordinates": coords,
+                "family": "gaussian",
+                "n_iterations": 1,
+                "dictionary_input": {"shardA": idx_a},
+                "output_dir": str(tmp_path / "msg_out"),
+            },
+            spark,
+        )
+
+    # multi-shard prior + legacy single-shard config: guided error,
+    # not a raw missing-parquet-path failure
+    run1 = str(tmp_path / "msg_run1")
+    cli.train(
+        {
+            "input": inp,
+            "feature_shards": shards,
+            "coordinates": coords,
+            "family": "gaussian",
+            "n_iterations": 1,
+            "output_dir": run1,
+        },
+        spark,
+    )
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="MULTI-shard"):
+        cli.train(
+            {
+                "input": inp,
+                "feature_bags": ["bag_a"],
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "family": "gaussian",
+                "n_iterations": 1,
+                "incremental_training": {"model_dir": run1},
+                "output_dir": str(tmp_path / "msg_out2"),
+            },
+            spark,
+        )

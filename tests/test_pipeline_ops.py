@@ -1956,3 +1956,30 @@ def test_ivf_sq8_composed_index(spark, emb, tmp_path):
     a = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in composed.collect()}
     b = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in brute.collect()}
     assert a == b
+
+
+def test_sq8_out_of_grid_query_clamps(spark, emb, tmp_path):
+    """Queries encoded with a persisted index's grid may carry
+    components outside the trained [lo, hi]: codes must clamp to the
+    grid edges (FAISS semantics) instead of overflowing the tinyint
+    cast (ANSI throw / silent wraparound)."""
+    idx = str(tmp_path / "sq8_clamp_idx")
+    similarity.save_sq8_index(emb, idx, vec_col="qe", dim=64)
+    # push every component far outside the trained grid, both sides
+    wild = emb.filter(F.col("vec_id") % 25 == 0).withColumn(
+        "qe",
+        F.transform(
+            "qe",
+            lambda x: F.when(x >= 0, x * 1000 + 1e7).otherwise(
+                x * 1000 - 1e7
+            ),
+        ),
+    )
+    out = similarity.sq8_topk_from_index(spark, idx, wild, k=3, vec_col="qe")
+    rows = out.collect()
+    assert len(rows) > 0  # would have thrown under ANSI without clamp
+    lo, hi = similarity.sq8_train(emb, vec_col="qe", dim=64)
+    codes = similarity.sq8_encode(wild, lo, hi, vec_col="qe").select(
+        "sq8"
+    ).first().sq8
+    assert set(codes) <= {-128, 127}  # every component clamped to an edge
