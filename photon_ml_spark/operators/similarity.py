@@ -397,9 +397,15 @@ def save_ivf_index(
             json.dumps({"lo": lo, "hi": hi, "levels": 255}),
         )
     else:
+        from photon_ml_spark.sources.model_io import _hadoop_delete
+
         assigned.select(id_col, vec_col, "cell").write.mode(
             "overwrite"
         ).partitionBy("cell").parquet(f"{path}/vectors")
+        # meta.json is the SQ8 format marker — if this path previously
+        # held an sq8=True index, a stale marker would route reads to
+        # the SQ8 branch against a float vectors table.
+        _hadoop_delete(spark, f"{path}/meta.json")
 
 
 def ivf_topk_from_index(

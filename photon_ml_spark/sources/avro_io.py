@@ -532,6 +532,7 @@ _BYTE_SUFFIXES = {
     "m": 1 << 20, "mb": 1 << 20,
     "g": 1 << 30, "gb": 1 << 30,
     "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
 }
 
 
@@ -541,7 +542,7 @@ def _parse_byte_string(raw) -> int:
     (JavaUtils.byteStringAs suffixes); bare-``b``-stripping alone
     crashed on the human-readable forms."""
     s = str(raw).strip().lower()
-    num = s.rstrip("kmgtb")
+    num = s.rstrip("kmgtbp")
     mult = _BYTE_SUFFIXES.get(s[len(num):])
     if mult is None or not num:
         raise ValueError(f"unparseable byte size: {raw!r}")

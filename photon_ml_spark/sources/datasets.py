@@ -41,7 +41,14 @@ def spread_scan(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     NO shuffle at scale; the repartition only fires on under-split
     inputs, where the shuffled bytes are small by construction."""
     spark = df.sparkSession
-    target = min_partitions or spark.sparkContext.defaultParallelism
+    if min_partitions is None:
+        target = spark.sparkContext.defaultParallelism
+    else:
+        target = int(min_partitions)
+        if target < 1:
+            raise ValueError(
+                f"min_partitions must be >= 1, got {min_partitions}"
+            )
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -46,6 +46,18 @@ def _hadoop_exists(spark: SparkSession, path: str) -> bool:
     return p.getFileSystem(conf).exists(p)
 
 
+def _hadoop_delete(spark: SparkSession, path: str) -> None:
+    """Delete a path (no-op if absent) on whatever filesystem the
+    scheme resolves to — used to clear stale format-marker files when a
+    sink overwrites an artifact written in a different layout."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
 def _hadoop_read_text(spark: SparkSession, path: str) -> str:
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

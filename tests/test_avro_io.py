@@ -491,6 +491,8 @@ def test_parse_byte_string_forms():
     assert _parse_byte_string("64mb") == 64 * 1024 * 1024
     assert _parse_byte_string("1g") == 1 << 30
     assert _parse_byte_string(" 512K ") == 512 * 1024
+    assert _parse_byte_string("1p") == 1 << 50
+    assert _parse_byte_string("2pb") == 2 * (1 << 50)
     for bad in ("", "m", "12q", "1.5g"):
         with pytest.raises(ValueError):
             _parse_byte_string(bad)

@@ -1958,6 +1958,35 @@ def test_ivf_sq8_composed_index(spark, emb, tmp_path):
     assert a == b
 
 
+def test_ivf_overwrite_sq8_with_float_clears_marker(spark, emb, tmp_path):
+    """save_ivf_index(sq8=False) over a path that previously held an
+    SQ8 index must clear the stale meta.json format marker — otherwise
+    reads route to the SQ8 branch against a float vectors table."""
+    idx = str(tmp_path / "ivf_flip_idx")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5, sq8=True, dim=64
+    )
+    import os
+
+    assert os.path.exists(f"{idx}/meta.json")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5, sq8=False
+    )
+    assert not os.path.exists(f"{idx}/meta.json")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    out = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe"
+    )
+    brute = similarity.cosine_topk(
+        emb.select("vec_id", F.col("qe").alias("embedding")),
+        queries.select("vec_id", F.col("qe").alias("embedding")),
+        k=5,
+    )
+    a = {(r.query_id, r.vec_id, round(r.cosine, 9)) for r in out.collect()}
+    b = {(r.query_id, r.vec_id, round(r.cosine, 9)) for r in brute.collect()}
+    assert a == b
+
+
 def test_sq8_out_of_grid_query_clamps(spark, emb, tmp_path):
     """Queries encoded with a persisted index's grid may carry
     components outside the trained [lo, hi]: codes must clamp to the

@@ -177,3 +177,19 @@ def test_build_feature_dictionary_selected_features(spark):
     ).first()
     assert len(out.features_indices) == 2  # b:y dropped
     assert sorted(out.features_values) == [1.0, 3.0]
+
+
+def test_spread_scan_guard_and_validation(spark):
+    """spread_scan: no-op at/above target; an explicit 0 (or negative)
+    is an error, not a silent fall-through to defaultParallelism."""
+    import pytest
+
+    from photon_ml_spark.sources.datasets import spread_scan
+
+    df = spark.range(100).repartition(2)
+    assert spread_scan(df, min_partitions=8).rdd.getNumPartitions() == 8
+    # already at target → untouched (same partition count, no shuffle)
+    assert spread_scan(df, min_partitions=2).rdd.getNumPartitions() == 2
+    for bad in (0, -3):
+        with pytest.raises(ValueError):
+            spread_scan(df, min_partitions=bad)
