@@ -157,7 +157,12 @@ def _read_input(spark, cfg):
     if fmt == "avro":
         from photon_ml_spark.sources.avro_io import read_training_examples
 
-        return read_training_examples(spark, cfg["input"])
+        # InputColumnsNames parity: rename the file's columns into the
+        # conventional frame (the reference's different-column-names
+        # flow, ScoptGameTrainingParametersParser inputColumnsNames)
+        return read_training_examples(
+            spark, cfg["input"], column_names=cfg.get("column_names")
+        )
     if fmt == "response_prediction_avro":
         # the reference's scoring-input format carries no uid; assign
         # one like GameScoringDriver does (P2, zipWithUniqueId analog)
@@ -258,7 +263,8 @@ _CFG_KEYS = {
         "input", "input_format", "feature_bags", "shard", "feature_shards",
         "output_dir",
         "coordinates", "family", "n_iterations", "validation_input",
-        "reg_param_sweep", "output_mode", "tuner", "tuner_iterations",
+        "reg_param_sweep", "warm_start_sweep", "output_mode", "tuner",
+        "tuner_iterations", "column_names",
         "per_group_evaluation", "sparsity_threshold", "event_log",
         "dictionary_input", "data_validation", "normalization",
         "variance_computation", "incremental_training",
@@ -269,15 +275,17 @@ _CFG_KEYS = {
     "index": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
         "has_intercept", "selected_features", "date_range", "days_range",
+        "column_names",
     }),
     "bags": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
-        "date_range", "days_range",
+        "date_range", "days_range", "column_names",
     }),
     "score": frozenset({
         "input", "input_format", "feature_bags", "shard", "model_dir",
         "output_dir", "output_files_limit", "evaluators",
         "data_validation", "model_id", "date_range", "days_range",
+        "column_names",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -906,11 +914,24 @@ def _train_impl_body(
         return out_model
 
 
-    def fit_with(overrides: dict):
+    def fit_with(overrides: dict, warm_from=None):
         cs = [
             replace(c, reg_param=float(overrides.get(c.name, c.reg_param)))
             for c in coords
         ]
+        if warm_from is not None:
+            # warm start across the λ sweep (ModelTraining.scala:
+            # 178-224): the previous λ's coordinate models seed the
+            # next fit — fixed as optimizer x0, random as prior
+            cs = [
+                replace(
+                    c,
+                    pretrained=warm_from.coordinates.get(
+                        c.name, c.pretrained
+                    ),
+                )
+                for c in cs
+            ]
         est = GameEstimator(
             coordinates=cs, family=family,
             n_iterations=cfg.get("n_iterations", 2),
@@ -1091,10 +1112,26 @@ def _train_impl_body(
                     f"{unknown}; configured coordinates: "
                     f"{sorted(coord_names)}"
                 )
+        # warm_start_sweep (legacy Driver useWarmStart parity): fits
+        # run in DESCENDING regularization order (ModelTraining.scala:
+        # 168 sortWith(_ >= _) — heavier shrinkage converges fastest
+        # from zero), each seeded by the previous λ's model. Report
+        # entries keep their original sweep indexes either way.
+        entries = list(enumerate(sweep))
+        warm = bool(cfg.get("warm_start_sweep", False))
+        if warm:
+            entries.sort(
+                key=lambda e: max(e[1].values()) if e[1] else 0.0,
+                reverse=True,
+            )
         results = []  # (index, overrides, metric) — models not retained
         best = None  # (metric, index, overrides, fitted)
-        for i, overrides in enumerate(sweep):
-            fitted = fit_with(overrides)
+        prev_fitted = None
+        for i, overrides in entries:
+            fitted = fit_with(
+                overrides, warm_from=prev_fitted.model if warm and prev_fitted else None
+            )
+            prev_fitted = fitted
             m = validation_metric(fitted)
             # Driver.scala:179,409 parity: one optimization-log event
             # per regularization weight, same as the tuner branch
@@ -1116,7 +1153,7 @@ def _train_impl_body(
                     },
                 )
         report["sweep"] = [
-            {"config": ov, "metric": m} for _, ov, m in results
+            {"index": i, "config": ov, "metric": m} for i, ov, m in results
         ]
         report["best"] = {"index": best[1], "config": best[2], "metric": best[0]}
         emitter.send_event(

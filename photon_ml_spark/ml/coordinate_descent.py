@@ -148,6 +148,12 @@ def _fit_coordinate(
             elastic_net_param=cfg.elastic_net_param, solver=cfg.solver,
             lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
             prior_mean=cfg.prior_mean, prior_precision=cfg.prior_precision,
+            # M7: the previous update's model (or pretrained, on the
+            # first update) is the optimizer start point — the
+            # reference passes the existing model into every
+            # optimizationProblem.run (CoordinateDescent / ModelTraining.
+            # scala:178-224). Custom-solver paths only; GLR ignores it.
+            x0=prior if isinstance(prior, glm_mod.FixedEffectGLM) else None,
         )
     if cfg.active_cap is not None:
         from photon_ml_spark.operators.sampling import per_entity_cap
@@ -236,11 +242,9 @@ def train_game(
             if cfg.locked:
                 coord_model = cfg.pretrained
             else:
-                prior = (
-                    model.coordinates.get(cfg.name)
-                    if cfg.kind == "random"
-                    else None
-                )
+                # previous generation of THIS coordinate: random gets
+                # it as prior/carry-forward, fixed as optimizer x0
+                prior = model.coordinates.get(cfg.name)
                 coord_model = _fit_coordinate(
                     data, cfg, family, prior, offset_col, uid_col=uid_col
                 )

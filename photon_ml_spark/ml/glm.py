@@ -92,6 +92,7 @@ def fit_fixed_effect(
     max_iter: int = 25,
     tol: float = 1e-6,
     solver: str = "auto",
+    x0=None,
 ) -> FixedEffectGLM:
     """Fit one distributed GLM (M1) with offset (M6), weight, L2 (M4).
 
@@ -124,6 +125,24 @@ def fit_fixed_effect(
             f"family {family!r} not supported for fixed-effect training; "
             f"choose one of {SUPPORTED_FAMILIES}"
         )
+    # M7 warm start (ModelTraining.scala:178-224 optimizationProblem.
+    # run(trainingData, previousModel)): accept a previous model (or a
+    # raw beta vector, intercept LAST) as the optimizer start point.
+    # Convergence accelerator only — the solution is unchanged at
+    # convergence. The GLR/IRLS path below has no initialization hook
+    # and ignores it (IRLS converges in few iterations regardless).
+    if isinstance(x0, FixedEffectGLM):
+        x0 = np.append(
+            np.asarray(x0.coefficients, dtype=np.float64)[:dim],
+            float(x0.intercept),
+        )
+    if x0 is not None:
+        x0 = np.asarray(x0, dtype=np.float64)
+        if x0.shape != (dim + 1,):
+            raise ValueError(
+                f"x0 must have shape ({dim + 1},) [coefficients + "
+                f"intercept], got {x0.shape}"
+            )
     if solver == "tron":
         if elastic_net_param > 0 or lower_bounds is not None or upper_bounds is not None:
             raise ValueError(
@@ -136,7 +155,7 @@ def fit_fixed_effect(
             label_col=label_col, weight_col=weight_col,
             offset_col=offset_col, reg_param=reg_param,
             prior_mean=prior_mean, prior_precision=prior_precision,
-            max_iter=max_iter, tol=min(tol, 1e-7),
+            max_iter=max_iter, tol=min(tol, 1e-7), x0=x0,
         )
         return FixedEffectGLM(
             family=family,
@@ -172,7 +191,7 @@ def fit_fixed_effect(
             reg_param=reg_param, elastic_net_param=elastic_net_param,
             prior_mean=prior_mean, prior_precision=prior_precision,
             lower_bounds=lower_bounds, upper_bounds=upper_bounds,
-            max_iter=max(max_iter, 100), tol=min(tol, 1e-7),
+            max_iter=max(max_iter, 100), tol=min(tol, 1e-7), x0=x0,
         )
         return FixedEffectGLM(
             family=family,

@@ -76,7 +76,9 @@ def _resolve(schema: Any, named: dict[str, Any]) -> Any:
     if isinstance(schema, list):  # union
         return [_resolve(b, named) for b in schema]
     t = schema["type"]
-    if t in _PRIMITIVES and len(schema) == 1:
+    if t in _PRIMITIVES:
+        # primitives may carry extra props (e.g. avro.java.string) —
+        # normalize to the bare name
         return t
     if t in ("record", "enum", "fixed"):
         # register under both short and fully-qualified name BEFORE
@@ -428,6 +430,208 @@ def read_ocf(data: bytes) -> tuple[str, list]:
 
 
 # --------------------------------------------------------- spark type mapping
+# Wide-union resolution order — AvroDataReader.scala:265 numericPrecedence
+# (DOUBLE > FLOAT > LONG > INT); appearing earlier wins.
+_NUMERIC_PRECEDENCE = ("double", "float", "long", "int")
+
+
+def _resolve_wide_union(non_null: list) -> Any:
+    """Resolve a multi-branch (post-null-strip) union to ONE effective
+    schema, following the reference's rules (AvroDataReader.scala:
+    398-427): all-numeric unions take the dominant numeric type by
+    precedence; unions containing string resolve to string; anything
+    else takes the first branch. The reference's own integ-test
+    fixtures (heart.avro label: [double,float,int,long,boolean,string])
+    require this — strict [null, X] unions reject them."""
+    prims = [b for b in non_null if isinstance(b, str)]
+    if len(prims) == len(non_null) and all(
+        b in _NUMERIC_PRECEDENCE for b in prims
+    ):
+        for t in _NUMERIC_PRECEDENCE:
+            if t in prims:
+                return t
+    if "string" in prims:
+        return "string"
+    return non_null[0]
+
+
+def _effective(schema: Any) -> Any:
+    """A union's single effective schema (non-unions pass through)."""
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        return (
+            non_null[0] if len(non_null) == 1
+            else _resolve_wide_union(non_null)
+        )
+    return schema
+
+
+def _dyn_coerce(target: Any) -> Callable[[Any], Any]:
+    """Value-level coercion of a wide-union decode (the branch taken is
+    only known at runtime) to the union's effective primitive type.
+    Mirrors the reference's Utils.get*Avro coercions (Utils.scala:
+    getDoubleAvro accepts Number|String, getStringAvro stringifies);
+    booleans render Java-style. None always passes through ([null,...]
+    branches)."""
+    if isinstance(target, dict) and target.get("type") == "enum":
+        target = "string"
+    if not isinstance(target, str):
+        raise ValueError(
+            "wide Avro unions with complex branches are not supported"
+        )
+    if target == "string":
+        def c_str(v):
+            if v is None or isinstance(v, str):
+                return v
+            if v is True:
+                return "true"
+            if v is False:
+                return "false"
+            if isinstance(v, (bytes, bytearray)):
+                return bytes(v).decode("utf-8", "replace")
+            return str(v)
+        return c_str
+    if target in ("double", "float"):
+        def c_float(v):
+            if v is None:
+                return None
+            return float(v)  # bool → 1.0/0.0, str parses, int widens
+        return c_float
+    if target in ("int", "long"):
+        def c_int(v):
+            if v is None:
+                return None
+            if isinstance(v, str):
+                return int(float(v))
+            return int(v)
+        return c_int
+    if target == "boolean":
+        def c_bool(v):
+            if v is None or isinstance(v, bool):
+                return v
+            if isinstance(v, str):
+                return v.strip().lower() in ("true", "1")
+            return bool(v)
+        return c_bool
+    if target == "bytes":
+        def c_bytes(v):
+            if v is None or isinstance(v, (bytes, bytearray)):
+                return v
+            if isinstance(v, str):
+                return v.encode("utf-8")
+            raise ValueError(f"cannot coerce {type(v).__name__} to bytes")
+        return c_bytes
+    raise ValueError(f"unsupported wide-union coercion target: {target}")
+
+
+# Cross-type primitive pairs whose decoded Python values already fit
+# the reader's Spark type (int/long are both Python int; float/double
+# both Python float) — no per-value work.
+_PRIM_NOOP = {
+    ("int", "long"), ("long", "int"),
+    ("float", "double"), ("double", "float"),
+}
+
+
+def _make_adapter(writer: Any, reader: Any) -> Callable[[Any], Any] | None:
+    """Avro schema resolution, compiled: decoded writer-shaped value →
+    reader-shaped value. Record fields match by NAME (reader fields
+    missing from the writer take their schema default), numeric types
+    promote, wide unions flatten to their effective type
+    (_resolve_wide_union). Returns None when the shapes already agree —
+    the common self-written round-trip pays zero per-row cost.
+
+    This is what lets the engine read the reference toolchain's real
+    artifacts (DriverIntegTest/GameIntegTest fixtures) whose writer
+    schemas differ from the canonical photon-avro-schemas forms in
+    field order, field nullability, and union width."""
+    if isinstance(writer, list):
+        w_non_null = [b for b in writer if b != "null"]
+        if len(w_non_null) == 1:
+            inner = _make_adapter(w_non_null[0], reader)
+            if inner is None:
+                return None
+            return lambda v: None if v is None else inner(v)
+        # wide writer union: the decoded value's branch is unknown
+        # statically — coerce dynamically to the reader's effective type
+        return _dyn_coerce(_effective(reader))
+    if isinstance(reader, list):
+        return _make_adapter(writer, _effective(reader))
+
+    w_complex = isinstance(writer, dict)
+    r_complex = isinstance(reader, dict)
+    if w_complex != r_complex:
+        if not w_complex:  # primitive writer into complex reader
+            raise ValueError(
+                f"cannot resolve writer {writer!r} against reader schema"
+            )
+        wt = writer.get("type")
+        if wt == "enum":  # enum decodes to its symbol string
+            return _make_adapter("string", reader)
+        if wt == "fixed":
+            return _make_adapter("bytes", reader)
+        raise ValueError(
+            f"cannot resolve writer {wt} against reader {reader!r}"
+        )
+    if not w_complex:
+        if writer == reader or (writer, reader) in _PRIM_NOOP:
+            return None
+        return _dyn_coerce(reader)
+
+    wt, rt = writer.get("type"), reader.get("type")
+    if wt == "record" and rt == "record":
+        w_idx = {f["name"]: i for i, f in enumerate(writer["fields"])}
+        subs: list[tuple[int | None, Callable | None, Any]] = []
+        for rf in reader["fields"]:
+            if rf["name"] in w_idx:
+                i = w_idx[rf["name"]]
+                sub = _make_adapter(
+                    writer["fields"][i]["type"], rf["type"]
+                )
+                subs.append((i, sub, None))
+            else:
+                if "default" not in rf:
+                    raise ValueError(
+                        f"reader field {rf['name']!r} missing from writer "
+                        "schema and has no default"
+                    )
+                d = rf["default"]
+                if d is not None and _effective(rf["type"]) in (
+                    "double", "float"
+                ):
+                    d = float(d)
+                subs.append((None, None, d))
+        if len(subs) == len(writer["fields"]) and all(
+            i == k and f is None for k, (i, f, _) in enumerate(subs)
+        ):
+            return None
+
+        def c_record(v):
+            return tuple(
+                d if i is None else (v[i] if f is None else f(v[i]))
+                for i, f, d in subs
+            )
+        return c_record
+    if wt == "array" and rt == "array":
+        sub = _make_adapter(writer["items"], reader["items"])
+        if sub is None:
+            return None
+        return lambda v: None if v is None else [sub(x) for x in v]
+    if wt == "map" and rt == "map":
+        sub = _make_adapter(writer["values"], reader["values"])
+        if sub is None:
+            return None
+        return (
+            lambda v: None if v is None
+            else {k: sub(x) for k, x in v.items()}
+        )
+    if wt == "enum" and rt == "enum":
+        return None
+    if wt == "fixed" and rt == "fixed":
+        return None
+    raise ValueError(f"cannot resolve writer {wt} against reader {rt}")
+
+
 def avro_spark_type(schema: Any) -> T.DataType:
     if isinstance(schema, str):
         return {
@@ -439,7 +643,7 @@ def avro_spark_type(schema: Any) -> T.DataType:
     if isinstance(schema, list):
         non_null = [b for b in schema if b != "null"]
         if len(non_null) != 1:
-            raise ValueError("only [null, X] unions map to Spark types")
+            return avro_spark_type(_resolve_wide_union(non_null))
         return avro_spark_type(non_null[0])
     t = schema["type"]
     if t == "record":
@@ -770,15 +974,29 @@ def read_avro(
             schema_j = meta["avro.schema"].decode()
             for s, e in _split_ranges(fsize, split_bytes):
                 descs.append((lp, s, e, header_len, sync, codec, schema_j))
+        reader_json = avro_schema
+
+        def decode_resolved(d):
+            # schema resolution writer→reader, compiled once per task
+            # (None = shapes agree: the self-written round-trip path)
+            records = _decode_split(*d)
+            ad = _make_adapter(
+                parse_schema(d[6]), parse_schema(reader_json)
+            )
+            return records if ad is None else [ad(r) for r in records]
+
         rdd = spark.sparkContext.parallelize(
             descs, max(len(descs), 1)
-        ).flatMap(lambda d: _decode_split(*d))
+        ).flatMap(decode_resolved)
         return spark.createDataFrame(rdd, schema=spark_schema)
+
+    reader_json = avro_schema
 
     def decode(kv):
         _, data = kv
-        _, records = read_ocf(bytes(data))
-        return records
+        wschema, records = read_ocf(bytes(data))
+        ad = _make_adapter(parse_schema(wschema), parse_schema(reader_json))
+        return records if ad is None else [ad(r) for r in records]
 
     glob = path if path.endswith(".avro") else os.path.join(path, "*.avro")
     rdd = spark.sparkContext.binaryFiles(glob).flatMap(decode)
@@ -925,19 +1143,110 @@ INTERCEPT_NAME = "(INTERCEPT)"  # Constants.scala INTERCEPT_NAME/TERM
 INTERCEPT_TERM = ""
 
 
-def read_training_examples(spark: SparkSession, path: str) -> DataFrame:
+def read_training_examples(
+    spark: SparkSession,
+    path: str,
+    column_names: dict[str, str] | None = None,
+) -> DataFrame:
     """S1/S2: TrainingExampleAvro files → the engine's conventional
     frame (uid, response, weight, offset, features name/term/value
     bags), defaults applied as AvroDataReader.scala:85-208 does
-    (weight→1.0, offset→0.0)."""
+    (weight→1.0, offset→0.0).
+
+    ``column_names`` maps canonical field names (uid, response, weight,
+    offset, features, metadataMap) to the file's actual column names —
+    the reference's InputColumnsNames override (exercised by its
+    different-column-names/diff-col-names.avro fixture, where the
+    label column is ``the_label``, weight ``w``, offset ``intercept``).
+    With an override the writer schema is taken as-is (wide unions
+    resolve per _resolve_wide_union) and fields are renamed/coerced
+    into the conventional frame."""
+    if column_names:
+        unknown = sorted(
+            set(column_names)
+            - {"uid", "response", "weight", "offset", "features",
+               "metadataMap"}
+        )
+        if unknown:
+            raise ValueError(
+                f"column_names maps unknown canonical field(s) {unknown}"
+            )
+        raw = read_avro(spark, path)
+        cols = set(raw.columns)
+
+        def actual(canon: str) -> str:
+            return column_names.get(canon, canon)
+
+        if actual("response") not in cols:
+            raise ValueError(
+                f"response column {actual('response')!r} absent from "
+                f"input columns {sorted(cols)}"
+            )
+        if actual("features") not in cols:
+            raise ValueError(
+                f"features column {actual('features')!r} absent from "
+                f"input columns {sorted(cols)}"
+            )
+        uid = _uid_or_generated(
+            F.col(actual("uid"))
+            if actual("uid") in cols
+            else F.lit(None).cast("string")
+        )
+        weight = (
+            F.coalesce(F.col(actual("weight")).cast("double"), F.lit(1.0))
+            if actual("weight") in cols
+            else F.lit(1.0)
+        )
+        offset = (
+            F.coalesce(F.col(actual("offset")).cast("double"), F.lit(0.0))
+            if actual("offset") in cols
+            else F.lit(0.0)
+        )
+        meta = (
+            F.col(actual("metadataMap")).cast("map<string,string>")
+            if actual("metadataMap") in cols
+            else F.lit(None).cast("map<string,string>")
+        )
+        feats = F.transform(
+            F.col(actual("features")),
+            lambda s: F.struct(
+                s["name"].cast("string").alias("name"),
+                F.coalesce(s["term"].cast("string"), F.lit("")).alias(
+                    "term"
+                ),
+                s["value"].cast("double").alias("value"),
+            ),
+        )
+        return raw.select(
+            uid.alias("uid"),
+            F.col(actual("response")).cast("double").alias("response"),
+            weight.alias("weight"),
+            offset.alias("offset"),
+            feats.alias("features"),
+            meta.alias("metadataMap"),
+        )
     raw = read_avro(spark, path, avro_schema=TRAINING_EXAMPLE_SCHEMA)
     return raw.select(
-        F.col("uid"),
+        _uid_or_generated(F.col("uid")).alias("uid"),
         F.col("label").alias("response"),
         F.coalesce(F.col("weight"), F.lit(1.0)).alias("weight"),
         F.coalesce(F.col("offset"), F.lit(0.0)).alias("offset"),
         F.col("features"),
         F.col("metadataMap"),
+    )
+
+
+def _uid_or_generated(uid_col):
+    """uid is OPTIONAL in TrainingExampleAvro (the reference's own
+    heart.avro writes all-null uids) but the engine's assembly and
+    residual joins key on it — null uids would silently drop every
+    feature at the groupBy(uid)/join-back step. Null rows get a
+    generated id (P2, the reference's zipWithUniqueId at ingest,
+    GameConverters/DataProcessingUtils), prefixed so it can never
+    collide with a real uid."""
+    return F.coalesce(
+        uid_col.cast("string"),
+        F.concat(F.lit("__uid_"), F.monotonically_increasing_id()),
     )
 
 

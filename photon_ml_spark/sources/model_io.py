@@ -243,3 +243,155 @@ def load_glm_text(spark: SparkSession, path: str) -> DataFrame:
         F.element_at(parts, 3).cast("double").alias("coefficient"),
         F.element_at(parts, 4).cast("double").alias("reg_weight"),
     )
+
+
+# ------------------------------------------- reference Avro GAME model layout
+#: modelClass (BayesianLinearModelAvro.modelClass, written by the
+#: reference toolchain) → GLM family
+_MODEL_CLASS_FAMILY = {
+    "LogisticRegressionModel": "binomial",
+    "LinearRegressionModel": "gaussian",
+    "PoissonRegressionModel": "poisson",
+    "SmoothedHingeLossLinearSVMModel": "smoothed_hinge",
+}
+
+
+def _hadoop_list_dirs(spark: SparkSession, path: str) -> list[str]:
+    """Subdirectory names under ``path`` (empty if path absent)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        s.getPath().getName()
+        for s in fs.listStatus(p)
+        if s.isDirectory()
+    )
+
+
+def load_photon_game_model(
+    spark: SparkSession, path: str, family: str | None = None
+) -> tuple[GameModel, dict[str, DataFrame]]:
+    """Read a GAME model written by the REFERENCE toolchain — the Avro
+    layout of ModelProcessingUtils.scala:143-265 / AvroConstants.scala:
+    24-27 (``fixed-effect/<name>/{coefficients/part-*.avro, id-info}``,
+    ``random-effect/<name>/{coefficients/part-*.avro, id-info}``) — into
+    the engine's GameModel. This is the migration entry point: a user's
+    existing trained models load without re-training.
+
+    id-info carries the featureShardId (fixed: one line; random: the
+    randomEffectType line first, ModelProcessingUtils.scala:172,216).
+    Coordinates sharing a featureShardId share ONE feature dictionary,
+    derived from the union of the models' own (name, term) spaces in
+    deterministic lexicographic order (the reference instead resolves
+    through its PalDB index map, which the artifact does not ship).
+
+    Returns ``(model, dictionaries)`` with ``dictionaries`` mapping
+    coordinate name → DataFrame(feature_key, feature_index) so callers
+    can featurize scoring data into the same index space. Dictionary
+    construction is distributed (explode → distinct → one-shuffle
+    zip_with_index); only fixed-effect coefficient vectors land on the
+    driver (the reference's own Broadcast regime).
+    """
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.operators.indexing import zip_with_index
+    from photon_ml_spark.sources.avro_io import (
+        BAYESIAN_LINEAR_MODEL_SCHEMA,
+        INTERCEPT_NAME,
+        avro_frame_to_fixed_effect,
+        avro_frame_to_random_effects,
+        read_avro,
+    )
+
+    coords: list[dict] = []
+    for kind_dir, kind in (("fixed-effect", "fixed"), ("random-effect", "random")):
+        for name in _hadoop_list_dirs(spark, f"{path}/{kind_dir}"):
+            cdir = f"{path}/{kind_dir}/{name}"
+            if not _hadoop_exists(spark, f"{cdir}/coefficients"):
+                # the reference's own resources ship id-info-only
+                # coordinate stubs (e.g. GameIntegTest/gameModel
+                # random-effect dirs) — a coordinate without
+                # coefficients has nothing to load
+                continue
+            id_info = [
+                ln.strip()
+                for ln in _hadoop_read_text(spark, f"{cdir}/id-info").splitlines()
+                if ln.strip()
+            ]
+            if kind == "fixed":
+                entity_col, shard = None, id_info[0]
+            else:
+                entity_col, shard = id_info[0], id_info[1]
+            frame = read_avro(
+                spark,
+                f"{cdir}/coefficients",
+                avro_schema=BAYESIAN_LINEAR_MODEL_SCHEMA,
+            )
+            coords.append(
+                {"name": name, "kind": kind, "entity_col": entity_col,
+                 "shard": shard, "frame": frame}
+            )
+    if not coords:
+        raise ValueError(f"no fixed-effect/random-effect coordinates under {path}")
+
+    # one dictionary per feature shard, from the union of that shard's
+    # coordinates' own coefficient key spaces
+    dictionaries: dict[str, DataFrame] = {}
+    dims: dict[str, int] = {}
+    for shard in sorted({c["shard"] for c in coords}):
+        keys = None
+        for c in coords:
+            if c["shard"] != shard:
+                continue
+            k = (
+                c["frame"]
+                .select(F.explode("means").alias("m"))
+                .filter(F.col("m.name") != INTERCEPT_NAME)
+                .select(
+                    F.concat_ws(
+                        FEATURE_KEY_SEP, F.col("m.name"), F.col("m.term")
+                    ).alias("feature_key")
+                )
+            )
+            keys = k if keys is None else keys.unionByName(k)
+        d, n = zip_with_index(
+            keys.distinct(), "feature_key", id_col="feature_index"
+        )
+        dictionaries[shard] = d.persist()
+        dims[shard] = n
+
+    fam = family
+    if fam is None:
+        classes = {
+            (r.modelClass or "").rsplit(".", 1)[-1]
+            for c in coords
+            for r in c["frame"].select("modelClass").limit(1).collect()
+        } - {""}
+        fams = {_MODEL_CLASS_FAMILY[cl] for cl in classes if cl in _MODEL_CLASS_FAMILY}
+        if len(fams) != 1:
+            raise ValueError(
+                f"cannot infer GLM family from modelClass values {classes}; "
+                "pass family= explicitly"
+            )
+        (fam,) = fams
+
+    model = GameModel(family=fam)
+    coord_dicts: dict[str, DataFrame] = {}
+    for c in coords:
+        d, dim = dictionaries[c["shard"]], dims[c["shard"]]
+        coord_dicts[c["name"]] = d
+        if c["kind"] == "fixed":
+            rows = c["frame"].collect()
+            glm = avro_frame_to_fixed_effect(rows, d, dim, family=fam)
+            model.coordinates[c["name"]] = glm
+        else:
+            model.coordinates[c["name"]] = avro_frame_to_random_effects(
+                c["frame"], d, dim
+            )
+        model.configs[c["name"]] = CoordinateConfig(
+            name=c["name"], kind=c["kind"], dim=dim,
+            entity_col=c["entity_col"],
+        )
+    return model, coord_dicts

@@ -1,0 +1,425 @@
+"""Golden-fixture interop: read the reference toolchain's REAL Avro
+artifacts (photon-client/src/integTest/resources — produced by the
+reference's own writer stack, never by this engine) through the public
+readers, then train/score on them.
+
+Self-round-trips prove our reader can read our writer; these tests
+prove the engine reads what the reference's users actually have on
+disk: wide-union writer schemas (heart.avro label:
+[double,float,int,long,boolean,string]), Pig-generated nullable-
+everything schemas (poisson_test.avro), renamed columns
+(diff-col-names.avro — InputColumnsNames), and the golden pre-trained
+GAME models (GameIntegTest/retrainModels BayesianLinearModelAvro).
+
+Expectations come from the reference's own integ tests
+(DriverTest.scala:881-903 HEART_EXPECTED_*; the fixtures are treated
+as DATA only).
+"""
+
+import json
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.sources.avro_io import read_avro, read_training_examples
+
+RES = "/root/reference/photon-client/src/integTest/resources"
+DRIVER_IN = f"{RES}/DriverIntegTest/input"
+GAME = f"{RES}/GameIntegTest"
+
+# DriverTest.scala:883-884
+HEART_ROWS = 250
+HEART_FEATURES = 13  # + intercept = the reference's expected 14
+
+
+def test_heart_avro_reads_canonically(spark):
+    """heart.avro (wide-union TrainingExample writer schema) resolves
+    against the canonical TrainingExampleAvro reader schema: 250 rows,
+    13 distinct feature keys, weight/offset defaults applied."""
+    df = read_training_examples(spark, f"{DRIVER_IN}/heart.avro")
+    assert df.count() == HEART_ROWS
+    nf = (
+        df.select(F.explode("features").alias("f"))
+        .select("f.name", "f.term")
+        .distinct()
+        .count()
+    )
+    assert nf == HEART_FEATURES
+    r = df.filter(F.col("response").isin(0.0, 1.0)).count()
+    assert r == HEART_ROWS  # labels are the int union branch, coerced
+    w = df.select(F.min("weight"), F.max("weight")).first()
+    assert w == (1.0, 1.0)  # writer nulls → reader default
+    # a known record: first row carries feature "1" = 70.0
+    f0 = df.select(F.explode("features").alias("f")).filter(
+        (F.col("f.name") == "1") & (F.col("f.value") == 70.0)
+    )
+    assert f0.count() > 0
+
+
+def test_heart_avro_inferred_schema_union_rules(spark):
+    """Without a reader schema, wide unions resolve by the reference's
+    precedence (AvroDataReader.scala:398-427): label (contains string)
+    → string, weight/offset (numeric union) → double, uid → string."""
+    df = read_avro(spark, f"{DRIVER_IN}/heart.avro")
+    dt = dict(df.dtypes)
+    assert dt["label"] == "string"
+    assert dt["weight"] == "double"
+    assert dt["offset"] == "double"
+    assert dt["uid"] == "string"
+    labels = {r.label for r in df.select("label").distinct().collect()}
+    assert labels <= {"0", "1", "-1"}
+
+
+def test_empty_features_fixture(spark):
+    """empty.avro: 250 rows with EMPTY feature arrays (the reference
+    trains an intercept-only model on it — DriverTest.scala:212-216
+    expectedNumFeatures=1)."""
+    df = read_training_examples(spark, f"{DRIVER_IN}/empty.avro")
+    assert df.count() == HEART_ROWS
+    assert df.filter(F.size("features") > 0).count() == 0
+
+
+def test_diff_col_names_column_mapping(spark):
+    """different-column-names/diff-col-names.avro through the
+    InputColumnsNames override: the_label→response, w→weight,
+    intercept→offset, metadata→metadataMap."""
+    df = read_training_examples(
+        spark,
+        f"{DRIVER_IN}/different-column-names/diff-col-names.avro",
+        column_names={
+            "response": "the_label",
+            "weight": "w",
+            "offset": "intercept",
+            "metadataMap": "metadata",
+        },
+    )
+    assert df.columns == [
+        "uid", "response", "weight", "offset", "features", "metadataMap"
+    ]
+    assert df.count() == HEART_ROWS
+    assert dict(df.dtypes)["response"] == "double"
+    nf = (
+        df.select(F.explode("features").alias("f"))
+        .select("f.name", "f.term")
+        .distinct()
+        .count()
+    )
+    assert nf == HEART_FEATURES
+
+
+def test_bad_weight_fixtures_fail_validation(spark):
+    """bad-weights/{zero,negative}-weights.avro: the reference rejects
+    non-positive weights at validation (DataValidators) — our P4
+    validation flags the same rows."""
+    from photon_ml_spark.operators.validation import (
+        standard_training_checks,
+        validate_or_raise,
+    )
+
+    for name in ("zero-weights", "negative-weights"):
+        df = read_training_examples(
+            spark, f"{DRIVER_IN}/bad-weights/{name}.avro"
+        )
+        bad = df.filter(F.col("weight") <= 0).count()
+        assert bad > 0, name
+        checks = standard_training_checks(task="logistic", features_col=None)
+        with pytest.raises(ValueError, match="n_nonpositive_weight"):
+            validate_or_raise(df, checks, mode="full")
+
+
+def test_pig_style_poisson_fixture(spark):
+    """poisson_test.avro (Pig-generated: nullable everything, response
+    not label) through the response-prediction reader schema — 4521
+    rows, floats widened to double."""
+    from photon_ml_spark.sources.avro_io import read_response_predictions
+
+    df = read_response_predictions(spark, f"{DRIVER_IN}/poisson_test.avro")
+    assert df.count() == 4521
+    dt = dict(df.dtypes)
+    assert dt["response"] == "double"
+    assert dt["weight"] == "double"  # absent from writer → default 1.0
+    w = df.select(F.min("weight"), F.max("weight")).first()
+    assert w == (1.0, 1.0)
+    assert df.filter(F.col("response") < 0).count() == 0  # counts
+
+
+def test_linear_regression_fixtures(spark):
+    """linear_regression_train/val.avro: 1000 rows each, 7 features
+    expected by the reference (LINEAR_EXPECTED_NUM_FEATURES=7 incl.
+    intercept → 6 on disk)."""
+    tr = read_training_examples(
+        spark, f"{DRIVER_IN}/linear_regression_train.avro"
+    )
+    assert tr.count() == 1000
+    nf = (
+        tr.select(F.explode("features").alias("f"))
+        .select("f.name", "f.term")
+        .distinct()
+        .count()
+    )
+    assert nf == 6
+
+
+def test_wide_union_map_and_anon_record(spark):
+    """feed.avro: anonymous record, map values that are 8-branch wide
+    unions (incl. bytes + java-string props) — values coerce to
+    string, floats stay float."""
+    df = read_avro(spark, f"{GAME}/input/avroMap/feed.avro")
+    assert df.count() == 2
+    dt = dict(df.dtypes)
+    assert dt["ids"] == "map<string,string>"
+    assert dt["response"] == "float"
+    rows = df.select("ids", "uid").collect()
+    for r in rows:
+        assert r.ids is None or all(
+            isinstance(v, (str, type(None))) for v in r.ids.values()
+        )
+
+
+def test_duplicate_features_fixture_dup_check(spark):
+    """duplicateFeatures/yahoo-music-train.avro: the reference uses it
+    to assert duplicate (name, term) detection — our S2 dup check
+    flags the same duplicates."""
+    df = read_avro(spark, f"{GAME}/input/duplicateFeatures/yahoo-music-train.avro")
+    assert df.count() == 6
+    dup_rows = (
+        df.withColumn("__rid", F.monotonically_increasing_id())
+        .select("__rid", F.explode("features").alias("f"))
+        .groupBy("__rid", "f.name", "f.term")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_rows > 0
+
+
+# ------------------------------------------------------ golden GAME models
+def test_golden_fixed_effect_model_loads(spark):
+    """retrainModels/fixedEffectsOnly: the golden fixed-effect model's
+    coefficients land in the right slots (spot-checked against the raw
+    record values read independently)."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    model, dicts = load_photon_game_model(
+        spark, f"{GAME}/retrainModels/fixedEffectsOnly"
+    )
+    assert model.family == "gaussian"  # LinearRegressionModel
+    assert set(model.configs) == {"global"}
+    glm = model.coordinates["global"]
+    # 15019 means = intercept + 15018 features (read with read_ocf)
+    assert glm.dim == 15018
+    assert glm.intercept == pytest.approx(3.6586913834396633)
+    # spot-check a named coefficient through the dictionary
+    d = dicts["global"]
+    idx = (
+        d.filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
+        .first()
+        .feature_index
+    )
+    assert glm.coefficients[idx] == pytest.approx(-0.8418923727874964)
+
+
+def test_golden_mixed_effects_model_loads_and_scores(spark):
+    """retrainModels/mixedEffects: fixed + per-artist + per-song load
+    with the reference's entity counts; a synthetic frame in the
+    loaded dictionary space scores through GameModel.score and the
+    fixed margin reproduces the golden coefficients exactly."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    model, dicts = load_photon_game_model(
+        spark, f"{GAME}/retrainModels/mixedEffects"
+    )
+    assert set(model.configs) == {"global", "per-artist", "per-song"}
+    assert model.configs["per-artist"].entity_col == "artistId"
+    assert model.configs["per-song"].entity_col == "songId"
+    # entity counts = distinct modelIds in the golden coefficient files
+    assert model.coordinates["per-artist"].count() == 4469
+    assert model.coordinates["per-song"].count() == 9418
+
+    # score a 2-row frame: one-hot on a known feature key per coordinate
+    glm = model.coordinates["global"]
+    d = dicts["global"]
+    idx_u1 = (
+        d.filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
+        .first()
+        .feature_index
+    )
+    re_art = model.coordinates["per-artist"]
+    some = re_art.filter(F.size(F.col("coefficients")) > 0).first()
+    frame = spark.createDataFrame(
+        [
+            (1, [int(idx_u1)], [1.0], str(some.entity)),
+            (2, [], [], "___unseen_artist___"),
+        ],
+        "uid long, features_indices array<long>, features_values "
+        "array<double>, artistId string",
+    )
+    # score only the coordinates this frame carries columns for
+    sub = type(model)(family=model.family)
+    sub.configs = {
+        "global": model.configs["global"],
+        "per-artist": model.configs["per-artist"],
+    }
+    sub.coordinates = {
+        "global": glm,
+        "per-artist": re_art,
+    }
+    scored = {r.uid: r.score for r in sub.score(frame).collect()}
+    exp_fixed = glm.intercept + glm.coefficients[idx_u1]
+    # both coordinates read the same features_indices/values columns —
+    # the random effect dots the same one-hot vector (in ITS shard
+    # space, where idx_u1 denotes whatever feature owns that slot)
+    re_coefs = list(some.coefficients)
+    exp_re = float(some.intercept) + (
+        float(re_coefs[idx_u1]) if idx_u1 < len(re_coefs) else 0.0
+    )
+    assert scored[1] == pytest.approx(exp_fixed + exp_re)
+    # unseen entity: random-effect contributes 0 (missing → 0)
+    assert scored[2] == pytest.approx(glm.intercept)
+
+
+def test_golden_random_effects_only_model(spark):
+    """retrainModels/randomEffectsOnly: per-entity golden vectors are
+    sparse in a shared shard space — a known entity's nonzero count
+    matches its raw record."""
+    from photon_ml_spark.sources.avro_io import read_ocf
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    model, dicts = load_photon_game_model(
+        spark, f"{GAME}/retrainModels/randomEffectsOnly"
+    )
+    assert set(model.configs) == {"per-artist", "per-song"}
+    # raw record 0 of the per-song coefficients file, independently
+    raw = open(
+        f"{GAME}/retrainModels/randomEffectsOnly/random-effect/per-song/"
+        "coefficients/part-00000.avro", "rb"
+    ).read()
+    _, recs = read_ocf(raw)
+    mid, _, means, _, _ = recs[0]
+    exp_nnz = sum(
+        1 for n, t, v in means if n != "(INTERCEPT)" and v != 0.0
+    )
+    row = (
+        model.coordinates["per-song"]
+        .filter(F.col("entity") == mid)
+        .first()
+    )
+    got_nnz = int(np.count_nonzero(np.asarray(row.coefficients)))
+    assert got_nnz == exp_nnz
+    exp_intercept = next(
+        v for n, t, v in means if n == "(INTERCEPT)"
+    )
+    assert row.intercept == pytest.approx(exp_intercept)
+
+
+# ------------------------------------- legacy-driver e2e parity on heart
+def test_heart_logistic_driver_e2e(spark, tmp_path, capsys):
+    """DriverTest flow on the REAL heart.avro: logistic task, λ sweep
+    with warm start across λ (ModelTraining.scala:168-224 — descending
+    order, previous model seeds the next fit), validation on
+    heart_validation.avro, best-model selection, save→score chain.
+
+    The reference's integ test asserts per-λ model presence and
+    selection; convergence discipline here: the training AUROC of the
+    best model must beat the intercept-only baseline (0.5) decisively,
+    and every λ's model must exist in the report."""
+    from photon_ml_spark import cli
+
+    out = str(tmp_path / "heart_model")
+    lambdas = [0.1, 1.0, 10.0, 100.0]
+    cli.train(
+        {
+            "input": f"{DRIVER_IN}/heart.avro",
+            "input_format": "avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "coordinates": [
+                {"name": "global", "kind": "fixed"}
+            ],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": out,
+            "validation_input": f"{DRIVER_IN}/heart_validation.avro",
+            "reg_param_sweep": [{"global": lam} for lam in lambdas],
+            "warm_start_sweep": True,
+            "output_mode": "best",
+            "normalization": "standardization",
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "trained"
+    # one result per λ, original indexes preserved (execution order is
+    # descending λ under warm start)
+    assert {e["index"] for e in rep["sweep"]} == {0, 1, 2, 3}
+    exec_lams = [e["config"]["global"] for e in rep["sweep"]]
+    assert exec_lams == sorted(exec_lams, reverse=True)
+    # heart dictionary: 13 features + intercept = reference's 14
+    assert rep["dim"] == 14
+    best = rep["best"]["config"]["global"]
+    assert best in lambdas
+    assert rep["best"]["metric"] == max(e["metric"] for e in rep["sweep"])
+    # AUROC on held-out heart_validation must clear chance decisively
+    assert rep["best"]["metric"] > 0.75
+
+    # save→score chain on the validation fixture
+    score_out = str(tmp_path / "heart_scores")
+    cli.score(
+        {
+            "input": f"{DRIVER_IN}/heart_validation.avro",
+            "input_format": "avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "model_dir": out,
+            "output_dir": score_out,
+            "evaluators": ["AUC"],
+        },
+        spark,
+    )
+    srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    scores = spark.read.parquet(score_out)
+    assert scores.count() == 20  # heart_validation rows
+    # _evaluate_scores rounds to 6 places; selection metric is unrounded
+    assert srep["evaluation"]["AUC"] == pytest.approx(
+        rep["best"]["metric"], abs=1e-6
+    )
+
+
+def test_heart_warm_start_matches_cold_start_at_convergence(spark, tmp_path, capsys):
+    """Warm start is an accelerator, not a semantics change: the best-λ
+    model's validation metric with warm_start_sweep on/off agrees to
+    1e-4 (the reference's comparison discipline,
+    CommonTestUtils.HIGH_PRECISION_TOLERANCE ballpark)."""
+    from photon_ml_spark import cli
+
+    reps = []
+    for warm in (False, True):
+        out = str(tmp_path / f"m_{warm}")
+        cli.train(
+            {
+                "input": f"{DRIVER_IN}/heart.avro",
+                "input_format": "avro",
+                "feature_bags": ["features"],
+                "shard": "features",
+                "coordinates": [{"name": "global", "kind": "fixed"}],
+                "family": "binomial",
+                "n_iterations": 1,
+                "output_dir": out,
+                "validation_input": f"{DRIVER_IN}/heart_validation.avro",
+                "reg_param_sweep": [{"global": 1.0}, {"global": 10.0}],
+                "warm_start_sweep": warm,
+                "output_mode": "none",
+            },
+            spark,
+        )
+        reps.append(
+            json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        )
+    cold, warm_rep = reps
+    assert cold["best"]["config"] == warm_rep["best"]["config"]
+    assert warm_rep["best"]["metric"] == pytest.approx(
+        cold["best"]["metric"], abs=1e-4
+    )
