@@ -306,9 +306,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = close_stamps(stamps, time.perf_counter() - t0)
             constituents[name] = stamps
-            # stamped blocks are persisted for the union read — drop
-            # them so one suite's cache can't skew the next row
-            # (outside the row timer, like every other row's teardown)
+            # free the row's checkpointed stamp blocks + any caches its
+            # blocks created, so one suite's memory can't skew the next
+            # row (outside the row timer, like every other teardown)
+            from photon_ml_spark.queries_merged import release_stamped
+
+            release_stamped()
             spark.catalog.clearCache()
         else:
             df = spec.run(spark, sf_dir)

@@ -216,25 +216,55 @@ for _anchor in ("m2_per_entity_ridge", "x1_text_quality"):
     _SPEC[_anchor] = QUERY_REGISTRY.pop(_anchor)
 
 
+#: frames eagerly checkpointed by _stamp for the CURRENT bench row —
+#: released by release_stamped() after the row is read (clearCache()
+#: does not free localCheckpoint blocks)
+_STAMPED_FRAMES: list = []
+
+
 def _stamp(stamps, name, df):
     """Per-constituent bench instrumentation (VERDICT r6 Missing #1:
     suite rows hid their blocks' costs, making regression-vs-box-
     variance attribution a forensic exercise). When ``stamps`` is a
-    dict, the block is persisted, materialized through a noop write
-    under a wall-clock timer, and ``stamps[name]`` records the
-    seconds; the returned (cached) frame then feeds the suite union,
-    so the union pass costs only a cache read. When ``stamps`` is
-    None — every correctness/gate path — this is an identity: the
-    suite stays one lazy plan."""
+    dict, the block is materialized via EAGER localCheckpoint under a
+    wall-clock timer and ``stamps[name]`` records the seconds; the
+    suite union then reads the checkpointed RDD blocks. Two r10
+    lessons (VERDICT r9 Next #3 — m2's 'overhead' was 47% of its row):
+
+    - a ``persist()`` here was silently defeated: DeduplicateRelations
+      re-aliases each child's attributes inside the final union, the
+      rewritten subtree no longer matches the cache entry, and the
+      union write RECOMPUTED every block (m2: 2.9 s, attributed to
+      overhead). localCheckpoint truncates lineage — a re-aliased
+      LogicalRDD is still the materialized blocks.
+    - ``df`` may be a zero-arg THUNK: construction then runs inside
+      the timer, so driver-side plan building + any eager setup in the
+      block's run() is attributed to the block, not to overhead
+      (a9's nine constituent constructions were ~4 s of 'overhead').
+
+    When ``stamps`` is None — every correctness/gate path — this is an
+    identity: the suite stays one lazy plan."""
     if stamps is None:
-        return df
+        return df() if callable(df) else df
     import time as _time
 
-    df = df.persist()
     t0 = _time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
+    if callable(df):
+        df = df()
+    df = df.localCheckpoint()  # eager: materializes every partition
     stamps[name] = round(_time.perf_counter() - t0, 3)
+    _STAMPED_FRAMES.append(df)
     return df
+
+
+def release_stamped() -> None:
+    """Free the checkpoint blocks of the last stamped bench row (the
+    bench harness calls this between rows so one suite's materialized
+    blocks cannot occupy memory during the next)."""
+    from photon_ml_spark.operators.indexing import release_local_checkpoint
+
+    while _STAMPED_FRAMES:
+        release_local_checkpoint(_STAMPED_FRAMES.pop())
 
 
 def _widen(spark, sf_dir, names, stamps=None):
@@ -246,11 +276,15 @@ def _widen(spark, sf_dir, names, stamps=None):
     out = None
     for name in names:
         prefix, cols = _FOLDED[name]
-        df = _SPEC[name].run(spark, sf_dir)
-        df = df.select(
-            [F.col(c).alias(f"{prefix}_{c}") for c in cols]
-        ).coalesce(1)
-        df = _stamp(stamps, prefix, df)
+        # thunk: plan construction is part of the block's stamp
+        df = _stamp(
+            stamps,
+            prefix,
+            lambda n=name, p=prefix, cs=cols: _SPEC[n]
+            .run(spark, sf_dir)
+            .select([F.col(c).alias(f"{p}_{c}") for c in cs])
+            .coalesce(1),
+        )
         # broadcast the 1-row frame: compiles the cross join to
         # BroadcastNestedLoopJoin on a single-row side instead of a
         # CartesianProduct operator (the plan-sweep audit's contract)
@@ -449,10 +483,30 @@ def x6_neardup_pairs(spark, sf_dir, stamps=None):
         stamps, "incremental",
         _timed_run("incremental_build", "x32_incremental_neardup"),
     )
-    stream = _stamp(
-        stamps, "streaming",
-        _timed_run("streaming_build", "x33_stream_neardup"),
-    )
+    # streaming_build itemized (VERDICT r9 Next #4): x33 reports per-
+    # batch phase stamps around its real actions (fingerprint agg,
+    # survivors publish — which carries the LSH compute — and the two
+    # index-append writes); the residual streaming_build covers the
+    # glue between actions. Everything still sums exactly.
+    if stamps is None:
+        stream_df = _SPEC["x33_stream_neardup"].run(
+            spark, sf_dir, doc_sids=sids
+        )
+    else:
+        import time as _time
+
+        ps: dict = {}
+        t0 = _time.perf_counter()
+        stream_df = _SPEC["x33_stream_neardup"].run(
+            spark, sf_dir, doc_sids=sids, phase_stamps=ps
+        )
+        elapsed = _time.perf_counter() - t0
+        for k, v in ps.items():
+            stamps[f"streaming_{k}"] = v
+        stamps["streaming_build"] = max(
+            round(elapsed - sum(ps.values()), 3), 0.0
+        )
+    stream = _stamp(stamps, "streaming", stream_df)
     return (
         lsh.unionByName(sim).unionByName(emb).unionByName(sigs)
         .unionByName(inc).unionByName(stream)
@@ -1266,12 +1320,14 @@ FROM ({_SPEC["m2b_per_entity_poisson"].oracle.strip()}) m2b
 )
 def m2_per_entity_ridge(spark, sf_dir, stamps=None):
     base = _stamp(
-        stamps, "ridge", _SPEC["m2_per_entity_ridge"].run(spark, sf_dir)
+        stamps,
+        "ridge",
+        lambda: _SPEC["m2_per_entity_ridge"].run(spark, sf_dir),
     )
     poisson = _stamp(
         stamps,
         "poisson",
-        _SPEC["m2b_per_entity_poisson"].run(spark, sf_dir).select(
+        lambda: _SPEC["m2b_per_entity_poisson"].run(spark, sf_dir).select(
             F.lit("poisson").alias("variant"),
             "entity",
             F.col("g_x").alias("coef"),

@@ -547,7 +547,7 @@ FROM s1_s
     "batch=<id> layout itself is under the value hash; oracle replays "
     "both batches (stream/batch parity of the wrapper is pytest-pinned)",
 )
-def x33_stream_neardup(spark, sf_dir, doc_sids=None):
+def x33_stream_neardup(spark, sf_dir, doc_sids=None, phase_stamps=None):
     import tempfile
 
     from photon_ml_spark.operators.dedup import token_ids
@@ -558,11 +558,17 @@ def x33_stream_neardup(spark, sf_dir, doc_sids=None):
     half = docs.filter(F.col("doc_id") % 2 == 1)
     root = tempfile.mkdtemp(prefix="photon_stream_dedup_")
     for bid, keep in ((0, F.col("doc_id") % 3 != 0), (1, F.col("doc_id") % 3 == 0)):
+        t = None if phase_stamps is None else {}
         neardup_process_batch(
             half.filter(keep), f"{root}/index", f"{root}/docs",
             batch_id=bid, threshold=0.5, n=2, num_hashes=16, bands=4,
-            sid_fn=_corpus_sid_fn(sids),
+            sid_fn=_corpus_sid_fn(sids), timings=t,
         )
+        if t:
+            # b0 = bootstrap (batch-internal LSH), b1 = incremental
+            # (detect vs the persisted index) — per-batch phase stamps
+            for k, v in t.items():
+                phase_stamps[f"b{bid}_{k}"] = v
     return spark.read.parquet(f"{root}/docs").select(
         F.lit("stream").alias("variant"),
         F.col("doc_id").alias("id_a"),

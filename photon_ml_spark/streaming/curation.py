@@ -106,6 +106,7 @@ def neardup_process_batch(
     bands: int = 4,
     sid_fn=None,
     tokens_col: str | None = None,
+    timings: dict | None = None,
 ) -> None:
     """Process ONE micro-batch (or one daily batch — same function):
     drop near-dups against the index, publish survivors under
@@ -132,7 +133,14 @@ def neardup_process_batch(
     text (identical sids by construction: the hash is over the
     shingle STRINGS), and it is dropped before survivors are
     published, so the staged output schema never carries it. Ignored
-    when an explicit ``sid_fn`` is given."""
+    when an explicit ``sid_fn`` is given.
+
+    ``timings`` (optional, bench attribution): phase wall seconds are
+    recorded around each ACTION — ``fingerprint`` (the batch-identity
+    agg), ``survivors`` (publishes survivors; since plans are lazy,
+    this write carries the LSH detect + resolution compute),
+    ``index_sids`` / ``index_sigs`` (the index-append IO). No extra
+    materialization is added: phases are existing action boundaries."""
     from photon_ml_spark.operators.dedup import (
         cluster_and_keep,
         drop_new_duplicates,
@@ -149,10 +157,24 @@ def neardup_process_batch(
             "neardup_process_batch: batch_id must be >= 0 "
             "(batch=-1 is the reserved save_minhash_index bootstrap id)"
         )
+    import time as _time
+
+    def _phase(key, thunk):
+        if timings is None:
+            return thunk()
+        t0 = _time.perf_counter()
+        out = thunk()
+        timings[key] = round(
+            timings.get(key, 0.0) + _time.perf_counter() - t0, 3
+        )
+        return out
+
     # one aggregation serves both the empty-batch check and the
     # batch-identity fingerprint (no separate isEmpty scan per trigger)
     marker = _marker_path(index_path, batch_id)
-    fp = _batch_fingerprint(batch, id_col, text_col)
+    fp = _phase(
+        "fingerprint", lambda: _batch_fingerprint(batch, id_col, text_col)
+    )
     if fp["n"] == 0:
         return
 
@@ -177,15 +199,24 @@ def neardup_process_batch(
         )
         if tokens_col:
             survivors = survivors.drop(tokens_col)
-        survivors.write.mode("overwrite").parquet(
-            f"{out_path}/batch={int(batch_id)}"
+        _phase(
+            "survivors",
+            lambda: survivors.write.mode("overwrite").parquet(
+                f"{out_path}/batch={int(batch_id)}"
+            ),
         )
-        keep_sids.write.mode("overwrite").parquet(
-            f"{index_path}/doc_sids/batch={int(batch_id)}"
+        _phase(
+            "index_sids",
+            lambda: keep_sids.write.mode("overwrite").parquet(
+                f"{index_path}/doc_sids/batch={int(batch_id)}"
+            ),
         )
-        minhash_signatures(keep_sids, id_col, num_hashes).write.mode(
-            "overwrite"
-        ).parquet(f"{index_path}/signatures/batch={int(batch_id)}")
+        _phase(
+            "index_sigs",
+            lambda: minhash_signatures(keep_sids, id_col, num_hashes)
+            .write.mode("overwrite")
+            .parquet(f"{index_path}/signatures/batch={int(batch_id)}"),
+        )
 
     # bootstrap-complete detection keys on params.json — written LAST
     # by every bootstrap path, so it is a commit marker (a crash
@@ -206,10 +237,14 @@ def neardup_process_batch(
                 text_col=text_col, num_hashes=num_hashes, bands=bands,
                 doc_sids=sids,
             )
-            survivors = (
-                cluster_and_keep(batch, pairs, id_col=id_col)
+            # cluster_and_keep's connected-components loop runs EAGER
+            # actions (per-iteration localCheckpoint), and the lazy LSH
+            # detection feeds it — this phase is detection + resolution
+            survivors = _phase(
+                "resolve",
+                lambda: cluster_and_keep(batch, pairs, id_col=id_col)
                 .filter("is_keep")
-                .drop("cluster_id", "is_keep")
+                .drop("cluster_id", "is_keep"),
             )
             publish(survivors, sids)
             write_index_params(
@@ -257,9 +292,19 @@ def neardup_process_batch(
             text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
             new_sids=sids, old_sids=old_sids, old_sigs=old_sigs,
         ).persist()
-        survivors = drop_new_duplicates(
-            batch, pairs, old_sigs.select(id_col), id_col=id_col
-        ).persist()
+        if timings is not None:
+            # bench attribution only: materialize the persisted pairs
+            # under a "detect" stamp (consumers then read the cache —
+            # the same materialization the first consumer would do)
+            _phase("detect", pairs.count)
+        # drop_new_duplicates runs the eager connected-components
+        # resolution on the new-new edges
+        survivors = _phase(
+            "resolve",
+            lambda: drop_new_duplicates(
+                batch, pairs, old_sigs.select(id_col), id_col=id_col
+            ).persist(),
+        )
         publish(survivors, sids)
         _hadoop_write_text(spark, marker, json.dumps(fp, sort_keys=True))
         survivors.unpersist()
