@@ -1,0 +1,139 @@
+"""Multi-JVM smoke run (VERDICT r9 Next #5): everything else in the
+bench/test surface executes in ONE JVM (local[N]), which cannot
+exercise executor-to-executor shuffle serialization, broadcast
+transport, or Python-worker module resolution on a remote executor.
+This script runs the flagship GAME pipeline and the x6 minhash block
+(shuffle-heavy: explode -> band join -> exact verify) under
+``local-cluster[2,2,<mem>]`` — two separate executor JVMs with their
+own Python workers — and cross-checks the row-level results against a
+plain ``local[4]`` run of the SAME code.
+
+    python scripts/multi_jvm_smoke.py [sf_dir]
+
+Prints one JSON line: timings + equality verdicts. A serialization or
+classpath bug (e.g. a closure capturing a non-picklable handle, a
+module import that only resolves in the driver) fails loudly here and
+nowhere else.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _session(master: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(master)
+        .appName(f"mjvm-smoke-{master.split('[')[0]}")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executor.memory", "3g")
+        # executor Python workers must import photon_ml_spark (pandas
+        # UDF bodies reference it by module) — on a real cluster this
+        # is --py-files / a wheel on the image; locally, PYTHONPATH
+        .config("spark.executorEnv.PYTHONPATH", REPO)
+        .getOrCreate()
+    )
+
+
+def _flagship_rows(spark, sf_dir: str):
+    """The flagship fit + score, returning a comparable result set
+    (rounded scores per uid) instead of just a count."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.datamodel import FeatureShardConfig
+    from photon_ml_spark.ml import glm, scoring
+    from photon_ml_spark.sources import datasets, featurize
+
+    training = datasets.lineitem_training_frame(
+        spark, sf_dir, uid_strategy="stable"
+    ).cache()
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    ).cache()
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(
+        training, dictionary, shard, strategy="map"
+    ).select(
+        "uid", "response", "offset", "weight",
+        "features_indices", "features_values",
+    ).cache()
+    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    scored = scoring.score_literal(assembled, model)
+    rows = {
+        (r.uid, round(r.score, 6))
+        for r in scored.select("uid", "score").collect()
+    }
+    assembled.unpersist()
+    dictionary.unpersist()
+    training.unpersist()
+    return rows
+
+
+def _minhash_rows(spark, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_dedup(
+        docs, threshold=0.5, n=2, num_hashes=16, bands=4
+    )
+    return {
+        (r.id_a, r.id_b, round(r.jaccard, 6))
+        for r in pairs.select("id_a", "id_b", "jaccard").collect()
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out: dict = {"sf_dir": sf_dir}
+    results: dict[str, dict] = {}
+    for label, master in (
+        ("local", "local[4]"),
+        ("local_cluster", "local-cluster[2,2,3072]"),
+    ):
+        spark = _session(master)
+        spark.sparkContext.setLogLevel("ERROR")
+        try:
+            t0 = time.perf_counter()
+            flag = _flagship_rows(spark, sf_dir)
+            t1 = time.perf_counter()
+            mh = _minhash_rows(spark, sf_dir)
+            t2 = time.perf_counter()
+            results[label] = {"flagship": flag, "minhash": mh}
+            out[f"{label}_flagship_sec"] = round(t1 - t0, 3)
+            out[f"{label}_minhash_sec"] = round(t2 - t1, 3)
+            out[f"{label}_executors"] = (
+                spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
+            )
+        finally:
+            spark.stop()
+    out["flagship_rows"] = len(results["local"]["flagship"])
+    out["minhash_pairs"] = len(results["local"]["minhash"])
+    out["flagship_equal"] = (
+        results["local"]["flagship"] == results["local_cluster"]["flagship"]
+    )
+    out["minhash_equal"] = (
+        results["local"]["minhash"] == results["local_cluster"]["minhash"]
+    )
+    print(json.dumps(out))
+    if not (out["flagship_equal"] and out["minhash_equal"]):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
