@@ -1369,6 +1369,11 @@ def index(cfg: dict, spark: SparkSession) -> None:
             selected = featurize.read_name_term_bags(
                 spark, sel["bags_dir"], cfg.get("feature_bags", ["features"])
             )
+        elif str(sel).endswith(".avro"):
+            # the reference's actual artifact: a FeatureNameTermAvro
+            # file (GLMSuite.getSelectedFeatureSetFromFile — e.g. its
+            # GLMSuiteIntegTest/selectedFeatures.avro fixture)
+            selected = featurize.read_name_term_avro(spark, sel)
         else:
             selected = spark.read.parquet(sel)
     dictionary = featurize.build_feature_dictionary(

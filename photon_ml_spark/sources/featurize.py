@@ -172,6 +172,27 @@ def read_name_term_bags(
     return out.distinct()
 
 
+def read_name_term_avro(spark, path: str) -> DataFrame:
+    """Read a FeatureNameTermAvro file (the reference's selected-
+    features artifact format, GLMSuite.getSelectedFeatureSetFromFile /
+    photon-avro-schemas FeatureNameTermAvro — e.g. its
+    GLMSuiteIntegTest/selectedFeatures.avro fixture) into a
+    (feature_key) relation for the dictionary allowlist semi-join."""
+    from photon_ml_spark.sources.avro_io import read_avro
+
+    return (
+        read_avro(spark, path)
+        .select(
+            F.concat_ws(
+                FEATURE_KEY_SEP,
+                F.col("name"),
+                F.coalesce(F.col("term"), F.lit("")),
+            ).alias("feature_key")
+        )
+        .distinct()
+    )
+
+
 def check_duplicate_features(
     df: DataFrame, feature_bags: list[str], uid_col: str = "uid"
 ) -> DataFrame:

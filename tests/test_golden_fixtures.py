@@ -423,3 +423,43 @@ def test_heart_warm_start_matches_cold_start_at_convergence(spark, tmp_path, cap
     assert warm_rep["best"]["metric"] == pytest.approx(
         cold["best"]["metric"], abs=1e-4
     )
+
+
+def test_selected_features_avro_allowlist(spark, tmp_path, capsys):
+    """GLMSuiteIntegTest/selectedFeatures.avro (FeatureNameTermAvro):
+    the reference's selected-features artifact narrows the index
+    driver's dictionary to exactly its (name, term) pairs present in
+    the input, + intercept."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP as S, INTERCEPT_KEY
+
+    inp = str(tmp_path / "sel_in.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1.0, [{"name": "f1", "term": "t1", "value": 1.0},
+                      {"name": "f2", "term": "t1", "value": 2.0},
+                      {"name": "f4", "term": "t2", "value": 3.0}]),
+            (2, 0.0, [{"name": "f3", "term": "", "value": 1.0}]),
+        ],
+        "uid long, response double, features array<struct<"
+        "name string, term string, value double>>",
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "sel_index_out")
+    cli.index(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "output_dir": out,
+            "selected_features": f"{RES}/GLMSuiteIntegTest/selectedFeatures.avro",
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "indexed"
+    keys = {
+        r.feature_key
+        for r in spark.read.parquet(f"{out}/feature-dictionary").collect()
+    }
+    # the fixture allowlists (f1,t1) and (f4,t2)
+    assert keys == {f"f1{S}t1", f"f4{S}t2", INTERCEPT_KEY}
