@@ -716,3 +716,205 @@ def sq8_topk_from_index(
         codes, q, lo, hi, k,
         id_col=id_col, codes_col="sq8", query_id_col=query_id_col,
     )
+
+
+# ------------------------------------------------------ product quantization
+def pq_train_sampled(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> list[list[list[float]]]:
+    """Train a PQ codebook by DETERMINISTIC sampling: sub-quantizer j's
+    centroids are the j-th subvectors of the first ``ksub`` corpus rows
+    in ``id_col`` order (FAISS's k-means init is exactly "sample ksub
+    points per subquantizer"; this is that init with zero Lloyd
+    iterations). The sampled form is what the correctness gate runs —
+    fully reproducible in SQL, so the DuckDB oracle can re-derive the
+    exact same codebook, codes, and ADC scores. For production recall,
+    compose with k-means per subquantizer (``kmeans_cells`` on sliced
+    subvectors) — routing and storage are identical, only centroid
+    quality differs.
+
+    Returns ``codebook[j][c]`` = centroid ``c`` of sub-quantizer ``j``
+    (m × ksub × dim/m floats — driver-resident like any quantizer,
+    O(m·ksub·dsub) ≪ corpus).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(ksub)
+        .select(vec_col)
+        .collect()
+    )
+    if not seeds:
+        raise ValueError("pq_train_sampled: empty corpus")
+    return [
+        [
+            [float(x) for x in r[0][j * dsub:(j + 1) * dsub]]
+            for r in seeds
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq",
+) -> DataFrame:
+    """Attach ``out_col`` = array<tinyint> of length m: for each
+    sub-quantizer, the index of the L2-nearest centroid (ties -> lowest
+    index, numpy argmin semantics — the SQL oracle orders by
+    (distance, centroid)). Arrow-batched ``mapInPandas``: each batch is
+    ONE numpy distance matrix per sub-quantizer
+    (||x||² − 2xCᵀ + ||C||², BLAS throughput) — the encode is the
+    compute-heavy inner loop where the sanctioned vectorized-Python
+    path beats m×ksub Catalyst slice expressions (the HOF
+    re-evaluation trap: slicing a computed vector per centroid
+    re-evaluates it, PLANS.md rule)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    C = [np.asarray(codebook[j], dtype=np.float64) for j in range(m)]
+    Cn = [(c * c).sum(axis=1) for c in C]
+    out_schema = T.StructType(
+        df.schema.fields
+        + [T.StructField(out_col, T.ArrayType(T.ByteType()), False)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            X = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            if len(X) == 0:
+                continue
+            codes = np.empty((len(X), m), dtype=np.int8)
+            for j in range(m):
+                Xj = X[:, j * dsub:(j + 1) * dsub]
+                # ||x−c||² up to the row-constant ||x||²: argmin of
+                # −2xCᵀ + ||C||² (ties -> first index, like the oracle)
+                D = -2.0 * (Xj @ C[j].T) + Cn[j]
+                codes[:, j] = np.argmin(D, axis=1).astype(np.int8)
+            pdf = pdf.copy()
+            pdf[out_col] = [row.tolist() for row in codes]
+            yield pdf
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
+def pq_reconstruct_expr(codes_col, codebook: list[list[list[float]]]):
+    """Reconstruction EXPRESSION: codes array<tinyint> → the
+    concatenation of the chosen centroids (JVM-side; the codebook is a
+    LITERAL nested array, so element_at here does not hit the
+    computed-array re-evaluation trap — literals evaluate once)."""
+    cb = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(x)) for x in centroid])
+                    for centroid in sub
+                ]
+            )
+            for sub in codebook
+        ]
+    )
+    return F.flatten(
+        F.zip_with(
+            codes_col,
+            cb,
+            lambda c, sub: F.element_at(sub, c.cast("int") + F.lit(1)),
+        )
+    )
+
+
+def pq_topk(
+    corpus_codes: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int,
+    id_col: str = "vec_id",
+    codes_col: str = "pq",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC (asymmetric distance) top-k: RAW query vectors against the
+    RECONSTRUCTED corpus — the standard PQ search idiom (queries are
+    few and exact; only the corpus pays the compression). Same plan
+    shape as ``cosine_topk`` (broadcast queries + rank window); the
+    corpus side scans m bytes per vector instead of dim floats."""
+    rec = corpus_codes.withColumn(
+        "__z", pq_reconstruct_expr(F.col(codes_col), codebook)
+    )
+    return cosine_topk(
+        rec.select(F.col(id_col), F.col("__z")),
+        queries.select(F.col(id_col), F.col(vec_col).alias("__z")),
+        k,
+        id_col=id_col,
+        vec_col="__z",
+        query_id_col=query_id_col,
+    )
+
+
+def save_pq_index(
+    corpus: DataFrame,
+    path: str,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> None:
+    """Persist the PQ index: ``{path}/codes`` (id + m-byte code array —
+    dim·4/m× smaller than float32 per vector; at dim=64, m=8 that is
+    32×) and ``{path}/meta.json`` (the codebook + geometry). The
+    100 TB shape: a billion 64-dim float32 vectors are 256 GB raw;
+    their PQ codes are 8 GB — broadcastable routing tables become
+    scannable artifacts."""
+    import json
+
+    from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+    codebook = pq_train_sampled(
+        corpus, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, dim=dim
+    )
+    pq_encode(corpus, codebook, vec_col=vec_col).select(
+        id_col, "pq"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    _hadoop_write_text(
+        corpus.sparkSession,
+        f"{path}/meta.json",
+        json.dumps({"m": m, "ksub": ksub, "dim": dim, "codebook": codebook}),
+    )
+
+
+def pq_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """ADC top-k against a persisted PQ index (codes + saved codebook;
+    the index defines the codebook, as a trained quantizer must)."""
+    import json
+
+    from photon_ml_spark.sources.model_io import _hadoop_read_text
+
+    meta = json.loads(_hadoop_read_text(spark, f"{index_path}/meta.json"))
+    codes = spark.read.parquet(f"{index_path}/codes")
+    return pq_topk(
+        codes, queries, meta["codebook"], k,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    )

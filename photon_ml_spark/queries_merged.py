@@ -103,6 +103,7 @@ _FOLDED = {
         ["query_id", "vec_id", "cosine", "rank"],
     ),
     "x9c_ann_sq8_topk": ("sq8", ["query_id", "vec_id", "cosine", "rank"]),
+    "x9d_ann_pq_topk": ("pq", ["query_id", "vec_id", "cosine", "rank"]),
     # event-time windows (unioned)
     "e1_event_window_agg": (
         "tumbling",
@@ -519,6 +520,7 @@ _ANN_PARTS = [
     "x10_ann_ivf_topk",
     "x10b_ann_ivf_index_topk",
     "x9c_ann_sq8_topk",
+    "x9d_ann_pq_topk",
 ]
 
 

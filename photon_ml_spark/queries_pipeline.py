@@ -987,6 +987,76 @@ def x9c_ann_sq8_topk(spark, sf_dir):
 
 
 @register(
+    "x9d_ann_pq_topk",
+    oracle=f"""
+WITH q AS (SELECT vec_id, {_QE_SQL} AS qe FROM embeddings),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, qe
+  FROM q ORDER BY vec_id LIMIT 16
+),
+assign AS (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, r.j, s.c,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id, r.j
+             ORDER BY
+               list_dot_product(v.qe[r.j*8+1 : r.j*8+8],
+                                v.qe[r.j*8+1 : r.j*8+8])
+               - 2 * list_dot_product(v.qe[r.j*8+1 : r.j*8+8],
+                                      s.qe[r.j*8+1 : r.j*8+8])
+               + list_dot_product(s.qe[r.j*8+1 : r.j*8+8],
+                                  s.qe[r.j*8+1 : r.j*8+8]),
+               s.c) AS rn
+    FROM q v, range(8) r(j), seeds s
+  ) WHERE rn = 1
+),
+recon AS (
+  SELECT a.vec_id,
+         flatten(list(s.qe[a.j*8+1 : a.j*8+8] ORDER BY a.j)) AS zv
+  FROM assign a JOIN seeds s USING (c) GROUP BY a.vec_id
+),
+pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+         list_dot_product(a.qe, b.zv)
+           / sqrt(list_dot_product(a.qe, a.qe))
+           / sqrt(list_dot_product(b.zv, b.zv)) AS cosine
+  FROM q a JOIN recon b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 25 = 0
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id) AS rank
+  FROM pairs
+)
+SELECT query_id, vec_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    note="pipeline/similarity: PQ product-quantized ADC top-5 (the FAISS "
+    "IVF-PQ storage idea — m=8 sub-quantizers x ksub=16 centroids, one "
+    "BYTE per subvector: dim*4/m = 32x smaller than float32). Gate "
+    "variant uses the deterministic SAMPLED codebook (k-means init "
+    "with zero Lloyd rounds) so the oracle re-derives codebook, codes "
+    "(argmin with ties -> lowest centroid), reconstruction, and the "
+    "asymmetric raw-query-vs-reconstructed-corpus cosine EXACTLY on "
+    "integer-quantized vectors; encode is one numpy distance matrix "
+    "per sub-quantizer per Arrow batch (mapInPandas), search is pure "
+    "Catalyst over the literal codebook",
+)
+def x9d_ann_pq_topk(spark, sf_dir):
+    from photon_ml_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train_sampled,
+    )
+
+    emb = _quantized(_t(spark, sf_dir, "embeddings"))
+    cb = pq_train_sampled(emb, m=8, ksub=16, vec_col="qe", dim=64)
+    enc = pq_encode(emb.select("vec_id", "qe"), cb, vec_col="qe")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    return pq_topk(enc, queries, cb, k=5, codes_col="pq", vec_col="qe")
+
+
+@register(
     "x14_sequence_packing",
     oracle=f"""
 WITH t AS (

@@ -2012,3 +2012,88 @@ def test_sq8_out_of_grid_query_clamps(spark, emb, tmp_path):
         "sq8"
     ).first().sq8
     assert set(codes) <= {-128, 127}  # every component clamped to an edge
+
+
+def test_pq_codes_and_reconstruction(spark, emb):
+    """PQ encode: seeds code to themselves (centroid c's code at every
+    sub-quantizer is c), codes are m bytes, and the reconstruction of a
+    seed equals the seed exactly."""
+    qe = emb.select("vec_id", F.transform(
+        "qe", lambda x: F.round(x * 1000, 0)).alias("qe"))
+    cb = similarity.pq_train_sampled(qe, m=8, ksub=16, vec_col="qe", dim=64)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    enc = similarity.pq_encode(qe, cb, vec_col="qe")
+    assert dict(enc.dtypes)["pq"] == "array<tinyint>"
+    seeds = enc.orderBy("vec_id").limit(16).collect()
+    for c, r in enumerate(seeds):
+        # a seed's nearest centroid at every sub-quantizer is itself
+        # (distance 0; ties -> lowest index can only pick an equal twin)
+        rec = similarity.pq_reconstruct_expr(F.col("pq"), cb)
+        assert all(
+            cb[j][code] == cb[j][c]
+            for j, code in enumerate(r.pq)
+        ), (c, r.pq)
+    rec_df = enc.withColumn(
+        "rv", similarity.pq_reconstruct_expr(F.col("pq"), cb)
+    ).orderBy("vec_id").limit(16).collect()
+    raw = {r.vec_id: r.qe for r in qe.orderBy("vec_id").limit(16).collect()}
+    for r in rec_df:
+        assert list(r.rv) == [float(x) for x in raw[r.vec_id]]
+
+
+def test_pq_index_roundtrip_and_size(spark, emb, tmp_path):
+    """save_pq_index → pq_topk_from_index reproduces the in-memory ADC
+    result exactly; the persisted codes table is much smaller than the
+    float embedding table (the 100 TB artifact story)."""
+    import glob
+    import os
+
+    qe = emb.select("vec_id", F.transform(
+        "qe", lambda x: F.round(x * 1000, 0)).alias("qe"))
+    idx = str(tmp_path / "pq_idx")
+    similarity.save_pq_index(qe, idx, m=8, ksub=16, vec_col="qe", dim=64)
+    queries = qe.filter(F.col("vec_id") % 25 == 0)
+    from_index = similarity.pq_topk_from_index(
+        spark, idx, queries, k=5, vec_col="qe"
+    )
+    cb = similarity.pq_train_sampled(qe, m=8, ksub=16, vec_col="qe", dim=64)
+    enc = similarity.pq_encode(qe, cb, vec_col="qe")
+    direct = similarity.pq_topk(enc, queries, cb, k=5, vec_col="qe")
+    a = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in from_index.collect()}
+    b = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+    # artifact size: m=8 bytes/vector vs 64 float64 (qe) — parquet
+    # overhead shrinks the headline ratio, but it must still be large
+    raw_dir = str(tmp_path / "raw_qe")
+    qe.write.parquet(raw_dir)
+    size = lambda d: sum(  # noqa: E731
+        os.path.getsize(p) for p in glob.glob(f"{d}/**/*.parquet", recursive=True)
+    )
+    ratio = size(raw_dir) / size(f"{idx}/codes")
+    assert ratio > 4, ratio
+
+
+def test_pq_recall_vs_brute(spark, emb):
+    """PQ is lossy by design — measure recall@5 of ADC vs exact brute
+    force (sampled 16-centroid codebook on real embeddings: weak
+    quantizer, bounded floor; k-means codebooks raise it)."""
+    qe = emb.select("vec_id", F.transform(
+        "qe", lambda x: F.round(x * 1000, 0)).alias("qe"))
+    cb = similarity.pq_train_sampled(qe, m=8, ksub=16, vec_col="qe", dim=64)
+    enc = similarity.pq_encode(qe, cb, vec_col="qe")
+    queries = qe.filter(F.col("vec_id") % 25 == 0)
+    pq = {
+        (r.query_id, r.vec_id)
+        for r in similarity.pq_topk(enc, queries, cb, k=5, vec_col="qe").collect()
+    }
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in similarity.cosine_topk(
+            qe.select("vec_id", F.col("qe").alias("embedding")),
+            queries.select("vec_id", F.col("qe").alias("embedding")),
+            k=5,
+        ).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    assert 0.05 <= recall <= 1.0, recall
