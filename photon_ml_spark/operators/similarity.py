@@ -345,6 +345,9 @@ def save_ivf_index(
     max_iter: int = 20,
     sq8: bool = False,
     dim: int = 64,
+    pq: bool = False,
+    pq_m: int = 8,
+    pq_ksub: int = 16,
 ) -> None:
     """Materialize the ANN state for repeated query batches — the
     similarity twin of ``dedup.save_minhash_index``:
@@ -362,6 +365,12 @@ def save_ivf_index(
       vectors (~4x smaller on disk — see the scalar-quantization
       section) plus ``{path}/meta.json`` with the min-max grid; search
       reconstructs candidates in-plan.
+    - ``pq=True`` composes IVF with PRODUCT quantization instead
+      (FAISS IVF-PQ, the canonical billion-scale layout): the
+      partitioned table stores ``pq_m``-byte codes (dim·4/pq_m× smaller
+      than float32) with the sampled codebook in ``meta.json``; search
+      is asymmetric (raw query vs reconstructed candidates).
+      Mutually exclusive with ``sq8``.
 
     Build cost is one KMeans fit + one partitioned write (plus one
     min/max pass when ``sq8``); rebuild when the corpus distribution
@@ -380,6 +389,31 @@ def save_ivf_index(
         "cell int, centroid array<double>",
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    if sq8 and pq:
+        raise ValueError("save_ivf_index: choose sq8 OR pq, not both")
+    if pq:
+        import json
+
+        from photon_ml_spark.sources.model_io import _hadoop_write_text
+
+        codebook = pq_train_sampled(
+            corpus, m=pq_m, ksub=pq_ksub, vec_col=vec_col,
+            id_col=id_col, dim=dim,
+        )
+        pq_encode(assigned, codebook, vec_col=vec_col).select(
+            id_col, "pq", "cell"
+        ).write.mode("overwrite").partitionBy("cell").parquet(
+            f"{path}/vectors"
+        )
+        _hadoop_write_text(
+            spark,
+            f"{path}/meta.json",
+            json.dumps(
+                {"m": pq_m, "ksub": pq_ksub, "dim": dim,
+                 "codebook": codebook}
+            ),
+        )
+        return
     if sq8:
         import json
 
@@ -472,31 +506,43 @@ def ivf_topk_from_index(
     from photon_ml_spark.sources.model_io import _hadoop_exists
 
     if _hadoop_exists(spark, f"{index_path}/meta.json"):
-        # SQ8-composed index (save_ivf_index(sq8=True)): candidates are
-        # 1-byte codes — reconstruct them in-plan, and put the QUERY
-        # through the same saved grid (encode + reconstruct) so scores
-        # are code-vs-code, identical to sq8_topk over the same
-        # candidate set. Routing above used the RAW query vector (the
-        # coarse quantizer is trained on raw vectors, FAISS-style).
+        # quantizer-composed index: meta.json's keys identify the
+        # format — "codebook" = PQ (save_ivf_index(pq=True)),
+        # "lo" = SQ8 (sq8=True). Routing above used the RAW query
+        # vector in both cases (the coarse quantizer is trained on raw
+        # vectors, FAISS-style).
         import json
 
         from photon_ml_spark.sources.model_io import _hadoop_read_text
 
         meta = json.loads(_hadoop_read_text(spark, f"{index_path}/meta.json"))
-        lo, hi = meta["lo"], meta["hi"]
-        probes = probes.withColumn(
-            "__qz",
-            sq8_reconstruct(sq8_code_expr(F.col("__qv"), lo, hi), lo, hi),
-        )
         joined = vectors.join(F.broadcast(probes), "cell").filter(
             F.col(id_col) != F.col(query_id_col)
         )
-        scored = joined.withColumn(
-            "cosine",
-            cosine_similarity(
-                F.col("__qz"), sq8_reconstruct(F.col("sq8"), lo, hi)
-            ),
-        )
+        if "codebook" in meta:
+            # PQ: asymmetric distance — raw query vs candidates
+            # reconstructed from their m-byte codes (pq_topk semantics)
+            scored = joined.withColumn(
+                "cosine",
+                cosine_similarity(
+                    F.col("__qv"),
+                    pq_reconstruct_expr(F.col("pq"), meta["codebook"]),
+                ),
+            )
+        else:
+            # SQ8: put the QUERY through the same saved grid (encode +
+            # reconstruct) so scores are code-vs-code, identical to
+            # sq8_topk over the same candidate set
+            lo, hi = meta["lo"], meta["hi"]
+            scored = joined.withColumn(
+                "cosine",
+                cosine_similarity(
+                    sq8_reconstruct(
+                        sq8_code_expr(F.col("__qv"), lo, hi), lo, hi
+                    ),
+                    sq8_reconstruct(F.col("sq8"), lo, hi),
+                ),
+            )
     else:
         joined = vectors.join(F.broadcast(probes), "cell").filter(
             F.col(id_col) != F.col(query_id_col)

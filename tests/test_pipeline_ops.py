@@ -2097,3 +2097,32 @@ def test_pq_recall_vs_brute(spark, emb):
     }
     recall = len(pq & brute) / len(brute)
     assert 0.05 <= recall <= 1.0, recall
+
+
+def test_ivf_pq_composed_index(spark, emb, tmp_path):
+    """IVF+PQ composed index (partition-pruned cells AND m-byte codes):
+    full probe over every cell visits every candidate, so the result
+    must equal direct ADC pq_topk EXACTLY (same codebook, same
+    reconstruction, same raw-query asymmetric cosine)."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    idx = str(tmp_path / "ivf_pq_idx")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5,
+        pq=True, pq_m=8, pq_ksub=16, dim=64,
+    )
+    stored = spark.read.parquet(f"{idx}/vectors")
+    assert dict(stored.dtypes)["pq"] == "array<tinyint>"
+    composed = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe"
+    )
+    cb = similarity.pq_train_sampled(emb, m=8, ksub=16, vec_col="qe", dim=64)
+    enc = similarity.pq_encode(emb.select("vec_id", "qe"), cb, vec_col="qe")
+    direct = similarity.pq_topk(enc, queries, cb, k=5, vec_col="qe")
+    a = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in composed.collect()}
+    b = {(r.query_id, r.vec_id, r.cosine, r.rank) for r in direct.collect()}
+    assert a == b and len(a) > 0
+
+    with pytest.raises(ValueError, match="sq8 OR pq"):
+        similarity.save_ivf_index(
+            emb, str(tmp_path / "x"), k=2, vec_col="qe", sq8=True, pq=True
+        )
