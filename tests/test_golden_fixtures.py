@@ -463,3 +463,53 @@ def test_selected_features_avro_allowlist(spark, tmp_path, capsys):
     }
     # the fixture allowlists (f1,t1) and (f4,t2)
     assert keys == {f"f1{S}t1", f"f4{S}t2", INTERCEPT_KEY}
+
+
+def test_linear_regression_driver_e2e(spark, tmp_path, capsys):
+    """DriverTest's LINEAR_REGRESSION task on the real fixtures:
+    gaussian family, λ sweep selected by negated weighted RMSE on
+    linear_regression_val.avro, save→score chain."""
+    from photon_ml_spark import cli
+
+    out = str(tmp_path / "linreg_model")
+    cli.train(
+        {
+            "input": f"{DRIVER_IN}/linear_regression_train.avro",
+            "input_format": "avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "coordinates": [{"name": "global", "kind": "fixed"}],
+            "family": "gaussian",
+            "n_iterations": 1,
+            "output_dir": out,
+            "validation_input": f"{DRIVER_IN}/linear_regression_val.avro",
+            "reg_param_sweep": [{"global": lam} for lam in (0.1, 10.0)],
+            "output_mode": "best",
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "trained"
+    assert rep["dim"] == 7  # LINEAR_EXPECTED_NUM_FEATURES (6 + intercept)
+    # metric = -weighted RMSE: less regularization should fit at least
+    # as well on this dense well-conditioned fixture
+    by_lam = {e["config"]["global"]: e["metric"] for e in rep["sweep"]}
+    assert by_lam[0.1] >= by_lam[10.0]
+    rmse_best = -rep["best"]["metric"]
+    assert 0 < rmse_best < 10  # responses are O(1-10); a fit, not noise
+
+    score_out = str(tmp_path / "linreg_scores")
+    cli.score(
+        {
+            "input": f"{DRIVER_IN}/linear_regression_val.avro",
+            "input_format": "avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "model_dir": out,
+            "output_dir": score_out,
+            "evaluators": ["RMSE"],
+        },
+        spark,
+    )
+    srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert srep["evaluation"]["RMSE"] == pytest.approx(rmse_best, abs=1e-6)
