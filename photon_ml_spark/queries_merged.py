@@ -1114,7 +1114,26 @@ def x21_chunk_split(spark, sf_dir, stamps=None):
         F.col("chunk_tokens").cast("long").alias("n_tok"),
         F.col("chunk_text").alias("tag"),
     )
-    split = _timed_run("split_build", "x22_leakage_safe_split").select(
+    # split_build itemized: x22 reports pairs (LSH detection) and
+    # cluster (eager connected-components resolution) phase stamps;
+    # the residual split_build covers tokenize/plan glue
+    if stamps is None:
+        split_src = _SPEC["x22_leakage_safe_split"].run(spark, sf_dir)
+    else:
+        import time as _time
+
+        ps: dict = {}
+        t0 = _time.perf_counter()
+        split_src = _SPEC["x22_leakage_safe_split"].run(
+            spark, sf_dir, phase_stamps=ps
+        )
+        elapsed = _time.perf_counter() - t0
+        for k, v in ps.items():
+            stamps[f"split_{k}"] = v
+        stamps["split_build"] = max(
+            round(elapsed - sum(ps.values()), 3), 0.0
+        )
+    split = split_src.select(
         F.lit("split").alias("variant"),
         "doc_id",
         F.col("cluster_id").alias("idx"),

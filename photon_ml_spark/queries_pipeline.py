@@ -1710,7 +1710,7 @@ FROM labeled
     "and all its near-copies land on the same side; deterministic "
     "portable LCG gate at test_frac=0.25",
 )
-def x22_leakage_safe_split(spark, sf_dir):
+def x22_leakage_safe_split(spark, sf_dir, phase_stamps=None):
     from photon_ml_spark.operators.dedup import minhash_lsh_dedup
     from photon_ml_spark.operators.sampling import (
         lcg_uniform,
@@ -1719,10 +1719,24 @@ def x22_leakage_safe_split(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = minhash_lsh_dedup(docs, threshold=0.5, n=2).select("id_a", "id_b")
+    if phase_stamps is not None:
+        # bench attribution only (the x21 suite): materialize the LSH
+        # edge list under its own stamp so the split constituent
+        # separates near-dup detection from cluster resolution
+        import time as _time
+
+        pairs = pairs.persist()
+        t0 = _time.perf_counter()
+        pairs.count()
+        phase_stamps["pairs"] = round(_time.perf_counter() - t0, 3)
+        t0 = _time.perf_counter()
     out = leakage_safe_split(
         docs, pairs, test_frac=0.25,
         uniform=lcg_uniform(F.col("cluster_id") * 104729, 11),
     )
+    if phase_stamps is not None:
+        # cluster_and_keep's connected-components loop is eager
+        phase_stamps["cluster"] = round(_time.perf_counter() - t0, 3)
     return out.select("doc_id", "cluster_id", "split")
 
 
