@@ -256,7 +256,54 @@ def _make_encoder(schema: Any) -> Callable[[bytearray, Any], None]:
         null_idx = next((i for i, b in enumerate(schema) if b == "null"), None)
         other = [(i, b) for i, b in enumerate(schema) if b != "null"]
         if len(other) > 1:
-            raise ValueError("only [null, X] unions supported for encoding")
+            # wide union (foreign writer schemas — e.g. synthesizing
+            # reference-toolchain shapes in tests): dispatch the branch
+            # on the Python value's type. Branch preference per type
+            # mirrors the decode side's precedence.
+            by_kind: dict[str, tuple[int, Callable]] = {}
+            for i, b in other:
+                kind = b if isinstance(b, str) else b.get("type")
+                if kind not in by_kind:
+                    by_kind[kind] = (i, _make_encoder(b))
+
+            def pick(v):
+                if isinstance(v, bool):
+                    order = ("boolean", "int", "long", "double", "float",
+                             "string")
+                elif isinstance(v, int):
+                    order = ("long", "int", "double", "float", "string")
+                elif isinstance(v, float):
+                    order = ("double", "float", "string")
+                elif isinstance(v, str):
+                    order = ("string",)
+                elif isinstance(v, (bytes, bytearray)):
+                    order = ("bytes", "string")
+                elif isinstance(v, dict):
+                    order = ("map",)
+                elif isinstance(v, (list,)):
+                    order = ("array",)
+                elif isinstance(v, tuple):
+                    order = ("record",)
+                else:
+                    order = ()
+                for k in order:
+                    if k in by_kind:
+                        return by_kind[k]
+                raise ValueError(
+                    f"no union branch for {type(v).__name__} in "
+                    f"{sorted(by_kind)}"
+                )
+
+            def e_wide(out, v):
+                if v is None:
+                    if null_idx is None:
+                        raise ValueError("None for non-nullable union")
+                    _write_long(out, null_idx)
+                    return
+                i, enc = pick(v)
+                _write_long(out, i)
+                enc(out, v)
+            return e_wide
         oi, ob = other[0] if other else (None, None)
         oe = _make_encoder(ob) if ob is not None else None
 
