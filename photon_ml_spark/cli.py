@@ -285,7 +285,7 @@ _CFG_KEYS = {
         "input", "input_format", "feature_bags", "shard", "model_dir",
         "output_dir", "output_files_limit", "evaluators",
         "data_validation", "model_id", "date_range", "days_range",
-        "column_names",
+        "column_names", "feature_shards",
     }),
     "curate": frozenset({
         "input", "output_dir", "quality", "exact_dedup", "near_dedup",
@@ -1528,6 +1528,67 @@ def score(cfg: dict, spark: SparkSession) -> None:
 
     _validate_cfg_keys(cfg, "score")
     model_dir = cfg["model_dir"]
+
+    # REFERENCE-LAYOUT model dir (the migration path): no engine
+    # metadata.json, but fixed-effect/random-effect coordinate dirs in
+    # the reference toolchain's Avro layout — load coefficients AND
+    # per-shard dictionaries straight from the artifact
+    # (ModelProcessingUtils.scala:143-265), no retraining, no
+    # re-indexing. The score config maps each shard id (id-info's
+    # featureShardId) to its feature bags; a single-shard model takes
+    # the plain shard/feature_bags shorthand.
+    is_reference_layout = not _hadoop_exists(
+        spark, f"{model_dir}/metadata.json"
+    ) and (
+        _hadoop_exists(spark, f"{model_dir}/fixed-effect")
+        or _hadoop_exists(spark, f"{model_dir}/random-effect")
+    )
+    if is_reference_layout:
+        from photon_ml_spark.sources.model_io import load_photon_game_model
+
+        model, ref_dicts = load_photon_game_model(spark, model_dir)
+        shard_ids = set(ref_dicts)
+        if "feature_shards" in cfg:
+            missing = sorted(shard_ids - set(cfg["feature_shards"]))
+            if missing:
+                raise ValueError(
+                    f"reference model at {model_dir!r} uses feature "
+                    f"shard(s) {missing} with no bag mapping in "
+                    "feature_shards"
+                )
+            cfg = {
+                **cfg,
+                "feature_shards": {
+                    s: cfg["feature_shards"][s] for s in shard_ids
+                },
+            }
+        elif len(shard_ids) == 1:
+            (sole,) = shard_ids
+            cfg = {
+                **cfg,
+                "feature_shards": {
+                    sole: {
+                        "bags": cfg.get("feature_bags", ["features"]),
+                        "has_intercept": False,
+                    }
+                },
+            }
+            cfg.pop("shard", None)
+            cfg.pop("feature_bags", None)
+        else:
+            raise ValueError(
+                f"reference model at {model_dir!r} uses shards "
+                f"{sorted(shard_ids)}; provide feature_shards mapping "
+                "each shard id to its bags"
+            )
+        dictionaries = {s: d for s, d in ref_dicts.items()}
+        try:
+            _score_body(cfg, spark, dictionaries, model=model)
+        finally:
+            for d in dictionaries.values():
+                d.unpersist()
+        return
+
     shards_json = f"{model_dir}/feature-shards.json"
     if _hadoop_exists(spark, shards_json):
         # multi-shard model: the shard definitions AND vocabularies are
@@ -1560,7 +1621,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
             d.unpersist()
 
 
-def _score_body(cfg: dict, spark, dictionaries: dict) -> None:
+def _score_body(cfg: dict, spark, dictionaries: dict, model=None) -> None:
     from photon_ml_spark.estimator import GameTransformer
     from photon_ml_spark.sources.model_io import load_game_model, save_scores
 
@@ -1581,7 +1642,8 @@ def _score_body(cfg: dict, spark, dictionaries: dict) -> None:
                 standard_scoring_checks(features_col=f"{s}_values"),
                 mode=dv_mode,
             )
-    model = load_game_model(cfg["model_dir"], spark)
+    if model is None:
+        model = load_game_model(cfg["model_dir"], spark)
     scored = GameTransformer(model=model).transform(assembled)
     save_scores(
         scored, cfg["output_dir"],

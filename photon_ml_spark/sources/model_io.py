@@ -289,8 +289,10 @@ def load_photon_game_model(
     through its PalDB index map, which the artifact does not ship).
 
     Returns ``(model, dictionaries)`` with ``dictionaries`` mapping
-    coordinate name → DataFrame(feature_key, feature_index) so callers
-    can featurize scoring data into the same index space. Dictionary
+    SHARD id (id-info's featureShardId) → DataFrame(feature_key,
+    feature_index) so callers can featurize scoring data into the same
+    index space; each coordinate's config reads its shard's assembled
+    columns (``{shard}_indices``/``{shard}_values``). Dictionary
     construction is distributed (explode → distinct → one-shuffle
     zip_with_index); only fixed-effect coefficient vectors land on the
     driver (the reference's own Broadcast regime).
@@ -378,10 +380,8 @@ def load_photon_game_model(
         (fam,) = fams
 
     model = GameModel(family=fam)
-    coord_dicts: dict[str, DataFrame] = {}
     for c in coords:
         d, dim = dictionaries[c["shard"]], dims[c["shard"]]
-        coord_dicts[c["name"]] = d
         if c["kind"] == "fixed":
             rows = c["frame"].collect()
             glm = avro_frame_to_fixed_effect(rows, d, dim, family=fam)
@@ -390,8 +390,14 @@ def load_photon_game_model(
             model.coordinates[c["name"]] = avro_frame_to_random_effects(
                 c["frame"], d, dim
             )
+        # per-coordinate sparse columns carry the SHARD id (id-info's
+        # featureShardId) — coordinates sharing a shard read the same
+        # assembled columns, exactly the multi-shard train/score
+        # contract (CoordinateDataConfiguration.featureShardId)
         model.configs[c["name"]] = CoordinateConfig(
             name=c["name"], kind=c["kind"], dim=dim,
             entity_col=c["entity_col"],
+            indices_col=f"{c['shard']}_indices",
+            values_col=f"{c['shard']}_values",
         )
-    return model, coord_dicts
+    return model, dictionaries

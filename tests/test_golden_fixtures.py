@@ -211,8 +211,9 @@ def test_golden_fixed_effect_model_loads(spark):
     # 15019 means = intercept + 15018 features (read with read_ocf)
     assert glm.dim == 15018
     assert glm.intercept == pytest.approx(3.6586913834396633)
-    # spot-check a named coefficient through the dictionary
-    d = dicts["global"]
+    # spot-check a named coefficient through the shard dictionary
+    # (global's id-info names shard1)
+    d = dicts["shard1"]
     idx = (
         d.filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
         .first()
@@ -235,15 +236,22 @@ def test_golden_mixed_effects_model_loads_and_scores(spark):
     assert set(model.configs) == {"global", "per-artist", "per-song"}
     assert model.configs["per-artist"].entity_col == "artistId"
     assert model.configs["per-song"].entity_col == "songId"
+    # shard wiring from id-info: global on shard1; per-artist and
+    # per-song SHARE shard2 (one dictionary, one assembled column pair)
+    assert model.configs["global"].indices_col == "shard1_indices"
+    assert model.configs["per-artist"].indices_col == "shard2_indices"
+    assert model.configs["per-song"].indices_col == "shard2_indices"
+    assert set(dicts) == {"shard1", "shard2"}
     # entity counts = distinct modelIds in the golden coefficient files
     assert model.coordinates["per-artist"].count() == 4469
     assert model.coordinates["per-song"].count() == 9418
 
-    # score a 2-row frame: one-hot on a known feature key per coordinate
+    # score a 2-row frame: one-hot a known shard1 key for the fixed
+    # coordinate; shard2 empty → random effects contribute intercepts
     glm = model.coordinates["global"]
-    d = dicts["global"]
     idx_u1 = (
-        d.filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
+        dicts["shard1"]
+        .filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
         .first()
         .feature_index
     )
@@ -251,13 +259,14 @@ def test_golden_mixed_effects_model_loads_and_scores(spark):
     some = re_art.filter(F.size(F.col("coefficients")) > 0).first()
     frame = spark.createDataFrame(
         [
-            (1, [int(idx_u1)], [1.0], str(some.entity)),
-            (2, [], [], "___unseen_artist___"),
+            (1, [int(idx_u1)], [1.0], [], [], str(some.entity)),
+            (2, [], [], [], [], "___unseen_artist___"),
         ],
-        "uid long, features_indices array<long>, features_values "
+        "uid long, shard1_indices array<long>, shard1_values "
+        "array<double>, shard2_indices array<long>, shard2_values "
         "array<double>, artistId string",
     )
-    # score only the coordinates this frame carries columns for
+    # score only the coordinates this frame carries entity tags for
     sub = type(model)(family=model.family)
     sub.configs = {
         "global": model.configs["global"],
@@ -269,13 +278,7 @@ def test_golden_mixed_effects_model_loads_and_scores(spark):
     }
     scored = {r.uid: r.score for r in sub.score(frame).collect()}
     exp_fixed = glm.intercept + glm.coefficients[idx_u1]
-    # both coordinates read the same features_indices/values columns —
-    # the random effect dots the same one-hot vector (in ITS shard
-    # space, where idx_u1 denotes whatever feature owns that slot)
-    re_coefs = list(some.coefficients)
-    exp_re = float(some.intercept) + (
-        float(re_coefs[idx_u1]) if idx_u1 < len(re_coefs) else 0.0
-    )
+    exp_re = float(some.intercept)  # shard2 empty → intercept only
     assert scored[1] == pytest.approx(exp_fixed + exp_re)
     # unseen entity: random-effect contributes 0 (missing → 0)
     assert scored[2] == pytest.approx(glm.intercept)
@@ -559,3 +562,72 @@ def test_poisson_driver_on_pig_fixture(spark, tmp_path, capsys):
     scored = spark.read.parquet(score_out)
     assert scored.count() == 4521
     assert srep["evaluation"]["POISSON_LOSS"] > 0
+
+
+def test_score_driver_on_reference_layout_model(spark, tmp_path, capsys):
+    """`cli score` pointed DIRECTLY at a reference-toolchain model dir
+    (no conversion step): coefficients + dictionaries load from the
+    Avro artifact and scores come out right — the one-command
+    migration path for a production scoring job."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    model_dir = f"{GAME}/retrainModels/fixedEffectsOnly"
+    model, dicts = load_photon_game_model(spark, model_dir)
+    glm = model.coordinates["global"]
+    idx_u1 = (
+        dicts["shard1"]
+        .filter(F.col("feature_key") == f"u{FEATURE_KEY_SEP}1")
+        .first()
+        .feature_index
+    )
+
+    inp = str(tmp_path / "ref_score_in.parquet")
+    spark.createDataFrame(
+        [
+            (1, 0.0, 1.0, [{"name": "u", "term": "1", "value": 1.0}]),
+            (2, 0.0, 1.0, [{"name": "u", "term": "1", "value": 2.0},
+                           {"name": "___unknown___", "term": "",
+                            "value": 9.0}]),
+            (3, 0.0, 1.0, []),
+        ],
+        "uid long, offset double, weight double, features array<struct<"
+        "name string, term string, value double>>",
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "ref_scores")
+    cli.score(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "model_dir": model_dir,
+            "output_dir": out,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "scored"
+    scores = {r.uid: r.score for r in spark.read.parquet(out).collect()}
+    c = float(glm.coefficients[idx_u1])
+    assert scores[1] == pytest.approx(glm.intercept + c)
+    # unknown keys drop (fixed-index-map behavior); known value scales
+    assert scores[2] == pytest.approx(glm.intercept + 2.0 * c)
+    assert scores[3] == pytest.approx(glm.intercept)
+
+
+def test_score_driver_reference_multishard_requires_mapping(spark, tmp_path):
+    """A multi-shard reference model without a feature_shards mapping
+    fails fast with the shard ids it needs."""
+    from photon_ml_spark import cli
+
+    with pytest.raises(ValueError, match="shard1.*shard2|feature_shards"):
+        cli.score(
+            {
+                "input": str(tmp_path / "nope.parquet"),
+                "feature_bags": ["features"],
+                "model_dir": f"{GAME}/retrainModels/mixedEffects",
+                "output_dir": str(tmp_path / "out"),
+            },
+            spark,
+        )
