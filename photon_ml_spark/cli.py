@@ -277,6 +277,9 @@ _CFG_KEYS = {
         "has_intercept", "selected_features", "date_range", "days_range",
         "column_names",
     }),
+    "import_model": frozenset({
+        "model_dir", "output_dir", "family", "shard", "feature_shards",
+    }),
     "bags": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
         "date_range", "days_range", "column_names",
@@ -2228,6 +2231,97 @@ def curate_stream(cfg: dict, spark: SparkSession) -> None:
     print(json.dumps({"status": "curated-stream", "survivors": n_out}))
 
 
+def import_model(cfg: dict, spark: SparkSession) -> None:
+    """One-time migration: convert a REFERENCE-toolchain GAME model dir
+    (Avro fixed-effect/random-effect layout, ModelProcessingUtils.
+    scala:143-265) into the engine's native model layout — after which
+    EVERY existing flow works on it unchanged: `score` (standard
+    path), `train` with `incremental_training` (M9 warm start /
+    priors), and partial retraining via `locked_coordinates` (M8).
+
+    Config: ``model_dir`` (reference layout), ``output_dir``; optional
+    ``family`` (inferred from the artifact's modelClass otherwise),
+    ``shard`` (single-shard models: the shard name the converted
+    model's sparse columns use — default "features", matching the
+    train driver's single-shard convention), ``feature_shards``
+    (multi-shard models: {referenceShardId: {bags: [...],
+    has_intercept}} recorded into feature-shards.json so score/train
+    reassemble identically).
+
+    The feature dictionaries are derived from the model's own key
+    space (deterministic lexicographic order) and persisted beside the
+    model exactly as `train` would have."""
+    from dataclasses import replace as _replace
+
+    from photon_ml_spark.sources.model_io import (
+        _hadoop_write_text,
+        load_photon_game_model,
+        save_game_model,
+    )
+
+    _validate_cfg_keys(cfg, "import_model")
+    model, dicts = load_photon_game_model(
+        spark, cfg["model_dir"], family=cfg.get("family")
+    )
+    out = cfg["output_dir"]
+    shard_ids = sorted(dicts)
+    if len(shard_ids) == 1 and "feature_shards" not in cfg:
+        # single-shard: adopt the train driver's shard naming so a
+        # plain {"shard": <name>} score/train config lines up
+        (ref_shard,) = shard_ids
+        shard_name = cfg.get("shard", "features")
+        for n, c in model.configs.items():
+            model.configs[n] = _replace(
+                c,
+                indices_col=f"{shard_name}_indices",
+                values_col=f"{shard_name}_values",
+            )
+        dicts[ref_shard].write.mode("overwrite").parquet(
+            f"{out}/feature-dictionary"
+        )
+        coord_dict = {n: dicts[ref_shard] for n in model.configs}
+    else:
+        fs = cfg.get("feature_shards")
+        if not isinstance(fs, dict) or sorted(fs) != shard_ids:
+            raise ValueError(
+                f"reference model uses shards {shard_ids}; provide "
+                "feature_shards mapping each shard id to its bags "
+                "(recorded into feature-shards.json)"
+            )
+        for sid in shard_ids:
+            _validate_stage_keys(fs[sid], "feature_shards{}")
+            dicts[sid].write.mode("overwrite").parquet(
+                f"{out}/feature-dictionaries/{sid}"
+            )
+        _hadoop_write_text(
+            spark,
+            f"{out}/feature-shards.json",
+            json.dumps({"shards": {
+                sid: {
+                    "bags": list(fs[sid].get("bags", ["features"])),
+                    "has_intercept": bool(
+                        fs[sid].get("has_intercept", False)
+                    ),
+                }
+                for sid in shard_ids
+            }}),
+        )
+        coord_dict = {
+            n: dicts[c.indices_col[: -len("_indices")]]
+            for n, c in model.configs.items()
+        }
+    save_game_model(model, out, spark, dictionary=coord_dict)
+    print(json.dumps({
+        "status": "imported",
+        "output_dir": out,
+        "family": model.family,
+        "coordinates": {
+            n: {"kind": c.kind, "dim": c.dim}
+            for n, c in model.configs.items()
+        },
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     from photon_ml_spark.session import get_spark
 
@@ -2235,7 +2329,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "command",
         choices=["bags", "index", "train", "score", "curate",
-                 "curate-stream"],
+                 "curate-stream", "import-model"],
     )
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
@@ -2249,6 +2343,7 @@ def main(argv: list[str] | None = None) -> None:
         "score": score,
         "curate": curate,
         "curate-stream": curate_stream,
+        "import-model": import_model,
     }[args.command](cfg, spark)
 
 

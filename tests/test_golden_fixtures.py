@@ -631,3 +631,63 @@ def test_score_driver_reference_multishard_requires_mapping(spark, tmp_path):
             },
             spark,
         )
+
+
+def test_import_model_then_standard_score(spark, tmp_path, capsys):
+    """`cli import-model` converts a reference-layout model into the
+    native layout once; the STANDARD score path then produces the same
+    scores as scoring the reference dir directly."""
+    from photon_ml_spark import cli
+
+    ref_dir = f"{GAME}/retrainModels/fixedEffectsOnly"
+    imported = str(tmp_path / "imported_model")
+    cli.import_model({"model_dir": ref_dir, "output_dir": imported}, spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "imported"
+    assert rep["family"] == "gaussian"
+    assert rep["coordinates"]["global"]["dim"] == 15018
+
+    inp = str(tmp_path / "imp_score_in.parquet")
+    spark.createDataFrame(
+        [
+            (1, 0.0, 1.0, [{"name": "u", "term": "1", "value": 1.0}]),
+            (2, 0.0, 1.0, []),
+        ],
+        "uid long, offset double, weight double, features array<struct<"
+        "name string, term string, value double>>",
+    ).write.parquet(inp)
+
+    outs = {}
+    for label, mdir in (("native", imported), ("reference", ref_dir)):
+        out = str(tmp_path / f"scores_{label}")
+        cli.score(
+            {
+                "input": inp,
+                "feature_bags": ["features"],
+                "model_dir": mdir,
+                "output_dir": out,
+            },
+            spark,
+        )
+        capsys.readouterr()
+        outs[label] = {
+            r.uid: r.score for r in spark.read.parquet(out).collect()
+        }
+    assert outs["native"].keys() == outs["reference"].keys()
+    for uid in outs["native"]:
+        assert outs["native"][uid] == pytest.approx(
+            outs["reference"][uid], rel=1e-12
+        )
+
+
+def test_import_model_multishard_requires_mapping(spark, tmp_path):
+    from photon_ml_spark import cli
+
+    with pytest.raises(ValueError, match="feature_shards"):
+        cli.import_model(
+            {
+                "model_dir": f"{GAME}/retrainModels/mixedEffects",
+                "output_dir": str(tmp_path / "x"),
+            },
+            spark,
+        )
