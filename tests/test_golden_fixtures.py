@@ -691,3 +691,58 @@ def test_import_model_multishard_requires_mapping(spark, tmp_path):
             },
             spark,
         )
+
+
+def test_retrain_from_imported_golden_model(spark, tmp_path, capsys):
+    """The retrainModels flow end-to-end: import the golden
+    fixedEffectsOnly model, then `train` with incremental_training
+    from it (warm start in the model's own 15018-feature space) on a
+    synthetic frame keyed to that space — the reference's
+    modelInputDirectory retraining story through the engine."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    ref_dir = f"{GAME}/retrainModels/fixedEffectsOnly"
+    imported = str(tmp_path / "imported_for_retrain")
+    cli.import_model({"model_dir": ref_dir, "output_dir": imported}, spark)
+    capsys.readouterr()
+
+    # synthetic rows over two known keys of the model's feature space
+    model, dicts = load_photon_game_model(spark, ref_dir)
+    keys = [f"u{FEATURE_KEY_SEP}1", f"s{FEATURE_KEY_SEP}0"]
+    rows = []
+    for i in range(200):
+        k = keys[i % 2]
+        name, term = k.split(FEATURE_KEY_SEP)
+        rows.append(
+            (i, float((i % 3) - 1), 0.0, 1.0,
+             [{"name": name, "term": term, "value": 1.0 + (i % 4)}])
+        )
+    inp = str(tmp_path / "retrain_in.parquet")
+    spark.createDataFrame(
+        rows,
+        "uid long, response double, offset double, weight double, "
+        "features array<struct<name string, term string, value double>>",
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "retrained")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "shard": "features",
+            "coordinates": [{"name": "global", "kind": "fixed",
+                             "reg_param": 1.0}],
+            "family": "gaussian",
+            "n_iterations": 1,
+            "output_dir": out,
+            "incremental_training": imported,
+        },
+        spark,
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "trained"
+    # the frozen prior space: dim matches the golden model, not the
+    # 2-key synthetic data
+    assert rep["dim"] == 15018
