@@ -229,3 +229,37 @@ def test_offset_plus_l1(uni):
     b0 = (sr - beta * sx) / n
     assert res["coefficients"][0] == pytest.approx(beta, abs=1e-6)
     assert res["intercept"] == pytest.approx(b0, abs=1e-5)
+
+
+def test_x0_warm_start_accelerates_and_matches(uni):
+    """M7 warm start through fit_fixed_effect(x0=...): starting from
+    the converged model, the refit converges (almost) immediately to
+    the same optimum; a FixedEffectGLM is accepted directly and a
+    wrong-shaped vector is rejected."""
+    cold = glm.fit_fixed_effect(
+        uni, dim=1, family="gaussian", reg_param=1.0,
+        weight_col=None, offset_col=None, solver="tron",
+    )
+    warm = glm.fit_fixed_effect(
+        uni, dim=1, family="gaussian", reg_param=1.0,
+        weight_col=None, offset_col=None, solver="tron", x0=cold,
+    )
+    assert warm.coefficients[0] == pytest.approx(cold.coefficients[0], rel=1e-6)
+    assert warm.intercept == pytest.approx(cold.intercept, rel=1e-6)
+    assert warm.meta["iterations"] <= cold.meta["iterations"]
+    assert warm.meta["iterations"] <= 2  # already at the optimum
+
+    import numpy as np
+
+    vec = np.append(cold.coefficients, cold.intercept)
+    warm2 = glm.fit_fixed_effect(
+        uni, dim=1, family="gaussian", reg_param=1.0,
+        weight_col=None, offset_col=None, solver="tron", x0=vec,
+    )
+    assert warm2.coefficients[0] == pytest.approx(cold.coefficients[0], rel=1e-6)
+
+    with pytest.raises(ValueError, match="shape"):
+        glm.fit_fixed_effect(
+            uni, dim=1, family="gaussian", solver="tron",
+            weight_col=None, offset_col=None, x0=np.zeros(5),
+        )
