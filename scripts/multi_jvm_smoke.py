@@ -83,6 +83,27 @@ def _flagship_rows(spark, sf_dir: str):
     return rows
 
 
+def _avro_rows(spark):
+    """Pure-Python OCF decode + schema-resolution adapter on EXECUTOR
+    Python workers (reads the reference's wide-union heart.avro) —
+    validates the decode closures cloudpickle across the JVM boundary."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.sources.avro_io import read_training_examples
+
+    df = read_training_examples(
+        spark,
+        "/root/reference/photon-client/src/integTest/resources/"
+        "DriverIntegTest/input/heart.avro",
+    )
+    return {
+        (r.response, r.name, r.value)
+        for r in df.select(
+            "response", F.explode("features").alias("f")
+        ).select("response", "f.name", "f.value").collect()
+    }
+
+
 def _minhash_rows(spark, sf_dir: str):
     from pyspark.sql import functions as F
 
@@ -114,9 +135,12 @@ def main() -> None:
             t1 = time.perf_counter()
             mh = _minhash_rows(spark, sf_dir)
             t2 = time.perf_counter()
-            results[label] = {"flagship": flag, "minhash": mh}
+            av = _avro_rows(spark)
+            t3 = time.perf_counter()
+            results[label] = {"flagship": flag, "minhash": mh, "avro": av}
             out[f"{label}_flagship_sec"] = round(t1 - t0, 3)
             out[f"{label}_minhash_sec"] = round(t2 - t1, 3)
+            out[f"{label}_avro_sec"] = round(t3 - t2, 3)
             out[f"{label}_executors"] = (
                 spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
             )
@@ -130,8 +154,14 @@ def main() -> None:
     out["minhash_equal"] = (
         results["local"]["minhash"] == results["local_cluster"]["minhash"]
     )
+    out["avro_rows"] = len(results["local"]["avro"])
+    out["avro_equal"] = (
+        results["local"]["avro"] == results["local_cluster"]["avro"]
+    )
     print(json.dumps(out))
-    if not (out["flagship_equal"] and out["minhash_equal"]):
+    if not (
+        out["flagship_equal"] and out["minhash_equal"] and out["avro_equal"]
+    ):
         sys.exit(1)
 
 
