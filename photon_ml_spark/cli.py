@@ -280,6 +280,7 @@ _CFG_KEYS = {
     "import_model": frozenset({
         "model_dir", "output_dir", "family", "shard", "feature_shards",
     }),
+    "export_model": frozenset({"model_dir", "output_dir"}),
     "bags": frozenset({
         "input", "input_format", "feature_bags", "output_dir",
         "date_range", "days_range", "column_names",
@@ -2322,6 +2323,55 @@ def import_model(cfg: dict, spark: SparkSession) -> None:
     }))
 
 
+def export_model(cfg: dict, spark: SparkSession) -> None:
+    """The inverse migration: write a NATIVE model dir (what `train` or
+    `import-model` produced) in the REFERENCE toolchain's Avro layout,
+    so models trained here keep serving through existing
+    reference-based consumers. Dictionaries come from the native dir's
+    saved feature space (feature-dictionary / feature-dictionaries/
+    {shard}); the export refuses a model saved without one (name/term
+    labels are the wire format)."""
+    from photon_ml_spark.sources.model_io import (
+        _hadoop_exists,
+        _hadoop_read_text,
+        load_game_model,
+        save_photon_game_model,
+    )
+
+    _validate_cfg_keys(cfg, "export_model")
+    mdir = cfg["model_dir"]
+    model = load_game_model(mdir, spark)
+    shards_json = f"{mdir}/feature-shards.json"
+    if _hadoop_exists(spark, shards_json):
+        shard_ids = sorted(
+            json.loads(_hadoop_read_text(spark, shards_json))["shards"]
+        )
+        dictionaries = {
+            s: spark.read.parquet(f"{mdir}/feature-dictionaries/{s}")
+            for s in shard_ids
+        }
+    else:
+        if not _hadoop_exists(spark, f"{mdir}/feature-dictionary"):
+            raise ValueError(
+                f"{mdir!r} has no saved feature dictionary — the "
+                "reference layout writes (name, term) labels; retrain "
+                "or re-import with a dictionary"
+            )
+        d = spark.read.parquet(f"{mdir}/feature-dictionary")
+        # single-shard: every coordinate's indices_col shares one
+        # prefix — map the dictionary under each distinct shard name
+        dictionaries = {
+            c.indices_col[: -len("_indices")]: d
+            for c in model.configs.values()
+        }
+    save_photon_game_model(model, dictionaries, cfg["output_dir"], spark)
+    print(json.dumps({
+        "status": "exported",
+        "output_dir": cfg["output_dir"],
+        "coordinates": sorted(model.configs),
+    }))
+
+
 def main(argv: list[str] | None = None) -> None:
     from photon_ml_spark.session import get_spark
 
@@ -2329,7 +2379,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument(
         "command",
         choices=["bags", "index", "train", "score", "curate",
-                 "curate-stream", "import-model"],
+                 "curate-stream", "import-model", "export-model"],
     )
     ap.add_argument("--config", required=True)
     args = ap.parse_args(argv)
@@ -2344,6 +2394,7 @@ def main(argv: list[str] | None = None) -> None:
         "curate": curate,
         "curate-stream": curate_stream,
         "import-model": import_model,
+        "export-model": export_model,
     }[args.command](cfg, spark)
 
 

@@ -401,3 +401,61 @@ def load_photon_game_model(
             values_col=f"{c['shard']}_values",
         )
     return model, dictionaries
+
+
+def save_photon_game_model(
+    model: GameModel,
+    dictionaries: dict[str, DataFrame],
+    path: str,
+    spark: SparkSession,
+) -> None:
+    """Write a GameModel in the REFERENCE toolchain's Avro layout
+    (ModelProcessingUtils.scala:77-265 / AvroConstants.scala:24-27) —
+    the export half of the migration story: models trained here keep
+    serving through existing reference-based consumers.
+
+    Layout per coordinate:
+    ``{fixed,random}-effect/<name>/coefficients/part-*.avro``
+    (BayesianLinearModelAvro; one record per fixed model / per entity)
+    plus ``id-info`` (featureShardId; random adds the randomEffectType
+    line first — :99-116,172,216).
+
+    ``dictionaries`` maps SHARD id → (feature_key, feature_index) —
+    the shape ``load_photon_game_model`` returns and ``train`` saves;
+    each coordinate's shard is read off its ``indices_col`` prefix."""
+    from photon_ml_spark.sources.avro_io import (
+        BAYESIAN_LINEAR_MODEL_SCHEMA,
+        fixed_effect_to_avro_frame,
+        random_effects_to_avro_frame,
+        write_avro,
+    )
+
+    for name, cfg in model.configs.items():
+        suffix = "_indices"
+        if not cfg.indices_col.endswith(suffix):
+            raise ValueError(
+                f"coordinate {name!r}: cannot derive its shard from "
+                f"indices_col {cfg.indices_col!r}"
+            )
+        shard = cfg.indices_col[: -len(suffix)]
+        if shard not in dictionaries:
+            raise ValueError(
+                f"coordinate {name!r} uses shard {shard!r} with no "
+                f"dictionary; provided: {sorted(dictionaries)}"
+            )
+        d = dictionaries[shard]
+        kind_dir = "fixed-effect" if cfg.kind == "fixed" else "random-effect"
+        cdir = f"{path}/{kind_dir}/{name}"
+        m = model.coordinates[name]
+        if cfg.kind == "fixed":
+            frame = fixed_effect_to_avro_frame(
+                spark, m, d, model_id="fixed-effect"
+            )
+            id_info = shard
+        else:
+            frame = random_effects_to_avro_frame(m, d, cfg.dim)
+            id_info = f"{cfg.entity_col}\n{shard}"
+        write_avro(
+            frame, f"{cdir}/coefficients", BAYESIAN_LINEAR_MODEL_SCHEMA
+        )
+        _hadoop_write_text(spark, f"{cdir}/id-info", id_info + "\n")

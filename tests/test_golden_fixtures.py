@@ -746,3 +746,35 @@ def test_retrain_from_imported_golden_model(spark, tmp_path, capsys):
     # the frozen prior space: dim matches the golden model, not the
     # 2-key synthetic data
     assert rep["dim"] == 15018
+
+
+def test_export_model_roundtrips_reference_layout(spark, tmp_path, capsys):
+    """Bidirectional wire-format interop: import the golden model →
+    export it BACK to the reference Avro layout → load the export with
+    the reference-layout reader. Coefficients, intercept, and the
+    dictionary key space survive both directions exactly."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    ref_dir = f"{GAME}/retrainModels/fixedEffectsOnly"
+    native = str(tmp_path / "native")
+    cli.import_model({"model_dir": ref_dir, "output_dir": native}, spark)
+    capsys.readouterr()
+
+    exported = str(tmp_path / "exported")
+    cli.export_model({"model_dir": native, "output_dir": exported}, spark)
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["status"] == "exported"
+
+    orig, orig_dicts = load_photon_game_model(spark, ref_dir)
+    back, back_dicts = load_photon_game_model(
+        spark, exported, family="gaussian"
+    )
+    g0, g1 = orig.coordinates["global"], back.coordinates["global"]
+    assert g1.dim == g0.dim
+    assert g1.intercept == pytest.approx(g0.intercept)
+    # same key space → same lexicographic indexing → same dense vector;
+    # exported id-info carries the import's shard name ("features")
+    assert set(back_dicts) == {"features"}
+    assert back_dicts["features"].count() == orig_dicts["shard1"].count()
+    np.testing.assert_allclose(g1.coefficients, g0.coefficients, rtol=1e-12)
