@@ -1576,21 +1576,57 @@ def avro_frame_to_random_effects(
             ).alias("__pairs")
         )
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.coalesce(
-            F.element_at(
-                F.map_from_entries("__pairs"), i.cast("long")
-            ),
-            F.lit(0.0),
-        ),
+    sparse = inter.join(feats, "entity", "left").select(
+        "entity", "__pairs", F.col("intercept").cast("double").alias("intercept")
     )
-    return (
-        inter.join(feats, "entity", "left")
-        .select(
-            "entity",
-            F.when(F.col("__pairs").isNull(), F.array_repeat(F.lit(0.0), dim))
-            .otherwise(dense).alias("coefficients"),
-            F.col("intercept").cast("double").alias("intercept"),
-        )
-    )
+    # Pin parallelism through the EXPANSION: the sparse relation is a
+    # few MB, so AQE coalesces the join's exchanges to ~1 partition —
+    # but the next stage inflates each row to a dim-wide dense vector
+    # (60x+ at 15k dims), and a single task then owns the whole
+    # gigabyte-scale output. A ROUND-ROBIN numbered repartition is the
+    # one form that survives: an entity-hashed repartition here is
+    # removed by Catalyst as redundant with the join's existing hash
+    # distribution, whose ENSURE_REQUIREMENTS exchanges AQE then
+    # coalesces on INPUT size — output-expanding stages are invisible
+    # to input-size-based coalescing (PLANS.md r10).
+    spark = avro_df.sparkSession
+    sparse = sparse.repartition(spark.sparkContext.defaultParallelism)
+
+    # Densify via a vectorized numpy scatter (Arrow mapInPandas):
+    # O(nnz) writes into an O(dim) buffer per entity. The Catalyst
+    # alternatives are all superlinear in dim at wide shard spaces —
+    # the original map-per-position form was O(dim·nnz) map
+    # ALLOCATIONS per row (396 s to score ONE row against the
+    # 15003-dim golden per-song table), a let-bound map still pays
+    # O(dim·nnz) linear map SCANS (34 s) — the scatter is ~1 s. This
+    # is exactly SURVEY §4's sanctioned-Python criterion: per-entity
+    # vector assembly, no relational form without a quadratic term.
+    import numpy as np
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("entity", T.StringType(), True),
+        T.StructField("coefficients", T.ArrayType(T.DoubleType()), False),
+        T.StructField("intercept", T.DoubleType(), True),
+    ])
+
+    def scatter(batches):
+        for pdf in batches:
+            n = len(pdf)
+            buf = np.zeros((n, dim))  # one contiguous scatter target
+            for r, pairs in enumerate(pdf["__pairs"]):
+                if pairs is not None:
+                    for p in pairs:
+                        buf[r, int(p["feature_index"])] = float(p["value"])
+            yield pd.DataFrame(
+                {
+                    "entity": pdf["entity"].astype(str),
+                    # ndarray rows, not tolist(): Arrow builds the
+                    # ListArray from the buffers without materializing
+                    # dim Python floats per entity
+                    "coefficients": list(buf),
+                    "intercept": pdf["intercept"],
+                }
+            )
+
+    return sparse.mapInPandas(scatter, schema=out_schema)

@@ -132,3 +132,80 @@ def test_save_scores_model_id_tag(spark, tmp_path):
     out2 = str(tmp_path / "scores2")
     save_scores(df, out2)
     assert "model_id" not in spark.read.parquet(out2).columns
+
+
+def test_export_random_effects_reference_layout_roundtrip(spark, tmp_path):
+    """save_photon_game_model → load_photon_game_model round-trips a
+    mixed model (fixed + random) through the reference's Avro layout:
+    per-entity vectors and intercepts survive exactly (small synthetic
+    model — the golden-scale export is exercised implicitly by the
+    same code paths)."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP as S
+    from photon_ml_spark.ml.coordinate_descent import (
+        CoordinateConfig,
+        GameModel,
+    )
+    from photon_ml_spark.ml.glm import FixedEffectGLM
+    from photon_ml_spark.sources.model_io import (
+        load_photon_game_model,
+        save_photon_game_model,
+    )
+
+    d = spark.createDataFrame(
+        [(f"f{S}t{i}", i) for i in range(4)],
+        "feature_key string, feature_index long",
+    )
+    model = GameModel(family="gaussian")
+    model.configs["global"] = CoordinateConfig(
+        name="global", kind="fixed", dim=4,
+        indices_col="s1_indices", values_col="s1_values",
+    )
+    model.coordinates["global"] = FixedEffectGLM(
+        family="gaussian",
+        coefficients=np.array([0.5, 0.0, -1.25, 2.0]),
+        intercept=3.5, dim=4,
+    )
+    model.configs["per_e"] = CoordinateConfig(
+        name="per_e", kind="random", dim=4, entity_col="eid",
+        indices_col="s1_indices", values_col="s1_values",
+    )
+    model.coordinates["per_e"] = spark.createDataFrame(
+        [("e1", [1.0, 0.0, 0.0, -2.0], 0.25),
+         ("e2", [0.0, 0.5, 0.0, 0.0], -1.0)],
+        "entity string, coefficients array<double>, intercept double",
+    )
+    out = str(tmp_path / "ref_export")
+    save_photon_game_model(model, {"s1": d}, out, spark)
+
+    back, dicts = load_photon_game_model(spark, out, family="gaussian")
+    assert set(back.configs) == {"global", "per_e"}
+    assert back.configs["per_e"].entity_col == "eid"
+    g = back.coordinates["global"]
+    assert g.intercept == pytest.approx(3.5)
+    # the reloaded dictionary covers only keys with NONZERO means —
+    # map coefficients back through keys for comparison
+    got = {
+        r.feature_key: float(g.coefficients[r.feature_index])
+        for r in dicts["s1"].collect()
+    }
+    # f\x01t1 enters the shared-shard dictionary through e2's random
+    # mean; the fixed vector holds 0.0 there — correct slot, no mass
+    assert got == {
+        f"f{S}t0": pytest.approx(0.5),
+        f"f{S}t1": pytest.approx(0.0),
+        f"f{S}t2": pytest.approx(-1.25),
+        f"f{S}t3": pytest.approx(2.0),
+    }
+    re = {
+        r.entity: (list(r.coefficients), r.intercept)
+        for r in back.coordinates["per_e"].collect()
+    }
+    assert re["e1"][1] == pytest.approx(0.25)
+    assert re["e2"][1] == pytest.approx(-1.0)
+    # nonzero mass survives (slots re-indexed by the reloaded space)
+    assert sorted(x for x in re["e1"][0] if x != 0) == [-2.0, 1.0]
+    assert sorted(x for x in re["e2"][0] if x != 0) == [0.5]
