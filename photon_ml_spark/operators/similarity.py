@@ -790,6 +790,11 @@ def pq_train_sampled(
     """
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 <= ksub <= 127:
+        # codes are SIGNED tinyint (Spark has no unsigned byte): 127
+        # centroids per sub-quantizer is the ceiling — overflowing into
+        # negative codes would silently alias centroids
+        raise ValueError(f"ksub must be in [1, 127], got {ksub}")
     dsub = dim // m
     seeds = (
         corpus.orderBy(id_col)

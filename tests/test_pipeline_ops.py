@@ -2126,3 +2126,10 @@ def test_ivf_pq_composed_index(spark, emb, tmp_path):
         similarity.save_ivf_index(
             emb, str(tmp_path / "x"), k=2, vec_col="qe", sq8=True, pq=True
         )
+
+
+def test_pq_ksub_bounds(spark, emb):
+    """ksub > 127 would overflow the signed tinyint code — rejected."""
+    for bad in (0, 128, 256):
+        with pytest.raises(ValueError, match=r"\[1, 127\]"):
+            similarity.pq_train_sampled(emb, m=8, ksub=bad, vec_col="qe")
