@@ -7,4 +7,5 @@ because the module only depends on the package being importable."""
 
 from photon_ml_spark.cli import main
 
-main()
+if __name__ == "__main__":
+    main()

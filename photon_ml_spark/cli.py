@@ -159,10 +159,18 @@ def _read_input(spark, cfg):
 
         # InputColumnsNames parity: rename the file's columns into the
         # conventional frame (the reference's different-column-names
-        # flow, ScoptGameTrainingParametersParser inputColumnsNames)
+        # flow, ScoptGameTrainingParametersParser inputColumnsNames).
+        # Lazily localCheckpoint: null uids get GENERATED ids
+        # (monotonically_increasing_id), and downstream assembly
+        # self-joins on uid — without pinning, a task retry or re-plan
+        # could re-evaluate the generator differently per join branch
+        # and silently mis-attach features. The checkpoint materializes
+        # on first action and every later branch reads the SAME ids
+        # (the reference's AvroDataReader likewise materializes the
+        # ingest RDD before GAME consumes it).
         return read_training_examples(
             spark, cfg["input"], column_names=cfg.get("column_names")
-        )
+        ).localCheckpoint(eager=False)
     if fmt == "response_prediction_avro":
         # the reference's scoring-input format carries no uid; assign
         # one like GameScoringDriver does (P2, zipWithUniqueId analog)
@@ -170,9 +178,10 @@ def _read_input(spark, cfg):
 
         from photon_ml_spark.sources.avro_io import read_response_predictions
 
+        # same generated-uid pinning rationale as the avro branch
         return read_response_predictions(spark, cfg["input"]).withColumn(
             "uid", F.monotonically_increasing_id()
-        )
+        ).localCheckpoint(eager=False)
     resolved = _resolve_input(spark, cfg)
     return spark.read.parquet(
         *(resolved if isinstance(resolved, list) else [resolved])
@@ -1585,7 +1594,7 @@ def score(cfg: dict, spark: SparkSession) -> None:
                 f"{sorted(shard_ids)}; provide feature_shards mapping "
                 "each shard id to its bags"
             )
-        dictionaries = {s: d for s, d in ref_dicts.items()}
+        dictionaries = ref_dicts
         try:
             _score_body(cfg, spark, dictionaries, model=model)
         finally:

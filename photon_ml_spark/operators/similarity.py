@@ -376,6 +376,11 @@ def save_ivf_index(
     min/max pass when ``sq8``); rebuild when the corpus distribution
     drifts (the quantizer, not the data, decides recall).
     """
+    if sq8 and pq:
+        # validate BEFORE the KMeans fit and the centroids overwrite —
+        # raising after them would leave a previously valid index with
+        # new centroids over old vectors
+        raise ValueError("save_ivf_index: choose sq8 OR pq, not both")
     assigned, model = kmeans_cells(
         corpus, k=k, vec_col=vec_col, out_col="cell",
         seed=seed, max_iter=max_iter,
@@ -389,8 +394,6 @@ def save_ivf_index(
         "cell int, centroid array<double>",
     )
     centroids.write.mode("overwrite").parquet(f"{path}/centroids")
-    if sq8 and pq:
-        raise ValueError("save_ivf_index: choose sq8 OR pq, not both")
     if pq:
         import json
 

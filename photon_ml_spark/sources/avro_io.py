@@ -490,6 +490,8 @@ def _resolve_wide_union(non_null: list) -> Any:
     else takes the first branch. The reference's own integ-test
     fixtures (heart.avro label: [double,float,int,long,boolean,string])
     require this — strict [null, X] unions reject them."""
+    if not non_null:
+        raise ValueError("degenerate Avro union with no non-null branch")
     prims = [b for b in non_null if isinstance(b, str)]
     if len(prims) == len(non_null) and all(
         b in _NUMERIC_PRECEDENCE for b in prims
@@ -1467,7 +1469,12 @@ def avro_frame_to_fixed_effect(
         if m.name == INTERCEPT_NAME and m.term == INTERCEPT_TERM:
             intercept = float(m.value)
             continue
-        means.append((f"{m.name}{FEATURE_KEY_SEP}{m.term}", float(m.value)))
+        means.append(
+            (
+                f"{m.name or ''}{FEATURE_KEY_SEP}{m.term or ''}",
+                float(m.value),
+            )
+        )
     if means:
         spark = dictionary.sparkSession
         mdf = spark.createDataFrame(means, "feature_key string, value double")
@@ -1555,8 +1562,12 @@ def avro_frame_to_random_effects(
         F.explode("means").alias("m"),
     ).select(
         "entity",
-        F.concat_ws(
-            FEATURE_KEY_SEP, F.col("m.name"), F.col("m.term")
+        # null-safe (concat_ws skips nulls — a null term would build a
+        # separator-less key no featurized column ever matches)
+        F.concat(
+            F.coalesce(F.col("m.name"), F.lit("")),
+            F.lit(FEATURE_KEY_SEP),
+            F.coalesce(F.col("m.term"), F.lit("")),
         ).alias("feature_key"),
         F.col("m.name").alias("__name"),
         F.col("m.value").alias("value"),

@@ -255,6 +255,20 @@ _MODEL_CLASS_FAMILY = {
     "SmoothedHingeLossLinearSVMModel": "smoothed_hinge",
 }
 
+#: family → fully-qualified reference model class (written into
+#: exported BayesianLinearModelAvro records so reference consumers —
+#: and our own reference-layout loader — can infer the GLM family)
+_FAMILY_MODEL_CLASS = {
+    "binomial": "com.linkedin.photon.ml.supervised.classification."
+                "LogisticRegressionModel",
+    "gaussian": "com.linkedin.photon.ml.supervised.regression."
+                "LinearRegressionModel",
+    "poisson": "com.linkedin.photon.ml.supervised.regression."
+               "PoissonRegressionModel",
+    "smoothed_hinge": "com.linkedin.photon.ml.supervised.classification."
+                      "SmoothedHingeLossLinearSVMModel",
+}
+
 
 def _hadoop_list_dirs(spark: SparkSession, path: str) -> list[str]:
     """Subdirectory names under ``path`` (empty if path absent)."""
@@ -352,8 +366,13 @@ def load_photon_game_model(
                 .select(F.explode("means").alias("m"))
                 .filter(F.col("m.name") != INTERCEPT_NAME)
                 .select(
-                    F.concat_ws(
-                        FEATURE_KEY_SEP, F.col("m.name"), F.col("m.term")
+                    # null-safe: concat_ws SKIPS nulls, which would
+                    # collapse (name, null) and (name,) into different
+                    # keys than featurization's (name + SEP + '')
+                    F.concat(
+                        F.coalesce(F.col("m.name"), F.lit("")),
+                        F.lit(FEATURE_KEY_SEP),
+                        F.coalesce(F.col("m.term"), F.lit("")),
                     ).alias("feature_key")
                 )
             )
@@ -366,18 +385,21 @@ def load_photon_game_model(
 
     fam = family
     if fam is None:
-        classes = {
-            (r.modelClass or "").rsplit(".", 1)[-1]
-            for c in coords
-            for r in c["frame"].select("modelClass").limit(1).collect()
-        } - {""}
-        fams = {_MODEL_CLASS_FAMILY[cl] for cl in classes if cl in _MODEL_CLASS_FAMILY}
-        if len(fams) != 1:
+        # one probe job, first recognizable class wins (every
+        # coordinate of one model shares the family; probing all N
+        # coordinates was N sequential driver round-trips)
+        for c in coords:
+            row = c["frame"].select("modelClass").limit(1).collect()
+            cl = (row[0].modelClass or "").rsplit(".", 1)[-1] if row else ""
+            if cl in _MODEL_CLASS_FAMILY:
+                fam = _MODEL_CLASS_FAMILY[cl]
+                break
+        if fam is None:
             raise ValueError(
-                f"cannot infer GLM family from modelClass values {classes}; "
-                "pass family= explicitly"
+                f"cannot infer GLM family from {path!r}: no coordinate "
+                "carries a recognizable modelClass; pass family= "
+                "explicitly"
             )
-        (fam,) = fams
 
     model = GameModel(family=fam)
     for c in coords:
@@ -447,6 +469,10 @@ def save_photon_game_model(
         kind_dir = "fixed-effect" if cfg.kind == "fixed" else "random-effect"
         cdir = f"{path}/{kind_dir}/{name}"
         m = model.coordinates[name]
+        # reference consumers (and load_photon_game_model's family
+        # inference) read the GLM family off modelClass — a null there
+        # makes the exported artifact un-inferable
+        model_class = _FAMILY_MODEL_CLASS.get(model.family)
         if cfg.kind == "fixed":
             frame = fixed_effect_to_avro_frame(
                 spark, m, d, model_id="fixed-effect"
@@ -455,6 +481,8 @@ def save_photon_game_model(
         else:
             frame = random_effects_to_avro_frame(m, d, cfg.dim)
             id_info = f"{cfg.entity_col}\n{shard}"
+        if model_class is not None:
+            frame = frame.withColumn("modelClass", F.lit(model_class))
         write_avro(
             frame, f"{cdir}/coefficients", BAYESIAN_LINEAR_MODEL_SCHEMA
         )

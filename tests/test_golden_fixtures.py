@@ -767,9 +767,11 @@ def test_export_model_roundtrips_reference_layout(spark, tmp_path, capsys):
     assert rep["status"] == "exported"
 
     orig, orig_dicts = load_photon_game_model(spark, ref_dir)
-    back, back_dicts = load_photon_game_model(
-        spark, exported, family="gaussian"
-    )
+    # NO family= passed: the export stamps modelClass, so the loader
+    # infers gaussian from the artifact alone (a null modelClass made
+    # exported models un-loadable by our own reference-layout scorer)
+    back, back_dicts = load_photon_game_model(spark, exported)
+    assert back.family == "gaussian"
     g0, g1 = orig.coordinates["global"], back.coordinates["global"]
     assert g1.dim == g0.dim
     assert g1.intercept == pytest.approx(g0.intercept)
