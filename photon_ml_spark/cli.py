@@ -1133,10 +1133,20 @@ def _train_impl_body(
         entries = list(enumerate(sweep))
         warm = bool(cfg.get("warm_start_sweep", False))
         if warm:
-            entries.sort(
-                key=lambda e: max(e[1].values()) if e[1] else 0.0,
-                reverse=True,
-            )
+            # sort on each entry's EFFECTIVE per-coordinate weights —
+            # an override dict omitting a coordinate means "use the
+            # coordinate's configured reg_param", not 0.0, so resolve
+            # the fallback before comparing (an empty-override entry
+            # otherwise sorts last regardless of its actual λ)
+            coord_defaults = [(c.name, float(c.reg_param)) for c in coords]
+
+            def _effective(ov):
+                return tuple(
+                    float(ov.get(name, default))
+                    for name, default in coord_defaults
+                )
+
+            entries.sort(key=lambda e: _effective(e[1]), reverse=True)
         results = []  # (index, overrides, metric) — models not retained
         best = None  # (metric, index, overrides, fitted)
         prev_fitted = None

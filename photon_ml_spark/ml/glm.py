@@ -132,10 +132,19 @@ def fit_fixed_effect(
     # convergence. The GLR/IRLS path below has no initialization hook
     # and ignores it (IRLS converges in few iterations regardless).
     if isinstance(x0, FixedEffectGLM):
-        x0 = np.append(
-            np.asarray(x0.coefficients, dtype=np.float64)[:dim],
-            float(x0.intercept),
-        )
+        prev = np.asarray(x0.coefficients, dtype=np.float64)
+        if prev.shape != (dim,):
+            # a dim mismatch means the feature dictionary drifted
+            # between the warm-start model and this problem — slicing
+            # or padding would silently misalign coefficient mass with
+            # the wrong features, so fail loudly (matches the raw-beta
+            # shape check below)
+            raise ValueError(
+                f"warm-start model has {prev.shape[0]} coefficients but "
+                f"this problem has dim={dim}; re-index the warm-start "
+                f"model onto the current feature dictionary first"
+            )
+        x0 = np.append(prev, float(x0.intercept))
     if x0 is not None:
         x0 = np.asarray(x0, dtype=np.float64)
         if x0.shape != (dim + 1,):

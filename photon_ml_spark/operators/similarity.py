@@ -525,12 +525,16 @@ def ivf_topk_from_index(
         if "codebook" in meta:
             # PQ: asymmetric distance — raw query vs candidates
             # reconstructed from their m-byte codes (pq_topk semantics)
-            scored = joined.withColumn(
-                "cosine",
-                cosine_similarity(
-                    F.col("__qv"),
-                    pq_reconstruct_expr(F.col("pq"), meta["codebook"]),
-                ),
+            scored = (
+                with_pq_reconstruct(
+                    joined, meta["codebook"], codes_col="pq",
+                    out_col="__rz",
+                )
+                .withColumn(
+                    "cosine",
+                    cosine_similarity(F.col("__qv"), F.col("__rz")),
+                )
+                .drop("__rz")
             )
         else:
             # SQ8: put the QUERY through the same saved grid (encode +
@@ -866,11 +870,44 @@ def pq_encode(
     return df.mapInPandas(encode, schema=out_schema)
 
 
+def with_pq_reconstruct(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    codes_col: str = "pq",
+    out_col: str = "__z",
+) -> DataFrame:
+    """Attach ``out_col`` = PQ reconstruction of ``codes_col`` with the
+    codebook shipped as DATA — a 1-row broadcast nested-loop join whose
+    single value is the full m×ksub×dsub nested array — instead of
+    ``pq_reconstruct_expr``'s m·ksub·dsub inlined literal expressions.
+    Plan size and codegen stay CONSTANT however big the codebook (at
+    the ksub=127 ceiling with wide dims the literal form is tens of
+    thousands of Catalyst nodes per site); the per-row work is the same
+    zip_with/element_at gather, reading the joined attribute (a plain
+    row value, evaluated once — no computed-array re-evaluation)."""
+    cb = df.sparkSession.createDataFrame(
+        [(codebook,)], "__cb array<array<array<double>>>"
+    )
+    rec = F.flatten(
+        F.zip_with(
+            F.col(codes_col),
+            F.col("__cb"),
+            lambda c, sub: F.element_at(sub, c.cast("int") + F.lit(1)),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(cb)).withColumn(out_col, rec).drop("__cb")
+    )
+
+
 def pq_reconstruct_expr(codes_col, codebook: list[list[list[float]]]):
     """Reconstruction EXPRESSION: codes array<tinyint> → the
     concatenation of the chosen centroids (JVM-side; the codebook is a
     LITERAL nested array, so element_at here does not hit the
-    computed-array re-evaluation trap — literals evaluate once)."""
+    computed-array re-evaluation trap — literals evaluate once).
+    Expression-position convenience for SMALL codebooks only: every
+    scalar becomes a Catalyst literal node, so production sites use
+    ``with_pq_reconstruct`` (constant plan size) instead."""
     cb = F.array(
         *[
             F.array(
@@ -906,8 +943,8 @@ def pq_topk(
     few and exact; only the corpus pays the compression). Same plan
     shape as ``cosine_topk`` (broadcast queries + rank window); the
     corpus side scans m bytes per vector instead of dim floats."""
-    rec = corpus_codes.withColumn(
-        "__z", pq_reconstruct_expr(F.col(codes_col), codebook)
+    rec = with_pq_reconstruct(
+        corpus_codes, codebook, codes_col=codes_col, out_col="__z"
     )
     return cosine_topk(
         rec.select(F.col(id_col), F.col("__z")),

@@ -1737,6 +1737,10 @@ def x22_leakage_safe_split(spark, sf_dir, phase_stamps=None):
     if phase_stamps is not None:
         # cluster_and_keep's connected-components loop is eager
         phase_stamps["cluster"] = round(_time.perf_counter() - t0, 3)
+        # the edge list was only persisted for stamp attribution and
+        # the eager clustering above already consumed it — release it
+        # here instead of leaking it until a global clearCache
+        pairs.unpersist()
     return out.select("doc_id", "cluster_id", "split")
 
 

@@ -925,6 +925,28 @@ def _schema_from_header(data: bytes) -> str:
                 return v.decode()
 
 
+def _has_wide_union(schema: Any) -> bool:
+    """True when the schema contains a union with >1 non-null branch
+    anywhere. Wide unions are where spark-avro's mapping (member
+    structs / load error) diverges from the reference semantics
+    (AvroDataReader.scala:398-427 flattening to ONE effective type) —
+    the routing signal for read_avro's decoder choice."""
+    if isinstance(schema, list):
+        non_null = [b for b in schema if b != "null"]
+        return len(non_null) > 1 or any(
+            _has_wide_union(b) for b in non_null
+        )
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            return any(_has_wide_union(f["type"]) for f in schema["fields"])
+        if t == "array":
+            return _has_wide_union(schema["items"])
+        if t == "map":
+            return _has_wide_union(schema["values"])
+    return False
+
+
 def has_spark_avro(spark: SparkSession) -> bool:
     """True when the JVM spark-avro datasource is resolvable in this
     session (the production path — enable locally via
@@ -967,10 +989,41 @@ def read_avro(
     pure-Python byte-range access there — install spark-avro for those
     (it is also simply the faster path everywhere)."""
     if has_spark_avro(spark):
-        reader = spark.read.format("avro")
-        if avro_schema is not None:
-            reader = reader.option("avroSchema", avro_schema)
-        return reader.load(path)
+        # Route on union WIDTH before handing to the JVM datasource:
+        # spark-avro maps wide non-null unions to member structs (or
+        # fails against the reader schema), while the reference
+        # flattens them to one effective type (AvroDataReader.scala:
+        # 398-427) — which the Python decoder's _make_adapter
+        # implements. Without this probe the same file would read with
+        # DIFFERENT types depending on whether spark-avro happens to be
+        # installed. Field reorder / defaults / numeric promotion stay
+        # on spark-avro (standard Avro resolution handles those
+        # natively via the avroSchema option). Probe cost: one bounded
+        # header RPC on the first file; any probe failure falls back to
+        # the datasource (its own error reporting is better for corrupt
+        # inputs).
+        wide = False
+        try:
+            first = _list_avro_files_with_size(spark, path)[0][0]
+            wschema = ""
+            for limit in (1 << 16, 1 << 20, 1 << 24):
+                try:
+                    wschema = _schema_from_header(
+                        _header_bytes(spark, first, limit)
+                    )
+                    break
+                except IndexError:
+                    continue
+            wide = bool(wschema) and _has_wide_union(parse_schema(wschema))
+            if not wide and avro_schema is not None:
+                wide = _has_wide_union(parse_schema(avro_schema))
+        except Exception:
+            wide = False
+        if not wide:
+            reader = spark.read.format("avro")
+            if avro_schema is not None:
+                reader = reader.option("avroSchema", avro_schema)
+            return reader.load(path)
     files = _list_avro_files_with_size(spark, path)
     if not files:
         raise ValueError(f"no .avro files under {path}")
