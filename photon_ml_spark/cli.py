@@ -799,18 +799,38 @@ def _train_impl_body(
 
         if not _hadoop_exists(spark, vpath):
             return None, None
-        rows = spark.read.parquet(vpath).select(
-            "feature_index", "variance"
-        ).collect()
+        vdf = spark.read.parquet(vpath)
+        has_key = "feature_key" in vdf.columns
+        cols = ["feature_index", "variance"] + (
+            ["feature_key"] if has_key else []
+        )
+        rows = vdf.select(*cols).collect()
+        from photon_ml_spark.datamodel import INTERCEPT_KEY
+
         prec = np.zeros(dim + 1)
         for r in rows:
-            j = int(r.feature_index)
             v = float(r.variance)
             if v <= 0:
                 continue
+            if has_key:
+                # key-resolved tables (everything written since the
+                # variances-on-the-wire round): the intercept is the
+                # INTERCEPT_KEY row — imported reference models carry
+                # it with a NULL index (their dictionaries have no
+                # intercept slot), train-produced tables at slot dim-1
+                if r.feature_key == INTERCEPT_KEY:
+                    prec[dim] = 1.0 / v
+                    continue
+                if r.feature_index is None:
+                    continue  # key outside this feature space
+                j = int(r.feature_index)
+                if 0 <= j < dim:
+                    prec[j] = 1.0 / v
+                continue
+            # legacy keyless tables: intercept at the dictionary's
+            # final slot by construction (build_feature_dictionary)
+            j = int(r.feature_index)
             if j == dim - 1:
-                # the dictionary's intercept slot → the prior vector's
-                # trailing intercept position
                 prec[dim] = 1.0 / v
             elif 0 <= j < dim - 1:
                 prec[j] = 1.0 / v
@@ -2331,6 +2351,16 @@ def import_model(cfg: dict, spark: SparkSession) -> None:
             for n, c in model.configs.items()
         }
     save_game_model(model, out, spark, dictionary=coord_dict)
+    # imported σ² land where incremental_training looks for them —
+    # {out}/fixed-effect/{name}/variances (feature_key, feature_index,
+    # variance; the intercept row keeps a NULL index since loader
+    # dictionaries carry no intercept slot, routed by key in
+    # _fixed_prior) — so a retrain-with-prior from this import uses
+    # precision 1/σ² instead of the plain-L2 fallback
+    for name, vt in model.variances.items():
+        vt.write.mode("overwrite").parquet(
+            f"{out}/fixed-effect/{name}/variances"
+        )
     print(json.dumps({
         "status": "imported",
         "output_dir": out,
@@ -2383,7 +2413,19 @@ def export_model(cfg: dict, spark: SparkSession) -> None:
             c.indices_col[: -len("_indices")]: d
             for c in model.configs.values()
         }
-    save_photon_game_model(model, dictionaries, cfg["output_dir"], spark)
+    # a variance-computing train run saved per-fixed-coordinate σ²
+    # tables beside the model — put them on the wire
+    # (BayesianLinearModelAvro.variances) so reference-side incremental
+    # learning (PriorDistribution.scala:23-120) keeps the prior
+    variance_tables = {}
+    for name, c in model.configs.items():
+        vpath = f"{mdir}/fixed-effect/{name}/variances"
+        if c.kind == "fixed" and _hadoop_exists(spark, vpath):
+            variance_tables[name] = spark.read.parquet(vpath)
+    save_photon_game_model(
+        model, dictionaries, cfg["output_dir"], spark,
+        variance_tables=variance_tables or None,
+    )
     print(json.dumps({
         "status": "exported",
         "output_dir": cfg["output_dir"],

@@ -47,6 +47,40 @@ class GameTransformer:
             out_col=prediction_col,
         )
 
+    def save(self, path: str, spark=None) -> None:
+        """Persist the fitted model in the engine's native layout —
+        the spark.ml ``Model.save`` analog the reference's "interfaces
+        identical to Spark ML" story implies (GameEstimator.scala:55).
+        ``spark`` defaults to the active session. Training ``history``
+        is a fit-time log, not model state, and is not persisted."""
+        from photon_ml_spark.sources.model_io import save_game_model
+
+        if spark is None:
+            spark = self._active_spark()
+        save_game_model(self.model, path, spark)
+
+    @classmethod
+    def load(cls, path: str, spark=None) -> "GameTransformer":
+        """Inverse of ``save``: rebuild the transformer from a native
+        model dir (also accepts anything ``cli train`` or
+        ``import-model`` wrote)."""
+        from photon_ml_spark.sources.model_io import load_game_model
+
+        if spark is None:
+            spark = cls._active_spark()
+        return cls(model=load_game_model(path, spark))
+
+    @staticmethod
+    def _active_spark():
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError(
+                "no active SparkSession; pass spark= explicitly"
+            )
+        return spark
+
 
 @dataclass
 class GameEstimator(EventEmitter):

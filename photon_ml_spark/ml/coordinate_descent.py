@@ -98,6 +98,13 @@ class GameModel:
     family: str
     coordinates: dict[str, object] = field(default_factory=dict)  # name → model
     configs: dict[str, CoordinateConfig] = field(default_factory=dict)
+    # per-FIXED-coordinate σ² tables (feature_key, feature_index,
+    # variance), populated by load_photon_game_model when the imported
+    # record carries variances (BayesianLinearModelAvro.variances;
+    # random-effect σ² ride the coordinate's model TABLE instead as
+    # variances/intercept_variance columns) — the payload incremental
+    # training turns into Gaussian-prior precision (M9)
+    variances: dict[str, DataFrame] = field(default_factory=dict)
 
     def score(self, df: DataFrame, out_col: str = "score") -> DataFrame:
         """M12 batch inference: margin = Σ coordinate margins. Mid-

@@ -335,6 +335,29 @@ def semantic_dedup(
 # ------------------------------------------------------ persisted IVF index
 
 
+def recall_at_k(truth: DataFrame, predicted: DataFrame, k: int,
+                query_id_col: str = "query_id",
+                id_col: str = "vec_id") -> float:
+    """Mean recall@k of ``predicted`` against exact ``truth`` (both in
+    the (query_id, vec_id, rank) top-k shape the search functions
+    return) — THE number a 100 TB ANN user tunes n_probe against.
+    Queries missing from ``predicted`` entirely count as recall 0 (a
+    probe set that missed every true neighbor must not be dropped from
+    the mean). One inner join + two tiny aggregates."""
+    t = truth.filter(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("__q"), F.col(id_col).alias("__v")
+    )
+    p = predicted.filter(F.col("rank") <= k).select(
+        F.col(query_id_col).alias("__q"), F.col(id_col).alias("__v")
+    )
+    hits = t.join(p, ["__q", "__v"], "left_semi")
+    n_queries = t.select("__q").distinct().count()
+    if n_queries == 0:
+        raise ValueError("recall_at_k: empty truth set")
+    total_true = t.count()
+    return hits.count() / total_true if total_true else 0.0
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -348,6 +371,7 @@ def save_ivf_index(
     pq: bool = False,
     pq_m: int = 8,
     pq_ksub: int = 16,
+    pq_codebook: str = "kmeans",
 ) -> None:
     """Materialize the ANN state for repeated query batches — the
     similarity twin of ``dedup.save_minhash_index``:
@@ -399,7 +423,16 @@ def save_ivf_index(
 
         from photon_ml_spark.sources.model_io import _hadoop_write_text
 
-        codebook = pq_train_sampled(
+        trainer = {
+            "kmeans": pq_train_kmeans,
+            "sampled": pq_train_sampled,
+        }.get(pq_codebook)
+        if trainer is None:
+            raise ValueError(
+                "pq_codebook must be 'kmeans' or 'sampled', got "
+                f"{pq_codebook!r}"
+            )
+        codebook = trainer(
             corpus, m=pq_m, ksub=pq_ksub, vec_col=vec_col,
             id_col=id_col, dim=dim,
         )
@@ -820,6 +853,83 @@ def pq_train_sampled(
     ]
 
 
+def pq_train_kmeans(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    train_rows: int = 65536,
+    n_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train a PQ codebook with REAL per-subquantizer k-means (Lloyd)
+    on a bounded deterministic sample — the production-recall path the
+    sampled form (``pq_train_sampled``, kept for the SQL-reproducible
+    correctness gate) trades away. Measured on the jittered recall
+    sweep (scripts/ann_recall.py): sampled codebooks cap full-probe
+    recall@10 around ~0.3 on unclustered data; Lloyd codebooks recover
+    it (see BASELINE.md r11).
+
+    Scale shape: the TRAINING sample is bounded (``train_rows``,
+    FAISS's own regime — codebooks train on a sample, never the
+    corpus), collected once; Lloyd runs driver-side in numpy over an
+    (n × dsub) matrix per subquantizer — O(train_rows · ksub · dim)
+    per iteration, milliseconds at the defaults. Sampling is
+    deterministic (hash-mod on ``id_col``) so index builds are
+    reproducible. Encoding the corpus stays distributed (pq_encode).
+    Init = the first ksub sampled rows (the sampled codebook), so with
+    ``n_iter=0`` this degrades to pq_train_sampled on the sample.
+    """
+    import numpy as np
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    if not 1 <= ksub <= 127:
+        raise ValueError(f"ksub must be in [1, 127], got {ksub}")
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("pq_train_kmeans: empty corpus")
+    # deterministic thinning to ≤ train_rows (xxhash-mod keeps the
+    # sample stable across partitionings); orderBy makes the collect
+    # order — and therefore the init — reproducible
+    denom = max(n // train_rows, 1)
+    sample = (
+        corpus.filter(F.pmod(F.xxhash64(id_col), F.lit(denom)) == 0)
+        .orderBy(id_col)
+        .limit(train_rows)
+        .select(vec_col)
+        .collect()
+    )
+    X = np.array([[float(x) for x in r[0]] for r in sample])
+    if X.shape[0] < ksub:
+        raise ValueError(
+            f"pq_train_kmeans: sample has {X.shape[0]} rows < ksub {ksub}"
+        )
+    dsub = dim // m
+    codebook = []
+    for j in range(m):
+        Xj = X[:, j * dsub:(j + 1) * dsub]
+        C = Xj[:ksub].copy()
+        for _ in range(max(n_iter, 0)):
+            # assign: argmin ||x-c||² (ties → lowest index, matching
+            # pq_encode); update: mean per cell, empty cells keep
+            # their centroid (FAISS re-seeds; at bounded ksub the
+            # difference is negligible and this stays deterministic)
+            D = (
+                (Xj * Xj).sum(axis=1)[:, None]
+                - 2.0 * (Xj @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            a = np.argmin(D, axis=1)
+            for c in range(ksub):
+                mask = a == c
+                if mask.any():
+                    C[c] = Xj[mask].mean(axis=0)
+        codebook.append([[float(x) for x in row] for row in C])
+    return codebook
+
+
 def pq_encode(
     df: DataFrame,
     codebook: list[list[list[float]]],
@@ -964,6 +1074,7 @@ def save_pq_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    codebook: str = "kmeans",
 ) -> None:
     """Persist the PQ index: ``{path}/codes`` (id + m-byte code array —
     dim·4/m× smaller than float32 per vector; at dim=64, m=8 that is
@@ -975,16 +1086,24 @@ def save_pq_index(
 
     from photon_ml_spark.sources.model_io import _hadoop_write_text
 
-    codebook = pq_train_sampled(
+    trainer = {
+        "kmeans": pq_train_kmeans,
+        "sampled": pq_train_sampled,
+    }.get(codebook)
+    if trainer is None:
+        raise ValueError(
+            f"codebook must be 'kmeans' or 'sampled', got {codebook!r}"
+        )
+    cb = trainer(
         corpus, m=m, ksub=ksub, vec_col=vec_col, id_col=id_col, dim=dim
     )
-    pq_encode(corpus, codebook, vec_col=vec_col).select(
+    pq_encode(corpus, cb, vec_col=vec_col).select(
         id_col, "pq"
     ).write.mode("overwrite").parquet(f"{path}/codes")
     _hadoop_write_text(
         corpus.sparkSession,
         f"{path}/meta.json",
-        json.dumps({"m": m, "ksub": ksub, "dim": dim, "codebook": codebook}),
+        json.dumps({"m": m, "ksub": ksub, "dim": dim, "codebook": cb}),
     )
 
 

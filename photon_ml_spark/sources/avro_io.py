@@ -19,11 +19,14 @@ container = magic, metadata map, 16-byte sync, deflate/null blocks):
   spark.sql.files.maxPartitionBytes (``_decode_split`` — the standard
   input-split ownership contract, matching the within-file splits the
   reference gets from HDFS input splits, AvroUtils.scala:62-93), so a
-  multi-GB part file decodes across many tasks. Non-local schemes
-  (hdfs://, s3a://) fall back to ``binaryFiles`` whole-file tasks —
-  executors have no pure-Python byte-range access there. The writer
-  schema is read driver-side from each file's header via a bounded
-  Hadoop-FS stream — never a full-file driver fetch.
+  multi-GB part file decodes across many tasks. Remote schemes split
+  the same way when ``pyarrow.fs`` can serve byte-range reads for the
+  scheme (s3://, gcs://; hdfs:// with libhdfs) — executors have no
+  JVM gateway, so pyarrow IS the worker-side ranged-read client;
+  schemes pyarrow cannot resolve fall back to ``binaryFiles``
+  whole-file tasks. The writer schema is read driver-side from each
+  file's header via a bounded Hadoop-FS stream — never a full-file
+  driver fetch.
 - **write**: ``df.rdd.mapPartitionsWithIndex`` → one ``part-N.avro``
   per partition through Python ``open()`` (POSIX-visible paths; for
   object stores install spark-avro, which the writer tries first).
@@ -811,6 +814,34 @@ def _split_ranges(file_size: int, split_bytes: int) -> list[tuple[int, int]]:
     ]
 
 
+def _pyarrow_resolves(uri: str) -> bool:
+    """Driver-side probe: can pyarrow.fs serve byte-range reads for
+    this URI's scheme (s3://, gcs://, hdfs:// with libhdfs, ...)?
+    Resolution failures (missing bindings, unreachable endpoint) mean
+    the caller falls back to whole-file tasks."""
+    try:
+        from pyarrow import fs as pafs
+
+        pafs.FileSystem.from_uri(uri)
+        return True
+    except Exception:
+        return False
+
+
+def _open_ranged(path: str, remote: bool):
+    """Seekable binary reader for a split task: plain ``open`` for
+    POSIX paths, ``pyarrow.fs`` for remote URIs — the pure-Python
+    byte-range access executors need (no JVM gateway exists worker-
+    side). pyarrow NativeFile implements seek/read/close, the whole
+    surface _decode_split touches."""
+    if not remote:
+        return open(path, "rb")
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(path)
+    return fsys.open_input_file(rel)
+
+
 def _decode_split(
     path: str,
     start: int,
@@ -819,6 +850,8 @@ def _decode_split(
     sync: bytes,
     codec: str,
     schema_json: str,
+    fsize: int | None = None,
+    remote: bool = False,
 ) -> list:
     """Decode the OCF blocks OWNED by byte range [start, end) — the
     within-file parallelism the reference gets from HDFS input splits
@@ -833,8 +866,9 @@ def _decode_split(
     never silent row loss."""
     dec = _make_decoder(parse_schema(schema_json))
     out: list = []
-    with open(path, "rb") as f:
-        fsize = os.fstat(f.fileno()).st_size
+    with _open_ranged(path, remote) as f:
+        if fsize is None:  # local-path convenience; remote descs carry it
+            fsize = os.fstat(f.fileno()).st_size
         if start == 0:
             # first block's preceding sync is the header tail; owned
             # iff that sync starts inside this split
@@ -980,14 +1014,14 @@ def read_avro(
 ) -> DataFrame:
     """S1 Avro scan. spark-avro datasource when present (see
     ``has_spark_avro`` for the enable recipe), else the distributed
-    pure-Python fallback. Local files split WITHIN the file on sync
+    pure-Python fallback. Files split WITHIN the file on sync
     markers at ``split_bytes`` (default
     spark.sql.files.maxPartitionBytes) — the within-file parallelism
     the reference gets from HDFS input splits (AvroUtils.scala:62-93),
-    so one multi-GB part file no longer means one task. Non-local
-    schemes (hdfs://, s3a://) keep whole-file tasks: executors have no
-    pure-Python byte-range access there — install spark-avro for those
-    (it is also simply the faster path everywhere)."""
+    so one multi-GB part file no longer means one task. Remote schemes
+    split too when pyarrow.fs resolves them (executor-side ranged
+    reads); otherwise they keep whole-file tasks — install spark-avro
+    for those (it is also simply the faster path everywhere)."""
     if has_spark_avro(spark):
         # Route on union WIDTH before handing to the JVM datasource:
         # spark-avro maps wide non-null unions to member structs (or
@@ -1056,7 +1090,17 @@ def read_avro(
         )
         split_bytes = _parse_byte_string(raw)
     locals_ = [_local_path(p) for p, _ in files]
-    if all(lp is not None for lp in locals_):
+    # in-file sync-marker splits need executor-side byte-range access:
+    # POSIX open() for local paths, pyarrow.fs for remote schemes
+    # (probed once per read on the first remote file — s3/gcs resolve
+    # wherever pyarrow ships their bindings; hdfs needs libhdfs).
+    # Unresolvable schemes keep the whole-file-per-task fallback.
+    splittable = True
+    for (fpath, _), lp in zip(files, locals_):
+        if lp is None and not _pyarrow_resolves(fpath):
+            splittable = False
+            break
+    if splittable:
         # one bounded header RPC per file (sync marker, codec, and
         # writer schema are per-file), then split descriptors fan the
         # block decode across executors
@@ -1075,7 +1119,11 @@ def read_avro(
             codec = meta.get("avro.codec", b"null").decode()
             schema_j = meta["avro.schema"].decode()
             for s, e in _split_ranges(fsize, split_bytes):
-                descs.append((lp, s, e, header_len, sync, codec, schema_j))
+                descs.append((
+                    lp if lp is not None else fpath,
+                    s, e, header_len, sync, codec, schema_j,
+                    fsize, lp is None,
+                ))
         reader_json = avro_schema
 
         def decode_resolved(d):
@@ -1429,13 +1477,48 @@ def write_latent_factors(df: DataFrame, path: str) -> None:
     write_avro(out, path, LATENT_FACTOR_SCHEMA)
 
 
+def _name_term_entries(dictionary: DataFrame, values: DataFrame) -> DataFrame:
+    """(feature_index, value) resolved through the dictionary into
+    (__i, name, term, value) — the shared key→(name, term) split both
+    the means and variances writers use. First-separator split (the
+    shape of str.partition): a term containing the separator must
+    round-trip to the same slot."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    key = F.col("feature_key")
+    sep_pos = F.instr(key, FEATURE_KEY_SEP)
+    return dictionary.join(F.broadcast(values), "feature_index").select(
+        F.col("feature_index").alias("__i"),
+        F.substring_index(key, FEATURE_KEY_SEP, 1).alias("name"),
+        F.when(
+            sep_pos > 0, key.substr(sep_pos + F.lit(1), F.length(key))
+        ).otherwise(F.lit("")).alias("term"),
+        "value",
+    )
+
+
 def fixed_effect_to_avro_frame(
-    spark: SparkSession, model, dictionary: DataFrame, model_id: str = "fixed"
+    spark: SparkSession,
+    model,
+    dictionary: DataFrame,
+    model_id: str = "fixed",
+    variances: DataFrame | None = None,
 ) -> DataFrame:
     """S9: FixedEffectGLM → one BayesianLinearModelAvro record, means
     keyed by (name, term) through the feature dictionary with the
     intercept as ("(INTERCEPT)", "") — ModelProcessingUtils.scala:
     77-166 layout.
+
+    ``variances`` (optional): DataFrame(feature_index, variance) in
+    the dictionary's index space (the native layout's saved variance
+    table — which covers the intercept through the dictionary's own
+    intercept slot). Nonzero entries ride the wire as the record's
+    ``variances`` NameTermValueAvro array, exactly how the reference
+    persists ``Coefficients.variancesOption`` (AvroUtils.scala:
+    convertGLMModelToBayesianLinearModelAvro, same keying and sparsity
+    filter as the means) — so incremental learning on the other side
+    (PriorDistribution.scala:23-120) sees the σ² instead of silently
+    degrading to plain L2.
 
     Distributed shape: the dictionary (the reference's own >200k-key
     regime) NEVER hits the driver — only the model's NONZERO
@@ -1452,21 +1535,7 @@ def fixed_effect_to_avro_frame(
         if v != 0.0
     ]
     coef = spark.createDataFrame(nz, "feature_index bigint, value double")
-    # name/term split must be on the FIRST separator only (the shape of
-    # str.partition): a term that itself contains the  delimiter
-    # must survive the round trip to the same coefficient slot, so the
-    # term is everything AFTER the first separator — not split_part's
-    # second segment, which would silently truncate it
-    key = F.col("feature_key")
-    sep_pos = F.instr(key, FEATURE_KEY_SEP)
-    entries = dictionary.join(F.broadcast(coef), "feature_index").select(
-        F.col("feature_index").alias("__i"),
-        F.substring_index(key, FEATURE_KEY_SEP, 1).alias("name"),
-        F.when(
-            sep_pos > 0, key.substr(sep_pos + F.lit(1), F.length(key))
-        ).otherwise(F.lit("")).alias("term"),
-        "value",
-    )
+    entries = _name_term_entries(dictionary, coef)
     mean_struct = lambda n, t, v: F.struct(  # noqa: E731
         n.alias("name"), t.alias("term"), v.alias("value")
     )
@@ -1495,6 +1564,60 @@ def fixed_effect_to_avro_frame(
         ).alias("variances"),
         F.lit(model.family).cast("string").alias("lossFunction"),
     )
+    if variances is not None:
+        # second O(dim) aggregation, crossJoined onto the 1-row record
+        # (both sides single-row; the dictionary's intercept slot keys
+        # the intercept variance as ("(INTERCEPT)", "") automatically).
+        # A table already carrying feature_key (the native layout's
+        # saved form, and loaded reference tables — whose intercept row
+        # has a NULL index when the dictionary has no intercept slot)
+        # resolves by its own keys; a bare (feature_index, variance)
+        # table resolves through the dictionary.
+        if "feature_key" in variances.columns:
+            from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+            key = F.col("feature_key")
+            sep_pos = F.instr(key, FEATURE_KEY_SEP)
+            ventries = variances.filter(
+                F.col("variance") != 0.0
+            ).select(
+                # intercept (null index) sorts last, like the means
+                F.coalesce(
+                    F.col("feature_index").cast("bigint"),
+                    F.lit(1 << 62),
+                ).alias("__i"),
+                F.substring_index(key, FEATURE_KEY_SEP, 1).alias("name"),
+                F.when(
+                    sep_pos > 0,
+                    key.substr(sep_pos + F.lit(1), F.length(key)),
+                ).otherwise(F.lit("")).alias("term"),
+                F.col("variance").cast("double").alias("value"),
+            )
+        else:
+            ventries = _name_term_entries(
+                dictionary,
+                variances.select(
+                    F.col("feature_index").cast("bigint").alias(
+                        "feature_index"
+                    ),
+                    F.col("variance").cast("double").alias("value"),
+                ).filter(F.col("value") != 0.0),
+            )
+        vrec = ventries.agg(
+            F.array_sort(
+                F.collect_list(F.struct("__i", "name", "term", "value"))
+            ).alias("__vs")
+        ).select(
+            F.transform(
+                "__vs",
+                lambda s: mean_struct(s["name"], s["term"], s["value"]),
+            ).alias("__variances")
+        )
+        rec = (
+            rec.drop("variances")
+            .crossJoin(F.broadcast(vrec))
+            .withColumnRenamed("__variances", "variances")
+        )
     return rec
 
 
@@ -1540,6 +1663,43 @@ def avro_frame_to_fixed_effect(
     return FixedEffectGLM(
         family=family, coefficients=coef, intercept=intercept, dim=dim,
         reg_param=0.0,
+    )
+
+
+def avro_frame_fixed_variances(
+    rows: list[Row], dictionary: DataFrame
+) -> DataFrame | None:
+    """The variances half of avro_frame_to_fixed_effect's inverse: the
+    single BayesianLinearModelAvro record's ``variances`` array →
+    DataFrame(feature_key, feature_index, variance), indices resolved
+    through the dictionary (feature_index null for keys outside it —
+    notably the intercept, since loader-derived dictionaries carry no
+    intercept slot). Returns None when the record carries no variances
+    (the reference's variancesOption=None case)."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP
+
+    from photon_ml_spark.datamodel import INTERCEPT_KEY
+
+    (row,) = rows
+    vs = getattr(row, "variances", None)
+    if not vs:
+        return None
+    spark = dictionary.sparkSession
+    # the intercept's native key is the bare INTERCEPT_KEY (that is
+    # what build_feature_dictionary's slot and _fixed_prior's routing
+    # match on), not name+SEP+term
+    pairs = [
+        (
+            INTERCEPT_KEY
+            if v.name == INTERCEPT_NAME and (v.term or "") == INTERCEPT_TERM
+            else f"{v.name or ''}{FEATURE_KEY_SEP}{v.term or ''}",
+            float(v.value),
+        )
+        for v in vs
+    ]
+    vdf = spark.createDataFrame(pairs, "feature_key string, variance double")
+    return dictionary.join(F.broadcast(vdf), "feature_key", "right").select(
+        "feature_key", "feature_index", "variance"
     )
 
 
@@ -1591,40 +1751,94 @@ def random_effects_to_avro_frame(
             )
         ),
     )
+    if "variances" in models.columns:
+        # per-entity σ² ride the wire exactly like the means (the
+        # reference persists Coefficients.variancesOption through the
+        # same NameTermValueAvro list, AvroUtils.scala:340-352); the
+        # intercept variance keys as ("(INTERCEPT)", "") when the
+        # table carries intercept_variance
+        nzv = F.filter(
+            F.zip_with(
+                "variances",
+                F.slice("d", 1, dim),
+                lambda c, e: F.struct(
+                    e["__name"].alias("name"),
+                    e["__term"].alias("term"),
+                    c.alias("value"),
+                ),
+            ),
+            lambda s: s["value"] != 0.0,
+        )
+        if "intercept_variance" in models.columns:
+            # null intercept_variance must not inject a null into the
+            # non-nullable NameTermValueAvro.value
+            var_arr = F.when(
+                F.col("intercept_variance").isNotNull(),
+                F.concat(
+                    nzv,
+                    F.array(
+                        F.struct(
+                            F.lit(INTERCEPT_NAME).alias("name"),
+                            F.lit(INTERCEPT_TERM).alias("term"),
+                            F.col("intercept_variance").cast("double").alias(
+                                "value"
+                            ),
+                        )
+                    ),
+                ),
+            ).otherwise(nzv)
+        else:
+            var_arr = nzv
+        variances = F.when(F.col("variances").isNotNull(), var_arr)
+    else:
+        variances = F.lit(None).cast(
+            "array<struct<name:string,term:string,value:double>>"
+        )
     return with_dict.select(
         F.col("entity").alias("modelId"),
         F.lit(None).cast("string").alias("modelClass"),
         means.alias("means"),
-        F.lit(None).cast(
-            "array<struct<name:string,term:string,value:double>>"
-        ).alias("variances"),
+        variances.alias("variances"),
         F.lit(None).cast("string").alias("lossFunction"),
     )
 
 
 def avro_frame_to_random_effects(
-    avro_df: DataFrame, dictionary: DataFrame, dim: int
+    avro_df: DataFrame,
+    dictionary: DataFrame,
+    dim: int,
+    include_variances: bool = False,
 ) -> DataFrame:
     """Inverse: BayesianLinearModelAvro frame → (entity, coefficients,
     intercept) model table, dense arrays rebuilt through the
-    dictionary join (distributed; unknown keys dropped)."""
+    dictionary join (distributed; unknown keys dropped).
+
+    ``include_variances=True`` additionally densifies the records'
+    ``variances`` NameTermValue arrays into ``variances``/
+    ``intercept_variance`` columns (null for entities whose record
+    carries none) — the shape ``ml.random_effects.fit_random_effects``
+    accepts as a variance-bearing prior model, closing the reference's
+    incremental-learning loop (PriorDistribution.scala:23-120)."""
     from photon_ml_spark.datamodel import FEATURE_KEY_SEP
 
-    ex = avro_df.select(
-        F.col("modelId").alias("entity"),
-        F.explode("means").alias("m"),
-    ).select(
-        "entity",
-        # null-safe (concat_ws skips nulls — a null term would build a
-        # separator-less key no featurized column ever matches)
-        F.concat(
-            F.coalesce(F.col("m.name"), F.lit("")),
-            F.lit(FEATURE_KEY_SEP),
-            F.coalesce(F.col("m.term"), F.lit("")),
-        ).alias("feature_key"),
-        F.col("m.name").alias("__name"),
-        F.col("m.value").alias("value"),
-    )
+    def _exploded(col: str) -> DataFrame:
+        return avro_df.select(
+            F.col("modelId").alias("entity"),
+            F.explode(col).alias("m"),
+        ).select(
+            "entity",
+            # null-safe (concat_ws skips nulls — a null term would
+            # build a separator-less key no featurized column matches)
+            F.concat(
+                F.coalesce(F.col("m.name"), F.lit("")),
+                F.lit(FEATURE_KEY_SEP),
+                F.coalesce(F.col("m.term"), F.lit("")),
+            ).alias("feature_key"),
+            F.col("m.name").alias("__name"),
+            F.col("m.value").alias("value"),
+        )
+
+    ex = _exploded("means")
     inter = (
         ex.filter(F.col("__name") == INTERCEPT_NAME)
         .groupBy("entity")
@@ -1643,6 +1857,33 @@ def avro_frame_to_random_effects(
     sparse = inter.join(feats, "entity", "left").select(
         "entity", "__pairs", F.col("intercept").cast("double").alias("intercept")
     )
+    if include_variances:
+        vx = _exploded("variances")
+        vinter = (
+            vx.filter(F.col("__name") == INTERCEPT_NAME)
+            .groupBy("entity")
+            .agg(F.first("value").alias("intercept_variance"))
+        )
+        vfeats = (
+            vx.filter(F.col("__name") != INTERCEPT_NAME)
+            .join(F.broadcast(dictionary), "feature_key", "inner")
+            .groupBy("entity")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("feature_index", "value"))
+                ).alias("__vpairs")
+            )
+        )
+        sparse = (
+            sparse.join(vfeats, "entity", "left")
+            .join(vinter, "entity", "left")
+            .select(
+                "entity", "__pairs", "intercept", "__vpairs",
+                F.col("intercept_variance").cast("double").alias(
+                    "intercept_variance"
+                ),
+            )
+        )
     # Pin parallelism through the EXPANSION: the sparse relation is a
     # few MB, so AQE coalesces the join's exchanges to ~1 partition —
     # but the next stage inflates each row to a dim-wide dense vector
@@ -1668,29 +1909,55 @@ def avro_frame_to_random_effects(
     import numpy as np
     import pandas as pd
 
-    out_schema = T.StructType([
+    fields = [
         T.StructField("entity", T.StringType(), True),
         T.StructField("coefficients", T.ArrayType(T.DoubleType()), False),
         T.StructField("intercept", T.DoubleType(), True),
-    ])
+    ]
+    if include_variances:
+        fields += [
+            T.StructField("variances", T.ArrayType(T.DoubleType()), True),
+            T.StructField("intercept_variance", T.DoubleType(), True),
+        ]
+    out_schema = T.StructType(fields)
+
+    def _dense(pairs_series, n):
+        buf = np.zeros((n, dim))  # one contiguous scatter target
+        for r, pairs in enumerate(pairs_series):
+            if pairs is not None:
+                for p in pairs:
+                    buf[r, int(p["feature_index"])] = float(p["value"])
+        return buf
 
     def scatter(batches):
         for pdf in batches:
             n = len(pdf)
-            buf = np.zeros((n, dim))  # one contiguous scatter target
-            for r, pairs in enumerate(pdf["__pairs"]):
-                if pairs is not None:
-                    for p in pairs:
-                        buf[r, int(p["feature_index"])] = float(p["value"])
-            yield pd.DataFrame(
-                {
-                    "entity": pdf["entity"].astype(str),
-                    # ndarray rows, not tolist(): Arrow builds the
-                    # ListArray from the buffers without materializing
-                    # dim Python floats per entity
-                    "coefficients": list(buf),
-                    "intercept": pdf["intercept"],
-                }
-            )
+            buf = _dense(pdf["__pairs"], n)
+            cols = {
+                "entity": pdf["entity"].astype(str),
+                # ndarray rows, not tolist(): Arrow builds the
+                # ListArray from the buffers without materializing
+                # dim Python floats per entity
+                "coefficients": list(buf),
+                "intercept": pdf["intercept"],
+            }
+            if include_variances:
+                vbuf = _dense(pdf["__vpairs"], n)
+                # entities whose record carried NO variances stay null
+                # (vs an all-zero vector, which would mean "infinite
+                # precision" to a prior consumer)
+                has_v = [
+                    # a SQL null intercept_variance arrives as NaN in
+                    # the float column, not None (NaN != NaN)
+                    vp is not None or (iv is not None and iv == iv)
+                    for vp, iv in zip(
+                        pdf["__vpairs"], pdf["intercept_variance"]
+                    )
+                ]
+                cols["variances"] = [
+                    vbuf[r] if has_v[r] else None for r in range(n)
+                ]
+                cols["intercept_variance"] = pdf["intercept_variance"]
+            yield pd.DataFrame(cols)
 
     return sparse.mapInPandas(scatter, schema=out_schema)

@@ -316,6 +316,7 @@ def load_photon_game_model(
     from photon_ml_spark.sources.avro_io import (
         BAYESIAN_LINEAR_MODEL_SCHEMA,
         INTERCEPT_NAME,
+        avro_frame_fixed_variances,
         avro_frame_to_fixed_effect,
         avro_frame_to_random_effects,
         read_avro,
@@ -361,9 +362,25 @@ def load_photon_game_model(
         for c in coords:
             if c["shard"] != shard:
                 continue
+            # variances may key features the (nonzero-filtered) means
+            # do not — a zero coefficient with informative σ² is still
+            # part of the feature space, so union both arrays' keys
             k = (
                 c["frame"]
-                .select(F.explode("means").alias("m"))
+                .select(
+                    F.explode(
+                        F.concat(
+                            F.col("means"),
+                            F.coalesce(
+                                F.col("variances"),
+                                F.array().cast(
+                                    "array<struct<name:string,"
+                                    "term:string,value:double>>"
+                                ),
+                            ),
+                        )
+                    ).alias("m")
+                )
                 .filter(F.col("m.name") != INTERCEPT_NAME)
                 .select(
                     # null-safe: concat_ws SKIPS nulls, which would
@@ -408,9 +425,21 @@ def load_photon_game_model(
             rows = c["frame"].collect()
             glm = avro_frame_to_fixed_effect(rows, d, dim, family=fam)
             model.coordinates[c["name"]] = glm
+            vt = avro_frame_fixed_variances(rows, d)
+            if vt is not None:
+                model.variances[c["name"]] = vt
         else:
+            # one bounded probe decides whether the extra variance
+            # explode/join/densify legs are built at all
+            has_v = (
+                c["frame"]
+                .filter(F.col("variances").isNotNull())
+                .limit(1)
+                .count()
+                > 0
+            )
             model.coordinates[c["name"]] = avro_frame_to_random_effects(
-                c["frame"], d, dim
+                c["frame"], d, dim, include_variances=has_v
             )
         # per-coordinate sparse columns carry the SHARD id (id-info's
         # featureShardId) — coordinates sharing a shard read the same
@@ -430,6 +459,7 @@ def save_photon_game_model(
     dictionaries: dict[str, DataFrame],
     path: str,
     spark: SparkSession,
+    variance_tables: dict[str, DataFrame] | None = None,
 ) -> None:
     """Write a GameModel in the REFERENCE toolchain's Avro layout
     (ModelProcessingUtils.scala:77-265 / AvroConstants.scala:24-27) —
@@ -474,8 +504,13 @@ def save_photon_game_model(
         # makes the exported artifact un-inferable
         model_class = _FAMILY_MODEL_CLASS.get(model.family)
         if cfg.kind == "fixed":
+            # σ² table precedence: explicit variance_tables, else the
+            # model's own loaded tables (round-tripping an import)
+            vt = (variance_tables or {}).get(
+                name, model.variances.get(name)
+            )
             frame = fixed_effect_to_avro_frame(
-                spark, m, d, model_id="fixed-effect"
+                spark, m, d, model_id="fixed-effect", variances=vt
             )
             id_info = shard
         else:

@@ -1,0 +1,93 @@
+"""Partial-probe ANN recall gate (VERDICT r10 #5): full-probe==brute
+equality is pinned elsewhere; the number a 100 TB user tunes is
+recall@k at n_probe ≪ cells on NON-grid data. Floors here are measured
+values minus margin on the deterministic jittered construction
+(scripts/ann_recall.py — stress-harness cosine jitter, fixed KMeans
+seed, hash-mod sampling); the sf0.1 curve lives in BASELINE.md."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def recall_setup(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.ann_recall import jittered_corpus
+
+    corpus = jittered_corpus(spark, "/root/testdata/sf0.001", 4).cache()
+    n = corpus.count()
+    queries = (
+        corpus.filter(F.pmod(F.col("vec_id"), F.lit(max(n // 50, 1))) == 0)
+        .limit(50)
+        .cache()
+    )
+    truth = similarity.cosine_topk(corpus, queries, 10).cache()
+    truth.count()
+    yield corpus, queries, truth
+    truth.unpersist()
+    queries.unpersist()
+    corpus.unpersist()
+
+
+def test_ivf_partial_probe_recall_floor(spark, recall_setup, tmp_path):
+    """IVF float index on jittered (unclustered — the hard case)
+    embeddings: recall@10 ≥ 0.7 at the documented default n_probe =
+    cells/2 (measured 0.838), exactly 1.0 at full probe, and the curve
+    is monotone in n_probe."""
+    corpus, queries, truth = recall_setup
+    idx = str(tmp_path / "ivf")
+    similarity.save_ivf_index(corpus, idx, k=8)
+    rec = {
+        n_probe: similarity.recall_at_k(
+            truth,
+            similarity.ivf_topk_from_index(
+                spark, idx, queries, k=10, n_probe=n_probe
+            ),
+            10,
+        )
+        for n_probe in (1, 4, 8)
+    }
+    assert rec[4] >= 0.7, rec
+    assert rec[8] == pytest.approx(1.0), rec
+    assert rec[1] <= rec[4] <= rec[8], rec
+
+
+def test_ivf_sq8_recall_floor(spark, recall_setup, tmp_path):
+    """SQ8 quantization costs almost nothing on recall: full-probe
+    recall@10 ≥ 0.95 (measured 0.994)."""
+    corpus, queries, truth = recall_setup
+    idx = str(tmp_path / "sq8")
+    similarity.save_ivf_index(corpus, idx, k=8, sq8=True)
+    rec = similarity.recall_at_k(
+        truth,
+        similarity.ivf_topk_from_index(spark, idx, queries, k=10, n_probe=8),
+        10,
+    )
+    assert rec >= 0.95, rec
+
+
+def test_pq_kmeans_codebook_beats_sampled(recall_setup):
+    """The Lloyd-trained codebook (save_pq_index's default) strictly
+    improves ADC recall over the SQL-reproducible sampled init at the
+    same code budget (measured 0.426 vs 0.374 at m=8, ksub=16), and a
+    bigger code budget recovers brute-force-adjacent recall on even
+    this unclustered worst case (m=32, ksub=64 → measured 0.828;
+    recall@10 ≥ 0.7 pinned)."""
+    corpus, queries, truth = recall_setup
+    recs = {}
+    for label, trainer, m, ksub in (
+        ("sampled", similarity.pq_train_sampled, 8, 16),
+        ("kmeans", similarity.pq_train_kmeans, 8, 16),
+        ("kmeans_wide", similarity.pq_train_kmeans, 32, 64),
+    ):
+        cb = trainer(corpus, m=m, ksub=ksub)
+        enc = similarity.pq_encode(corpus, cb)
+        recs[label] = similarity.recall_at_k(
+            truth, similarity.pq_topk(enc, queries, cb, k=10), 10
+        )
+    assert recs["kmeans"] > recs["sampled"], recs
+    assert recs["kmeans_wide"] >= 0.7, recs

@@ -524,3 +524,50 @@ def test_single_file_path_is_qualified(spark, tmp_path):
     got = _list_avro_files_with_size(spark, f"{p}/{fname}")
     assert len(got) == 1
     assert got[0][0].startswith("file:"), got[0][0]
+
+
+def test_read_avro_remote_scheme_ranged_splits(spark, tmp_path, monkeypatch):
+    """A non-local-scheme path (simulated by blinding _local_path, the
+    exact routing a real hdfs://-or-s3a:// read takes) still splits
+    WITHIN the file: the split descriptors carry remote=True and the
+    executor-side reads go through pyarrow.fs ranged access instead of
+    whole-file binaryFiles. Rows and split ownership match the local
+    read exactly."""
+    path, schema, recs, data = _many_record_file(
+        tmp_path, n=200, block_records=100
+    )
+    monkeypatch.setattr(avro_io, "has_spark_avro", lambda _s: False)
+    # blind the POSIX shortcut so the driver routes file: URIs through
+    # the remote branch (executors resolve them via pyarrow from_uri)
+    monkeypatch.setattr(avro_io, "_local_path", lambda _p: None)
+    df = avro_io.read_avro(spark, path, split_bytes=len(data) // 2)
+    assert df.rdd.getNumPartitions() >= 2
+    rows = df.collect()
+    assert len(rows) == 200
+    assert sorted((r.i, r.s) for r in rows) == sorted(
+        (r["i"], r["s"]) for r in recs
+    )
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_decode_split_remote_matches_local(tmp_path, codec):
+    """_decode_split through the pyarrow ranged reader is byte-for-byte
+    the local contract: same ownership, same records, any split size."""
+    path, schema, recs, data = _many_record_file(tmp_path, codec=codec)
+    meta, sync, header_len = avro_io._parse_header(data)
+    fsize = len(data)
+    uri = f"file://{path}"
+    for split_bytes in (fsize, fsize // 3, 977):
+        ranges = avro_io._split_ranges(fsize, split_bytes)
+        local = [
+            avro_io._decode_split(path, s, e, header_len, sync, codec, schema)
+            for s, e in ranges
+        ]
+        remote = [
+            avro_io._decode_split(
+                uri, s, e, header_len, sync, codec, schema,
+                fsize=fsize, remote=True,
+            )
+            for s, e in ranges
+        ]
+        assert local == remote

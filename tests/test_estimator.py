@@ -125,3 +125,55 @@ def test_estimator_multi_shard_coordinates(spark):
     ).count()
     assert bad == 0
     assembled.unpersist()
+
+
+def test_transformer_save_load_roundtrip(spark, sf_dir, tmp_path):
+    """fit → save → load → transform equals the in-memory transform
+    row-for-row — the spark.ml Model persistence contract
+    (GameEstimator.scala:55 "interfaces identical to Spark ML")."""
+    training = datasets.lineitem_training_frame(spark, sf_dir).cache()
+    dictionary = featurize.build_feature_dictionary(
+        training, ["features"], has_intercept=True
+    ).cache()
+    shard = FeatureShardConfig("features", ["features"])
+    assembled = featurize.assemble_shard(
+        training, dictionary, shard, strategy="map"
+    ).cache()
+
+    est = GameEstimator(
+        coordinates=[
+            CoordinateConfig(name="global", kind="fixed", dim=5),
+            CoordinateConfig(
+                name="per-supplier", kind="random", dim=5,
+                entity_col="suppkey", reg_param=1.0, min_samples=5,
+            ),
+        ],
+        family="binomial",
+        n_iterations=1,
+    )
+    fitted = est.fit(assembled)
+    path = str(tmp_path / "transformer_model")
+    fitted.save(path)  # spark resolved from the active session
+
+    from photon_ml_spark.estimator import GameTransformer
+
+    loaded = GameTransformer.load(path, spark)
+    assert loaded.model.family == "binomial"
+    assert set(loaded.model.configs) == {"global", "per-supplier"}
+
+    a = {
+        r.uid: (r.score, r.prediction)
+        for r in fitted.transform(assembled).select(
+            "uid", "score", "prediction"
+        ).collect()
+    }
+    b = {
+        r.uid: (r.score, r.prediction)
+        for r in loaded.transform(assembled).select(
+            "uid", "score", "prediction"
+        ).collect()
+    }
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k][0] - b[k][0]) < 1e-12
+        assert abs(a[k][1] - b[k][1]) < 1e-12

@@ -2051,7 +2051,9 @@ def test_pq_index_roundtrip_and_size(spark, emb, tmp_path):
     qe = emb.select("vec_id", F.transform(
         "qe", lambda x: F.round(x * 1000, 0)).alias("qe"))
     idx = str(tmp_path / "pq_idx")
-    similarity.save_pq_index(qe, idx, m=8, ksub=16, vec_col="qe", dim=64)
+    similarity.save_pq_index(
+        qe, idx, m=8, ksub=16, vec_col="qe", dim=64, codebook="sampled"
+    )
     queries = qe.filter(F.col("vec_id") % 25 == 0)
     from_index = similarity.pq_topk_from_index(
         spark, idx, queries, k=5, vec_col="qe"
@@ -2108,7 +2110,7 @@ def test_ivf_pq_composed_index(spark, emb, tmp_path):
     idx = str(tmp_path / "ivf_pq_idx")
     similarity.save_ivf_index(
         emb, idx, k=4, vec_col="qe", seed=42, max_iter=5,
-        pq=True, pq_m=8, pq_ksub=16, dim=64,
+        pq=True, pq_m=8, pq_ksub=16, dim=64, pq_codebook="sampled",
     )
     stored = spark.read.parquet(f"{idx}/vectors")
     assert dict(stored.dtypes)["pq"] == "array<tinyint>"
