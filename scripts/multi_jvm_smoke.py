@@ -9,6 +9,14 @@ own Python workers — and cross-checks the row-level results against a
 plain ``local[4]`` run of the SAME code.
 
     python scripts/multi_jvm_smoke.py [sf_dir]
+    DELIVERY=wheel python scripts/multi_jvm_smoke.py [sf_dir]
+
+``DELIVERY=wheel`` ships the package to executors as the BUILT WHEEL
+(scripts/build_wheel.py + ``sc.addPyFile`` — the ``--py-files``
+production delivery) instead of ``spark.executorEnv.PYTHONPATH``, and
+records each executor Python worker's resolved module origin: the
+smoke fails if any worker imported photon_ml_spark from the repo tree
+rather than the shipped artifact.
 
 Prints one JSON line: timings + equality verdicts. A serialization or
 classpath bug (e.g. a closure capturing a non-picklable handle, a
@@ -27,10 +35,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _session(master: str):
+def _session(master: str, wheel: str | None = None):
     from pyspark.sql import SparkSession
 
-    return (
+    b = (
         SparkSession.builder.master(master)
         .appName(f"mjvm-smoke-{master.split('[')[0]}")
         .config("spark.sql.adaptive.enabled", "true")
@@ -41,11 +49,75 @@ def _session(master: str):
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.executor.memory", "3g")
-        # executor Python workers must import photon_ml_spark (pandas
-        # UDF bodies reference it by module) — on a real cluster this
-        # is --py-files / a wheel on the image; locally, PYTHONPATH
-        .config("spark.executorEnv.PYTHONPATH", REPO)
-        .getOrCreate()
+    )
+    # executor Python workers must import photon_ml_spark (pandas UDF
+    # bodies reference it by module). Two deliveries, both exercised:
+    # PYTHONPATH (a baked image) or the built wheel via addPyFile
+    # (--py-files — the spark-submit production path).
+    if wheel is None:
+        b = b.config("spark.executorEnv.PYTHONPATH", REPO)
+    spark = b.getOrCreate()
+    if wheel is not None:
+        # pyspark's addPyFile include filter is PACKAGE_EXTENSIONS =
+        # (.zip, .egg, .jar) — a .whl SHIPS but never joins worker
+        # sys.path (context.py:1989). Wheels ARE zipimport-able, so
+        # stage the byte-identical artifact under a .zip alias; the
+        # same trick production --py-files deployments use.
+        import shutil
+
+        alias = wheel + ".zip"
+        shutil.copyfile(wheel, alias)
+        spark.sparkContext.addPyFile(alias)
+    return spark
+
+
+def _executor_module_origins(spark) -> set[tuple]:
+    """Per-executor proof the SHIPPED WHEEL is self-sufficient: the box
+    carries a dev-time editable install (site-packages easy-install.pth
+    → the repo tree), so the in-worker import may be served by that
+    instead of the artifact. Each worker therefore re-imports in a
+    ``python -S`` SUBPROCESS — no site processing, so .pth files are
+    ignored and the repo tree is unreachable — with sys.path = [the
+    addPyFile-staged wheel, site-packages (deps only; appending a dir
+    manually does NOT process its .pth files)]. The import can only be
+    served by the wheel."""
+    def probe(_it):
+        import subprocess
+        import sys
+
+        import os
+
+        whl = next(
+            (
+                os.path.abspath(p)
+                for p in sys.path
+                if p.endswith((".whl", ".whl.zip"))
+            ),
+            None,
+        )
+        site = next(
+            (p for p in sys.path if p.endswith("site-packages")), None
+        )
+        if whl is None or site is None:
+            yield (99, "", f"missing path entry; sys.path={sys.path!r}")
+            return
+        code = (
+            "import sys;"
+            f"sys.path[:0] = [{whl!r}, {site!r}];"
+            "import photon_ml_spark;"
+            "import photon_ml_spark.datamodel;"
+            "print(photon_ml_spark.__file__)"
+        )
+        r = subprocess.run(
+            [sys.executable, "-S", "-c", code],
+            capture_output=True, text=True, timeout=120,
+        )
+        yield (r.returncode, r.stdout.strip(), r.stderr[-300:])
+
+    n = spark.sparkContext.defaultParallelism
+    return set(
+        spark.sparkContext.parallelize(range(n), n).mapPartitions(probe)
+        .collect()
     )
 
 
@@ -121,13 +193,19 @@ def _minhash_rows(spark, sf_dir: str):
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    out: dict = {"sf_dir": sf_dir}
+    delivery = os.environ.get("DELIVERY", "pythonpath")
+    wheel = None
+    if delivery == "wheel":
+        from scripts.build_wheel import build_wheel
+
+        wheel = build_wheel(os.path.join(REPO, "dist"))
+    out: dict = {"sf_dir": sf_dir, "delivery": delivery, "wheel": wheel}
     results: dict[str, dict] = {}
     for label, master in (
         ("local", "local[4]"),
         ("local_cluster", "local-cluster[2,2,3072]"),
     ):
-        spark = _session(master)
+        spark = _session(master, wheel=wheel)
         spark.sparkContext.setLogLevel("ERROR")
         try:
             t0 = time.perf_counter()
@@ -144,6 +222,18 @@ def main() -> None:
             out[f"{label}_executors"] = (
                 spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size()
             )
+            if wheel is not None and label == "local_cluster":
+                origins = _executor_module_origins(spark)
+                out["executor_module_origins"] = sorted(
+                    o[1] or o[2] for o in origins
+                )
+                # every worker subprocess imported cleanly, from a
+                # .whl-served path, never the repo tree
+                out["wheel_served_imports"] = all(
+                    rc == 0 and ".whl" in path
+                    and not path.startswith(REPO + "/photon")
+                    for rc, path, _err in origins
+                )
         finally:
             spark.stop()
     out["flagship_rows"] = len(results["local"]["flagship"])
@@ -159,9 +249,10 @@ def main() -> None:
         results["local"]["avro"] == results["local_cluster"]["avro"]
     )
     print(json.dumps(out))
-    if not (
-        out["flagship_equal"] and out["minhash_equal"] and out["avro_equal"]
-    ):
+    ok = out["flagship_equal"] and out["minhash_equal"] and out["avro_equal"]
+    if wheel is not None:
+        ok = ok and out.get("wheel_served_imports", False)
+    if not ok:
         sys.exit(1)
 
 

@@ -58,3 +58,40 @@ def test_module_invocation_runs_index_driver(tmp_path, spark):
     assert rep["status"] == "indexed"
     assert rep["n_features"] > 1
     assert os.path.isdir(f"{out}/feature-dictionary")
+
+
+def test_build_wheel_artifact_importable(tmp_path):
+    """scripts/build_wheel.py produces a PEP 427 wheel whose package
+    imports from the zip in a clean interpreter (-S: no site
+    processing, so the box's editable install cannot mask a broken
+    artifact) and whose dist-info carries the console entry point."""
+    import subprocess
+    import sys
+    import zipfile
+
+    sys.path.insert(0, "/root/repo")
+    from scripts.build_wheel import build_wheel
+
+    whl = build_wheel(str(tmp_path))
+    names = zipfile.ZipFile(whl).namelist()
+    di = [n for n in names if n.endswith("dist-info/METADATA")]
+    assert di, names
+    assert any(n.endswith("dist-info/RECORD") for n in names)
+    ep = [n for n in names if n.endswith("entry_points.txt")]
+    assert ep
+    assert b"photon-ml-spark" in zipfile.ZipFile(whl).read(ep[0])
+    assert "photon_ml_spark/cli.py" in names
+
+    site = next(p for p in sys.path if p.endswith("site-packages"))
+    code = (
+        "import sys;"
+        f"sys.path[:0] = [{whl!r}, {site!r}];"
+        "import photon_ml_spark, photon_ml_spark.datamodel;"
+        "print(photon_ml_spark.__file__)"
+    )
+    r = subprocess.run(
+        [sys.executable, "-S", "-c", code],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode == 0, r.stderr[-1500:]
+    assert ".whl" in r.stdout
