@@ -836,6 +836,15 @@ def _train_impl_body(
                 prec[j] = 1.0 / v
         return mean, prec
 
+    # varianceComputationType — read (and fail) BEFORE training, and
+    # thread into RANDOM coordinates so per-entity fits carry σ²
+    # (RandomEffectOptimizationProblem.scala:133-189); fixed
+    # coordinates compute theirs at the CD optimum below instead
+    vc = str(cfg.get("variance_computation", "none")).lower()
+    if vc not in ("none", "simple", "full"):
+        raise ValueError(
+            f"variance_computation must be none|simple|full, got {vc!r}"
+        )
     coords = []
     for c in cfg["coordinates"]:
         s = coord_shard[c["name"]]
@@ -864,6 +873,9 @@ def _train_impl_body(
                 pretrained=pretrained,
                 prior_mean=pm,
                 prior_precision=pp,
+                compute_variance=(
+                    vc if vc != "none" and c["kind"] == "random" else None
+                ),
             )
         )
     locked_names = set((inc or {}).get("locked_coordinates", []))
@@ -1208,12 +1220,7 @@ def _train_impl_body(
     else:
         fitted = fit_with({})
         report["updates"] = len(fitted.history)
-    vc = str(cfg.get("variance_computation", "none")).lower()
-    variance_tables = {}
-    if vc not in ("none", "simple", "full"):
-        raise ValueError(
-            f"variance_computation must be none|simple|full, got {vc!r}"
-        )
+    variance_tables = {}  # vc read+validated before the coordinate build
     if vc != "none":
         # varianceComputationType (GameTrainingDriver; M10/A3):
         # coefficient variances of each FIXED coordinate at the CD

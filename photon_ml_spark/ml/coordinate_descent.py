@@ -80,6 +80,15 @@ class CoordinateConfig:
     # may carry per-entity variances).
     prior_mean: object = None
     prior_precision: object = None
+    # varianceComputationType for RANDOM coordinates (the reference
+    # threads it into every per-entity problem —
+    # RandomEffectOptimizationProblem.scala:133-189): None | 'simple' |
+    # 'full'. The fitted model table then carries per-entity
+    # variances/intercept_variance columns — the σ² the next
+    # incremental run (and the reference-layout export) consumes.
+    # Fixed-coordinate variances are computed at the CD optimum by the
+    # train driver instead (exact offset-inclusive curvature).
+    compute_variance: str | None = None
 
     def __post_init__(self):
         if self.kind not in ("fixed", "random"):
@@ -170,12 +179,27 @@ def _fit_coordinate(
             weight_col="weight" if "weight" in data.columns else None,
             uid_col=uid_col,
         )
+    # The M9 Gaussian penalty (variances on the prior table) applies
+    # ONLY when the prior IS the caller's pretrained model — the
+    # documented first-update semantics. Later CD generations of this
+    # coordinate serve as warm start/carry-forward alone; with
+    # compute_variance set they now CARRY variances, and leaving them
+    # on would make iteration N+1 shrink toward iteration N (a prior
+    # toward our own previous update — not any reference semantic).
+    if (
+        prior is not None
+        and prior is not cfg.pretrained
+        and hasattr(prior, "columns")
+        and "variances" in prior.columns
+    ):
+        prior = prior.drop("variances", "intercept_variance")
     return re_mod.fit_random_effects(
         data, entity_col=cfg.entity_col, dim=cfg.dim, family=family,
         indices_col=cfg.indices_col, values_col=cfg.values_col,
         offset_col=offset_col, reg_param=cfg.reg_param,
         min_samples=cfg.min_samples, prior_model=prior,
         lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
+        compute_variance=cfg.compute_variance,
     )
 
 

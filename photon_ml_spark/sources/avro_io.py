@@ -1729,6 +1729,12 @@ def random_effects_to_avro_frame(
     )
     dict_arr = idx_name_term.agg(names.alias("d"))
     with_dict = models.crossJoin(F.broadcast(dict_arr))
+    # the dictionary's intercept SLOT (present when the shard was
+    # built has_intercept) must not emit a per-slot entry: its key
+    # ("(INTERCEPT)", "") is owned by the dedicated intercept/
+    # intercept_variance entries below, and a duplicate key would make
+    # the reader's F.first pick arbitrarily (a per-entity local fit
+    # leaves the never-observed slot with junk σ² = 1/l2)
     nz = F.filter(
         F.zip_with(
             "coefficients",
@@ -1739,7 +1745,7 @@ def random_effects_to_avro_frame(
                 c.alias("value"),
             ),
         ),
-        lambda s: s["value"] != 0.0,
+        lambda s: (s["value"] != 0.0) & (s["name"] != INTERCEPT_NAME),
     )
     means = F.concat(
         nz,
@@ -1767,7 +1773,7 @@ def random_effects_to_avro_frame(
                     c.alias("value"),
                 ),
             ),
-            lambda s: s["value"] != 0.0,
+            lambda s: (s["value"] != 0.0) & (s["name"] != INTERCEPT_NAME),
         )
         if "intercept_variance" in models.columns:
             # null intercept_variance must not inject a null into the

@@ -71,6 +71,19 @@ def _reps(df: DataFrame, build_rep) -> DataFrame:
     return out
 
 
+# STRESS_TABLES: comma-separated subset of big tables to build —
+# factor-100 document-path runs (x6/x21) need only `documents`;
+# replicating 60M lineitem rows alongside would dominate build time
+# and disk for nothing. Default: all.
+TABLES = {
+    s.strip()
+    for s in os.environ.get(
+        "STRESS_TABLES", "lineitem,orders,documents,embeddings,events"
+    ).split(",")
+    if s.strip()
+}
+
+
 def build(spark) -> None:
     shutil.rmtree(X10, ignore_errors=True)
     shutil.rmtree(SKEW, ignore_errors=True)
@@ -130,14 +143,19 @@ def build(spark) -> None:
     def events_rep(df, r):
         return df.withColumn("event_id", F.col("event_id") + r * SALT)
 
-    _reps(_t(spark, "lineitem"), lineitem_rep).write.parquet(f"{X10}/lineitem.parquet")
-    _reps(
-        _t(spark, "lineitem"), lambda d, r: lineitem_rep(d, r, skew=True)
-    ).write.parquet(f"{SKEW}/lineitem.parquet")
-    _reps(_t(spark, "orders"), orders_rep).write.parquet(f"{X10}/orders.parquet")
-    _reps(_t(spark, "documents"), documents_rep).write.parquet(f"{X10}/documents.parquet")
-    _reps(_t(spark, "embeddings"), embeddings_rep).write.parquet(f"{X10}/embeddings.parquet")
-    _reps(_t(spark, "events"), events_rep).write.parquet(f"{X10}/events.parquet")
+    if "lineitem" in TABLES:
+        _reps(_t(spark, "lineitem"), lineitem_rep).write.parquet(f"{X10}/lineitem.parquet")
+        _reps(
+            _t(spark, "lineitem"), lambda d, r: lineitem_rep(d, r, skew=True)
+        ).write.parquet(f"{SKEW}/lineitem.parquet")
+    if "orders" in TABLES:
+        _reps(_t(spark, "orders"), orders_rep).write.parquet(f"{X10}/orders.parquet")
+    if "documents" in TABLES:
+        _reps(_t(spark, "documents"), documents_rep).write.parquet(f"{X10}/documents.parquet")
+    if "embeddings" in TABLES:
+        _reps(_t(spark, "embeddings"), embeddings_rep).write.parquet(f"{X10}/embeddings.parquet")
+    if "events" in TABLES:
+        _reps(_t(spark, "events"), events_rep).write.parquet(f"{X10}/events.parquet")
     # dimension tables pass through unscaled (they are broadcast-side)
     for small in ("region", "nation", "supplier", "customer", "part"):
         _t(spark, small).write.parquet(f"{X10}/{small}.parquet")
@@ -325,6 +343,31 @@ def run(spark) -> dict:
     return out
 
 
+def run_x6(spark) -> dict:
+    """x6 suite at sf0.1 vs x{F} (round-10 verdict Next #7: extend the
+    scale ledger a decade past 30x on the heaviest document path).
+    Per-block stamps at both scales + ratios — the suite's own
+    constituents (minhash/embedding/incremental/streaming blocks)
+    attribute any superlinearity to a specific stage."""
+    from photon_ml_spark.queries import all_queries
+
+    registry = all_queries()
+    out: dict = {"sf01": {}, "xN": {}, "ratio": {}, "factor": FACTOR}
+    for sf_dir, key in ((SRC, "sf01"), (X10, "xN")):
+        stamps: dict[str, float] = {}
+        t0 = time.perf_counter()
+        _noop(registry["x6_neardup_pairs"].run(spark, sf_dir, stamps=stamps))
+        stamps["total"] = round(time.perf_counter() - t0, 2)
+        out[key] = stamps
+        from photon_ml_spark.queries_merged import release_stamped
+
+        release_stamped()
+        spark.catalog.clearCache()
+    for name, v in out["xN"].items():
+        out["ratio"][name] = _ratio(out["sf01"].get(name, 0), v)
+    return out
+
+
 def run_x21(spark) -> dict:
     """x21 suite at sf0.1 vs x{F} (round-7 verdict Missing #2): the
     leakage-safe split's near-dup clustering pass (``split_build`` —
@@ -458,6 +501,8 @@ def main() -> None:
         print(json.dumps({"game": run_game(spark)}))
     if mode == "x21":
         print(json.dumps({"x21": run_x21(spark)}))
+    if mode == "x6":
+        print(json.dumps({"x6": run_x6(spark)}))
     spark.stop()
 
 

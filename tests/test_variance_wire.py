@@ -261,3 +261,82 @@ def test_incremental_prior_from_imported_model(spark, tmp_path, capsys):
     # the σ² prior pins the retrain near the previous model; the
     # warm-start-only fit drifts on the flipped labels
     assert np.linalg.norm(d_prior) < 0.5 * np.linalg.norm(d_warm)
+
+
+def test_random_variances_from_train_roundtrip(spark, tmp_path, capsys):
+    """variance_computation now reaches RANDOM coordinates (the
+    reference threads varianceComputationType into every per-entity
+    problem — RandomEffectOptimizationProblem.scala:133-189): the
+    trained model table carries per-entity σ², the reference-layout
+    export puts them on the wire, and import restores them
+    value-for-value."""
+    from photon_ml_spark import cli
+    from photon_ml_spark.sources import datasets
+
+    training = datasets.lineitem_training_frame(
+        spark, "/root/testdata/sf0.001"
+    )
+    inp = str(tmp_path / "b.parquet")
+    training.filter(F.col("suppkey") < 6).write.parquet(inp)
+
+    run1 = str(tmp_path / "run1")
+    cli.train(
+        {
+            "input": inp,
+            "feature_bags": ["features"],
+            "coordinates": [
+                {"name": "global", "kind": "fixed", "reg_param": 1e-3},
+                {"name": "per_supplier", "kind": "random",
+                 "entity_col": "suppkey", "reg_param": 5.0},
+            ],
+            "family": "binomial",
+            "n_iterations": 1,
+            "output_dir": run1,
+            "variance_computation": "simple",
+        },
+        spark,
+    )
+    capsys.readouterr()
+    models = spark.read.parquet(f"{run1}/random-effect/per_supplier/models")
+    assert "variances" in models.columns
+    assert "intercept_variance" in models.columns
+    trained = models.filter(F.col("n_samples") > 0).collect()
+    assert trained
+    for r in trained:
+        assert r.intercept_variance > 0
+        assert all(v >= 0 for v in r.variances)
+
+    exported = str(tmp_path / "exported")
+    cli.export_model({"model_dir": run1, "output_dir": exported}, spark)
+    imported = str(tmp_path / "imported")
+    cli.import_model({"model_dir": exported, "output_dir": imported}, spark)
+    capsys.readouterr()
+
+    back = spark.read.parquet(
+        f"{imported}/random-effect/per_supplier/models"
+    )
+    assert "variances" in back.columns
+
+    def sig(rows, drop_last=False):
+        # entity → (intercept_variance, sorted nonzero σ²) — index
+        # spaces differ between the runs, values don't. drop_last
+        # removes the TRAIN dictionary's intercept slot (final index):
+        # the per-entity local fit leaves that never-observed column
+        # with junk σ² = 1/l2, which the wire intentionally omits (the
+        # dedicated intercept_variance entry owns the intercept key).
+        return {
+            r.entity: (
+                round(float(r.intercept_variance), 12),
+                tuple(sorted(
+                    round(float(v), 12)
+                    for v in (r.variances[:-1] if drop_last else r.variances)
+                    if v != 0.0
+                )),
+            )
+            for r in rows
+            if r.variances is not None
+        }
+    a = sig(trained, drop_last=True)
+    b = sig(back.collect())
+    for ent, v in a.items():
+        assert b.get(ent) == v, (ent, v, b.get(ent))
