@@ -1745,7 +1745,10 @@ def random_effects_to_avro_frame(
                 c.alias("value"),
             ),
         ),
-        lambda s: (s["value"] != 0.0) & (s["name"] != INTERCEPT_NAME),
+        lambda s: (s["value"] != 0.0)
+        & ~(
+            (s["name"] == INTERCEPT_NAME) & (s["term"] == INTERCEPT_TERM)
+        ),
     )
     means = F.concat(
         nz,
@@ -1773,7 +1776,11 @@ def random_effects_to_avro_frame(
                     c.alias("value"),
                 ),
             ),
-            lambda s: (s["value"] != 0.0) & (s["name"] != INTERCEPT_NAME),
+            lambda s: (s["value"] != 0.0)
+            & ~(
+                (s["name"] == INTERCEPT_NAME)
+                & (s["term"] == INTERCEPT_TERM)
+            ),
         )
         if "intercept_variance" in models.columns:
             # null intercept_variance must not inject a null into the
@@ -1844,14 +1851,20 @@ def avro_frame_to_random_effects(
             F.col("m.value").alias("value"),
         )
 
+    # intercept routing matches the FULL (name, term) pair — via the
+    # already-built key, so a feature literally named "(INTERCEPT)"
+    # with a non-empty term stays a feature (the reference keys
+    # NameAndTerm pairs, Constants INTERCEPT_NAME/TERM — name alone is
+    # not the intercept identity)
+    int_key = f"{INTERCEPT_NAME}{FEATURE_KEY_SEP}{INTERCEPT_TERM}"
     ex = _exploded("means")
     inter = (
-        ex.filter(F.col("__name") == INTERCEPT_NAME)
+        ex.filter(F.col("feature_key") == int_key)
         .groupBy("entity")
         .agg(F.first("value").alias("intercept"))
     )
     feats = (
-        ex.filter(F.col("__name") != INTERCEPT_NAME)
+        ex.filter(F.col("feature_key") != int_key)
         .join(F.broadcast(dictionary), "feature_key", "inner")
         .groupBy("entity")
         .agg(
@@ -1860,18 +1873,33 @@ def avro_frame_to_random_effects(
             ).alias("__pairs")
         )
     )
-    sparse = inter.join(feats, "entity", "left").select(
-        "entity", "__pairs", F.col("intercept").cast("double").alias("intercept")
+    # base = EVERY record's entity — not the intercept rows: a
+    # reference model trained without intercept writes no
+    # ("(INTERCEPT)", "") mean (ModelProcessingUtils keys it only when
+    # the index map carries it), and keying off `inter` would silently
+    # drop all such entities. Missing intercept loads as 0.0, matching
+    # avro_frame_to_fixed_effect.
+    base = avro_df.select(F.col("modelId").alias("entity")).distinct()
+    sparse = (
+        base.join(inter, "entity", "left")
+        .join(feats, "entity", "left")
+        .select(
+            "entity",
+            "__pairs",
+            F.coalesce(F.col("intercept"), F.lit(0.0))
+            .cast("double")
+            .alias("intercept"),
+        )
     )
     if include_variances:
         vx = _exploded("variances")
         vinter = (
-            vx.filter(F.col("__name") == INTERCEPT_NAME)
+            vx.filter(F.col("feature_key") == int_key)
             .groupBy("entity")
             .agg(F.first("value").alias("intercept_variance"))
         )
         vfeats = (
-            vx.filter(F.col("__name") != INTERCEPT_NAME)
+            vx.filter(F.col("feature_key") != int_key)
             .join(F.broadcast(dictionary), "feature_key", "inner")
             .groupBy("entity")
             .agg(

@@ -381,7 +381,18 @@ def load_photon_game_model(
                         )
                     ).alias("m")
                 )
-                .filter(F.col("m.name") != INTERCEPT_NAME)
+                # intercept identity is the (name, term) PAIR — a
+                # feature named "(INTERCEPT)" with a non-empty term is
+                # a feature and belongs in the dictionary
+                .filter(
+                    ~(
+                        (
+                            F.coalesce(F.col("m.name"), F.lit(""))
+                            == INTERCEPT_NAME
+                        )
+                        & (F.coalesce(F.col("m.term"), F.lit("")) == "")
+                    )
+                )
                 .select(
                     # null-safe: concat_ws SKIPS nulls, which would
                     # collapse (name, null) and (name,) into different

@@ -358,6 +358,79 @@ def test_separator_in_term_round_trips(spark):
     assert ("nm", f"a{SEP}b") in re_terms
 
 
+def test_intercept_identity_is_name_and_term_pair(spark):
+    """The intercept's wire identity is the FULL ("(INTERCEPT)", "")
+    NameAndTerm pair (Constants.scala), not the name alone: a feature
+    literally named "(INTERCEPT)" with a NON-empty term must ride the
+    means/variances arrays and round-trip into its coefficient slot,
+    not be swallowed by (or routed to) the intercept entry."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP as SEP
+
+    trap = f"(INTERCEPT){SEP}age"  # name==INTERCEPT_NAME, term "age"
+    dictionary = spark.createDataFrame(
+        [(f"plain{SEP}t", 0), (trap, 1)],
+        "feature_key string, feature_index long",
+    )
+    models = spark.createDataFrame(
+        [("e1", [1.0, 7.0], 0.25, [0.5, 0.75], 2.0)],
+        "entity string, coefficients array<double>, intercept double, "
+        "variances array<double>, intercept_variance double",
+    )
+    rows = avro_io.random_effects_to_avro_frame(
+        models, dictionary, dim=2
+    ).collect()
+    means = {(m["name"], m["term"]): m["value"] for m in rows[0]["means"]}
+    assert means[("(INTERCEPT)", "age")] == pytest.approx(7.0)
+    assert means[("(INTERCEPT)", "")] == pytest.approx(0.25)
+    vs = {(m["name"], m["term"]): m["value"] for m in rows[0]["variances"]}
+    assert vs[("(INTERCEPT)", "age")] == pytest.approx(0.75)
+    assert vs[("(INTERCEPT)", "")] == pytest.approx(2.0)
+    wire = spark.createDataFrame(rows, avro_io.random_effects_to_avro_frame(
+        models, dictionary, dim=2).schema)
+    back = avro_io.avro_frame_to_random_effects(
+        wire, dictionary, dim=2, include_variances=True
+    ).collect()[0]
+    assert back.coefficients[1] == pytest.approx(7.0)
+    assert back.intercept == pytest.approx(0.25)
+    assert back.variances[1] == pytest.approx(0.75)
+    assert back.intercept_variance == pytest.approx(2.0)
+
+
+def test_random_effect_record_without_intercept_loads(spark):
+    """A reference model trained WITHOUT intercept writes no
+    ("(INTERCEPT)", "") mean at all (ModelProcessingUtils keys the
+    intercept only when the index map carries it) — its entities must
+    still load, with intercept 0.0, matching the fixed-effect loader's
+    default."""
+    from photon_ml_spark.datamodel import FEATURE_KEY_SEP as SEP
+
+    dictionary = spark.createDataFrame(
+        [(f"f{SEP}a", 0), (f"f{SEP}b", 1)],
+        "feature_key string, feature_index long",
+    )
+    wire = spark.createDataFrame(
+        [
+            ("e1", [("f", "a", 3.0)], None, None),
+            ("e2", [("f", "b", -1.0), ("(INTERCEPT)", "", 0.5)], None, None),
+        ],
+        "modelId string, "
+        "means array<struct<name:string,term:string,value:double>>, "
+        "variances array<struct<name:string,term:string,value:double>>, "
+        "lossFunction string",
+    )
+    back = {
+        r.entity: r
+        for r in avro_io.avro_frame_to_random_effects(
+            wire, dictionary, dim=2
+        ).collect()
+    }
+    assert set(back) == {"e1", "e2"}
+    assert back["e1"].intercept == pytest.approx(0.0)
+    assert back["e1"].coefficients[0] == pytest.approx(3.0)
+    assert back["e2"].intercept == pytest.approx(0.5)
+    assert back["e2"].coefficients[1] == pytest.approx(-1.0)
+
+
 def test_has_spark_avro_probe_and_fallback(spark, tmp_path):
     """The datasource probe must answer without raising, be cached on
     the session, and route read/write consistently: with the probe
