@@ -2017,10 +2017,28 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             report["after_near_dedup"] = docs.count()
             _stamp("near_dedup")
     elif nd:
-        pairs = dedup.minhash_lsh_dedup(
-            docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2),
-            tokens_col=TOK,
-        ).select("id_a", "id_b").cache()
+        # default path: exact-duplicate sets collapse to one
+        # representative BEFORE the LSH bucket self-join (a corpus with
+        # millions of copies of one boilerplate page otherwise explodes
+        # that join quadratically — the hot-bucket hazard), and the
+        # downstream consumers (cluster_and_keep here, leakage_safe_
+        # split below) take the LINEAR rep-pair + member→rep star edge
+        # list — same connected components as the full pair relation,
+        # never the within-group cliques. `collapse_exact: false`
+        # restores the direct pipeline.
+        if nd.get("collapse_exact", True):
+            rep_pairs, membership = dedup.minhash_lsh_collapsed(
+                docs, threshold=nd.get("threshold", 0.5),
+                n=nd.get("n", 2), tokens_col=TOK,
+            )
+            pairs = dedup.neardup_cluster_edges(
+                rep_pairs, membership
+            ).cache()
+        else:
+            pairs = dedup.minhash_lsh_dedup(
+                docs, threshold=nd.get("threshold", 0.5), n=nd.get("n", 2),
+                tokens_col=TOK,
+            ).select("id_a", "id_b").cache()
         if cfg.get("split"):
             # split consumes the full clusters later; materialize the
             # cached pair relation NOW so the LSH cost lands on THIS

@@ -455,6 +455,139 @@ def lsh_candidate_pairs(
     )
 
 
+def collapse_exact_sets(
+    sids: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse docs with IDENTICAL shingle sets onto one representative
+    — the hot-bucket guard for LSH at scale. A corpus with millions of
+    copies of one boilerplate page puts every copy in the SAME band
+    bucket (identical sets ⇒ identical minhash signatures), and
+    ``lsh_candidate_pairs``'s within-bucket self-join then explodes
+    quadratically. Grouping identical sets first makes the LSH join see
+    one row per distinct set; the quadratic moves to the OUTPUT
+    expansion, which only exists if the caller demands explicit pairs
+    (cluster consumers take ``neardup_cluster_edges`` instead — linear).
+
+    Returns ``(membership, rep_sids)``:
+
+    - ``membership``: (``id_col``, ``__rep``) — every doc present in
+      ``sids`` mapped to its group's min-id representative (singletons
+      map to themselves).
+    - ``rep_sids``: ``sids`` restricted to representatives.
+
+    Group fingerprint = order-independent double hash of the set:
+    (count, Σ pmod(xxhash64(sid), p₁), Σ pmod(xxhash64(seed', sid), p₂))
+    over the substring-dedup Mersenne-scale primes — map-side
+    combinable partial aggregates, no per-doc array materialization,
+    and ANSI-safe (each term < 2³¹, so a doc needs > 2³² distinct
+    shingles before the bigint sum can overflow). Two independent
+    ~2³¹ sums + the cardinality make accidental collisions negligible
+    (~2⁻⁶² per pair of distinct sets); same double-hash identity
+    convention as the substring-dedup window keys
+    (``_SUBDUP_HASHES``)."""
+    (_, p1), (_, p2) = _SUBDUP_HASHES
+    fp = sids.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.pmod(F.xxhash64("sid"), F.lit(p1))).alias("__s1"),
+        F.sum(
+            F.pmod(F.xxhash64(F.lit(0x9E3779B9), "sid"), F.lit(p2))
+        ).alias("__s2"),
+    )
+    groups = fp.groupBy("__n", "__s1", "__s2").agg(
+        F.min(id_col).alias("__rep")
+    )
+    membership = fp.join(groups, ["__n", "__s1", "__s2"]).select(
+        id_col, "__rep"
+    )
+    reps = membership.filter(F.col(id_col) == F.col("__rep")).select(id_col)
+    rep_sids = sids.join(reps, id_col, "left_semi")
+    return membership, rep_sids
+
+
+def expand_collapsed_pairs(
+    rep_pairs: DataFrame, membership: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Inverse of the collapse for the PAIRS api: representative-level
+    (id_a, id_b, jaccard) back to all-member pairs. Within-group pairs
+    carry jaccard 1.0 (identical sets); cross-group pairs inherit their
+    reps' jaccard (members have exactly their rep's set). Quadratic in
+    group sizes BY OUTPUT SPEC — n identical docs genuinely have
+    n·(n-1)/2 qualifying pairs; cluster consumers should use
+    ``neardup_cluster_edges`` instead."""
+    ma = membership.select("__rep", F.col(id_col).alias("id_a"))
+    mb = membership.select("__rep", F.col(id_col).alias("id_b"))
+    within = (
+        ma.join(mb, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    cross = (
+        rep_pairs
+        .join(
+            membership.select(
+                F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma")
+            ),
+            "id_a",
+        )
+        .join(
+            membership.select(
+                F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
+def neardup_cluster_edges(
+    rep_pairs: DataFrame, membership: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """LINEAR edge list whose connected components equal those of the
+    fully expanded pair list: rep–rep edges plus member→rep star edges
+    (a star connects exactly what the clique would). Feed straight to
+    ``cluster_and_keep``/``connected_components`` — the 100 TB cluster
+    path never materializes within-group cliques."""
+    stars = membership.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col(id_col).alias("id_a"), F.col("__rep").alias("id_b")
+    )
+    return rep_pairs.select("id_a", "id_b").unionByName(stars)
+
+
+def minhash_lsh_collapsed(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 1,
+    num_hashes: int = 16,
+    bands: int = 4,
+    doc_sids: DataFrame | None = None,
+    tokens_col: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """The collapsed LSH pipeline's RAW outputs ``(rep_pairs,
+    membership)`` for cluster consumers: representative-level verified
+    pairs (id_a, id_b, jaccard) plus the doc→representative map.
+    Compose with ``neardup_cluster_edges`` for a linear
+    ``cluster_and_keep`` edge list, or ``expand_collapsed_pairs`` for
+    the full pair relation (what ``minhash_lsh_dedup(collapse_exact=
+    True)`` returns)."""
+    sids = (
+        doc_sids
+        if doc_sids is not None
+        else token_ids(df, id_col, text_col, n, tokens_col=tokens_col).cache()
+    )
+    membership, rep_sids = collapse_exact_sets(sids, id_col)
+    sigs = minhash_signatures(rep_sids, id_col, num_hashes)
+    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    rep_pairs = _verify_jaccard_pairs(cand, rep_sids, id_col, threshold)
+    return rep_pairs, membership
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     threshold: float,
@@ -465,6 +598,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     doc_sids: DataFrame | None = None,
     tokens_col: str | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: shingle → minhash → banded
     buckets → candidate pairs → exact-Jaccard verification ≥ threshold.
@@ -481,6 +615,18 @@ def minhash_lsh_dedup(
         if doc_sids is not None
         else token_ids(df, id_col, text_col, n, tokens_col=tokens_col).cache()
     )
+    if collapse_exact:
+        # hot-bucket guard (see collapse_exact_sets): LSH runs over one
+        # representative per distinct shingle set; output pairs are
+        # IDENTICAL to the uncollapsed run (identical sets share
+        # signatures, so candidacy and jaccard both factor through the
+        # rep) — but the bucket self-join never sees a duplicate-heavy
+        # clique
+        rep_pairs, membership = minhash_lsh_collapsed(
+            df, threshold, id_col, text_col, n, num_hashes, bands,
+            doc_sids=sids,
+        )
+        return expand_collapsed_pairs(rep_pairs, membership, id_col)
     sigs = minhash_signatures(sids, id_col, num_hashes)
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return _verify_jaccard_pairs(cand, sids, id_col, threshold)

@@ -145,8 +145,9 @@ def neardup_process_batch(
         cluster_and_keep,
         drop_new_duplicates,
         incremental_neardup,
-        minhash_lsh_dedup,
+        minhash_lsh_collapsed,
         minhash_signatures,
+        neardup_cluster_edges,
         token_ids_hashed,
         write_index_params,
     )
@@ -232,10 +233,17 @@ def neardup_process_batch(
         # bootstrap: batch-internal LSH dedup, survivors found the index
         sids = sid_fn(batch, id_col, text_col, n).persist()
         try:
-            pairs = minhash_lsh_dedup(
+            # hot-bucket guard (dedup.collapse_exact_sets): LSH over one
+            # rep per distinct shingle set, linear star edges into the
+            # clustering — a boilerplate-heavy batch must not explode
+            # the bucket self-join quadratically
+            rep_pairs, membership = minhash_lsh_collapsed(
                 batch, threshold=threshold, n=n, id_col=id_col,
                 text_col=text_col, num_hashes=num_hashes, bands=bands,
                 doc_sids=sids,
+            )
+            pairs = neardup_cluster_edges(
+                rep_pairs, membership, id_col=id_col
             )
             # cluster_and_keep's connected-components loop runs EAGER
             # actions (per-iteration localCheckpoint), and the lazy LSH

@@ -1108,6 +1108,89 @@ def test_model_quality_filter_probe_semantics(docs, spark):
 # --------------------------------------------------- incremental dedup
 
 
+def test_collapse_exact_pairs_equal_uncollapsed(docs, spark):
+    """``collapse_exact=True`` must return EXACTLY the uncollapsed
+    pipeline's pairs on a corpus seeded with exact duplicates — the
+    collapse is a plan transform (LSH over one representative per
+    distinct shingle set), never a semantic one."""
+    from photon_ml_spark.operators.dedup import minhash_lsh_dedup
+
+    base = docs.limit(60)
+    # exact duplicates: two extra copies of every third doc, fresh ids
+    dups = base.filter(F.col("doc_id") % 3 == 0)
+    seeded = base.unionByName(
+        dups.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    ).unionByName(dups.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+
+    def pair_set(collapse):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_lsh_dedup(
+                seeded, threshold=0.5, n=2, collapse_exact=collapse
+            ).collect()
+        }
+
+    plain, collapsed = pair_set(False), pair_set(True)
+    assert collapsed == plain and len(plain) > 0
+    # the duplicate triples must all be present at jaccard 1.0
+    for r in dups.select("doc_id").collect():
+        a, b = r.doc_id + 1_000_000, r.doc_id + 2_000_000
+        assert (r.doc_id, a, 1.0) in collapsed
+        assert (r.doc_id, b, 1.0) in collapsed
+        assert (a, b, 1.0) in collapsed
+
+
+def test_collapse_hot_bucket_stays_linear(spark):
+    """The hot-bucket guard itself: 300 exact copies of one boilerplate
+    doc collapse to ONE representative before the LSH bucket self-join
+    (300² candidate rows otherwise), and the linear star-edge list
+    clusters identically to the quadratic expansion."""
+    from photon_ml_spark.operators.dedup import (
+        cluster_and_keep,
+        collapse_exact_sets,
+        expand_collapsed_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_cluster_edges,
+        token_ids,
+        _verify_jaccard_pairs,
+    )
+
+    rows = [(i, "the same boilerplate page text repeated") for i in range(300)]
+    rows += [(1000 + i, f"unique document number {i} with its own words")
+             for i in range(5)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    sids = token_ids(corpus, n=1).cache()
+    membership, rep_sids = collapse_exact_sets(sids)
+    n_reps = rep_sids.select("doc_id").distinct().count()
+    assert n_reps == 6  # 1 boilerplate rep + 5 uniques
+    # LSH path sees only reps — the bucket join is 6 rows, not 305
+    rep_pairs = _verify_jaccard_pairs(
+        lsh_candidate_pairs(
+            minhash_signatures(rep_sids, "doc_id", 16), "doc_id", 16, 4
+        ),
+        rep_sids, "doc_id", 0.5,
+    ).cache()
+    assert rep_pairs.count() == 0  # no two distinct sets are near-dups
+    # cluster equality: star edges vs full quadratic expansion
+    star = cluster_and_keep(
+        corpus, neardup_cluster_edges(rep_pairs, membership)
+    )
+    full = cluster_and_keep(
+        corpus, expand_collapsed_pairs(rep_pairs, membership).select(
+            "id_a", "id_b"
+        )
+    )
+    s = {(r.doc_id, r.cluster_id, r.is_keep) for r in star.collect()}
+    f = {(r.doc_id, r.cluster_id, r.is_keep) for r in full.collect()}
+    assert s == f
+    # one 300-member cluster keeping doc 0, five singletons
+    boiler = [r for r in s if r[1] == 0]
+    assert len(boiler) == 300 and sum(1 for r in boiler if r[2]) == 1
+    sids.unpersist()
+    rep_pairs.unpersist()
+
+
 def test_incremental_neardup_matches_batch(docs, spark, tmp_path):
     """Index 2/3 of the corpus, run the last third as an increment: the
     increment's pairs must equal the full-batch pipeline's pairs
