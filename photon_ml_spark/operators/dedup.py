@@ -505,21 +505,30 @@ def collapse_exact_sets(
 
 
 def expand_collapsed_pairs(
-    rep_pairs: DataFrame, membership: DataFrame, id_col: str = "doc_id"
+    rep_pairs: DataFrame,
+    membership: DataFrame,
+    id_col: str = "doc_id",
+    value_col: str = "jaccard",
+    within_value: float = 1.0,
 ) -> DataFrame:
     """Inverse of the collapse for the PAIRS api: representative-level
-    (id_a, id_b, jaccard) back to all-member pairs. Within-group pairs
-    carry jaccard 1.0 (identical sets); cross-group pairs inherit their
-    reps' jaccard (members have exactly their rep's set). Quadratic in
-    group sizes BY OUTPUT SPEC — n identical docs genuinely have
-    n·(n-1)/2 qualifying pairs; cluster consumers should use
-    ``neardup_cluster_edges`` instead."""
+    (id_a, id_b, ``value_col``) back to all-member pairs. Within-group
+    pairs carry ``within_value`` (identical sets: jaccard 1.0 /
+    hamming 0); cross-group pairs inherit their reps' value (members
+    have exactly their rep's set, so any set-derived similarity
+    factors through the rep). Quadratic in group sizes BY OUTPUT SPEC
+    — n identical docs genuinely have n·(n-1)/2 qualifying pairs;
+    cluster consumers should use ``neardup_cluster_edges`` instead."""
+    vtype = dict(rep_pairs.dtypes)[value_col]
     ma = membership.select("__rep", F.col(id_col).alias("id_a"))
     mb = membership.select("__rep", F.col(id_col).alias("id_b"))
     within = (
         ma.join(mb, "__rep")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+        .select(
+            "id_a", "id_b",
+            F.lit(within_value).cast(vtype).alias(value_col),
+        )
     )
     cross = (
         rep_pairs
@@ -538,7 +547,7 @@ def expand_collapsed_pairs(
         .select(
             F.least("__ma", "__mb").alias("id_a"),
             F.greatest("__ma", "__mb").alias("id_b"),
-            "jaccard",
+            value_col,
         )
     )
     return within.unionByName(cross)
@@ -666,18 +675,33 @@ def simhash_neardup_pairs(
     bits: int = SIMHASH_BITS,
     bands: int = 4,
     doc_sids: DataFrame | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, found via banded
     buckets then exact popcount verification. Pigeonhole completeness:
     a pair differing in ≤ max_hamming bits must agree exactly on at
     least one band when ``bands > max_hamming`` — asserted here rather
-    than assumed. ``doc_sids``: see ``minhash_lsh_dedup``."""
+    than assumed. ``doc_sids``: see ``minhash_lsh_dedup``.
+    ``collapse_exact``: the same hot-bucket guard as
+    ``minhash_lsh_dedup`` — identical shingle sets share a simhash, so
+    duplicate-heavy corpora explode the bucket self-join; reps carry
+    the LSH, within-group pairs expand back at hamming 0."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
             "for complete candidate generation"
         )
     sids = doc_sids if doc_sids is not None else token_ids(df, id_col, text_col, n)
+    if collapse_exact:
+        membership, rep_sids = collapse_exact_sets(sids, id_col)
+        rep_pairs = simhash_neardup_pairs(
+            df, max_hamming, id_col, text_col, n, bits, bands,
+            doc_sids=rep_sids,
+        )
+        return expand_collapsed_pairs(
+            rep_pairs, membership, id_col,
+            value_col="hamming", within_value=0,
+        )
     sigs = simhash_signatures(sids, id_col, bits).cache()
     band_bits = bits // bands
     bucketed = None

@@ -265,12 +265,41 @@ def ivf_topk(
     )
 
 
+def collapse_exact_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse rows with BIT-IDENTICAL embeddings onto one
+    representative — the embedding twin of
+    ``dedup.collapse_exact_sets`` (exact duplicate documents embed
+    identically, land in the same LSH cell, and explode the
+    within-cell self-join quadratically). Fingerprint = two-seed
+    ``xxhash64`` over the vector column (order-sensitive, as vector
+    equality requires). Returns ``(membership, reps)``: membership =
+    (``id_col``, ``__rep``); reps = ``df`` restricted to min-id
+    representatives (all other columns intact, so block/cell columns
+    survive)."""
+    fp = df.select(
+        F.col(id_col),
+        F.xxhash64(vec_col).alias("__h1"),
+        F.xxhash64(F.lit(0x9E3779B9), vec_col).alias("__h2"),
+    )
+    groups = fp.groupBy("__h1", "__h2").agg(F.min(id_col).alias("__rep"))
+    membership = fp.join(groups, ["__h1", "__h2"]).select(id_col, "__rep")
+    reps = df.join(
+        membership.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    return membership, reps
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
     block_col: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
@@ -278,7 +307,26 @@ def cosine_neardup_pairs(
     form — blocks from LSH buckets / IVF cells bound the quadratic
     term); without it this is a full self cross-join and only suitable
     for small corpora or per-partition candidate sets.
+
+    ``collapse_exact``: hot-cell guard — bit-identical embeddings
+    collapse to one representative before the self-join
+    (``collapse_exact_vectors``), within-group pairs expand back at
+    cosine exactly 1.0 (the uncollapsed pipeline computes the same
+    pairs at 1.0 ± float rounding), cross-group pairs inherit their
+    reps' cosine. Output is quadratic in duplicate-group size BY SPEC;
+    cluster consumers compose ``dedup.neardup_cluster_edges`` instead.
     """
+    if collapse_exact:
+        from photon_ml_spark.operators.dedup import expand_collapsed_pairs
+
+        membership, reps = collapse_exact_vectors(df, id_col, vec_col)
+        rep_pairs = cosine_neardup_pairs(
+            reps, threshold, block_col, id_col, vec_col
+        )
+        return expand_collapsed_pairs(
+            rep_pairs, membership, id_col,
+            value_col="cosine", within_value=1.0,
+        )
     a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
     b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
     if block_col:

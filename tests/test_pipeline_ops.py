@@ -1140,6 +1140,48 @@ def test_collapse_exact_pairs_equal_uncollapsed(docs, spark):
         assert (a, b, 1.0) in collapsed
 
 
+def test_collapse_exact_simhash_and_embedding(docs, emb, spark):
+    """The hot-bucket guard on the OTHER two near-dup families:
+    simhash pairs (hamming) and embedding cosine pairs must be
+    identical with and without the exact-duplicate collapse."""
+    from photon_ml_spark.operators.dedup import simhash_neardup_pairs
+    from photon_ml_spark.operators.similarity import cosine_neardup_pairs
+
+    base = docs.limit(40)
+    dups = base.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    seeded = base.unionByName(dups)
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(seeded, max_hamming=3, n=2).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(
+            seeded, max_hamming=3, n=2, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == plain and len(plain) > 0
+
+    e = emb.limit(40)
+    edup = e.filter(F.col("vec_id") % 4 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    eseeded = e.unionByName(edup)
+    eplain = {
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in cosine_neardup_pairs(eseeded, 0.9, vec_col="qe").collect()
+    }
+    ecollapsed = {
+        (r.id_a, r.id_b, round(r.cosine, 6))
+        for r in cosine_neardup_pairs(
+            eseeded, 0.9, vec_col="qe", collapse_exact=True
+        ).collect()
+    }
+    assert ecollapsed == eplain and len(eplain) > 0
+
+
 def test_collapse_hot_bucket_stays_linear(spark):
     """The hot-bucket guard itself: 300 exact copies of one boilerplate
     doc collapse to ONE representative before the LSH bucket self-join
