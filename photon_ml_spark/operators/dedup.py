@@ -530,6 +530,9 @@ def expand_collapsed_pairs(
             F.lit(within_value).cast(vtype).alias(value_col),
         )
     )
+    # LEFT joins: a pair endpoint absent from ``membership`` (e.g. an
+    # already-indexed doc in the incremental flow, where only the NEW
+    # side was collapsed) passes through as its own singleton
     cross = (
         rep_pairs
         .join(
@@ -537,16 +540,24 @@ def expand_collapsed_pairs(
                 F.col("__rep").alias("id_a"), F.col(id_col).alias("__ma")
             ),
             "id_a",
+            "left",
         )
         .join(
             membership.select(
                 F.col("__rep").alias("id_b"), F.col(id_col).alias("__mb")
             ),
             "id_b",
+            "left",
         )
         .select(
-            F.least("__ma", "__mb").alias("id_a"),
-            F.greatest("__ma", "__mb").alias("id_b"),
+            F.least(
+                F.coalesce("__ma", F.col("id_a")),
+                F.coalesce("__mb", F.col("id_b")),
+            ).alias("id_a"),
+            F.greatest(
+                F.coalesce("__ma", F.col("id_a")),
+                F.coalesce("__mb", F.col("id_b")),
+            ).alias("id_b"),
             value_col,
         )
     )
@@ -1255,11 +1266,19 @@ def incremental_neardup(
     new_sids: DataFrame | None = None,
     old_sids: DataFrame | None = None,
     old_sigs: DataFrame | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup pairs introduced by a NEW batch against an indexed
     corpus — the daily-increment production flow: never recompute the
     existing corpus, just LSH-join the batch's signatures against the
     stored index and exact-verify the candidates.
+
+    ``collapse_exact``: hot-bucket guard on the NEW side — a
+    boilerplate-heavy batch collapses to one representative per
+    distinct shingle set before the bucket join (see
+    ``collapse_exact_sets``); pairs expand back afterwards (indexed
+    ids pass through the expansion as singletons), so the output is
+    identical.
 
     ``new_sids`` (optional): a pre-built ``token_ids_hashed`` frame the
     caller persists and reuses (e.g. for the index-append write after
@@ -1306,13 +1325,22 @@ def incremental_neardup(
     if new_sids is None:
         new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
     new_sids = new_sids.select(id_col, "sid")
+    membership = None
+    if collapse_exact:
+        membership, new_sids = collapse_exact_sets(new_sids, id_col)
     new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
     # id-collision guard over the SIGNATURE relations (1 row/doc on the
     # index side — not the much larger doc_sids), no pre-distinct: a
-    # semi-join dedups by construction
-    clash = new_sigs.select(id_col).join(
-        old_sigs.select(id_col), id_col, "left_semi"
+    # semi-join dedups by construction. Under the collapse the sig
+    # relation holds only representatives, so the guard reads the
+    # membership (1 row per NEW doc) instead — every new id must be
+    # checked, not just the reps
+    new_ids = (
+        membership.select(id_col)
+        if membership is not None
+        else new_sigs.select(id_col)
     )
+    clash = new_ids.join(old_sigs.select(id_col), id_col, "left_semi")
     if clash.limit(1).count() > 0:
         raise ValueError(
             "incremental_neardup: new batch ids overlap the indexed "
@@ -1334,9 +1362,12 @@ def incremental_neardup(
         )
         .distinct()
     )
-    return _verify_jaccard_pairs(
+    pairs = _verify_jaccard_pairs(
         cand, old_sids.unionByName(new_sids), id_col, threshold
     )
+    if membership is not None:
+        pairs = expand_collapsed_pairs(pairs, membership, id_col)
+    return pairs
 
 
 def drop_new_duplicates(

@@ -1233,6 +1233,53 @@ def test_collapse_hot_bucket_stays_linear(spark):
     rep_pairs.unpersist()
 
 
+def test_incremental_collapse_matches_uncollapsed(spark, tmp_path):
+    """collapse_exact on the incremental flow: a boilerplate-heavy new
+    batch must produce the IDENTICAL pair relation — new-new pairs
+    within duplicate groups at jaccard 1.0, new-old pairs passing
+    through the expansion with the indexed side as singletons."""
+    from photon_ml_spark.operators.dedup import (
+        incremental_neardup,
+        save_minhash_index,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "the shared boilerplate page body text"),
+         (2, "an indexed document about something else entirely")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "inc_idx")
+    save_minhash_index(old, idx, n=1)
+    new_rows = [(100 + i, "the shared boilerplate page body text")
+                for i in range(20)]
+    new_rows.append((200, "a genuinely novel new document with fresh words"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    def pair_set(collapse):
+        return {
+            (r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in incremental_neardup(
+                new, idx, threshold=0.5, n=1, collapse_exact=collapse
+            ).collect()
+        }
+
+    plain, collapsed = pair_set(False), pair_set(True)
+    assert collapsed == plain
+    # every boilerplate copy pairs with the indexed original (jac 1.0)
+    for i in range(20):
+        assert (1, 100 + i, 1.0) in collapsed
+    # and with each other
+    assert (100, 101, 1.0) in collapsed
+    # id-collision guard still sees NON-representative new ids
+    clash_rows = [(1, "the shared boilerplate page body text"),
+                  (0, "the shared boilerplate page body text")]
+    clash = spark.createDataFrame(clash_rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="overlap"):
+        incremental_neardup(
+            clash, idx, threshold=0.5, n=1, collapse_exact=True
+        ).collect()
+
+
 def test_incremental_neardup_matches_batch(docs, spark, tmp_path):
     """Index 2/3 of the corpus, run the last third as an increment: the
     increment's pairs must equal the full-batch pipeline's pairs
