@@ -535,6 +535,8 @@ def ivf_topk_from_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    refine: DataFrame | None = None,
+    refine_factor: int = 4,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index: each query is
     routed to its ``n_probe`` nearest centroids (classic IVF nprobe —
@@ -546,7 +548,16 @@ def ivf_topk_from_index(
     candidate join broadcasts the routed query set, so the only big-
     data operation is the partition-pruned corpus scan + per-query
     top-k window.
-    """
+
+    ``refine``: the RAW corpus (``id_col``, ``vec_col``) for exact
+    re-ranking of quantized results — the FAISS RefineFlat idiom: the
+    quantized index retrieves ``k·refine_factor`` candidates by
+    ADC/code distance, the true vectors of ONLY that shortlist join
+    back in, and exact cosine re-ranks to k. Buys back most of the
+    PQ/SQ8 recall gap for one k·refine_factor-row join per query —
+    never a corpus rescan (plan: shortlist ⋈ corpus on ``id_col``,
+    both sides pre-filtered). Pointless (scores already exact) on a
+    float index, though accepted and harmless."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     ).persist()
@@ -641,6 +652,27 @@ def ivf_topk_from_index(
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )
+    if refine is not None:
+        if refine_factor < 1:
+            raise ValueError(
+                f"refine_factor must be >= 1, got {refine_factor}"
+            )
+        shortlist = (
+            scored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k * refine_factor)
+            .select(query_id_col, id_col, "__qv")
+        )
+        rescored = shortlist.join(
+            refine.select(F.col(id_col), F.col(vec_col).alias("__tv")),
+            id_col,
+        ).withColumn(
+            "cosine", cosine_similarity(F.col("__qv"), F.col("__tv"))
+        )
+        return (
+            rescored.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= k)
+            .select(query_id_col, id_col, "cosine", "rank")
+        )
     return (
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)

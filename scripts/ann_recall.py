@@ -95,6 +95,15 @@ def run(spark, sf_dir: str, replicas: int, k: int, cells: int,
             )
             curve[str(n_probe)] = round(recall_at_k(truth, pred, k), 4)
         curves[name] = curve
+        if kw:  # quantized variants: the exact-re-rank (refine) curve
+            rcurve = {}
+            for n_probe in probes:
+                pred = ivf_topk_from_index(
+                    spark, path, queries, k=k, n_probe=n_probe,
+                    refine=corpus, refine_factor=4,
+                )
+                rcurve[str(n_probe)] = round(recall_at_k(truth, pred, k), 4)
+            curves[f"{name}_refine"] = rcurve
     truth.unpersist()
     queries.unpersist()
     corpus.unpersist()

@@ -2302,6 +2302,57 @@ def test_ivf_pq_composed_index(spark, emb, tmp_path):
         )
 
 
+def test_ivf_refine_rerank(spark, emb, tmp_path):
+    """FAISS-RefineFlat idiom: a quantized IVF index retrieving
+    k·refine_factor candidates, exactly re-ranked against the raw
+    corpus. With full probe and a shortlist covering the whole corpus
+    the refined result must equal exact brute force (true cosines,
+    true ranks); with a small factor it still returns k rows whose
+    cosines are the TRUE values (not ADC approximations)."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.select("vec_id", "qe")
+    n = corpus.count()
+    idx = str(tmp_path / "ivf_pq_refine_idx")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5,
+        pq=True, pq_m=8, pq_ksub=16, dim=64, pq_codebook="sampled",
+    )
+    refined_full = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe",
+        refine=corpus, refine_factor=n,  # shortlist = every candidate
+    )
+    brute = similarity.cosine_topk(corpus, queries, k=5, vec_col="qe")
+    a = {
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rank)
+        for r in refined_full.collect()
+    }
+    b = {
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rank)
+        for r in brute.collect()
+    }
+    assert a == b and len(a) > 0
+
+    refined_small = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe",
+        refine=corpus, refine_factor=2,
+    ).collect()
+    true_cos = {
+        (r.query_id, r.vec_id): round(r.cosine, 9)
+        for r in similarity.cosine_topk(
+            corpus, queries, k=n, vec_col="qe"
+        ).collect()
+    }
+    assert len(refined_small) == 5 * queries.count()
+    for r in refined_small:
+        assert round(r.cosine, 9) == true_cos[(r.query_id, r.vec_id)]
+
+    with pytest.raises(ValueError, match="refine_factor"):
+        similarity.ivf_topk_from_index(
+            spark, idx, queries, k=5, vec_col="qe",
+            refine=corpus, refine_factor=0,
+        )
+
+
 def test_pq_ksub_bounds(spark, emb):
     """ksub > 127 would overflow the signed tinyint code — rejected."""
     for bad in (0, 128, 256):
