@@ -295,10 +295,15 @@ def neardup_process_batch(
         # list feeding connected components) — unpersisted, every
         # consumer would replay the full LSH candidate + exact-verify
         # chain
+        # collapse_exact: hot-bucket guard on the batch side (identical
+        # new docs collapse before the bucket join against the index);
+        # the expansion inside incremental_neardup keeps the pair
+        # relation identical
         pairs = incremental_neardup(
             batch, index_path, threshold=threshold, id_col=id_col,
             text_col=text_col, n=n, num_hashes=num_hashes, bands=bands,
             new_sids=sids, old_sids=old_sids, old_sigs=old_sigs,
+            collapse_exact=True,
         ).persist()
         if timings is not None:
             # bench attribution only: materialize the persisted pairs
