@@ -658,12 +658,44 @@ _SIMHASH_B = 12_345
 
 
 def simhash_signatures(
-    doc_sids: DataFrame, id_col: str = "doc_id", bits: int = SIMHASH_BITS
+    doc_sids: DataFrame,
+    id_col: str = "doc_id",
+    bits: int = SIMHASH_BITS,
+    bit_hash: str = "lcg",
 ) -> DataFrame:
     """SimHash over shingle ids: per bit j, majority vote of bit j of
-    h(sid) = (a·sid + b) mod 2^bits across the doc's shingles; bit is 1
-    when ≥ half the shingles set it. One aggregation pass."""
-    h = (F.col("sid") * _SIMHASH_A + _SIMHASH_B) % (2 ** bits)
+    h(sid) across the doc's shingles; bit is 1 when ≥ half the
+    shingles set it. One aggregation pass.
+
+    ``bit_hash`` picks h:
+
+    - ``"lcg"`` (default): (a·sid + b) mod 2^bits — ANSI-SQL-replayable
+      (the oracle path) but only fills ~log2(max_sid · a) low bits, so
+      it is honest ONLY at small ``bits``; with dense dictionary ids
+      the high bits are all zero and wide bands degenerate to one
+      bucket.
+    - ``"xxhash"``: xxhash64(sid) — full 64-bit mixing, the SCALE path.
+      Pick ``bits``/``bands`` so that 2^(bits/bands) ≫ corpus/target-
+      occupancy: banded-bucket occupancy is ~n/2^(bits/bands), and the
+      within-bucket self-join is quadratic in it (the round-11 100×
+      ledger measured bits=16 going 354× on 100× docs for exactly this
+      reason — 4-bit buckets). bits=60, bands=4 gives 32768 buckets
+      per band.
+    """
+    if bit_hash == "lcg":
+        if not 1 <= bits <= 62:
+            raise ValueError(f"lcg bit_hash supports bits in [1,62], got {bits}")
+        h = (F.col("sid") * _SIMHASH_A + _SIMHASH_B) % (2 ** bits)
+    elif bit_hash == "xxhash":
+        if not 1 <= bits <= 63:
+            raise ValueError(
+                f"xxhash bit_hash supports bits in [1,63], got {bits}"
+            )
+        # arithmetic shiftright + &1 extracts bit j correctly from the
+        # signed two's-complement value for every j < 63
+        h = F.xxhash64("sid")
+    else:
+        raise ValueError(f"bit_hash must be 'lcg' or 'xxhash', got {bit_hash!r}")
     n = F.count(F.lit(1))
     bit_terms = []
     for j in range(bits):
@@ -687,6 +719,7 @@ def simhash_neardup_pairs(
     bands: int = 4,
     doc_sids: DataFrame | None = None,
     collapse_exact: bool = False,
+    bit_hash: str = "lcg",
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, found via banded
     buckets then exact popcount verification. Pigeonhole completeness:
@@ -696,7 +729,12 @@ def simhash_neardup_pairs(
     ``collapse_exact``: the same hot-bucket guard as
     ``minhash_lsh_dedup`` — identical shingle sets share a simhash, so
     duplicate-heavy corpora explode the bucket self-join; reps carry
-    the LSH, within-group pairs expand back at hamming 0."""
+    the LSH, within-group pairs expand back at hamming 0.
+    ``bits``/``bit_hash``: signature width and per-bit hash (see
+    ``simhash_signatures``) — the default 16-bit/LCG form is the
+    SQL-replayable gate shape and is quadratic past ~10⁴ docs (only
+    2^(bits/bands) buckets per band); the scale form is
+    ``bits=60, bit_hash="xxhash"``."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "
@@ -707,13 +745,13 @@ def simhash_neardup_pairs(
         membership, rep_sids = collapse_exact_sets(sids, id_col)
         rep_pairs = simhash_neardup_pairs(
             df, max_hamming, id_col, text_col, n, bits, bands,
-            doc_sids=rep_sids,
+            doc_sids=rep_sids, bit_hash=bit_hash,
         )
         return expand_collapsed_pairs(
             rep_pairs, membership, id_col,
             value_col="hamming", within_value=0,
         )
-    sigs = simhash_signatures(sids, id_col, bits).cache()
+    sigs = simhash_signatures(sids, id_col, bits, bit_hash=bit_hash).cache()
     band_bits = bits // bands
     bucketed = None
     for j in range(bands):

@@ -392,6 +392,31 @@ def run_x21(spark) -> dict:
     return out
 
 
+def run_simhash_wide(spark) -> dict:
+    """Scale evidence for the WIDE simhash form (round-11): the gate's
+    16-bit LCG simhash has only 2^4 buckets per band, so the bucket
+    self-join is quadratic in corpus size (measured 354× at 100× docs
+    in the r11 x6 ledger). bits=60 + xxhash mixing gives 2^15 buckets
+    per band — occupancy, and therefore the join, should scale ~linearly.
+    Measures both forms at sf0.1 and the wide form at x{F} (the narrow
+    form at 100× is the 17-minute quadratic we already measured)."""
+    from photon_ml_spark.operators.dedup import simhash_neardup_pairs
+
+    out: dict = {"factor": FACTOR}
+    for key, sf_dir, kw in (
+        ("sf01_lcg16", SRC, {}),
+        ("sf01_xx60", SRC, {"bits": 60, "bands": 4, "bit_hash": "xxhash"}),
+        ("xN_xx60", X10, {"bits": 60, "bands": 4, "bit_hash": "xxhash"}),
+    ):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        n_pairs = simhash_neardup_pairs(docs, max_hamming=3, n=2, **kw).count()
+        out[key] = {"sec": round(time.perf_counter() - t0, 2), "pairs": n_pairs}
+        spark.catalog.clearCache()
+    out["ratio_xx60"] = _ratio(out["sf01_xx60"]["sec"], out["xN_xx60"]["sec"])
+    return out
+
+
 def _game_frame(spark, sf_dir: str) -> DataFrame:
     """The m3 gate query's training frame shape over any dataset dir:
     one fixed + one per-supplier coordinate on two DIFFERENT feature
@@ -503,6 +528,8 @@ def main() -> None:
         print(json.dumps({"x21": run_x21(spark)}))
     if mode == "x6":
         print(json.dumps({"x6": run_x6(spark)}))
+    if mode == "simhash":
+        print(json.dumps({"simhash_wide": run_simhash_wide(spark)}))
     spark.stop()
 
 

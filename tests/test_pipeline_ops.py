@@ -1182,6 +1182,40 @@ def test_collapse_exact_simhash_and_embedding(docs, emb, spark):
     assert ecollapsed == eplain and len(eplain) > 0
 
 
+def test_simhash_xxhash_scale_path(docs, spark):
+    """The wide-signature simhash form (bits=60, xxhash bit mixing —
+    the scale path; 16-bit LCG gives only 2^4 buckets per band and
+    goes quadratic): identical docs still collide at hamming 0, a
+    one-token edit of a long doc stays within a small hamming ball,
+    every returned pair respects max_hamming, and unrelated docs do
+    NOT collide (the property the LCG form loses at width — its high
+    bits are all zero, every doc agrees on wide bands)."""
+    from photon_ml_spark.operators.dedup import simhash_neardup_pairs
+
+    base = docs.limit(30)
+    twin = base.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    seeded = base.unionByName(twin)
+    pairs = simhash_neardup_pairs(
+        seeded, max_hamming=3, n=2, bits=60, bands=4, bit_hash="xxhash"
+    ).collect()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs}
+    for r in twin.collect():
+        assert got[(r.doc_id - 1_000_000, r.doc_id)] == 0
+    assert all(h <= 3 for h in got.values())
+    # wide bands must DISCRIMINATE: far fewer pairs than the quadratic
+    # all-pairs relation (the LCG-at-width failure mode would pair
+    # everything through the degenerate zero bands)
+    n = seeded.count()
+    assert len(got) < n * (n - 1) // 4
+
+    with pytest.raises(ValueError, match="bits"):
+        simhash_neardup_pairs(seeded, bits=64, bit_hash="xxhash")
+    with pytest.raises(ValueError, match="bit_hash"):
+        simhash_neardup_pairs(seeded, bits=32, bit_hash="md5")
+
+
 def test_collapse_hot_bucket_stays_linear(spark):
     """The hot-bucket guard itself: 300 exact copies of one boilerplate
     doc collapse to ONE representative before the LSH bucket self-join
