@@ -578,6 +578,34 @@ def neardup_cluster_edges(
     return rep_pairs.select("id_a", "id_b").unionByName(stars)
 
 
+def _fingerprint_aggs() -> list:
+    """The order-independent exact-set fingerprint as AGGREGATES
+    (count + two seeded mod-reduced hash sums — see
+    ``collapse_exact_sets`` for the identity argument), so minhash
+    flows can compute it INSIDE the signature groupBy: the collapse
+    then costs one small per-doc groupBy instead of a second full pass
+    over the doc×shingle relation (measured +~30 s on the x6 gate row
+    at sf0.1 before fusing)."""
+    (_, p1), (_, p2) = _SUBDUP_HASHES
+    return [
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.pmod(F.xxhash64("sid"), F.lit(p1))).alias("__s1"),
+        F.sum(
+            F.pmod(F.xxhash64(F.lit(0x9E3779B9), "sid"), F.lit(p2))
+        ).alias("__s2"),
+    ]
+
+
+def _membership_from_fingerprints(fp: DataFrame, id_col: str) -> DataFrame:
+    """(id_col, __rep) from any frame carrying the __n/__s1/__s2
+    fingerprint columns — min-id representative per identical-set
+    group."""
+    groups = fp.groupBy("__n", "__s1", "__s2").agg(
+        F.min(id_col).alias("__rep")
+    )
+    return fp.join(groups, ["__n", "__s1", "__s2"]).select(id_col, "__rep")
+
+
 def minhash_lsh_collapsed(
     df: DataFrame,
     threshold: float,
@@ -595,15 +623,33 @@ def minhash_lsh_collapsed(
     Compose with ``neardup_cluster_edges`` for a linear
     ``cluster_and_keep`` edge list, or ``expand_collapsed_pairs`` for
     the full pair relation (what ``minhash_lsh_dedup(collapse_exact=
-    True)`` returns)."""
+    True)`` returns).
+
+    Pass shape: ONE aggregation over the doc×shingle relation computes
+    the minhash signatures AND the exact-set fingerprint together
+    (``_fingerprint_aggs``), so the collapse adds only a per-doc
+    groupBy + semi-join over the 1-row/doc signature frame — the same
+    two big-relation passes (signatures, verification) as the
+    uncollapsed pipeline."""
     sids = (
         doc_sids
         if doc_sids is not None
         else token_ids(df, id_col, text_col, n, tokens_col=tokens_col).cache()
     )
-    membership, rep_sids = collapse_exact_sets(sids, id_col)
-    sigs = minhash_signatures(rep_sids, id_col, num_hashes)
-    cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    aggs = [
+        F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
+    ] + _fingerprint_aggs()
+    sigfp = sids.groupBy(id_col).agg(*aggs).localCheckpoint()
+    membership = _membership_from_fingerprints(
+        sigfp.select(id_col, "__n", "__s1", "__s2"), id_col
+    )
+    reps = membership.filter(F.col(id_col) == F.col("__rep")).select(id_col)
+    rep_sigs = sigfp.join(reps, id_col, "left_semi").select(
+        id_col, *[f"mh{i}" for i in range(num_hashes)]
+    )
+    cand = lsh_candidate_pairs(rep_sigs, id_col, num_hashes, bands)
+    rep_sids = sids.join(reps, id_col, "left_semi")
     rep_pairs = _verify_jaccard_pairs(cand, rep_sids, id_col, threshold)
     return rep_pairs, membership
 
@@ -1365,8 +1411,25 @@ def incremental_neardup(
     new_sids = new_sids.select(id_col, "sid")
     membership = None
     if collapse_exact:
-        membership, new_sids = collapse_exact_sets(new_sids, id_col)
-    new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
+        # fused signature+fingerprint aggregation (one pass over the
+        # batch's doc×shingle relation — see minhash_lsh_collapsed)
+        aggs = [
+            F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
+        ] + _fingerprint_aggs()
+        sigfp = new_sids.groupBy(id_col).agg(*aggs).localCheckpoint()
+        membership = _membership_from_fingerprints(
+            sigfp.select(id_col, "__n", "__s1", "__s2"), id_col
+        )
+        reps = membership.filter(
+            F.col(id_col) == F.col("__rep")
+        ).select(id_col)
+        new_sigs = sigfp.join(reps, id_col, "left_semi").select(
+            id_col, *[f"mh{i}" for i in range(num_hashes)]
+        )
+        new_sids = new_sids.join(reps, id_col, "left_semi")
+    else:
+        new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
     # id-collision guard over the SIGNATURE relations (1 row/doc on the
     # index side — not the much larger doc_sids), no pre-distinct: a
     # semi-join dedups by construction. Under the collapse the sig

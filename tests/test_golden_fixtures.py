@@ -242,9 +242,22 @@ def test_golden_mixed_effects_model_loads_and_scores(spark):
     assert model.configs["per-artist"].indices_col == "shard2_indices"
     assert model.configs["per-song"].indices_col == "shard2_indices"
     assert set(dicts) == {"shard1", "shard2"}
-    # entity counts = distinct modelIds in the golden coefficient files
-    assert model.coordinates["per-artist"].count() == 4469
-    assert model.coordinates["per-song"].count() == 9418
+    # entity counts = distinct modelIds in the golden coefficient
+    # files (per-artist has 4471 — TWO of its records carry feature
+    # means but no intercept entry, because the reference writer
+    # sparsity-filters zero coefficients including a 0.0 intercept;
+    # the loader keys on modelId, so they load with intercept 0.0
+    # instead of being dropped)
+    assert model.coordinates["per-artist"].count() == 4471
+    assert (
+        model.coordinates["per-artist"]
+        .filter(F.col("entity").isin("23006", "29566"))
+        .filter(F.col("intercept") == 0.0)
+        .count()
+        == 2
+    )
+    # per-song: 9427 distinct modelIds, 9 of them intercept-less
+    assert model.coordinates["per-song"].count() == 9427
 
     # score a 2-row frame: one-hot a known shard1 key for the fixed
     # coordinate; shard2 empty → random effects contribute intercepts
