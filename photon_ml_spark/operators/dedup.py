@@ -456,7 +456,7 @@ def lsh_candidate_pairs(
 
 
 def collapse_exact_sets(
-    sids: DataFrame, id_col: str = "doc_id"
+    sids: DataFrame, id_col: str = "doc_id", verify: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse docs with IDENTICAL shingle sets onto one representative
     — the hot-bucket guard for LSH at scale. A corpus with millions of
@@ -484,23 +484,44 @@ def collapse_exact_sets(
     ~2³¹ sums + the cardinality make accidental collisions negligible
     (~2⁻⁶² per pair of distinct sets); same double-hash identity
     convention as the substring-dedup window keys
-    (``_SUBDUP_HASHES``)."""
-    (_, p1), (_, p2) = _SUBDUP_HASHES
-    fp = sids.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(F.pmod(F.xxhash64("sid"), F.lit(p1))).alias("__s1"),
-        F.sum(
-            F.pmod(F.xxhash64(F.lit(0x9E3779B9), "sid"), F.lit(p2))
-        ).alias("__s2"),
-    )
-    groups = fp.groupBy("__n", "__s1", "__s2").agg(
-        F.min(id_col).alias("__rep")
-    )
-    membership = fp.join(groups, ["__n", "__s1", "__s2"]).select(
-        id_col, "__rep"
-    )
+    (``_SUBDUP_HASHES``).
+
+    TRADE-OFF (unverified merge): a fingerprint collision — two
+    DISTINCT shingle sets agreeing on cardinality and both mod-2³¹
+    hash sums — silently merges the docs as exact duplicates with no
+    downstream Jaccard check (unlike the LSH candidate flow, where
+    every candidate pair is exact-verified). The ~2⁻⁶² per-pair odds
+    make this a non-event in practice, but the failure mode is
+    invisible; audit runs can pass ``verify=True`` to exact-compare
+    every non-singleton member's set against its representative's
+    (one extra join over the doc×shingle relation + an eager count;
+    raises ``ValueError`` on any mismatch)."""
+    fp = sids.groupBy(id_col).agg(*_fingerprint_aggs())
+    membership = _membership_from_fingerprints(fp, id_col)
     reps = membership.filter(F.col(id_col) == F.col("__rep")).select(id_col)
     rep_sids = sids.join(reps, id_col, "left_semi")
+    if verify:
+        # set equality given equal cardinality (part of the fingerprint)
+        # reduces to one-sided containment: member sids ⊆ rep sids
+        mem = sids.join(
+            membership.filter(F.col(id_col) != F.col("__rep")), id_col
+        ).select(id_col, "__rep", "sid")
+        rep_side = sids.select(
+            F.col(id_col).alias("__rep"), F.col("sid")
+        )
+        bad = (
+            mem.join(rep_side, ["__rep", "sid"], "left_anti")
+            .select(id_col)
+            .distinct()
+        )
+        n_bad = bad.count()
+        if n_bad:
+            sample = [r[0] for r in bad.limit(5).collect()]
+            raise ValueError(
+                "collapse_exact_sets fingerprint collision: "
+                f"{n_bad} doc(s) grouped with a representative whose "
+                f"shingle set differs (sample ids: {sample})"
+            )
     return membership, rep_sids
 
 
@@ -698,7 +719,14 @@ def minhash_lsh_dedup(
     return _verify_jaccard_pairs(cand, sids, id_col, threshold)
 
 
-SIMHASH_BITS = 16
+# Default = the SCALE form: 60 bits / 4 bands = 2^15 buckets per band.
+# The narrow 16-bit LCG shape (SIMHASH_ORACLE_BITS, bit_hash="lcg") exists
+# ONLY so the DuckDB gate oracle can replay the bit hash in ANSI SQL — it
+# has 16 buckets/band, so the bucket self-join goes quadratic past ~10^4
+# docs (measured 562x wall at 100x docs in the round-11 stress ledger).
+# Call sites that need the oracle shape must opt in EXPLICITLY.
+SIMHASH_BITS = 60
+SIMHASH_ORACLE_BITS = 16
 _SIMHASH_A = 1_103_515_245
 _SIMHASH_B = 12_345
 
@@ -707,7 +735,7 @@ def simhash_signatures(
     doc_sids: DataFrame,
     id_col: str = "doc_id",
     bits: int = SIMHASH_BITS,
-    bit_hash: str = "lcg",
+    bit_hash: str = "xxhash",
 ) -> DataFrame:
     """SimHash over shingle ids: per bit j, majority vote of bit j of
     h(sid) across the doc's shingles; bit is 1 when ≥ half the
@@ -715,12 +743,13 @@ def simhash_signatures(
 
     ``bit_hash`` picks h:
 
-    - ``"lcg"`` (default): (a·sid + b) mod 2^bits — ANSI-SQL-replayable
+    - ``"lcg"``: (a·sid + b) mod 2^bits — ANSI-SQL-replayable
       (the oracle path) but only fills ~log2(max_sid · a) low bits, so
       it is honest ONLY at small ``bits``; with dense dictionary ids
       the high bits are all zero and wide bands degenerate to one
-      bucket.
-    - ``"xxhash"``: xxhash64(sid) — full 64-bit mixing, the SCALE path.
+      bucket. Opt-in for oracle replay (``bits=SIMHASH_ORACLE_BITS``).
+    - ``"xxhash"`` (default): xxhash64(sid) — full 64-bit mixing, the
+      SCALE path.
       Pick ``bits``/``bands`` so that 2^(bits/bands) ≫ corpus/target-
       occupancy: banded-bucket occupancy is ~n/2^(bits/bands), and the
       within-bucket self-join is quadratic in it (the round-11 100×
@@ -765,7 +794,7 @@ def simhash_neardup_pairs(
     bands: int = 4,
     doc_sids: DataFrame | None = None,
     collapse_exact: bool = False,
-    bit_hash: str = "lcg",
+    bit_hash: str = "xxhash",
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming, found via banded
     buckets then exact popcount verification. Pigeonhole completeness:
@@ -777,10 +806,12 @@ def simhash_neardup_pairs(
     duplicate-heavy corpora explode the bucket self-join; reps carry
     the LSH, within-group pairs expand back at hamming 0.
     ``bits``/``bit_hash``: signature width and per-bit hash (see
-    ``simhash_signatures``) — the default 16-bit/LCG form is the
-    SQL-replayable gate shape and is quadratic past ~10⁴ docs (only
-    2^(bits/bands) buckets per band); the scale form is
-    ``bits=60, bit_hash="xxhash"``."""
+    ``simhash_signatures``) — the default is the SCALE form
+    (``bits=60, bit_hash="xxhash"``: 2^15 buckets per band at
+    bands=4); the SQL-replayable oracle shape
+    (``bits=SIMHASH_ORACLE_BITS, bit_hash="lcg"``) is opt-in and is
+    quadratic past ~10⁴ docs (only 2^(bits/bands) buckets per band —
+    measured 562× wall at 100× docs)."""
     if bands <= max_hamming:
         raise ValueError(
             f"bands ({bands}) must exceed max_hamming ({max_hamming}) "

@@ -266,7 +266,10 @@ def ivf_topk(
 
 
 def collapse_exact_vectors(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    key_cols: list[str] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse rows with BIT-IDENTICAL embeddings onto one
     representative — the embedding twin of
@@ -274,23 +277,36 @@ def collapse_exact_vectors(
     identically, land in the same LSH cell, and explode the
     within-cell self-join quadratically). Fingerprint = two-seed
     ``xxhash64`` over the vector column (order-sensitive, as vector
-    equality requires). Returns ``(membership, reps)``: membership =
-    (``id_col``, ``__rep``); reps = ``df`` restricted to min-id
-    representatives (all other columns intact, so block/cell columns
-    survive)."""
+    equality requires). ``key_cols``: extra grouping keys joined into
+    the fingerprint — rows collapse only when they ALSO agree on
+    these (pass the blocking column when the block is not a pure
+    function of the vector, e.g. blocking by source or language, so
+    the collapse cannot merge across blocks). Returns ``(membership,
+    reps)``: membership = (``id_col``, ``__rep``); reps = ``df``
+    restricted to min-id representatives (all other columns intact,
+    so block/cell columns survive)."""
+    keys = list(key_cols or [])
     fp = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keys],
         F.xxhash64(vec_col).alias("__h1"),
         F.xxhash64(F.lit(0x9E3779B9), vec_col).alias("__h2"),
     )
-    groups = fp.groupBy("__h1", "__h2").agg(F.min(id_col).alias("__rep"))
-    membership = fp.join(groups, ["__h1", "__h2"]).select(id_col, "__rep")
+    groups = fp.groupBy("__h1", "__h2", *keys).agg(
+        F.min(id_col).alias("__rep")
+    )
+    membership = fp.join(groups, ["__h1", "__h2"] + keys).select(
+        id_col, "__rep"
+    )
     reps = df.join(
         membership.filter(F.col(id_col) == F.col("__rep")).select(id_col),
         id_col,
         "left_semi",
     )
     return membership, reps
+
+
+FULL_CROSS_MAX_ROWS = 100_000
 
 
 def cosine_neardup_pairs(
@@ -300,33 +316,56 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     collapse_exact: bool = False,
+    allow_full_cross: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
     With ``block_col`` the self-join runs per block (the scalable
     form — blocks from LSH buckets / IVF cells bound the quadratic
-    term); without it this is a full self cross-join and only suitable
-    for small corpora or per-partition candidate sets.
+    term); without it this is a FULL self cross-join — n²/2 candidate
+    comparisons — guarded by an eager row-count check that raises
+    above ``FULL_CROSS_MAX_ROWS`` (100k rows ≈ 5e9 comparisons)
+    unless ``allow_full_cross=True`` (the same raise-instead-of-OOM
+    discipline as the tokenizer ``max_vocab_rows`` caps). The guard
+    runs a LIMIT-bounded count, so failing fast stays cheap.
 
     ``collapse_exact``: hot-cell guard — bit-identical embeddings
     collapse to one representative before the self-join
     (``collapse_exact_vectors``), within-group pairs expand back at
     cosine exactly 1.0 (the uncollapsed pipeline computes the same
     pairs at 1.0 ± float rounding), cross-group pairs inherit their
-    reps' cosine. Output is quadratic in duplicate-group size BY SPEC;
-    cluster consumers compose ``dedup.neardup_cluster_edges`` instead.
+    reps' cosine. When ``block_col`` is set it joins the collapse key,
+    so rows in different blocks never merge even when their vectors
+    are bit-identical — the collapsed run emits exactly the blocked
+    run's pairs whether or not the block is a function of the vector.
+    Output is quadratic in duplicate-group size BY SPEC; cluster
+    consumers compose ``dedup.neardup_cluster_edges`` instead.
     """
     if collapse_exact:
         from photon_ml_spark.operators.dedup import expand_collapsed_pairs
 
-        membership, reps = collapse_exact_vectors(df, id_col, vec_col)
+        membership, reps = collapse_exact_vectors(
+            df, id_col, vec_col,
+            key_cols=[block_col] if block_col else None,
+        )
         rep_pairs = cosine_neardup_pairs(
-            reps, threshold, block_col, id_col, vec_col
+            reps, threshold, block_col, id_col, vec_col,
+            allow_full_cross=allow_full_cross,
         )
         return expand_collapsed_pairs(
             rep_pairs, membership, id_col,
             value_col="cosine", within_value=1.0,
         )
+    if block_col is None and not allow_full_cross:
+        limit = FULL_CROSS_MAX_ROWS + 1
+        if df.limit(limit).count() > FULL_CROSS_MAX_ROWS:
+            raise ValueError(
+                "cosine_neardup_pairs(block_col=None) is a full self "
+                f"cross-join; input exceeds {FULL_CROSS_MAX_ROWS} rows. "
+                "Block the corpus (LSH cells / IVF cells via block_col) "
+                "or pass allow_full_cross=True to accept the quadratic "
+                "cost."
+            )
     a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
     b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
     if block_col:
@@ -555,9 +594,12 @@ def ivf_topk_from_index(
     ADC/code distance, the true vectors of ONLY that shortlist join
     back in, and exact cosine re-ranks to k. Buys back most of the
     PQ/SQ8 recall gap for one k·refine_factor-row join per query —
-    never a corpus rescan (plan: shortlist ⋈ corpus on ``id_col``,
-    both sides pre-filtered). Pointless (scores already exact) on a
-    float index, though accepted and harmless."""
+    never a corpus rescan (plan: shortlist LEFT-joins the refine frame
+    on ``id_col``, both sides pre-filtered; a shortlist id absent from
+    ``refine`` keeps its quantized score rather than being dropped, so
+    an incomplete refine corpus degrades gracefully instead of
+    returning fewer than k rows per query). Pointless (scores already
+    exact) on a float index, though accepted and harmless."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     ).persist()
@@ -660,13 +702,25 @@ def ivf_topk_from_index(
         shortlist = (
             scored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k * refine_factor)
-            .select(query_id_col, id_col, "__qv")
+            .select(
+                query_id_col, id_col, "__qv",
+                F.col("cosine").alias("__qscore"),
+            )
         )
+        # LEFT join: a shortlist id missing from the refine corpus keeps
+        # its quantized score instead of silently vanishing (an
+        # incomplete refine frame degrades recall gracefully rather than
+        # returning < k rows per query)
         rescored = shortlist.join(
             refine.select(F.col(id_col), F.col(vec_col).alias("__tv")),
             id_col,
+            "left",
         ).withColumn(
-            "cosine", cosine_similarity(F.col("__qv"), F.col("__tv"))
+            "cosine",
+            F.coalesce(
+                cosine_similarity(F.col("__qv"), F.col("__tv")),
+                F.col("__qscore"),
+            ),
         )
         return (
             rescored.withColumn("rank", F.row_number().over(win))

@@ -428,8 +428,13 @@ def x6_neardup_pairs(spark, sf_dir, stamps=None):
         "id_a", "id_b", F.col("jaccard").alias("stat"),
     )
     lsh = _stamp(stamps, "minhash_lsh", lsh)
+    # pinned to the SQL-replayable LCG oracle shape (the function
+    # DEFAULT is the wide xxhash scale form; see x7 in queries_pipeline)
+    from photon_ml_spark.operators.dedup import SIMHASH_ORACLE_BITS
+
     sim = simhash_neardup_pairs(
-        docs, max_hamming=3, n=2, doc_sids=sids
+        docs, max_hamming=3, n=2, doc_sids=sids,
+        bits=SIMHASH_ORACLE_BITS, bit_hash="lcg",
     ).select(
         F.lit("simhash").alias("variant"),
         "id_a", "id_b", F.col("hamming").cast("double").alias("stat"),

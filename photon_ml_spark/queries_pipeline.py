@@ -774,10 +774,18 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
     "pairs via 4-band pigeonhole buckets + popcount verify",
 )
 def x7_simhash_neardup(spark, sf_dir):
-    from photon_ml_spark.operators.dedup import simhash_neardup_pairs
+    from photon_ml_spark.operators.dedup import (
+        SIMHASH_ORACLE_BITS,
+        simhash_neardup_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    out = simhash_neardup_pairs(docs, max_hamming=3, n=2)
+    # pinned to the narrow LCG shape the DuckDB oracle above replays in
+    # ANSI SQL; the function DEFAULT is the wide xxhash scale form
+    out = simhash_neardup_pairs(
+        docs, max_hamming=3, n=2,
+        bits=SIMHASH_ORACLE_BITS, bit_hash="lcg",
+    )
     return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
