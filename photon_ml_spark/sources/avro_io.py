@@ -719,12 +719,23 @@ def avro_spark_type(schema: Any) -> T.DataType:
 # ------------------------------------------------------------ spark read/write
 def _header_bytes(spark: SparkSession, path: str, limit: int) -> bytes:
     """First `limit` bytes of `path` via the JVM Hadoop FS (scheme-
-    aware, bounded — never a full-file driver fetch)."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(conf)
-    stream = fs.open(p)
+    aware, bounded — never a full-file driver fetch). Schemes the JVM
+    conf has no connector for (e.g. ``s3://`` without hadoop-aws, or
+    URIs carrying pyarrow query options) fall back to a bounded
+    ``pyarrow.fs`` read — the same resolver the executor-side ranged
+    decode uses."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(conf)
+        stream = fs.open(p)
+    except Exception:
+        from pyarrow import fs as pafs
+
+        fsys, rel = pafs.FileSystem.from_uri(path)
+        with fsys.open_input_file(rel) as f:
+            return f.read(limit)
     try:
         bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
             stream, limit
@@ -738,9 +749,50 @@ def _list_avro_files(spark: SparkSession, path: str) -> list[str]:
     return [p for p, _ in _list_avro_files_with_size(spark, path)]
 
 
+def _pyarrow_list_with_size(path: str) -> list[tuple[str, int]]:
+    """Driver-side listing via ``pyarrow.fs`` for schemes the JVM
+    Hadoop conf has no connector for (e.g. ``s3://`` without
+    hadoop-aws). Children re-attach the caller's authority and query
+    string, so endpoint/credential options embedded in the URI ride
+    into the executor-side ranged opens unchanged."""
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(path)
+    info = fsys.get_file_info(rel)
+    if info.type == pafs.FileType.File:
+        return [(path, info.size)]
+    if info.type != pafs.FileType.Directory:
+        raise ValueError(f"no such path: {path}")
+    base, _, query = path.partition("?")
+    suffix = f"?{query}" if query else ""
+    out = []
+    for ch in fsys.get_file_info(pafs.FileSelector(rel, recursive=False)):
+        if ch.type == pafs.FileType.File and ch.base_name.endswith(".avro"):
+            out.append((base.rstrip("/") + ch.path[len(rel):] + suffix,
+                        ch.size))
+    return sorted(out)
+
+
+def _jvm_resolves(spark: SparkSession, path: str) -> bool:
+    """Can the JVM Hadoop conf serve this path (scheme has a connector,
+    path parses)? False routes the read to the pure-Python +
+    ``pyarrow.fs`` pipeline — the spark-avro datasource would fail on
+    the same scheme for the same reason."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        p.getFileSystem(conf)
+        return True
+    except Exception:
+        return False
+
+
 def _list_avro_files_with_size(
     spark: SparkSession, path: str
 ) -> list[tuple[str, int]]:
+    if not _jvm_resolves(spark, path):
+        return _pyarrow_list_with_size(path)
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)

@@ -85,10 +85,15 @@ TABLES = {
 
 
 def build(spark) -> None:
-    shutil.rmtree(X10, ignore_errors=True)
-    shutil.rmtree(SKEW, ignore_errors=True)
-    os.makedirs(X10)
-    os.makedirs(SKEW)
+    # INCREMENTAL: only the tables named in STRESS_TABLES are
+    # (re)built; pre-existing tables at the same factor survive, so a
+    # factor-100 documents build (hours of replication) is not wiped
+    # by a later lineitem-only build at the same factor.
+    for d in (X10, SKEW):
+        os.makedirs(d, exist_ok=True)
+    for t in TABLES:
+        shutil.rmtree(f"{X10}/{t}.parquet", ignore_errors=True)
+        shutil.rmtree(f"{SKEW}/{t}.parquet", ignore_errors=True)
 
     def lineitem_rep(df, r, skew=False):
         supp = F.col("l_suppkey") + r * 10_000
@@ -156,11 +161,14 @@ def build(spark) -> None:
         _reps(_t(spark, "embeddings"), embeddings_rep).write.parquet(f"{X10}/embeddings.parquet")
     if "events" in TABLES:
         _reps(_t(spark, "events"), events_rep).write.parquet(f"{X10}/events.parquet")
-    # dimension tables pass through unscaled (they are broadcast-side)
+    # dimension tables pass through unscaled (they are broadcast-side);
+    # skipped when already present from a previous build at this factor
     for small in ("region", "nation", "supplier", "customer", "part"):
-        _t(spark, small).write.parquet(f"{X10}/{small}.parquet")
-        _t(spark, small).write.parquet(f"{SKEW}/{small}.parquet")
-    _t(spark, "orders").write.parquet(f"{SKEW}/orders.parquet")
+        for d in (X10, SKEW):
+            if not os.path.exists(f"{d}/{small}.parquet"):
+                _t(spark, small).write.parquet(f"{d}/{small}.parquet")
+    if not os.path.exists(f"{SKEW}/orders.parquet"):
+        _t(spark, "orders").write.parquet(f"{SKEW}/orders.parquet")
     print("built", X10, "and", SKEW, file=sys.stderr)
 
 
@@ -417,6 +425,43 @@ def run_simhash_wide(spark) -> dict:
     return out
 
 
+def _heap_stats(spark) -> dict:
+    """Executor-memory attribution for the local-mode stress runs
+    (VERDICT r11 Next #4): in ``local[32]`` the single JVM hosts every
+    executor thread, so 'driver memory' is really executor cache +
+    shuffle + unroll heap. The UI REST /executors endpoint separates
+    the components: storage memoryUsed (cached generations), peak
+    on-heap execution (shuffle/aggregate buffers), peak JVM heap."""
+    try:
+        import urllib.request
+        import json as _json
+
+        ui = spark.sparkContext.uiWebUrl
+        apps = _json.load(
+            urllib.request.urlopen(f"{ui}/api/v1/applications")
+        )
+        ex = _json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{apps[0]['id']}/executors"
+            )
+        )
+        drv = next(e for e in ex if e["id"] == "driver")
+        peak = drv.get("peakMemoryMetrics", {}) or {}
+        mb = 1 << 20
+        return {
+            "storage_memory_used_mb": round(drv.get("memoryUsed", 0) / mb),
+            "peak_jvm_heap_mb": round(peak.get("JVMHeapMemory", 0) / mb),
+            "peak_onheap_execution_mb": round(
+                peak.get("OnHeapExecutionMemory", 0) / mb
+            ),
+            "peak_onheap_storage_mb": round(
+                peak.get("OnHeapStorageMemory", 0) / mb
+            ),
+        }
+    except Exception as e:  # UI disabled / endpoint shape drift
+        return {"err": str(e)}
+
+
 def _game_frame(spark, sf_dir: str) -> DataFrame:
     """The m3 gate query's training frame shape over any dataset dir:
     one fixed + one per-supplier coordinate on two DIFFERENT feature
@@ -501,6 +546,7 @@ def run_game(spark) -> dict:
             "entities": n_models,
             "updates": len(history),
             "final_rmse": history[-1]["metrics"]["rmse"],
+            "heap": _heap_stats(spark),
         }
     base = out["sf01_uncapped"]["sec"]
     out["ratios_vs_sf01"] = {
