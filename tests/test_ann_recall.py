@@ -91,3 +91,33 @@ def test_pq_kmeans_codebook_beats_sampled(recall_setup):
         )
     assert recs["kmeans"] > recs["sampled"], recs
     assert recs["kmeans_wide"] >= 0.7, recs
+
+
+def test_pq_refine_recall_floor(spark, recall_setup, tmp_path):
+    """Refined-recall floor (VERDICT r11 Next #6): the FAISS-RefineFlat
+    re-rank over an IVF-PQ index (m=32, ksub=64, refine_factor=4) must
+    buy the quantization gap back — recall@10 ≥ 0.95 at full probe on
+    the jittered worst case, and never below the unrefined ADC recall
+    at the same probe set."""
+    corpus, queries, truth = recall_setup
+    idx = str(tmp_path / "pq_refine_floor")
+    similarity.save_ivf_index(
+        corpus, idx, k=8, pq=True, pq_m=32, pq_ksub=64,
+    )
+    raw = similarity.recall_at_k(
+        truth,
+        similarity.ivf_topk_from_index(
+            spark, idx, queries, k=10, n_probe=8
+        ),
+        10,
+    )
+    refined = similarity.recall_at_k(
+        truth,
+        similarity.ivf_topk_from_index(
+            spark, idx, queries, k=10, n_probe=8,
+            refine=corpus.select("vec_id", "embedding"), refine_factor=4,
+        ),
+        10,
+    )
+    assert refined >= 0.95, (raw, refined)
+    assert refined >= raw, (raw, refined)
