@@ -263,3 +263,45 @@ def test_x0_warm_start_accelerates_and_matches(uni):
             uni, dim=1, family="gaussian", solver="tron",
             weight_col=None, offset_col=None, x0=np.zeros(5),
         )
+
+
+def test_glr_lbfgs_routing_boundary(spark, monkeypatch):
+    """The wide-fit auto-route (VERDICT r11 Next #8): fit_fixed_effect
+    runs spark.ml GLR (IRLS) up to exactly GLR_MAX_FEATURES and the
+    distributed LBFGS solver one feature past it — pinned at a
+    monkeypatched boundary so the test stays cheap — and the two
+    engines agree on the same well-conditioned problem."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for _ in range(400):
+        x = [rng.uniform(-1, 1) for _ in range(3)]
+        y = 1.0 * x[0] + 2.0 * x[1] - 1.0 * x[2] + 0.5
+        rows.append(([0, 1, 2], x, y + rng.gauss(0, 0.01)))
+    df = spark.createDataFrame(
+        rows,
+        "features_indices array<long>, features_values array<double>, "
+        "response double",
+    )
+    monkeypatch.setattr(glm, "GLR_MAX_FEATURES", 3)
+    at_boundary = glm.fit_fixed_effect(
+        df, dim=3, family="gaussian", reg_param=0.0,
+        weight_col=None, offset_col=None,
+    )
+    # GLR path: summary-derived meta, no "optimizer" tag
+    assert at_boundary.meta.get("optimizer") is None
+    assert "deviance" in at_boundary.meta
+
+    monkeypatch.setattr(glm, "GLR_MAX_FEATURES", 2)
+    past_boundary = glm.fit_fixed_effect(
+        df, dim=3, family="gaussian", reg_param=0.0,
+        weight_col=None, offset_col=None,
+    )
+    assert past_boundary.meta["optimizer"] == "lbfgs"
+    assert np.allclose(
+        at_boundary.coefficients, past_boundary.coefficients, atol=1e-4
+    )
+    assert past_boundary.intercept == pytest.approx(
+        at_boundary.intercept, abs=1e-4
+    )
