@@ -412,7 +412,9 @@ def run_simhash_wide(spark) -> dict:
 
     out: dict = {"factor": FACTOR}
     for key, sf_dir, kw in (
-        ("sf01_lcg16", SRC, {}),
+        # explicit since r12 flipped the function default to the wide
+        # xxhash form — {} would now measure the wide form twice
+        ("sf01_lcg16", SRC, {"bits": 16, "bit_hash": "lcg"}),
         ("sf01_xx60", SRC, {"bits": 60, "bands": 4, "bit_hash": "xxhash"}),
         ("xN_xx60", X10, {"bits": 60, "bands": 4, "bit_hash": "xxhash"}),
     ):
