@@ -55,6 +55,8 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.storagelevel import StorageLevel
+
 from pyspark import StorageLevel
 from pyspark.sql import SparkSession
 
@@ -170,7 +172,9 @@ def _read_input(spark, cfg):
         # ingest RDD before GAME consumes it).
         return read_training_examples(
             spark, cfg["input"], column_names=cfg.get("column_names")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     if fmt == "response_prediction_avro":
         # the reference's scoring-input format carries no uid; assign
         # one like GameScoringDriver does (P2, zipWithUniqueId analog)
@@ -181,7 +185,9 @@ def _read_input(spark, cfg):
         # same generated-uid pinning rationale as the avro branch
         return read_response_predictions(spark, cfg["input"]).withColumn(
             "uid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(
+            eager=False, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
     resolved = _resolve_input(spark, cfg)
     return spark.read.parquet(
         *(resolved if isinstance(resolved, list) else [resolved])

@@ -67,6 +67,14 @@ class CoordinateConfig:
     active_cap: int | None = None
     locked: bool = False  # M8: score but never (re)train
     pretrained: object = None  # FixedEffectGLM | model DataFrame when locked/warm
+    # P7 per-entity subspace projection for RANDOM coordinates
+    # (RandomEffectDataset.scala:390-426, LinearSubspaceProjector.
+    # scala:37-66): each entity solves in the subspace of its own
+    # active indices (∪ prior support) and scatters back to ``dim``.
+    # REQUIRED when the shard is wide (a 100M-feature space cannot be
+    # solved densely per entity); off by default because narrow-shard
+    # fits skip the gather/scatter.
+    project_subspace: bool = False
     # per-coordinate optimizer config (GLMOptimizationConfiguration
     # analog): elastic-net mixing (fixed kind; OWLQN when > 0), solver
     # override ('auto' | 'tron'), box bounds (arrays, fixed kind)
@@ -200,6 +208,7 @@ def _fit_coordinate(
         min_samples=cfg.min_samples, prior_model=prior,
         lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
         compute_variance=cfg.compute_variance,
+        project_subspace=cfg.project_subspace,
     )
 
 
@@ -235,10 +244,20 @@ def train_game(
 
     def _persist(d: DataFrame) -> DataFrame:
         # eager localCheckpoint: materializes AND truncates the logical
-        # plan (see module docstring). On a multi-executor cluster with
-        # executor churn, prefer reliable checkpoints
+        # plan (see module docstring). SERIALIZED storage, explicitly:
+        # the checkpointed generations are row-set-sized (every uid ×
+        # score, twice per coordinate) and the localCheckpoint default
+        # level stores DESERIALIZED row objects — at the 100x stress
+        # scale (60M rows) that is one JVM object graph per row per
+        # generation and OOMed a 24g heap in the first x100 summed-
+        # score join (r13 decade run); serialized blocks hold the same
+        # generations in ~2.5 GB. Same storage rule as PLANS.md's
+        # corpus-scale persist discipline. On a multi-executor cluster
+        # with executor churn, prefer reliable checkpoints
         # (spark.sparkContext.setCheckpointDir + df.checkpoint).
-        return d.localCheckpoint(eager=True)
+        return d.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
 
     # Warm start (M7/M9): a non-locked coordinate carrying a
     # ``pretrained`` model enters the loop as x0/prior ONLY — a random

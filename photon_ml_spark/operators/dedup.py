@@ -495,25 +495,50 @@ def collapse_exact_sets(
     invisible; audit runs can pass ``verify=True`` to exact-compare
     every non-singleton member's set against its representative's
     (one extra join over the doc×shingle relation + an eager count;
-    raises ``ValueError`` on any mismatch)."""
+    raises ``ValueError`` on any mismatch).
+
+    INPUT CONTRACT: ``sids`` rows should be distinct per (id, sid) —
+    true for the ``token_ids`` / ``token_ids_hashed`` producers. With
+    duplicate rows the row-count term of the fingerprint counts
+    multiplicity, so two docs with the same SET but different
+    duplication patterns land in different groups (a missed merge,
+    never a wrong merge). The verify path is robust to duplicates
+    either way: it checks one-sided containment plus per-group
+    DISTINCT-sid cardinality, which together imply set equality
+    regardless of row multiplicity."""
     fp = sids.groupBy(id_col).agg(*_fingerprint_aggs())
     membership = _membership_from_fingerprints(fp, id_col)
     reps = membership.filter(F.col(id_col) == F.col("__rep")).select(id_col)
     rep_sids = sids.join(reps, id_col, "left_semi")
     if verify:
-        # set equality given equal cardinality (part of the fingerprint)
-        # reduces to one-sided containment: member sids ⊆ rep sids
-        mem = sids.join(
-            membership.filter(F.col(id_col) != F.col("__rep")), id_col
-        ).select(id_col, "__rep", "sid")
+        # member ⊆ rep (containment is multiplicity-blind) AND equal
+        # DISTINCT cardinality ⇒ set equality — sound even if the
+        # caller's relation carries duplicate (id, sid) rows, where
+        # the fingerprint's raw row count alone would not be
+        nonreps = membership.filter(F.col(id_col) != F.col("__rep"))
+        mem = sids.join(nonreps, id_col).select(id_col, "__rep", "sid")
         rep_side = sids.select(
             F.col(id_col).alias("__rep"), F.col("sid")
         )
-        bad = (
+        not_contained = (
             mem.join(rep_side, ["__rep", "sid"], "left_anti")
             .select(id_col)
-            .distinct()
         )
+        dcnt = sids.groupBy(id_col).agg(
+            F.count_distinct("sid").alias("__n")
+        )
+        size_mismatch = (
+            nonreps.join(dcnt, id_col)
+            .join(
+                dcnt.select(
+                    F.col(id_col).alias("__rep"), F.col("__n").alias("__rn")
+                ),
+                "__rep",
+            )
+            .filter(F.col("__n") != F.col("__rn"))
+            .select(id_col)
+        )
+        bad = not_contained.unionByName(size_mismatch).distinct()
         n_bad = bad.count()
         if n_bad:
             sample = [r[0] for r in bad.limit(5).collect()]
@@ -661,7 +686,9 @@ def minhash_lsh_collapsed(
         F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
     ] + _fingerprint_aggs()
-    sigfp = sids.groupBy(id_col).agg(*aggs).localCheckpoint()
+    sigfp = sids.groupBy(id_col).agg(*aggs).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
     membership = _membership_from_fingerprints(
         sigfp.select(id_col, "__n", "__s1", "__s2"), id_col
     )
@@ -1448,7 +1475,9 @@ def incremental_neardup(
             F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
         ] + _fingerprint_aggs()
-        sigfp = new_sids.groupBy(id_col).agg(*aggs).localCheckpoint()
+        sigfp = new_sids.groupBy(id_col).agg(*aggs).localCheckpoint(
+        storageLevel=StorageLevel.MEMORY_AND_DISK
+    )
         membership = _membership_from_fingerprints(
             sigfp.select(id_col, "__n", "__s1", "__s2"), id_col
         )

@@ -22,6 +22,7 @@ engine-portable (see queries_pipeline.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 from photon_ml_spark.functions.vectors import cosine_similarity, dense_dot, l2_norm
 
@@ -327,7 +328,12 @@ def cosine_neardup_pairs(
     above ``FULL_CROSS_MAX_ROWS`` (100k rows ≈ 5e9 comparisons)
     unless ``allow_full_cross=True`` (the same raise-instead-of-OOM
     discipline as the tokenizer ``max_vocab_rows`` caps). The guard
-    runs a LIMIT-bounded count, so failing fast stays cheap.
+    persists the input before its LIMIT-bounded count, so the success
+    case pays ONE execution of the upstream lineage total (the count
+    materializes the cache; both cross-join sides read the
+    localCheckpointed blocks) and the misuse case still fails fast
+    via CollectLimit's incremental execution — callers in a loop no
+    longer pay a second full pass per call (r12 ADVICE).
 
     ``collapse_exact``: hot-cell guard — bit-identical embeddings
     collapse to one representative before the self-join
@@ -357,8 +363,9 @@ def cosine_neardup_pairs(
             value_col="cosine", within_value=1.0,
         )
     if block_col is None and not allow_full_cross:
-        limit = FULL_CROSS_MAX_ROWS + 1
-        if df.limit(limit).count() > FULL_CROSS_MAX_ROWS:
+        cached = df.persist()
+        if df.limit(FULL_CROSS_MAX_ROWS + 1).count() > FULL_CROSS_MAX_ROWS:
+            cached.unpersist()
             raise ValueError(
                 "cosine_neardup_pairs(block_col=None) is a full self "
                 f"cross-join; input exceeds {FULL_CROSS_MAX_ROWS} rows. "
@@ -366,6 +373,13 @@ def cosine_neardup_pairs(
                 "or pass allow_full_cross=True to accept the quadratic "
                 "cost."
             )
+        # cut lineage into GC-managed blocks and release the cache pin
+        # (same discipline as ivf_topk_from_index): both cross-join
+        # sides below read these blocks, never the upstream lineage
+        df = cached.localCheckpoint(
+            storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
+        cached.unpersist()
     a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
     b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
     if block_col:
@@ -576,6 +590,7 @@ def ivf_topk_from_index(
     query_id_col: str = "query_id",
     refine: DataFrame | None = None,
     refine_factor: int = 4,
+    refined_col: str | None = None,
 ) -> DataFrame:
     """Top-k cosine search against a persisted IVF index: each query is
     routed to its ``n_probe`` nearest centroids (classic IVF nprobe —
@@ -599,7 +614,17 @@ def ivf_topk_from_index(
     ``refine`` keeps its quantized score rather than being dropped, so
     an incomplete refine corpus degrades gracefully instead of
     returning fewer than k rows per query). Pointless (scores already
-    exact) on a float index, though accepted and harmless."""
+    exact) on a float index, though accepted and harmless.
+
+    The graceful path mixes scales: a kept quantized (ADC/SQ8) score
+    is biased relative to the exact cosines it is ranked against, so
+    an unrefined id can displace a true nearer neighbor. To make a
+    truncated refine corpus OBSERVABLE rather than silent, pass
+    ``refined_col`` (e.g. ``"refined"``): the output then carries a
+    boolean column marking rows whose score was exactly re-ranked —
+    ``filter(~col)`` / an agg over it quantifies the gap with no extra
+    job on the search lineage (the alternative, an eager count of
+    unrefined shortlist rows, would re-execute the whole ANN search)."""
     q = queries.select(
         F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
     ).persist()
@@ -636,7 +661,7 @@ def ivf_topk_from_index(
         routed.withColumn("__pr", F.row_number().over(probe_win))
         .filter(F.col("__pr") <= n_probe)
         .select(query_id_col, "__qv", "cell")
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
     q.unpersist()
     vectors = spark.read.parquet(f"{index_path}/vectors")
@@ -722,10 +747,16 @@ def ivf_topk_from_index(
                 F.col("__qscore"),
             ),
         )
+        out_cols = [query_id_col, id_col, "cosine", "rank"]
+        if refined_col is not None:
+            rescored = rescored.withColumn(
+                refined_col, F.col("__tv").isNotNull()
+            )
+            out_cols.append(refined_col)
         return (
             rescored.withColumn("rank", F.row_number().over(win))
             .filter(F.col("rank") <= k)
-            .select(query_id_col, id_col, "cosine", "rank")
+            .select(*out_cols)
         )
     return (
         scored.withColumn("rank", F.row_number().over(win))

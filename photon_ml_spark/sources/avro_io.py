@@ -717,25 +717,72 @@ def avro_spark_type(schema: Any) -> T.DataType:
 
 
 # ------------------------------------------------------------ spark read/write
+# Failure signatures that mean "this JVM has no Hadoop connector for
+# the scheme" (hadoop-aws / gcs-connector absent, or the connector
+# class not on the classpath). ONLY these reroute to the pyarrow.fs
+# pipeline — a transient py4j/JVM error on a scheme the JVM *does*
+# serve must surface, not silently switch the read to a different
+# filesystem implementation with different credential resolution.
+_NO_CONNECTOR_MARKERS = (
+    "No FileSystem for scheme",
+    "UnsupportedFileSystemException",
+    "ClassNotFoundException",
+)
+
+
+def _is_no_connector_error(e: Exception) -> bool:
+    # py4j stringifies the full Java exception (class + message +
+    # trace), so class-name markers are visible in str(e)
+    s = str(e)
+    return any(m in s for m in _NO_CONNECTOR_MARKERS)
+
+
+def _uses_pyarrow_uri_options(path: str) -> bool:
+    """True for remote URIs written in this repo's pyarrow option
+    convention — credentials in userinfo and/or ``?endpoint_override=``
+    -style query options. Hadoop filesystems don't understand either
+    (listStatus/open treat the query string as path characters even
+    when a JVM connector for the scheme IS installed), so these route
+    to ``pyarrow.fs`` unconditionally; which optional jars happen to
+    be deployed no longer changes whether the URI works."""
+    from urllib.parse import urlparse
+
+    u = urlparse(path)
+    # no scheme / file:// / 1-char windows drive letters: local, JVM-fine
+    if not u.scheme or u.scheme == "file" or len(u.scheme) == 1:
+        return False
+    return bool(u.query) or "@" in (u.netloc or "")
+
+
+def _pyarrow_header_bytes(path: str, limit: int) -> bytes:
+    from pyarrow import fs as pafs
+
+    fsys, rel = pafs.FileSystem.from_uri(path)
+    with fsys.open_input_file(rel) as f:
+        return f.read(limit)
+
+
 def _header_bytes(spark: SparkSession, path: str, limit: int) -> bytes:
     """First `limit` bytes of `path` via the JVM Hadoop FS (scheme-
     aware, bounded — never a full-file driver fetch). Schemes the JVM
-    conf has no connector for (e.g. ``s3://`` without hadoop-aws, or
-    URIs carrying pyarrow query options) fall back to a bounded
-    ``pyarrow.fs`` read — the same resolver the executor-side ranged
-    decode uses."""
+    conf has no connector for (e.g. ``s3://`` without hadoop-aws) and
+    URIs carrying pyarrow userinfo/query options fall back to a
+    bounded ``pyarrow.fs`` read — the same resolver the executor-side
+    ranged decode uses. Any OTHER JVM failure (transient py4j error,
+    permission denied on a served scheme) propagates: rerouting those
+    would silently change which credentials resolve the path."""
+    if _uses_pyarrow_uri_options(path):
+        return _pyarrow_header_bytes(path, limit)
     try:
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(conf)
         stream = fs.open(p)
-    except Exception:
-        from pyarrow import fs as pafs
-
-        fsys, rel = pafs.FileSystem.from_uri(path)
-        with fsys.open_input_file(rel) as f:
-            return f.read(limit)
+    except Exception as e:
+        if not _is_no_connector_error(e):
+            raise
+        return _pyarrow_header_bytes(path, limit)
     try:
         bounded = jvm.org.apache.commons.io.input.BoundedInputStream(
             stream, limit
@@ -775,17 +822,24 @@ def _pyarrow_list_with_size(path: str) -> list[tuple[str, int]]:
 
 def _jvm_resolves(spark: SparkSession, path: str) -> bool:
     """Can the JVM Hadoop conf serve this path (scheme has a connector,
-    path parses)? False routes the read to the pure-Python +
-    ``pyarrow.fs`` pipeline — the spark-avro datasource would fail on
-    the same scheme for the same reason."""
+    path parses, and the URI is not in the pyarrow option convention)?
+    False routes the read to the pure-Python + ``pyarrow.fs`` pipeline —
+    the spark-avro datasource would fail on the same scheme for the
+    same reason. Only the no-connector failure class maps to False; a
+    transient JVM error on a served scheme propagates so it can't
+    silently switch credential resolution to pyarrow."""
+    if _uses_pyarrow_uri_options(path):
+        return False
     try:
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
         p = jvm.org.apache.hadoop.fs.Path(path)
         p.getFileSystem(conf)
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        if _is_no_connector_error(e):
+            return False
+        raise
 
 
 def _list_avro_files_with_size(
@@ -1074,7 +1128,13 @@ def read_avro(
     split too when pyarrow.fs resolves them (executor-side ranged
     reads); otherwise they keep whole-file tasks — install spark-avro
     for those (it is also simply the faster path everywhere)."""
-    if has_spark_avro(spark):
+    # The datasource branch needs BOTH the spark-avro classes and a JVM
+    # filesystem for the scheme: with spark-avro installed but no
+    # hadoop-aws, an s3:// path would pass the wide-union probe via the
+    # pyarrow fallbacks and then die inside reader.load() with "No
+    # FileSystem for scheme" — so unresolvable schemes (and pyarrow
+    # option-convention URIs) always take the pure-Python pipeline.
+    if has_spark_avro(spark) and _jvm_resolves(spark, path):
         # Route on union WIDTH before handing to the JVM datasource:
         # spark-avro maps wide non-null unions to member structs (or
         # fails against the reader schema), while the reference

