@@ -108,3 +108,63 @@ def test_full_cross_guard_single_pass(emb):
     assert "LogicalRDD" in analyzed
     assert "parquet" not in analyzed.lower()
     assert out.count() >= 0  # plan executes
+
+
+def test_cd_checkpoint_generations_are_serialized(spark):
+    """The coordinate-descent loop's localCheckpointed generations must
+    store SERIALIZED (packed per-partition buffers), not the
+    localCheckpoint default (one deserialized UnsafeRow object per
+    row): at the 100x stress factor the default OOMed a 24g heap in
+    the first summed-score join. Pinned by inspecting the storage
+    level of every cached RDD live right after train_game (the
+    returned RE model tables are loop checkpoints that outlive the
+    call)."""
+    from pyspark.sql import functions as F
+
+    from photon_ml_spark.ml.coordinate_descent import (
+        CoordinateConfig,
+        train_game,
+    )
+
+    df = (
+        spark.range(400)
+        .select(
+            F.col("id").alias("uid"),
+            (F.col("id") % 7).cast("double").alias("response"),
+            F.lit(0.0).alias("offset"),
+            F.lit(1.0).alias("weight"),
+            (F.col("id") % 5).cast("string").alias("entity"),
+            F.array(F.lit(0).cast("long")).alias("features_indices"),
+            F.array((F.col("id") % 3).cast("double")).alias(
+                "features_values"
+            ),
+        )
+    )
+    before = {
+        i.id() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    model, _ = train_game(
+        df,
+        coordinates=[
+            CoordinateConfig(name="g", kind="fixed", dim=1),
+            CoordinateConfig(
+                name="re", kind="random", dim=1, entity_col="entity",
+                reg_param=1.0,
+            ),
+        ],
+        family="gaussian",
+        n_iterations=1,
+    )
+    # force the returned RE table's checkpoint blocks to exist
+    model.coordinates["re"].count()
+    new = [
+        i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    # every block the loop materialized (surviving = the returned RE
+    # model checkpoints; the input persist and superseded generations
+    # are released inside the loop) stores without per-row objects:
+    # the level string carries "deserialized" only for the default
+    levels = {str(i.storageLevel()) for i in new}
+    assert new, "expected live checkpoint blocks from the CD loop"
+    assert not any("deserialized" in lv for lv in levels), levels
