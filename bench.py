@@ -74,7 +74,12 @@ def run_flagship(spark, sf_dir: str) -> int:
     ).cache()
     n = assembled.count()
     training.unpersist()
-    model = glm.fit_fixed_effect(assembled, dim=5, family="binomial")
+    # diagnostics=False: the flagship reads only coefficients+intercept;
+    # the GLR summary statistics are ~4 extra aggregation jobs (guide
+    # §1.2 — don't compute what you throw away)
+    model = glm.fit_fixed_effect(
+        assembled, dim=5, family="binomial", diagnostics=False
+    )
     scored = scoring.score_literal(assembled, model)
     auc = metrics.auroc(scored, score="score", label="response").first().auroc
     assert 0.0 <= auc <= 1.0

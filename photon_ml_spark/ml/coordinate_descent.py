@@ -172,6 +172,10 @@ def _fit_coordinate(
             elastic_net_param=cfg.elastic_net_param, solver=cfg.solver,
             lower_bounds=cfg.lower_bounds, upper_bounds=cfg.upper_bounds,
             prior_mean=cfg.prior_mean, prior_precision=cfg.prior_precision,
+            # the loop refits this coordinate every iteration and never
+            # reads the GLR summary diagnostics — skip their ~4 extra
+            # aggregation jobs per update (guide §1.2)
+            diagnostics=False,
             # M7: the previous update's model (or pretrained, on the
             # first update) is the optimizer start point — the
             # reference passes the existing model into every

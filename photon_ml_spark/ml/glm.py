@@ -93,6 +93,7 @@ def fit_fixed_effect(
     tol: float = 1e-6,
     solver: str = "auto",
     x0=None,
+    diagnostics: bool = True,
 ) -> FixedEffectGLM:
     """Fit one distributed GLM (M1) with offset (M6), weight, L2 (M4).
 
@@ -249,12 +250,19 @@ def fit_fixed_effect(
     # BEFORE unpersist: each first access runs a predictions pass over
     # vec_df, which must hit the cache, not recompute the lineage
     s = model.summary
-    meta = {"iterations": s.numIterations}
-    for attr in ("deviance", "nullDeviance", "aic", "dispersion"):
-        try:
-            meta[attr] = float(getattr(s, attr))
-        except Exception:
-            pass
+    meta = {"iterations": s.numIterations}  # stored by training — no job
+    # ``diagnostics=False`` (r13, guide §1.2: don't compute what you
+    # throw away): each summary statistic below is a SEPARATE
+    # aggregation job over the predictions frame — ~4 extra passes per
+    # fit. Iterative callers (the CD loop fits one coordinate per
+    # update) and the bench flagship never read them; the model-log
+    # paths keep the default.
+    if diagnostics:
+        for attr in ("deviance", "nullDeviance", "aic", "dispersion"):
+            try:
+                meta[attr] = float(getattr(s, attr))
+            except Exception:
+                pass
     vec_df.unpersist()
     return FixedEffectGLM(
         family=family,

@@ -386,16 +386,29 @@ def _banded(
     must derive IDENTICAL bucket keys or cross-flow joins silently
     miss)."""
     rows_per_band = num_hashes // bands
-    bucketed = None
-    for b in range(bands):
-        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        part = signatures.select(
-            F.col(id_col),
-            F.lit(b).alias("band"),
-            F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
-    return bucketed
+    # ONE posexplode pass instead of a bands-way union of selects over
+    # the same signature subtree (r13, guide §2.4): the union form
+    # scanned/aggregated the upstream once per band (ReuseExchange
+    # dedupes the shuffle, but each branch still re-runs the final
+    # aggregate and schedules its own stage); the exploded form reads
+    # each signature row once and emits its ``bands`` (band, bucket)
+    # rows in-place. posexplode's position IS the band index, so rows
+    # are identical to the union's.
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                "_",
+                *[
+                    F.col(f"mh{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        F.col(id_col), F.posexplode(buckets).alias("band", "bucket")
+    )
 
 
 def _verify_jaccard_pairs(

@@ -31,6 +31,22 @@ def _with_norm(df: DataFrame, vec_col: str, out: str) -> DataFrame:
     return df.withColumn(out, l2_norm(F.col(vec_col)))
 
 
+def _cosine_prenormed(qv, vv, qn, vn):
+    """``cosine_similarity(qv, vv)`` with the two l2 norms read from
+    precomputed columns instead of re-derived per pair. The norm of a
+    vector is a function of ONLY its own side, so evaluating it once
+    per row BEFORE the pair join (instead of once per joined pair)
+    yields bit-identical doubles — same expression over the same
+    array, then the same dot/‖q‖/‖v‖ division order — while cutting
+    the per-pair interpreted higher-order-function work from three
+    array folds (dot + both norms) to one (guide §1.2 step 2:
+    per-task work; the pair relation is |corpus|×|queries|-sized,
+    the sides are linear)."""
+    return F.when(
+        (qn > 0) & (vn > 0), dense_dot(qv, vv) / qn / vn
+    ).otherwise(F.lit(0.0))
+
+
 def hyperplane_cell(vec, patterns: list[list[float]]):
     """Random-hyperplane LSH cell id: bit b = sign(vec · pattern_b).
     Patterns are fixed literal vectors (seeded offline) — deterministic,
@@ -99,18 +115,25 @@ def cosine_topk(
     determinism. Self-matches (same id) are excluded when the id
     columns share values.
     """
+    # per-SIDE norms precomputed before the pair join (r13: the per-pair
+    # expression used to re-fold both norms for every joined pair)
     q = queries.select(
-        F.col(id_col).alias(query_id_col), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias(query_id_col),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    joined = corpus.select(F.col(id_col), F.col(vec_col)).crossJoin(q).filter(
-        F.col(id_col) != F.col(query_id_col)
-    )
+    joined = corpus.select(
+        F.col(id_col), F.col(vec_col), l2_norm(F.col(vec_col)).alias("__vn")
+    ).crossJoin(q).filter(F.col(id_col) != F.col(query_id_col))
     # query-side norm divides first: the oracle contract fixes the
     # division order (see functions.vectors.cosine_similarity)
     scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
+        "cosine",
+        _cosine_prenormed(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+        ),
     )
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
@@ -239,6 +262,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias(query_id_col),
         F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         F.col(cell_col),
     )
     if n_probe_bits > 0:
@@ -250,13 +274,21 @@ def ivf_topk(
             ],
         )
         q = q.select(
-            query_id_col, "__qv", F.explode(probes).alias(cell_col)
+            query_id_col, "__qv", "__qn", F.explode(probes).alias(cell_col)
         )
-    joined = corpus.select(F.col(id_col), F.col(vec_col), F.col(cell_col)).join(
+    joined = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+        F.col(cell_col),
+    ).join(
         F.broadcast(q), cell_col
     ).filter(F.col(id_col) != F.col(query_id_col))
     scored = joined.withColumn(
-        "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
+        "cosine",
+        _cosine_prenormed(
+            F.col("__qv"), F.col(vec_col), F.col("__qn"), F.col("__vn")
+        ),
     )
     win = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
@@ -380,8 +412,16 @@ def cosine_neardup_pairs(
             storageLevel=StorageLevel.MEMORY_AND_DISK
         )
         cached.unpersist()
-    a_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")]
-    b_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")]
+    a_cols = [
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        l2_norm(F.col(vec_col)).alias("__na"),
+    ]
+    b_cols = [
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        l2_norm(F.col(vec_col)).alias("__nb"),
+    ]
     if block_col:
         a_cols.append(F.col(block_col))
         b_cols.append(F.col(block_col))
@@ -391,7 +431,12 @@ def cosine_neardup_pairs(
         F.col("id_a") < F.col("id_b")
     )
     return (
-        joined.withColumn("cosine", cosine_similarity(F.col("__va"), F.col("__vb")))
+        joined.withColumn(
+            "cosine",
+            _cosine_prenormed(
+                F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+            ),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -667,6 +712,13 @@ def ivf_topk_from_index(
     vectors = spark.read.parquet(f"{index_path}/vectors")
     from photon_ml_spark.sources.model_io import _hadoop_exists
 
+    # r13 (guide §1.2 step 2): per-SIDE score inputs — the query's
+    # (possibly grid-encoded) vector + norm on the probe frame, the
+    # candidate's (possibly reconstructed) vector + norm on the corpus
+    # frame — are computed BEFORE the cell join, once per row instead
+    # of once per (query, candidate) pair; the per-pair expression is
+    # then a single dot fold. Bit-identical: same expressions over the
+    # same arrays, same dot/‖q‖/‖v‖ division order.
     if _hadoop_exists(spark, f"{index_path}/meta.json"):
         # quantizer-composed index: meta.json's keys identify the
         # format — "codebook" = PQ (save_ivf_index(pq=True)),
@@ -678,44 +730,45 @@ def ivf_topk_from_index(
         from photon_ml_spark.sources.model_io import _hadoop_read_text
 
         meta = json.loads(_hadoop_read_text(spark, f"{index_path}/meta.json"))
-        joined = vectors.join(F.broadcast(probes), "cell").filter(
-            F.col(id_col) != F.col(query_id_col)
-        )
         if "codebook" in meta:
             # PQ: asymmetric distance — raw query vs candidates
             # reconstructed from their m-byte codes (pq_topk semantics)
-            scored = (
-                with_pq_reconstruct(
-                    joined, meta["codebook"], codes_col="pq",
-                    out_col="__rz",
-                )
-                .withColumn(
-                    "cosine",
-                    cosine_similarity(F.col("__qv"), F.col("__rz")),
-                )
-                .drop("__rz")
-            )
+            qside = probes.withColumn("__qn", l2_norm(F.col("__qv")))
+            vside = with_pq_reconstruct(
+                vectors, meta["codebook"], codes_col="pq", out_col="__rz"
+            ).withColumn("__vn", l2_norm(F.col("__rz")))
+            qcol, vcol = "__qv", "__rz"
         else:
             # SQ8: put the QUERY through the same saved grid (encode +
             # reconstruct) so scores are code-vs-code, identical to
             # sq8_topk over the same candidate set
             lo, hi = meta["lo"], meta["hi"]
-            scored = joined.withColumn(
-                "cosine",
-                cosine_similarity(
-                    sq8_reconstruct(
-                        sq8_code_expr(F.col("__qv"), lo, hi), lo, hi
-                    ),
-                    sq8_reconstruct(F.col("sq8"), lo, hi),
-                ),
-            )
+            # __qv stays the RAW query vector (the refine branch below
+            # re-ranks with it); the grid-encoded copy scores the codes
+            qside = probes.withColumn(
+                "__rq",
+                sq8_reconstruct(sq8_code_expr(F.col("__qv"), lo, hi), lo, hi),
+            ).withColumn("__qn", l2_norm(F.col("__rq")))
+            vside = vectors.withColumn(
+                "__rz", sq8_reconstruct(F.col("sq8"), lo, hi)
+            ).withColumn("__vn", l2_norm(F.col("__rz")))
+            qcol, vcol = "__rq", "__rz"
     else:
-        joined = vectors.join(F.broadcast(probes), "cell").filter(
-            F.col(id_col) != F.col(query_id_col)
-        )
-        scored = joined.withColumn(
-            "cosine", cosine_similarity(F.col("__qv"), F.col(vec_col))
-        )
+        qside = probes.withColumn("__qn", l2_norm(F.col("__qv")))
+        vside = vectors.withColumn("__vn", l2_norm(F.col(vec_col)))
+        qcol, vcol = "__qv", vec_col
+    joined = vside.join(F.broadcast(qside), "cell").filter(
+        F.col(id_col) != F.col(query_id_col)
+    )
+    scored = joined.withColumn(
+        "cosine",
+        _cosine_prenormed(
+            F.col(qcol), F.col(vcol), F.col("__qn"), F.col("__vn")
+        ),
+    )
+    drop_cols = [c for c in (qcol, vcol) if c != vec_col and c != "__qv"]
+    if drop_cols:
+        scored = scored.drop(*drop_cols)
     win = Window.partitionBy(query_id_col).orderBy(
         F.desc("cosine"), F.asc(id_col)
     )

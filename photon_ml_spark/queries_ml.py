@@ -1076,6 +1076,9 @@ def m1_glr_fixed_effect(spark, sf_dir):
     m = fit_fixed_effect(
         li, dim=1, family="binomial", weight_col="weight", offset_col="offset",
         reg_param=0.0, tol=1e-10, max_iter=100,
+        # r13: the gate output reads only coefficients/intercept (+ the
+        # free iterations count) — skip the ~4 summary-statistic jobs
+        diagnostics=False,
     )
     assert m.meta.get("iterations", 0) > 0  # really went through IRLS
     x = F.element_at("features_values", 1)
