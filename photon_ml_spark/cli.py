@@ -1829,6 +1829,8 @@ def curate(cfg: dict, spark: SparkSession) -> None:
 
     from photon_ml_spark.operators import dedup, sampling, text
 
+    from photon_ml_spark.operators.indexing import release_local_checkpoint
+
     _validate_cfg_keys(cfg, "curate")
     for stage in ("quality", "near_dedup", "contamination", "select",
                   "mix", "split", "chunk", "tokenize"):
@@ -1867,17 +1869,32 @@ def curate(cfg: dict, spark: SparkSession) -> None:
     raw_docs = docs
 
     def _advance(new_docs, report_key, stage):
-        """Swap in the next corpus generation: cache it, materialize
-        through the stage's report count, stamp, then UNPERSIST the
-        superseded generation — each stage's cache is corpus-sized, so
-        leaving every generation pinned multiplies storage pressure by
-        the stage count at scale (the same leak class as the round-7
-        IVF fix; a no-op when the predecessor was never cached)."""
+        """Swap in the next corpus generation: eager localCheckpoint
+        (materialize + TRUNCATE lineage), count the materialized
+        blocks for the report, stamp, then release the superseded
+        generation — each stage's generation is corpus-sized, so
+        leaving every one pinned multiplies storage pressure by the
+        stage count at scale (the same leak class as the round-7 IVF
+        fix). r13: checkpoint instead of cache()+count — a cached
+        generation keeps the whole upstream chain in its LOGICAL plan,
+        so every downstream action re-analyzed a plan that grew with
+        each stage (measured: ~5s of driver-side gap between jobs over
+        a 9-stage run — the guide §7.3 planning-cost failure shape);
+        the checkpoint pins the same bytes AND makes later stages plan
+        against a leaf. SERIALIZED level per the PLANS.md corpus-cache
+        rule; on multi-executor clusters prefer reliable checkpoints
+        for the same truncation (module note in coordinate_descent)."""
         nonlocal docs
+        from pyspark import StorageLevel
+
         prev = docs
-        docs = new_docs.cache()
+        docs = new_docs.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+        )
         report[report_key] = docs.count()
         _stamp(stage)
+        if prev is not raw_docs:
+            release_local_checkpoint(prev)
         prev.unpersist()
 
     pii_cfg = cfg.get("pii")
@@ -2223,9 +2240,11 @@ def curate(cfg: dict, spark: SparkSession) -> None:
             _train_tokenizer(docs)
             _stamp("tokenizer_train")
         _finish(docs, "docs")
-    # release the job's remaining caches (the final docs generation and
-    # the near-dup pair relation) — same in-process discipline as the
-    # train/score drivers
+    # release the job's remaining caches (the final docs generation —
+    # a localCheckpoint, so the RDD-block release, not the no-op
+    # unpersist — and the near-dup pair relation) — same in-process
+    # discipline as the train/score drivers
+    release_local_checkpoint(docs)
     docs.unpersist()
     if pairs is not None:
         pairs.unpersist()

@@ -870,14 +870,22 @@ def simhash_neardup_pairs(
         )
     sigs = simhash_signatures(sids, id_col, bits, bit_hash=bit_hash).cache()
     band_bits = bits // bands
-    bucketed = None
-    for j in range(bands):
-        part = sigs.select(
-            id_col, "simhash", F.lit(j).alias("band"),
-            F.shiftright(F.col("simhash"), j * band_bits)
-            .bitwiseAND(F.lit(2 ** band_bits - 1)).alias("bucket"),
-        )
-        bucketed = part if bucketed is None else bucketed.unionByName(part)
+    # one posexplode pass instead of a bands-way union over the cached
+    # signature frame (r13 — same rewrite as the minhash ``_banded``):
+    # the union form scheduled one cache scan per band per join side
+    bucketed = sigs.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), j * band_bits)
+                    .bitwiseAND(F.lit(2 ** band_bits - 1))
+                    for j in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "bucket")
     cand = (
