@@ -44,14 +44,19 @@ def main() -> None:
         labels[label] = round(time.perf_counter() - t0, 3)
         spark.sparkContext.setJobDescription(None)
 
+    seen: dict[str, int] = {}
     for row in rows:
+        # repeated rows get distinct labels (row, row#2, ...) so their
+        # jobs don't aggregate into one line
+        seen[row] = seen.get(row, 0) + 1
+        label = row if seen[row] == 1 else f"{row}#{seen[row]}"
         if row == "flagship":
-            run_labeled("flagship", lambda: bench.run_flagship(spark, sf_dir))
+            run_labeled(label, lambda: bench.run_flagship(spark, sf_dir))
         elif row == "curate":
-            run_labeled("curate", lambda: bench.run_curate(spark, sf_dir))
+            run_labeled(label, lambda: bench.run_curate(spark, sf_dir))
         elif row == "train_game":
             run_labeled(
-                "train_game", lambda: bench.run_train_game(spark, sf_dir)
+                label, lambda: bench.run_train_game(spark, sf_dir)
             )
         else:
             spec = registry[row]
@@ -60,7 +65,7 @@ def main() -> None:
                 df = spec.run(spark, sf_dir)
                 df.write.format("noop").mode("overwrite").save()
 
-            run_labeled(row, thunk)
+            run_labeled(label, thunk)
             if row in bench.STAMPED_SUITES:
                 from photon_ml_spark.queries_merged import release_stamped
 
