@@ -17,9 +17,16 @@ an iterative training loop):
   re-trained (FixedEffectModelCoordinate analog)
 
 Cache discipline (the reference persists+counts every intermediate,
-RandomEffectDataset.scala:279-341): each coordinate's score DataFrame
-and the running sum are persisted, and the superseded generation is
-unpersisted after its replacement materializes.
+RandomEffectDataset.scala:279-341): the running score sum is
+checkpointed per update and the superseded generation is released
+after its replacement materializes. Per-coordinate score frames stay
+LAZY (r13): a coordinate's score is a shuffle-free projection of the
+two pinned inputs (cached training frame + checkpointed model table),
+so re-deriving it on the one later read — the refit subtraction — is
+cheaper than writing a second row-set-sized generation per update.
+(On a cluster where executor loss must not recompute scores, checkpoint
+them as before — the trade is recompute-on-read vs double the
+materialized bytes per update.)
 
 Lineage discipline: the running score sum is rebuilt from its own
 previous generation every update, so its LOGICAL plan doubles per
@@ -250,7 +257,7 @@ def train_game(
         # eager localCheckpoint: materializes AND truncates the logical
         # plan (see module docstring). SERIALIZED storage, explicitly:
         # the checkpointed generations are row-set-sized (every uid ×
-        # score, twice per coordinate) and the localCheckpoint default
+        # score, once per coordinate update) and the localCheckpoint default
         # level stores DESERIALIZED row objects — at the 100x stress
         # scale (60M rows) that is one JVM object graph per row per
         # generation and OOMed a 24g heap in the first x100 summed-
@@ -293,6 +300,7 @@ def train_game(
             else:
                 data = df
 
+            prior_to_release = None
             if cfg.locked:
                 coord_model = cfg.pretrained
             else:
@@ -306,24 +314,35 @@ def train_game(
                     coord_model = _persist(coord_model)
                     ours.add(id(coord_model))
                     # the superseded RE model table served as prior/x0
-                    # for the fit just materialized — release it (only
-                    # generations THIS loop checkpointed: a caller-
-                    # provided pretrained frame is not ours to drop)
+                    # for the fit just materialized — but the LAZY
+                    # per-coordinate score below still references it
+                    # through ``others``/``base`` until the new summed
+                    # generation materializes, so the release happens
+                    # AFTER the summed checkpoint (only generations
+                    # THIS loop checkpointed: a caller-provided
+                    # pretrained frame is not ours to drop)
                     if prior is not None and id(prior) in ours:
-                        release_local_checkpoint(prior)
-                        ours.discard(id(prior))
+                        prior_to_release = prior
             model.coordinates[cfg.name] = coord_model
 
-            new_score = _persist(
-                _score_coordinate(df, cfg, coord_model, "score").select(
-                    uid_col, "score"
-                )
+            # Per-coordinate scores stay LAZY (r13, guide §1.2/§5): a
+            # score is a shuffle-free re-derivation from the two pinned
+            # inputs (the cached training frame + the checkpointed —
+            # or driver-side — coordinate model), so checkpointing it
+            # doubled the materialized bytes per update for nothing.
+            # Only the RUNNING SUM is checkpointed: the summed join's
+            # materialization evaluates the new score in-plan (one
+            # broadcast join + dot product), and a later refit's
+            # subtraction re-evaluates it the same way. Numerics are
+            # identical — same expressions over the same pinned rows.
+            new_score = _score_coordinate(df, cfg, coord_model, "score").select(
+                uid_col, "score"
             )
 
             # incremental summed-score maintenance (J11): summed − old + new
             old_summed = summed
             if summed is None:
-                summed = new_score
+                summed = _persist(new_score)
             else:
                 base = others if cfg.name in score_dfs else summed
                 summed = _persist(
@@ -333,18 +352,15 @@ def train_game(
             # localCheckpoints, so plain unpersist() is a NO-OP on them
             # (checkpoint blocks are RDD-level storage, not CacheManager
             # entries) — without the explicit release the loop
-            # accumulates two row-set-sized stale frames per coordinate
-            # update until driver GC. The first summed generation
-            # aliases a live score frame, so never release anything a
-            # score_dfs slot still points at.
-            if cfg.name in score_dfs:
-                release_local_checkpoint(score_dfs[cfg.name])
-            if (
-                old_summed is not None
-                and old_summed is not summed
-                and all(old_summed is not s for s in score_dfs.values())
-            ):
+            # accumulates a row-set-sized stale frame per coordinate
+            # update until driver GC. Score frames are lazy and never
+            # alias a summed generation, so the release is
+            # unconditional.
+            if old_summed is not None and old_summed is not summed:
                 release_local_checkpoint(old_summed)
+            if prior_to_release is not None:
+                release_local_checkpoint(prior_to_release)
+                ours.discard(id(prior_to_release))
             score_dfs[cfg.name] = new_score
 
             entry = {"iteration": it, "coordinate": cfg.name}
@@ -356,15 +372,11 @@ def train_game(
                 on_update(entry)
 
     df.unpersist()
-    # the per-coordinate score frames and the running sum are loop
-    # internals — nothing in the returned (model, history) reads them,
-    # so their checkpoint blocks are released here; the final RE model
-    # tables (returned inside the model) are the only frames that
-    # outlive the call
-    for s in score_dfs.values():
-        release_local_checkpoint(s)
-    if summed is not None and all(
-        summed is not s for s in score_dfs.values()
-    ):
+    # the running sum is a loop internal — nothing in the returned
+    # (model, history) reads it, so its checkpoint blocks are released
+    # here; per-coordinate score frames are lazy (nothing to release);
+    # the final RE model tables (returned inside the model) are the
+    # only checkpointed frames that outlive the call
+    if summed is not None:
         release_local_checkpoint(summed)
     return model, history

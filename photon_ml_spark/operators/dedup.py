@@ -754,7 +754,12 @@ def minhash_lsh_dedup(
             doc_sids=sids,
         )
         return expand_collapsed_pairs(rep_pairs, membership, id_col)
-    sigs = minhash_signatures(sids, id_col, num_hashes)
+    # cache the 1-row/doc signature frame (r13, same rule as the simhash
+    # path below and incremental_neardup): the bucket self-join puts the
+    # banded relation on BOTH sides — when the planner broadcasts one
+    # side, the broadcast build re-executes the whole signature
+    # aggregation; cached, both sides read the materialized rows
+    sigs = minhash_signatures(sids, id_col, num_hashes).cache()
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return _verify_jaccard_pairs(cand, sids, id_col, threshold)
 
@@ -1036,13 +1041,19 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        new_labels = jumped.localCheckpoint(
-            storageLevel=StorageLevel.MEMORY_AND_DISK
-        )
-        # labels are monotone non-increasing: unchanged sum == fixpoint
-        s = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).first().s
+        # labels are monotone non-increasing: unchanged sum == fixpoint.
+        # The witness sum rides the checkpoint's own materialization job
+        # via observe() (CollectMetrics is row-transparent — checkpointed
+        # rows and schema are identical) instead of a separate aggregate
+        # job per iteration: one eager job per iteration, not two (r13,
+        # guide §1.2 — same rows read, half the actions).
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        new_labels = jumped.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        s = obs.get["s"]
         # new_labels is materialized (eager localCheckpoint), so the
         # superseded iteration's checkpoint blocks can be released now
         # instead of accumulating one stale label frame per iteration
@@ -1510,7 +1521,15 @@ def incremental_neardup(
         )
         new_sids = new_sids.join(reps, id_col, "left_semi")
     else:
-        new_sigs = minhash_signatures(new_sids, id_col, num_hashes)
+        # materialize the batch signatures once (1 row/doc — small):
+        # the clash guard below and BOTH banded join branches consume
+        # this relation, and unmaterialized each would re-run the
+        # shingle semi-join + num_hashes-way aggregation from scratch
+        # (r13; the ivf_topk_from_index count-becomes-the-
+        # materialization pattern, guide §5 cache-on-reuse)
+        new_sigs = minhash_signatures(
+            new_sids, id_col, num_hashes
+        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     # id-collision guard over the SIGNATURE relations (1 row/doc on the
     # index side — not the much larger doc_sids), no pre-distinct: a
     # semi-join dedups by construction. Under the collapse the sig

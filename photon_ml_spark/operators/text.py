@@ -768,12 +768,15 @@ def corpus_report(
     """
     t = F.col(text_col)
     # a doc is PII-bearing when ANY registered detector fires — the
-    # card must not under-report classes pii_scan itself would flag
+    # card must not under-report classes pii_scan itself would flag.
+    # Presence-only, so rlike (find-first, short-circuiting through
+    # the OR chain in codegen) instead of materializing EVERY match
+    # with regexp_extract_all just to test size>0 (r13, guide §1.2
+    # step 2 — same booleans, same Java regex engine, less per-row
+    # work on the card's full-corpus scan)
     has_pii = F.lit(False)
     for pat in PII_PATTERNS.values():
-        has_pii = has_pii | (
-            F.size(F.regexp_extract_all(t, F.lit(pat), 0)) > 0
-        )
+        has_pii = has_pii | t.rlike(pat)
     base = df.select(
         F.col(group_col),
         token_count(t).alias("__nt"),
