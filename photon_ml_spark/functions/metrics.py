@@ -83,10 +83,19 @@ def _roc_points(df: DataFrame, score, label, weight,
     densest score range rather than the whole relation.
     """
     w = _w(weight)
+    # cache the tie-grouped relation (narrow: one (s, pos, neg) row per
+    # distinct score): it feeds THREE plan branches — the min/max/total
+    # stats, the per-bucket totals (via offsets), and the final windowed
+    # select — and uncached each branch re-executed the full scan +
+    # tie-group shuffle of the scored frame (r13, guide §5 cache-on-
+    # reuse; the flagship AUROC alone re-aggregated its 600k-row scored
+    # frame three times). SERIALIZED level per the PLANS.md corpus rule.
+    from pyspark.storagelevel import StorageLevel
+
     g = df.groupBy(F.col(score).alias("s")).agg(
         F.sum(w * F.col(label)).alias("pos"),
         F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     stats = g.agg(
         F.min("s").alias("__lo"), F.max("s").alias("__hi"),
         F.sum("pos").alias("total_pos"), F.sum("neg").alias("total_neg"),
