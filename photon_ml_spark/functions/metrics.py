@@ -60,6 +60,19 @@ def loss_metric(
 #: the bucket-offset triangular join stays a trivial broadcast.
 ROC_BUCKETS = 4096
 
+#: Bounded registry of persisted tie-group relations (see _roc_points).
+#: Each auroc/aupr/peak_f1 call pins one (s, pos, neg) relation — one
+#: row per DISTINCT score, i.e. row-set-sized on continuous scores — and
+#: the metric functions return lazy frames, so nothing in the call can
+#: know when the consumer's action has run. A loop caller (the λ-sweep
+#: model selection, per-iteration CD validation) would otherwise pin one
+#: relation per evaluation for the life of the session. Keep the last
+#: few (plan-identical calls share ONE CacheManager entry, so the a10/
+#: a10b/a12 trio costs one slot); evicting a still-lazy frame is safe —
+#: its consumer just recomputes (correctness never depends on the cache).
+_TIE_CACHE: list = []
+_TIE_CACHE_MAX = 4
+
 
 def _roc_points(df: DataFrame, score, label, weight,
                 buckets: int = ROC_BUCKETS) -> DataFrame:
@@ -96,6 +109,9 @@ def _roc_points(df: DataFrame, score, label, weight,
         F.sum(w * F.col(label)).alias("pos"),
         F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _TIE_CACHE.append(g)
+    while len(_TIE_CACHE) > _TIE_CACHE_MAX:
+        _TIE_CACHE.pop(0).unpersist()
     stats = g.agg(
         F.min("s").alias("__lo"), F.max("s").alias("__hi"),
         F.sum("pos").alias("total_pos"), F.sum("neg").alias("total_neg"),

@@ -168,3 +168,26 @@ def test_cd_checkpoint_generations_are_serialized(spark):
     levels = {str(i.storageLevel()) for i in new}
     assert new, "expected live checkpoint blocks from the CD loop"
     assert not any("deserialized" in lv for lv in levels), levels
+
+
+def test_roc_tie_cache_is_bounded(spark):
+    """The persisted ROC tie-group relation (r13: one cache entry shared
+    by the stats/offsets/window branches) must not accumulate one pinned
+    relation per evaluation: loop callers (λ-sweep selection, CD-loop
+    validation) call auroc().first() per candidate. The registry keeps
+    at most _TIE_CACHE_MAX entries and unpersists evictees; values are
+    cache-independent (eviction just recomputes)."""
+    from photon_ml_spark.functions import metrics
+
+    frames = [
+        spark.range(200).select(
+            (F.col("id") * (i + 3) % 97).cast("double").alias("score"),
+            (F.col("id") % 2).cast("double").alias("label"),
+        )
+        for i in range(metrics._TIE_CACHE_MAX + 3)
+    ]
+    vals = [metrics.auroc(f).first().auroc for f in frames]
+    assert len(metrics._TIE_CACHE) <= metrics._TIE_CACHE_MAX
+    # a re-evaluation after eviction reproduces the value exactly
+    again = metrics.auroc(frames[0]).first().auroc
+    assert again == vals[0]
