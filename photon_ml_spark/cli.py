@@ -1513,8 +1513,13 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
         return _evaluate_scores_body(sdf, evaluators)
     finally:
         # unpersist on EVERY exit — an unknown evaluator name or an
-        # undefined metric raises mid-loop and must not leak the cache
+        # undefined metric raises mid-loop and must not leak the cache.
+        # The AUC-family metrics register a persisted tie-group relation
+        # in the bounded metrics cache; every action of this call has
+        # run by now, so drain it too — a scoring driver leaves no
+        # persisted metric state behind (success or error alike).
         sdf.unpersist()
+        metrics.release_roc_tie_cache()
 
 
 def _evaluate_scores_body(sdf, evaluators) -> dict:

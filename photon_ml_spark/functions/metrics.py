@@ -74,6 +74,17 @@ _TIE_CACHE: list = []
 _TIE_CACHE_MAX = 4
 
 
+def release_roc_tie_cache() -> None:
+    """Drain the bounded tie-group registry: unpersist every entry now
+    instead of waiting for LRU eviction. For terminal consumers whose
+    metric actions have already run (the CLI evaluators' report-and-
+    exit path) so a scoring driver leaves no persisted metric state
+    behind. Safe at any time: a still-lazy consumer of an evicted
+    relation just recomputes — correctness never depends on the cache."""
+    while _TIE_CACHE:
+        _TIE_CACHE.pop().unpersist()
+
+
 def _roc_points(df: DataFrame, score, label, weight,
                 buckets: int = ROC_BUCKETS) -> DataFrame:
     """Tie-grouped cumulative positives/negatives ordered by score desc,

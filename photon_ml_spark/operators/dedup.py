@@ -1005,23 +1005,42 @@ def connected_components(
         .repartition("u")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # init: label(u) = min(u, min neighbor) — one propagation step for free
+    from pyspark.sql import Observation
+
+    # init: label(u) = min(u, min neighbor) — one propagation step for
+    # free. Its convergence-witness sum rides the init checkpoint job
+    # (r13): dup clusters are typically stars/cliques whose init labels
+    # ARE the fixpoint, and seeding prev_sum here lets the loop confirm
+    # convergence after ONE iteration instead of needing two samples
+    # from inside the loop.
+    init_obs = Observation()
     labels = (
         edges.groupBy("u")
         .agg(F.min("v").alias("m"))
         .select("u", F.least(F.col("u"), F.col("m")).alias("label"))
+        .observe(
+            init_obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        )
         .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
     )
-    prev_sum = None
+    prev_sum = init_obs.get["s"]
     converged = False
     for _ in range(max_iter):
+        # neighbor-min via the SYMMETRIC edge list joined on its cached
+        # partitioning key (r13, guide §2.2): labels attach to the "u"
+        # side (edges are hash-partitioned on u — shuffle-free on the
+        # edge side, only the node-sized labels move) and the min
+        # aggregates by "v"; by symmetry min{label(w) : (w,v) ∈ E} is
+        # exactly the old min-over-neighbors of v. The previous join on
+        # "v" re-shuffled the full edge relation every iteration in the
+        # shuffled-join regime (labels too big to broadcast — the corpus
+        # case); under a broadcast join both forms leave edges in place
+        # and an interleaved A/B measured them equal.
         nbr = (
-            edges.join(
-                labels.select(F.col("u").alias("v"), F.col("label").alias("vl")),
-                "v",
-            )
-            .groupBy("u")
-            .agg(F.min("vl").alias("nl"))
+            edges.join(labels, "u")
+            .groupBy("v")
+            .agg(F.min("label").alias("nl"))
+            .select(F.col("v").alias("u"), "nl")
         )
         stepped = labels.join(nbr, "u", "left").select(
             "u",
@@ -1047,8 +1066,6 @@ def connected_components(
         # rows and schema are identical) instead of a separate aggregate
         # job per iteration: one eager job per iteration, not two (r13,
         # guide §1.2 — same rows read, half the actions).
-        from pyspark.sql import Observation
-
         obs = Observation()
         new_labels = jumped.observe(
             obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")

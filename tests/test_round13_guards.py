@@ -191,3 +191,28 @@ def test_roc_tie_cache_is_bounded(spark):
     # a re-evaluation after eviction reproduces the value exactly
     again = metrics.auroc(frames[0]).first().auroc
     assert again == vals[0]
+
+
+def test_roc_tie_cache_drains(spark):
+    """release_roc_tie_cache unpersists and empties the registry — the
+    CLI evaluators call it on every exit so a scoring driver leaves no
+    persisted metric state behind (pinned by test_cli.py::
+    test_advice_fixes_round8's no-leak snapshot) — and a post-drain
+    evaluation still reproduces the value exactly."""
+    from photon_ml_spark.functions import metrics
+
+    df = spark.range(300).select(
+        (F.col("id") * 7 % 101).cast("double").alias("score"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    before = metrics.auroc(df).first().auroc
+    assert metrics._TIE_CACHE
+    pinned = list(metrics._TIE_CACHE)
+    metrics.release_roc_tie_cache()
+    assert not metrics._TIE_CACHE
+    assert all(
+        g.storageLevel.useMemory is False and g.storageLevel.useDisk is False
+        for g in pinned
+    )
+    assert metrics.auroc(df).first().auroc == before
+    metrics.release_roc_tie_cache()
