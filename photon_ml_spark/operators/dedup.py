@@ -1598,22 +1598,34 @@ def drop_new_duplicates(
     matching ANY indexed doc is dropped (the corpus copy wins —
     first-seen semantics, the batch analog of the streaming e5
     operator); among new-new clusters the canonical min-id keeper
-    survives (``cluster_and_keep`` on the batch-internal edges)."""
-    old = indexed_ids.select(F.col(id_col))
+    survives (``cluster_and_keep`` on the batch-internal edges).
+
+    Contract (the ``incremental_neardup`` flow both call sites use):
+    every pair endpoint is in ``indexed_ids`` ∪ ``new_docs`` ids, and
+    the two are disjoint (the flow's clash guard raises otherwise) —
+    so "endpoint ∈ indexed" ⟺ "endpoint ∉ batch". Membership is
+    therefore tested against the BATCH-side ids (tiny, broadcastable)
+    instead of semi/anti-joining the corpus-sized ``indexed_ids``
+    relation four times: per streaming trigger that removes all four
+    index-id scans from resolution, a saving that grows with corpus
+    size (r13, guide §3.1). ``indexed_ids`` stays in the signature as
+    the contract's explicit witness; it is no longer scanned."""
+    new_ids = new_docs.select(F.col(id_col))
+    a_new = new_ids.withColumnRenamed(id_col, "id_a")
+    b_new = new_ids.withColumnRenamed(id_col, "id_b")
     hits_old = (
-        pairs.join(old.withColumnRenamed(id_col, "id_a"), "id_a", "left_semi")
+        pairs.join(a_new, "id_a", "left_anti")
         .select(F.col("id_b").alias(id_col))
         .unionByName(
-            pairs.join(
-                old.withColumnRenamed(id_col, "id_b"), "id_b", "left_semi"
-            ).select(F.col("id_a").alias(id_col))
+            pairs.join(b_new, "id_b", "left_anti")
+            .select(F.col("id_a").alias(id_col))
         )
         .distinct()
     )
     survivors = new_docs.join(hits_old, id_col, "left_anti")
     new_new = (
-        pairs.join(old.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti")
-        .join(old.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
+        pairs.join(a_new, "id_a", "left_semi")
+        .join(b_new, "id_b", "left_semi")
         .select("id_a", "id_b")
     )
     return (
