@@ -17,6 +17,7 @@ as DATA only).
 """
 
 import json
+import zlib
 
 import numpy as np
 import pytest
@@ -901,7 +902,10 @@ def test_golden_partial_retrain_reaches_reference_tolerance(spark):
     }
 
     def val(e, i, j):  # deterministic pseudo-random value in {1..5}
-        return float((hash((e, i, j)) % 5) + 1)
+        # NOT Python's hash(): string hashing is randomized per process
+        # by PYTHONHASHSEED, which made the generated design (and its
+        # conditioning) differ between boxes. zlib.crc32 is stable.
+        return float(zlib.crc32(f"{e}:{i}:{j}".encode()) % 5 + 1)
 
     rows, uid = [], 0
     for r in arts:
