@@ -28,6 +28,43 @@ def _sf_from_dir(d: str) -> float:
         return -1.0
 
 
+#: Spin-probe iteration count for the steal canary (~25-40 ms of pure
+#: single-threaded Python on an idle core). Fixed work, so the probe's
+#: wall time is a direct read of how much CPU the box is actually
+#: giving this process: on a quiet box every probe lands in a tight
+#: band; under the bursty multi-core steal documented in
+#: OPTIMIZATION_r13.md ("Box noise") probes blow out 2-10x. REPORT
+#: ONLY — written to the bench_constituents.json sidecar (never the
+#: stdout JSON line, whose schema is the driver contract), one sample
+#: before each bench row, so a contaminated run is machine-detectable:
+#: read the r14+ PERF table against the canary column before calling
+#: any per-query delta a regression.
+_CANARY_ITERS = 1_000_000
+
+
+def _spin_probe() -> float:
+    """One fixed single-threaded spin; returns wall seconds."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(_CANARY_ITERS):
+        x += i
+    return round(time.perf_counter() - t0, 4)
+
+
+def _proc_stat() -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from the aggregate /proc/stat cpu
+    line. The spin probe only sees contention that slows a SINGLE
+    thread; the r13-documented noise mode was hypervisor steal hitting
+    the WIDE 32-way stages while single-threaded Python ran full speed
+    — which only the kernel's steal counter exposes. Per-row deltas go
+    to the sidecar as steal_pct (report-only)."""
+    try:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except Exception:
+        return 0, 0
+
+
 def close_stamps(stamps: dict[str, float], elapsed: float) -> float:
     """Close a stamped row's accounting: the wall time the row spent
     OUTSIDE its per-block stamps (setup, stamp-persist materialization,
@@ -274,6 +311,17 @@ def main() -> None:
 
     registry = all_queries()
     timings: dict[str, float] = {}
+    # steal canary: one fixed spin-probe sample + one /proc/stat steal
+    # reading taken immediately BEFORE each row (outside every row
+    # timer), plus a closing sample — report-only, sidecar-only (see
+    # _spin_probe/_proc_stat)
+    canary: dict[str, float] = {}
+    stat_samples: list[tuple[str, int, int]] = []
+
+    def _probe(name: str) -> float:
+        st, tot = _proc_stat()
+        stat_samples.append((name, st, tot))
+        return _spin_probe()
 
     # JVM/codegen warmup so the first measured query doesn't pay
     # class-loading + JIT cost
@@ -281,12 +329,14 @@ def main() -> None:
         "l_returnflag"
     ).count().collect()
 
+    canary["flagship_game_pipeline"] = _probe("flagship_game_pipeline")
     t0 = time.perf_counter()
     run_flagship(spark, sf_dir)
     timings["flagship_game_pipeline"] = round(time.perf_counter() - t0, 3)
 
     constituents: dict[str, dict[str, float]] = {}
 
+    canary["curate_pipeline"] = _probe("curate_pipeline")
     t0 = time.perf_counter()
     curate_stages = run_curate(spark, sf_dir)
     if curate_stages:
@@ -297,6 +347,7 @@ def main() -> None:
     else:
         timings["curate_pipeline"] = round(time.perf_counter() - t0, 3)
 
+    canary["train_game_cd_loop"] = _probe("train_game_cd_loop")
     t0 = time.perf_counter()
     game_stamps = run_train_game(spark, sf_dir)
     timings["train_game_cd_loop"] = close_stamps(
@@ -307,6 +358,7 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
+        canary[name] = _probe(name)
         t0 = time.perf_counter()
         if name in STAMPED_SUITES:
             stamps: dict[str, float] = {}
@@ -339,12 +391,30 @@ def main() -> None:
     # record compact: constituents go to a sidecar file next to bench.py
     # and the FINAL stdout line is the short headline record the driver
     # parses.
+    canary["__end__"] = _probe("__end__")
+    # per-row steal fraction: delta of the kernel steal counter between
+    # this row's pre-sample and the next row's pre-sample, over the
+    # total-jiffies delta — covers exactly the row's execution window
+    steal_pct: dict[str, float] = {}
+    for (name, st0, tot0), (_, st1, tot1) in zip(
+        stat_samples, stat_samples[1:]
+    ):
+        if tot1 > tot0:
+            steal_pct[name] = round(100.0 * (st1 - st0) / (tot1 - tot0), 2)
     sidecar = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_constituents.json"
     )
     with open(sidecar, "w") as fh:
-        json.dump({"constituents": constituents, "sf": _sf_from_dir(sf_dir)},
-                  fh, indent=1)
+        json.dump(
+            {
+                "constituents": constituents,
+                "canary_sec": canary,
+                "canary_iters": _CANARY_ITERS,
+                "steal_pct": steal_pct,
+                "sf": _sf_from_dir(sf_dir),
+            },
+            fh, indent=1,
+        )
     print(
         json.dumps(
             {

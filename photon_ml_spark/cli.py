@@ -56,8 +56,6 @@ import argparse
 import json
 
 from pyspark.storagelevel import StorageLevel
-
-from pyspark import StorageLevel
 from pyspark.sql import SparkSession
 
 
@@ -1509,6 +1507,11 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
     sdf = scored.withColumn("__eval_margin", F.col("score") + off).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    # drain scope (r14): only tie-group relations registered by THIS
+    # call's metrics are dropped in the finally — entries that predate
+    # the mark may be pinned hot by an unrelated in-flight evaluation
+    # (multi-threaded driver) and are not ours to evict
+    tie_mark = metrics.roc_tie_cache_mark()
     try:
         return _evaluate_scores_body(sdf, evaluators)
     finally:
@@ -1519,7 +1522,7 @@ def _evaluate_scores(scored, evaluators: list) -> dict:
         # run by now, so drain it too — a scoring driver leaves no
         # persisted metric state behind (success or error alike).
         sdf.unpersist()
-        metrics.release_roc_tie_cache()
+        metrics.release_roc_tie_cache(keep=tie_mark)
 
 
 def _evaluate_scores_body(sdf, evaluators) -> dict:
@@ -1890,8 +1893,6 @@ def curate(cfg: dict, spark: SparkSession) -> None:
         rule; on multi-executor clusters prefer reliable checkpoints
         for the same truncation (module note in coordinate_descent)."""
         nonlocal docs
-        from pyspark import StorageLevel
-
         prev = docs
         docs = new_docs.localCheckpoint(
             eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK

@@ -72,17 +72,68 @@ ROC_BUCKETS = 4096
 #: its consumer just recomputes (correctness never depends on the cache).
 _TIE_CACHE: list = []
 _TIE_CACHE_MAX = 4
+_TIE_CACHE_LOCK = __import__("threading").Lock()
 
 
-def release_roc_tie_cache() -> None:
+def roc_tie_cache_mark() -> list:
+    """Snapshot of the current registry entries. A consumer that wants
+    to drain only the relations ITS work registered (the CLI
+    evaluators) takes a mark before the work and passes it to
+    ``release_roc_tie_cache(keep=mark)`` — entries that predate the
+    mark (possibly pinned by an unrelated in-flight evaluation on
+    another driver thread) stay registered."""
+    with _TIE_CACHE_LOCK:
+        return list(_TIE_CACHE)
+
+
+def release_roc_tie_cache(keep: list | None = None) -> None:
     """Drain the bounded tie-group registry: unpersist every entry now
     instead of waiting for LRU eviction. For terminal consumers whose
     metric actions have already run (the CLI evaluators' report-and-
     exit path) so a scoring driver leaves no persisted metric state
     behind. Safe at any time: a still-lazy consumer of an evicted
-    relation just recomputes — correctness never depends on the cache."""
-    while _TIE_CACHE:
-        _TIE_CACHE.pop().unpersist()
+    relation just recomputes — correctness never depends on the cache.
+
+    ``keep``: entries (a ``roc_tie_cache_mark`` snapshot) to leave
+    registered — scopes the drain to relations registered after the
+    mark, so one consumer's cleanup cannot evict cache entries an
+    unrelated concurrent evaluation is still reading hot (r14, the
+    r13 advice's drain-scoping fix)."""
+    kept_ids = {id(g) for g in keep} if keep else set()
+    with _TIE_CACHE_LOCK:
+        survivors = []
+        while _TIE_CACHE:
+            g = _TIE_CACHE.pop()
+            if id(g) in kept_ids:
+                survivors.append(g)
+            else:
+                g.unpersist()
+        _TIE_CACHE.extend(reversed(survivors))
+
+
+def _tie_cache_get(g: DataFrame) -> DataFrame:
+    """Registry lookup with plan-identity dedupe (r14, fixing the r13
+    advice's shared-entry eviction bug): plan-identical calls (the
+    a10/a10b/a12 trio, AUC+AUPR over one scored frame) previously
+    appended MULTIPLE handles that shared ONE CacheManager entry, so
+    LRU-evicting the older handle unpersisted data a newer 'cached'
+    slot still expected hot. Now a semantically-equal registered entry
+    is reused (and moved to MRU) instead of re-registered; only on a
+    miss is the relation persisted and appended. The lock makes the
+    registry safe for multi-threaded drivers (guide §2.6 overlapped
+    jobs)."""
+    with _TIE_CACHE_LOCK:
+        for i, existing in enumerate(_TIE_CACHE):
+            if existing.sameSemantics(g):
+                _TIE_CACHE.append(_TIE_CACHE.pop(i))
+                return existing
+        from pyspark.storagelevel import StorageLevel
+
+        g = g.persist(StorageLevel.MEMORY_AND_DISK)
+        _TIE_CACHE.append(g)
+        while len(_TIE_CACHE) > _TIE_CACHE_MAX:
+            _TIE_CACHE.pop(0).unpersist()
+        return g
 
 
 def _roc_points(df: DataFrame, score, label, weight,
@@ -114,15 +165,12 @@ def _roc_points(df: DataFrame, score, label, weight,
     # tie-group shuffle of the scored frame (r13, guide §5 cache-on-
     # reuse; the flagship AUROC alone re-aggregated its 600k-row scored
     # frame three times). SERIALIZED level per the PLANS.md corpus rule.
-    from pyspark.storagelevel import StorageLevel
-
-    g = df.groupBy(F.col(score).alias("s")).agg(
-        F.sum(w * F.col(label)).alias("pos"),
-        F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    _TIE_CACHE.append(g)
-    while len(_TIE_CACHE) > _TIE_CACHE_MAX:
-        _TIE_CACHE.pop(0).unpersist()
+    g = _tie_cache_get(
+        df.groupBy(F.col(score).alias("s")).agg(
+            F.sum(w * F.col(label)).alias("pos"),
+            F.sum(w * (F.lit(1.0) - F.col(label))).alias("neg"),
+        )
+    )
     stats = g.agg(
         F.min("s").alias("__lo"), F.max("s").alias("__hi"),
         F.sum("pos").alias("total_pos"), F.sum("neg").alias("total_neg"),
