@@ -19,14 +19,15 @@ an iterative training loop):
 Cache discipline (the reference persists+counts every intermediate,
 RandomEffectDataset.scala:279-341): the running score sum is
 checkpointed per update and the superseded generation is released
-after its replacement materializes. Per-coordinate score frames stay
-LAZY (r13): a coordinate's score is a shuffle-free projection of the
-two pinned inputs (cached training frame + checkpointed model table),
-so re-deriving it on the one later read — the refit subtraction — is
-cheaper than writing a second row-set-sized generation per update.
-(On a cluster where executor loss must not recompute scores, checkpoint
-them as before — the trade is recompute-on-read vs double the
-materialized bytes per update.)
+after its replacement materializes. Per-coordinate score frames are
+materialized KIND-CONDITIONALLY (r14, see _SCORE_CHECKPOINT_KINDS):
+a FIXED coordinate's score is a shuffle-free literal projection of the
+cached training frame — kept lazy, because re-deriving it on the one
+later read (the refit subtraction) is cheaper than writing a second
+row-set-sized generation per update (r13). A RANDOM coordinate's score
+re-runs a model-table join on every lazy read, which the r13 bench
+measured as net-negative — it is checkpointed once per update, with
+the superseded generation released like the summed frames.
 
 Lineage discipline: the running score sum is rebuilt from its own
 previous generation every update, so its LOGICAL plan doubles per
@@ -50,6 +51,20 @@ from photon_ml_spark.ml import glm as glm_mod
 from photon_ml_spark.ml import random_effects as re_mod
 from photon_ml_spark.ml import scoring
 from photon_ml_spark.operators.indexing import release_local_checkpoint
+
+
+#: Coordinate kinds whose per-coordinate score frame is CHECKPOINTED
+#: instead of left lazy (see train_game's score-materialization note).
+#: A fixed coordinate's score is a literal dot product over the cached
+#: training frame — re-deriving it on the refit subtraction is cheaper
+#: than a row-set-sized checkpoint per update (r13). A RANDOM
+#: coordinate's score is a join against the per-entity model table,
+#: and the lazy form re-runs that join on every downstream read (the
+#: refit's fit input AND the summed-score checkpoint) — measured
+#: net-negative at bench scale (r14 interleaved A/B), so random scores
+#: are materialized once per update again. Module-level so the A/B
+#: harness can flip it; not part of the public API.
+_SCORE_CHECKPOINT_KINDS = frozenset({"random"})
 
 
 @dataclass
@@ -252,6 +267,7 @@ def train_game(
     summed: DataFrame | None = None  # (uid, score) running total
     history: list[dict] = []
     ours: set[int] = set()  # ids of RE model frames THIS loop checkpointed
+    score_ckpts: set[int] = set()  # ids of CHECKPOINTED score frames
 
     def _persist(d: DataFrame) -> DataFrame:
         # eager localCheckpoint: materializes AND truncates the logical
@@ -325,19 +341,27 @@ def train_game(
                         prior_to_release = prior
             model.coordinates[cfg.name] = coord_model
 
-            # Per-coordinate scores stay LAZY (r13, guide §1.2/§5): a
-            # score is a shuffle-free re-derivation from the two pinned
-            # inputs (the cached training frame + the checkpointed —
-            # or driver-side — coordinate model), so checkpointing it
-            # doubled the materialized bytes per update for nothing.
-            # Only the RUNNING SUM is checkpointed: the summed join's
-            # materialization evaluates the new score in-plan (one
-            # broadcast join + dot product), and a later refit's
-            # subtraction re-evaluates it the same way. Numerics are
-            # identical — same expressions over the same pinned rows.
+            # Score materialization is KIND-CONDITIONAL (r14, refining
+            # the r13 all-lazy rule after the interleaved A/B): a FIXED
+            # coordinate's score is a shuffle-free literal dot product
+            # over the cached training frame — lazy, because re-deriving
+            # it on the refit subtraction is cheaper than a row-set-
+            # sized checkpoint per update. A RANDOM coordinate's score
+            # is a join against the (checkpointed) per-entity model
+            # table, and the lazy form re-runs that join on EVERY
+            # downstream read — the refit's fit input and the summed
+            # checkpoint — which the r13 bench measured as net-negative;
+            # it is checkpointed once per update and the superseded
+            # generation released below. Numerics identical either way —
+            # same expressions over the same pinned rows (checkpoint is
+            # row-transparent).
             new_score = _score_coordinate(df, cfg, coord_model, "score").select(
                 uid_col, "score"
             )
+            old_score = score_dfs.get(cfg.name)
+            if cfg.kind in _SCORE_CHECKPOINT_KINDS:
+                new_score = _persist(new_score)
+                score_ckpts.add(id(new_score))
 
             # incremental summed-score maintenance (J11): summed − old + new
             old_summed = summed
@@ -361,6 +385,14 @@ def train_game(
             if prior_to_release is not None:
                 release_local_checkpoint(prior_to_release)
                 ours.discard(id(prior_to_release))
+            # the superseded CHECKPOINTED score generation of this
+            # coordinate was read for the last time by the summed
+            # checkpoint just materialized (through ``others``) —
+            # release its blocks now (lazy score frames have nothing
+            # to release)
+            if old_score is not None and id(old_score) in score_ckpts:
+                release_local_checkpoint(old_score)
+                score_ckpts.discard(id(old_score))
             score_dfs[cfg.name] = new_score
 
             entry = {"iteration": it, "coordinate": cfg.name}
@@ -372,11 +404,15 @@ def train_game(
                 on_update(entry)
 
     df.unpersist()
-    # the running sum is a loop internal — nothing in the returned
-    # (model, history) reads it, so its checkpoint blocks are released
-    # here; per-coordinate score frames are lazy (nothing to release);
-    # the final RE model tables (returned inside the model) are the
-    # only checkpointed frames that outlive the call
+    # the running sum and the per-coordinate score generations are loop
+    # internals — nothing in the returned (model, history) reads them,
+    # so their checkpoint blocks are released here (lazy score frames
+    # have nothing to release); the final RE model tables (returned
+    # inside the model) are the only checkpointed frames that outlive
+    # the call
     if summed is not None:
         release_local_checkpoint(summed)
+    for s in score_dfs.values():
+        if id(s) in score_ckpts:
+            release_local_checkpoint(s)
     return model, history
