@@ -54,6 +54,16 @@ def _fake_decode(payload: bytes) -> tuple[int, int, float]:
     return width, height, mean_luma
 
 
+def _digest_byte(digest_col, i: int):
+    """Byte ``i`` of a sha256 hex digest COLUMN as an int column — the
+    Catalyst rendering of ``hashlib.sha256(payload).digest()[i]``:
+    ``sha2`` emits the digest as lowercase hex, so byte i is hex chars
+    [2i, 2i+2) parsed base-16. Bit-identical to the Python stubs by
+    construction (same digest, same integer arithmetic) — the oracle
+    SQL replays the identical device against DuckDB's sha256."""
+    return F.conv(F.substring(digest_col, 2 * i + 1, 2), 16, 10).cast("int")
+
+
 def _pil_available() -> bool:
     try:
         import PIL.Image  # noqa: F401
@@ -292,38 +302,54 @@ def decode_image(
     library is a misconfiguration, not bad data. ``fake=True`` selects
     the deterministic stub (the portable-oracle path).
     """
+    if fake:
+        # The stub is pure sha256-digest arithmetic, so it compiles to
+        # Catalyst built-ins (guide §4.1 — prefer built-ins over ANY
+        # Python boundary): no ArrowEvalPython node, no worker spin-up,
+        # no JVM↔Python transpose for the payload bytes. Values are
+        # bit-identical to _fake_decode (same digest, same integer
+        # arithmetic, same float division). The REAL decode paths below
+        # stay mapInPandas — they are the sanctioned Python site.
+        dig = df.withColumn("__dig", F.sha2(F.col(payload_col), 256))
+        b = lambda i: _digest_byte(F.col("__dig"), i)  # noqa: E731
+        return dig.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(payload_col).cast("binary").alias("payload"),
+            F.col("media_type").cast("string").alias("media_type"),
+            (F.lit(16) + b(0) % 240).alias("width"),
+            (F.lit(16) + b(1) % 240).alias("height"),
+            (b(2) / F.lit(255.0)).alias("mean_luma"),
+            F.lit(True).alias("decode_ok"),
+        )
+
     # decoder selection happens ONCE on the driver and is captured by
     # the closure, so every executor uses the same decoder even on a
     # heterogeneous image where Pillow exists only on some nodes
-    use_pil = not fake and _pil_available()
+    use_pil = _pil_available()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = []
             ok = []
             for p in pdf[payload_col]:
-                if fake:
-                    meta.append(_fake_decode(bytes(p)))
+                try:
+                    meta.append(
+                        _pil_decode(bytes(p))
+                        if use_pil
+                        else _stdlib_image_decode(bytes(p))
+                    )
                     ok.append(True)
-                else:
-                    try:
-                        meta.append(
-                            _pil_decode(bytes(p))
-                            if use_pil
-                            else _stdlib_image_decode(bytes(p))
-                        )
-                        ok.append(True)
-                    except (ImportError, MissingCodecError):
-                        # misconfiguration, not bad data: the executor
-                        # lacks PIL despite the driver check, or the
-                        # corpus is a known format the stdlib decoder
-                        # cannot parse — fail the job loudly instead of
-                        # silently discarding the whole corpus as
-                        # decode_ok=False
-                        raise
-                    except Exception:
-                        meta.append((0, 0, 0.0))
-                        ok.append(False)
+                except (ImportError, MissingCodecError):
+                    # misconfiguration, not bad data: the executor
+                    # lacks PIL despite the driver check, or the
+                    # corpus is a known format the stdlib decoder
+                    # cannot parse — fail the job loudly instead of
+                    # silently discarding the whole corpus as
+                    # decode_ok=False
+                    raise
+                except Exception:
+                    meta.append((0, 0, 0.0))
+                    ok.append(False)
             out = pdf.copy()
             out["width"] = [m[0] for m in meta]
             out["height"] = [m[1] for m in meta]
@@ -429,38 +455,58 @@ def decode_audio(
     misconfiguration, not bad data. ``fake=True`` selects the
     deterministic stub (the portable-oracle path). Schema, batching,
     and partitioning are identical across all three."""
+    if fake:
+        # Catalyst rendering of _fake_audio_decode — see decode_image's
+        # fake branch for the rationale (guide §4.1; bit-identical by
+        # construction)
+        dig = df.withColumn("__dig", F.sha2(F.col(payload_col), 256))
+        b = lambda i: _digest_byte(F.col("__dig"), i)  # noqa: E731
+        return dig.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(payload_col).cast("binary").alias("payload"),
+            F.col("media_type").cast("string").alias("media_type"),
+            (
+                F.element_at(
+                    F.array(F.lit(8), F.lit(16), F.lit(22), F.lit(44)),
+                    b(0) % 4 + 1,
+                )
+                * 1000
+            ).cast("int").alias("sample_rate"),
+            (F.lit(1000) + (b(1) * 256 + b(2)) * 37)
+            .cast("long")
+            .alias("n_samples"),
+            (b(3) / F.lit(255.0)).alias("rms"),
+            F.lit(True).alias("decode_ok"),
+        )
+
     # decoder selection happens ONCE on the driver and is captured by
     # the closure, so every executor uses the same decoder even on a
     # heterogeneous image where soundfile exists only on some nodes
-    use_soundfile = not fake and _soundfile_available()
+    use_soundfile = _soundfile_available()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = []
             ok = []
             for p in pdf[payload_col]:
-                if fake:
-                    meta.append(_fake_audio_decode(bytes(p)))
+                try:
+                    meta.append(
+                        _soundfile_decode(bytes(p))
+                        if use_soundfile
+                        else _wav_decode(bytes(p))
+                    )
                     ok.append(True)
-                else:
-                    try:
-                        meta.append(
-                            _soundfile_decode(bytes(p))
-                            if use_soundfile
-                            else _wav_decode(bytes(p))
-                        )
-                        ok.append(True)
-                    except (ImportError, MissingCodecError):
-                        # misconfiguration, not bad data: the executor
-                        # lacks soundfile despite the driver check
-                        # (heterogeneous cluster image), or the corpus
-                        # is a known format the WAV decoder cannot
-                        # parse — fail the task loudly instead of
-                        # marking the whole corpus undecodable
-                        raise
-                    except Exception:
-                        meta.append((0, 0, 0.0))
-                        ok.append(False)
+                except (ImportError, MissingCodecError):
+                    # misconfiguration, not bad data: the executor
+                    # lacks soundfile despite the driver check
+                    # (heterogeneous cluster image), or the corpus
+                    # is a known format the WAV decoder cannot
+                    # parse — fail the task loudly instead of
+                    # marking the whole corpus undecodable
+                    raise
+                except Exception:
+                    meta.append((0, 0, 0.0))
+                    ok.append(False)
             out = pdf.copy()
             out["sample_rate"] = [m[0] for m in meta]
             out["n_samples"] = [m[1] for m in meta]
@@ -656,29 +702,49 @@ def decode_video(
     fail the job — see that class), unparseable bytes degrade to
     ``decode_ok=False`` rows. ``fake=True`` selects the deterministic
     stub (the portable-oracle path)."""
-    use_av = not fake and _av_available()
+    if fake:
+        # Catalyst rendering of _fake_video_decode — see decode_image's
+        # fake branch for the rationale (guide §4.1; bit-identical by
+        # construction)
+        dig = df.withColumn("__dig", F.sha2(F.col(payload_col), 256))
+        b = lambda i: _digest_byte(F.col("__dig"), i)  # noqa: E731
+        fps = F.element_at(
+            F.array(F.lit(12.0), F.lit(24.0), F.lit(25.0), F.lit(30.0)),
+            b(2) % 4 + 1,
+        )
+        n_frames = (F.lit(1) + (b(3) * 256 + b(4)) % 2000).cast("long")
+        return dig.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(payload_col).cast("binary").alias("payload"),
+            F.col("media_type").cast("string").alias("media_type"),
+            (F.lit(32) + b(0) % 224).alias("width"),
+            (F.lit(32) + b(1) % 224).alias("height"),
+            fps.alias("fps"),
+            n_frames.alias("n_frames"),
+            (n_frames / fps).alias("duration_sec"),
+            (b(5) / F.lit(255.0)).alias("mean_luma"),
+            F.lit(True).alias("decode_ok"),
+        )
+
+    use_av = _av_available()
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             meta = []
             ok = []
             for p in pdf[payload_col]:
-                if fake:
-                    meta.append(_fake_video_decode(bytes(p)))
+                try:
+                    meta.append(
+                        _av_video_decode(bytes(p), max_frames)
+                        if use_av
+                        else _y4m_decode(bytes(p), max_frames)
+                    )
                     ok.append(True)
-                else:
-                    try:
-                        meta.append(
-                            _av_video_decode(bytes(p), max_frames)
-                            if use_av
-                            else _y4m_decode(bytes(p), max_frames)
-                        )
-                        ok.append(True)
-                    except (ImportError, MissingCodecError):
-                        raise  # misconfiguration — fail loudly
-                    except Exception:
-                        meta.append((0, 0, 0.0, 0, 0.0))
-                        ok.append(False)
+                except (ImportError, MissingCodecError):
+                    raise  # misconfiguration — fail loudly
+                except Exception:
+                    meta.append((0, 0, 0.0, 0, 0.0))
+                    ok.append(False)
             out = pdf.copy()
             out["width"] = [m[0] for m in meta]
             out["height"] = [m[1] for m in meta]
