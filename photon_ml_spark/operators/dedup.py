@@ -758,7 +758,13 @@ def minhash_lsh_dedup(
     # path below and incremental_neardup): the bucket self-join puts the
     # banded relation on BOTH sides — when the planner broadcasts one
     # side, the broadcast build re-executes the whole signature
-    # aggregation; cached, both sides read the materialized rows
+    # aggregation; cached, both sides read the materialized rows.
+    # Caller-clears contract (r14, same as the module's sids caches):
+    # the returned pair relation is lazy, so this function cannot know
+    # when its consumer's action has run — a driver that loops dedup
+    # calls in one session (curate generations, a stream) should
+    # spark.catalog.clearCache() or unpersist between rounds; the bench
+    # harness already does (release_stamped + clearCache per row).
     sigs = minhash_signatures(sids, id_col, num_hashes).cache()
     cand = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
     return _verify_jaccard_pairs(cand, sids, id_col, threshold)
@@ -1516,6 +1522,33 @@ def incremental_neardup(
     if new_sids is None:
         new_sids = token_ids_hashed(new_docs, id_col, text_col, n).cache()
     new_sids = new_sids.select(id_col, "sid")
+    # id-collision guard FUSED into the batch-signature checkpoint job
+    # (r14, guide §1.2 — same rows read, half the eager actions): the
+    # batch's 1-row/doc signature relation left-joins the index-side id
+    # column and an observe() counts the matches while the checkpoint's
+    # own materialization job runs — one eager job per batch where the
+    # checkpoint + a separate semi-join/limit guard job ran before. The
+    # signature aggregation happens pre-join (groupBy the batch's
+    # doc×shingle relation), the index-id scan count is unchanged (one
+    # per batch, the r13 examined-note's floor without a persisted id-
+    # summary artifact), and every NEW id is checked — the join runs on
+    # the pre-collapse 1-row/doc frame in both paths. mh values are
+    # untouched by the left join (index ids are unique), so outputs are
+    # identical.
+    from pyspark.sql import Observation
+
+    clash_obs = Observation()
+    old_ids_flagged = old_sigs.select(id_col).withColumn(
+        "__clash", F.lit(1)
+    )
+
+    def _guarded_ckpt(per_doc: DataFrame) -> DataFrame:
+        return (
+            per_doc.join(old_ids_flagged, id_col, "left")
+            .observe(clash_obs, F.count("__clash").alias("clashes"))
+            .localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
+        )
+
     membership = None
     if collapse_exact:
         # fused signature+fingerprint aggregation (one pass over the
@@ -1524,9 +1557,7 @@ def incremental_neardup(
             F.min((F.col("sid") * a + b) % MINHASH_PRIME).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_PARAMS[:num_hashes])
         ] + _fingerprint_aggs()
-        sigfp = new_sids.groupBy(id_col).agg(*aggs).localCheckpoint(
-        storageLevel=StorageLevel.MEMORY_AND_DISK
-    )
+        sigfp = _guarded_ckpt(new_sids.groupBy(id_col).agg(*aggs))
         membership = _membership_from_fingerprints(
             sigfp.select(id_col, "__n", "__s1", "__s2"), id_col
         )
@@ -1539,27 +1570,15 @@ def incremental_neardup(
         new_sids = new_sids.join(reps, id_col, "left_semi")
     else:
         # materialize the batch signatures once (1 row/doc — small):
-        # the clash guard below and BOTH banded join branches consume
+        # the fused guard above and BOTH banded join branches consume
         # this relation, and unmaterialized each would re-run the
         # shingle semi-join + num_hashes-way aggregation from scratch
         # (r13; the ivf_topk_from_index count-becomes-the-
         # materialization pattern, guide §5 cache-on-reuse)
-        new_sigs = minhash_signatures(
-            new_sids, id_col, num_hashes
-        ).localCheckpoint(storageLevel=StorageLevel.MEMORY_AND_DISK)
-    # id-collision guard over the SIGNATURE relations (1 row/doc on the
-    # index side — not the much larger doc_sids), no pre-distinct: a
-    # semi-join dedups by construction. Under the collapse the sig
-    # relation holds only representatives, so the guard reads the
-    # membership (1 row per NEW doc) instead — every new id must be
-    # checked, not just the reps
-    new_ids = (
-        membership.select(id_col)
-        if membership is not None
-        else new_sigs.select(id_col)
-    )
-    clash = new_ids.join(old_sigs.select(id_col), id_col, "left_semi")
-    if clash.limit(1).count() > 0:
+        new_sigs = _guarded_ckpt(
+            minhash_signatures(new_sids, id_col, num_hashes)
+        ).select(id_col, *[f"mh{i}" for i in range(num_hashes)])
+    if clash_obs.get["clashes"] > 0:
         raise ValueError(
             "incremental_neardup: new batch ids overlap the indexed "
             "corpus ids — re-key the batch before indexing"
@@ -1593,6 +1612,7 @@ def drop_new_duplicates(
     pairs: DataFrame,
     indexed_ids: DataFrame,
     id_col: str = "doc_id",
+    validate_contract: bool = False,
 ) -> DataFrame:
     """Resolve an increment's pairs into surviving new docs: a new doc
     matching ANY indexed doc is dropped (the corpus copy wins —
@@ -1609,7 +1629,32 @@ def drop_new_duplicates(
     relation four times: per streaming trigger that removes all four
     index-id scans from resolution, a saving that grows with corpus
     size (r13, guide §3.1). ``indexed_ids`` stays in the signature as
-    the contract's explicit witness; it is no longer scanned."""
+    the contract's explicit witness; on the fast path it is never
+    scanned.
+
+    ``validate_contract`` (r14, opt-in — it re-introduces one
+    indexed_ids scan, which is the cost the fast path removes): raise
+    if any pair endpoint is outside ``new_docs`` ∪ ``indexed_ids`` —
+    an out-of-contract caller would otherwise get silently inverted
+    membership (endpoint-not-in-batch misread as indexed). Use it when
+    wiring a NEW caller; the incremental_neardup/streaming flows
+    establish the contract structurally (their clash guard enforces
+    disjointness and their pairs only ever reference batch ∪ index
+    ids), so they leave it off."""
+    if validate_contract:
+        known = new_docs.select(F.col(id_col)).unionByName(
+            indexed_ids.select(F.col(id_col).alias(id_col))
+        )
+        endpoints = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+            pairs.select(F.col("id_b").alias(id_col))
+        )
+        orphan = endpoints.join(known, id_col, "left_anti")
+        if orphan.limit(1).count() > 0:
+            raise ValueError(
+                "drop_new_duplicates: pair endpoints outside new_docs ∪ "
+                "indexed_ids — the batch-side membership contract does "
+                "not hold for this caller"
+            )
     new_ids = new_docs.select(F.col(id_col))
     a_new = new_ids.withColumnRenamed(id_col, "id_a")
     b_new = new_ids.withColumnRenamed(id_col, "id_b")

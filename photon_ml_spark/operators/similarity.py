@@ -75,11 +75,18 @@ def kmeans_cells(
     out_col: str = "cell",
     seed: int = 42,
     max_iter: int = 20,
+    train_df: DataFrame | None = None,
 ):
     """Learned IVF coarse quantizer: spark.ml KMeans over the embedding
     column; the centroid assignment becomes the routing cell for
     ``ivf_topk``. Unlike fixed hyperplanes, centroids adapt to the data
     distribution — balanced cells, higher recall at the same fan-out.
+
+    ``train_df`` (optional): fit the quantizer on this (sub)relation
+    instead of ``df`` — the FAISS practice of training the coarse
+    quantizer on a bounded sample while ASSIGNING every corpus row
+    (save_ivf_index's sampled-training path). Assignment always covers
+    ``df`` in full.
 
     Returns (df + cell column, fitted KMeansModel). Score-time
     assignment of new vectors is ``model.transform`` — the centroid
@@ -88,13 +95,19 @@ def kmeans_cells(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    vdf = df.withColumn(
-        "__v",
-        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
-    )
+    def _vectorize(d: DataFrame) -> DataFrame:
+        return d.withColumn(
+            "__v",
+            array_to_vector(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ),
+        )
+
+    vdf = _vectorize(df)
+    fit_on = vdf if train_df is None else _vectorize(train_df)
     model = KMeans(
         k=k, seed=seed, maxIter=max_iter, featuresCol="__v", predictionCol=out_col
-    ).fit(vdf)
+    ).fit(fit_on)
     return model.transform(vdf).drop("__v"), model
 
 
@@ -504,6 +517,17 @@ def recall_at_k(truth: DataFrame, predicted: DataFrame, k: int,
     return hits.count() / total_true if total_true else 0.0
 
 
+#: Default coarse-quantizer training-sample bound for save_ivf_index
+#: (FAISS-style: a couple hundred thousand training points saturate a
+#: k≤1024 coarse quantizer; more rows only slow the Lloyd rounds).
+#: Corpora at or below this size train on every row — the sf0.001/sf0.01
+#: recall fixtures and the sf0.1 gate corpus are all below it, so their
+#: pinned centroids (and the x10b full-probe gate row, which is
+#: centroid-independent anyway) are untouched; the 30x/100x stress
+#: scales activate the sampling.
+IVF_TRAIN_SAMPLE = 1 << 17
+
+
 def save_ivf_index(
     corpus: DataFrame,
     path: str,
@@ -518,6 +542,7 @@ def save_ivf_index(
     pq_m: int = 8,
     pq_ksub: int = 16,
     pq_codebook: str = "kmeans",
+    train_sample: int | None = IVF_TRAIN_SAMPLE,
 ) -> None:
     """Materialize the ANN state for repeated query batches — the
     similarity twin of ``dedup.save_minhash_index``:
@@ -545,15 +570,39 @@ def save_ivf_index(
     Build cost is one KMeans fit + one partitioned write (plus one
     min/max pass when ``sq8``); rebuild when the corpus distribution
     drifts (the quantizer, not the data, decides recall).
+
+    ``train_sample`` (r14, FAISS practice): when the corpus exceeds
+    this row count, the coarse quantizer trains on a deterministic
+    id-hash sample of about this many rows instead of the full corpus
+    — each KMeans pass (takeSample init + maxIter Lloyd rounds) scans
+    the sample, not 100 TB. Cell ASSIGNMENT still covers every row,
+    and every search path is unchanged; only the centroid positions
+    can differ, which full-probe search provably cannot observe (IVF
+    identity) and partial-probe recall floors are re-measured against
+    (tests/test_ann_recall.py — corpora below the threshold train on
+    the full relation, so those pins are sample-independent). ``None``
+    restores full-corpus training.
     """
     if sq8 and pq:
         # validate BEFORE the KMeans fit and the centroids overwrite —
         # raising after them would leave a previously valid index with
         # new centroids over old vectors
         raise ValueError("save_ivf_index: choose sq8 OR pq, not both")
+    train_df = None
+    if train_sample is not None:
+        n = corpus.count()
+        if n > train_sample:
+            # deterministic id-hash thinning to ~train_sample rows —
+            # replayable across runs/retries (guide §2.5: never derive
+            # a sample from rand() under possible task retry)
+            denom = 1 << 20
+            keep = max(1, (train_sample * denom) // n)
+            train_df = corpus.filter(
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(denom)) < keep
+            )
     assigned, model = kmeans_cells(
         corpus, k=k, vec_col=vec_col, out_col="cell",
-        seed=seed, max_iter=max_iter,
+        seed=seed, max_iter=max_iter, train_df=train_df,
     )
     spark = corpus.sparkSession
     centroids = spark.createDataFrame(
